@@ -1,0 +1,277 @@
+"""Event-segmented ODE steppers under XLA-friendly control flow.
+
+The reference integrates with diffsol (BDF / TR-BDF2 / ESDIRK34 / Tsit45)
+inside a dynamic event loop with left/right-continuity bookkeeping at
+infusion boundaries (ode/mod.rs:568-816). Here the event grid already splits
+the timeline at every discontinuity, so the RHS is *smooth within a segment*
+(constant rateiv, piecewise-linear covariates) and the entire boundary
+machinery dissolves: each segment is one clean initial-value problem.
+
+Steppers:
+
+- ``dopri5``: Dormand–Prince 5(4) embedded pair, adaptive PI step control —
+  the non-stiff workhorse (reference ``Tsit45``-class accuracy).
+- ``kvaerno3`` / ``kvaerno5``: ESDIRK L-stable implicit methods with Newton
+  iterations on the nstate×nstate system — the stiff path standing in for
+  the reference's BDF default. Jacobians come from ``jax.jacfwd`` (exact,
+  not the reference's linear-model directional approximation).
+
+All loops are ``lax.while_loop`` with a hard ``max_steps`` bound so they
+vmap/shard cleanly. Default tolerances follow ode/mod.rs:40-41
+(rtol = atol = 1e-4, h0 = 1e-3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_RTOL = 1e-4
+DEFAULT_ATOL = 1e-4
+DEFAULT_H0 = 1e-3
+DEFAULT_MAX_STEPS = 10_000
+
+# Dormand–Prince 5(4) Butcher tableau.
+_DP_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
+_DP_A = (
+    (),
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+)
+_DP_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+_DP_B4 = (
+    5179 / 57600,
+    0.0,
+    7571 / 16695,
+    393 / 640,
+    -92097 / 339200,
+    187 / 2100,
+    1 / 40,
+)
+
+
+class ODEOptions(NamedTuple):
+    rtol: float = DEFAULT_RTOL
+    atol: float = DEFAULT_ATOL
+    h0: float = DEFAULT_H0
+    max_steps: int = DEFAULT_MAX_STEPS
+    solver: str = "dopri5"  # 'dopri5' | 'kvaerno3' | 'kvaerno5'
+    newton_iters: int = 6
+
+
+def _error_ratio(err, x0, x1, rtol, atol):
+    scale = atol + rtol * jnp.maximum(jnp.abs(x0), jnp.abs(x1))
+    return jnp.sqrt(jnp.mean((err / scale) ** 2))
+
+
+def dopri5_segment(f: Callable, x0, t0, t1, opts: ODEOptions):
+    """Integrate dx/dt = f(x, t) from t0 to t1 (t1 >= t0), adaptive DP5(4)."""
+    span = t1 - t0
+
+    def one_step(x, t, h):
+        ks = []
+        for i in range(7):
+            xi = x
+            for j, aij in enumerate(_DP_A[i]):
+                xi = xi + h * aij * ks[j]
+            ks.append(f(xi, t + _DP_C[i] * h))
+        x5 = x
+        x4 = x
+        for bi5, bi4, k in zip(_DP_B5, _DP_B4, ks):
+            x5 = x5 + h * bi5 * k
+            x4 = x4 + h * bi4 * k
+        return x5, x5 - x4
+
+    def cond(carry):
+        t, x, h, steps = carry
+        return (t < t1 - 1e-14 * jnp.maximum(jnp.abs(t1), 1.0)) & (steps < opts.max_steps)
+
+    def body(carry):
+        t, x, h, steps = carry
+        h = jnp.minimum(h, t1 - t)
+        x_new, err = one_step(x, t, h)
+        ratio = _error_ratio(err, x, x_new, opts.rtol, opts.atol)
+        accept = ratio <= 1.0
+        # PI-ish controller with safety factor and clamped growth
+        factor = jnp.clip(0.9 * jnp.power(jnp.maximum(ratio, 1e-10), -0.2), 0.2, 5.0)
+        t = jnp.where(accept, t + h, t)
+        x = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), x, x_new)
+        h = jnp.maximum(h * factor, 1e-14)
+        return (t, x, h, steps + 1)
+
+    h_init = jnp.minimum(jnp.asarray(opts.h0, x0.dtype), jnp.maximum(span, 1e-14))
+    t_end, x_end, _, _ = jax.lax.while_loop(cond, body, (t0, x0, h_init, 0))
+    return x_end
+
+
+# -- ESDIRK (Kvaerno) implicit methods -------------------------------------------
+
+# Kvaerno 3/2: 4-stage ESDIRK, stiffly accurate, L-stable.
+_KV3_GAMMA = 0.4358665215084590
+_KV3_A = (
+    (0.0,),
+    (_KV3_GAMMA, _KV3_GAMMA),
+    (0.490563388419108, 0.073570090080892, _KV3_GAMMA),
+    (0.308809969973036, 1.490563388254106, -1.235239879727145, _KV3_GAMMA),
+)
+_KV3_C = (0.0, 2 * _KV3_GAMMA, 1.0, 1.0)
+_KV3_B = (0.308809969973036, 1.490563388254106, -1.235239879727145, _KV3_GAMMA)
+_KV3_BHAT = (0.490563388419108, 0.073570090080892, _KV3_GAMMA, 0.0)
+
+# Kvaerno 5(4): 7-stage ESDIRK, L-stable (Kvaerno 2004).
+_KV5_GAMMA = 0.26
+_KV5_A = (
+    (0.0,),
+    (_KV5_GAMMA, _KV5_GAMMA),
+    (0.13, 0.84033320996790809, _KV5_GAMMA),
+    (0.22371961478320505, 0.47675532319799699, -0.06470895363112615, _KV5_GAMMA),
+    (
+        0.16648564323248321,
+        0.10450018841591720,
+        0.03631482272098715,
+        -0.13090704451073998,
+        _KV5_GAMMA,
+    ),
+    (
+        0.13855640231268224,
+        0.0,
+        -0.04245337201752043,
+        0.02446657898003141,
+        0.61943039072480676,
+        _KV5_GAMMA,
+    ),
+    (
+        0.13659751177640291,
+        0.0,
+        -0.05496908796538376,
+        -0.04118626728321046,
+        0.62993304899016403,
+        0.06962479448202728,
+        _KV5_GAMMA,
+    ),
+)
+_KV5_C = (0.0, 0.52, 1.230333209967908, 0.8957659843500759, 0.43639360985864756, 1.0, 1.0)
+_KV5_B = _KV5_A[6]
+_KV5_BHAT = _KV5_A[5] + (0.0,)
+
+
+def _newton_stage(f, x_base, t_stage, h, gamma, x_guess, newton_iters):
+    """Solve z = x_base + h*gamma*f(z, t_stage) by Newton iteration."""
+
+    def F(z):
+        return z - x_base - h * gamma * f(z, t_stage)
+
+    J = jax.jacfwd(F)
+
+    def body(_, z):
+        resid = F(z)
+        jac = J(z)
+        delta = jnp.linalg.solve(jac, resid)
+        return z - delta
+
+    return jax.lax.fori_loop(0, newton_iters, body, x_guess)
+
+
+def _esdirk_segment(f, x0, t0, t1, opts: ODEOptions, A, B, BHAT, C, gamma):
+    n_stages = len(C)
+    span = t1 - t0
+
+    def one_step(x, t, h):
+        ks = []
+        for i in range(n_stages):
+            if i == 0:
+                ks.append(f(x, t))
+                continue
+            x_base = x
+            for j in range(i):
+                x_base = x_base + h * A[i][j] * ks[j]
+            t_stage = t + C[i] * h
+            z = _newton_stage(
+                f, x_base, t_stage, h, gamma, x_base + h * gamma * ks[i - 1], opts.newton_iters
+            )
+            ks.append(f(z, t_stage))
+        x_new = x
+        x_hat = x
+        for bi, bhi, k in zip(B, BHAT, ks):
+            x_new = x_new + h * bi * k
+            x_hat = x_hat + h * bhi * k
+        return x_new, x_new - x_hat
+
+    order = 3.0 if n_stages == 4 else 5.0
+
+    def cond(carry):
+        t, x, h, steps = carry
+        return (t < t1 - 1e-14 * jnp.maximum(jnp.abs(t1), 1.0)) & (steps < opts.max_steps)
+
+    def body(carry):
+        t, x, h, steps = carry
+        h = jnp.minimum(h, t1 - t)
+        x_new, err = one_step(x, t, h)
+        ratio = _error_ratio(err, x, x_new, opts.rtol, opts.atol)
+        finite = jnp.all(jnp.isfinite(x_new))
+        accept = (ratio <= 1.0) & finite
+        factor = jnp.where(
+            finite,
+            jnp.clip(0.9 * jnp.power(jnp.maximum(ratio, 1e-10), -1.0 / (order + 1.0)), 0.2, 5.0),
+            0.25,
+        )
+        t = jnp.where(accept, t + h, t)
+        x = jnp.where(accept, x_new, x)
+        h = jnp.maximum(h * factor, 1e-14)
+        return (t, x, h, steps + 1)
+
+    h_init = jnp.minimum(jnp.asarray(opts.h0, x0.dtype), jnp.maximum(span, 1e-14))
+    t_end, x_end, _, _ = jax.lax.while_loop(cond, body, (t0, x0, h_init, 0))
+    return x_end
+
+
+def kvaerno3_segment(f, x0, t0, t1, opts: ODEOptions):
+    return _esdirk_segment(f, x0, t0, t1, opts, _KV3_A, _KV3_B, _KV3_BHAT, _KV3_C, _KV3_GAMMA)
+
+
+def kvaerno5_segment(f, x0, t0, t1, opts: ODEOptions):
+    return _esdirk_segment(f, x0, t0, t1, opts, _KV5_A, _KV5_B, _KV5_BHAT, _KV5_C, _KV5_GAMMA)
+
+
+_SEGMENT_SOLVERS = {
+    "dopri5": dopri5_segment,
+    "tsit5": dopri5_segment,  # same accuracy class; alias for API parity
+    "kvaerno3": kvaerno3_segment,
+    "kvaerno5": kvaerno5_segment,
+    "bdf": kvaerno5_segment,  # stiff default alias (reference default is BDF)
+    "esdirk34": kvaerno3_segment,
+    "trbdf2": kvaerno3_segment,
+}
+
+
+def make_ode_propagate(diffeq: Callable, opts: ODEOptions):
+    """Build the engine ``propagate`` hook from a user RHS.
+
+    ``diffeq(x, p, t, b, rateiv, cov) -> dx`` — within a segment ``b`` is
+    always zero (boluses are applied at breakpoints) and ``rateiv`` constant.
+    """
+    try:
+        solver = _SEGMENT_SOLVERS[opts.solver]
+    except KeyError:
+        raise ValueError(
+            f"unknown ODE solver `{opts.solver}` (have {sorted(_SEGMENT_SOLVERS)})"
+        )
+
+    def propagate(x, p, dt, rateiv, t0, cov):
+        bzero = jnp.zeros_like(rateiv)
+
+        def f(xx, tt):
+            return jnp.asarray(diffeq(xx, p, tt, bzero, rateiv, cov), dtype=x.dtype)
+
+        # Guard dt<=0: integrate over a zero-length span returns x unchanged
+        t1 = t0 + jnp.maximum(dt, 0.0)
+        return solver(f, x, t0, t1, opts)
+
+    return propagate

@@ -1,0 +1,153 @@
+"""The segment-scan simulation core shared by all equation families.
+
+One ``lax.scan`` over the sorted breakpoint stream replaces the reference's
+master per-subject loop (equation/mod.rs:480-516) and per-event dispatcher
+(equation/mod.rs:300-358):
+
+- state is captured at every breakpoint *before* its bolus payload
+  (observation-before-dose ordering at equal times);
+- the bolus payload is applied through a model-kind hook
+  (``analytical``: ``x[input] += amount``; ``ode``/``sde``: RHS-difference,
+  matching ode/mod.rs:644-687 so arbitrary user mappings of ``b`` work);
+- the segment is then propagated by the family's ``propagate`` hook
+  (closed-form kernel / ODE stepper / SDE stepper);
+- secondary-equation parameters accumulate across sub-splits within one
+  inter-event span and reset at real events (analytical/mod.rs:331,360).
+
+Observations are evaluated *after* the scan by gathering the stored
+pre-bolus states — out() is called NO times, not M times.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import float_dtype
+from .grid import CovView, OccasionArrays, Segments, build_segments
+
+
+class ModelSpec(NamedTuple):
+    """The role decomposition every authoring surface lowers to.
+
+    Mirrors ModelFunctionKind (pharmsol-dsl execution.rs:182-193) mapped to
+    pure JAX functions.
+    """
+
+    kind: str  # 'analytical' | 'ode' | 'sde'
+    nstates: int
+    ninput: int
+    nout: int
+    # propagate(x, p, dt, rateiv, t0, cov) -> x_next over one smooth segment
+    propagate: Callable
+    # out(x, p, t, cov) -> y[nout]
+    out: Callable
+    # init(p, t, cov) -> x0[nstates]; None -> zeros
+    init: Optional[Callable] = None
+    # lag/fa: (p, t, cov) -> dict {input: value} or [ninput] vector
+    lag: Optional[Callable] = None
+    fa: Optional[Callable] = None
+    # seq(p, t, cov) -> p (secondary equations; analytical only)
+    seq: Optional[Callable] = None
+    # apply_bolus(x, bvec[ninput], p, t, rateiv, cov) -> x ; None -> state add
+    apply_bolus: Optional[Callable] = None
+
+
+class OccasionSim(NamedTuple):
+    """Raw device results for one occasion row."""
+
+    pred: jnp.ndarray  # [NO] predicted value at each observation slot
+    state: jnp.ndarray  # [NO, nstates] state at each observation
+    y_all: jnp.ndarray  # [NO, nout] all outputs at each observation
+
+
+def default_apply_bolus(nstates: int):
+    """Analytical-state bolus: input index i adds into state i.
+
+    Parity: the V-state ``add_bolus`` impl used by Analytical models.
+    """
+
+    def apply(x, bvec, p, t, rateiv, cov):
+        pad = nstates - bvec.shape[0]
+        if pad > 0:
+            bvec = jnp.concatenate([bvec, jnp.zeros((pad,), dtype=bvec.dtype)])
+        elif pad < 0:
+            bvec = bvec[:nstates]
+        return x + bvec
+
+    return apply
+
+
+def rhs_difference_apply_bolus(diffeq: Callable):
+    """ODE/SDE bolus via RHS difference (ode/mod.rs:644-687).
+
+    ``delta = f(x, b) - f(x, 0)`` applied instantaneously: for the canonical
+    ``dx[i] += b[j]`` pattern this adds the dose; it also honors scaled or
+    multi-state mappings of ``b`` written in user RHS code.
+    """
+
+    def apply(x, bvec, p, t, rateiv, cov):
+        dx_with = diffeq(x, p, t, bvec, rateiv, cov)
+        dx_without = diffeq(x, p, t, jnp.zeros_like(bvec), rateiv, cov)
+        return x + (dx_with - dx_without)
+
+    return apply
+
+
+def simulate_occasion(
+    spec: ModelSpec,
+    occ: OccasionArrays,
+    p: jnp.ndarray,
+    cov_names,
+) -> OccasionSim:
+    """Simulate one lowered occasion under parameters ``p`` (fully traced)."""
+    fd = float_dtype()
+    p = jnp.asarray(p, dtype=fd)
+    cov = CovView(occ.cov_t.astype(fd), occ.cov_v.astype(fd), occ.cov_fixed, cov_names)
+    segs = build_segments(occ, p, spec.lag, spec.fa, spec.ninput, cov)
+
+    # Initial state: zeros, with init() applied only on occasion 0
+    # (analytical/mod.rs:408-426: init at t=0.0).
+    x0 = jnp.zeros((spec.nstates,), dtype=fd)
+    if spec.init is not None:
+        x0 = x0 + occ.init_mask.astype(fd) * jnp.asarray(
+            spec.init(p, jnp.asarray(0.0, fd), cov), dtype=fd
+        )
+
+    apply_bolus = spec.apply_bolus or default_apply_bolus(spec.nstates)
+    seq = spec.seq
+
+    def step(carry, seg):
+        x, p_cur = carry
+        t, dt, b_amt, b_input, rateiv, is_event = seg
+        x_pre = x
+        bvec = jnp.zeros((spec.ninput,), dtype=fd).at[b_input].add(b_amt)
+        has_bolus = b_amt != 0.0
+        x_dosed = apply_bolus(x, bvec, p, t, rateiv, cov)
+        x = jnp.where(has_bolus, x_dosed, x)
+
+        has_span = dt > 0.0
+        p_base = jnp.where(is_event, p, p_cur) if seq is not None else p
+        if seq is not None:
+            p_seg = jnp.asarray(seq(p_base, t + dt, cov), dtype=fd)
+            p_seg = jnp.where(has_span, p_seg, p_base)
+        else:
+            p_seg = p_base
+        x_prop = spec.propagate(x, p_seg, dt, rateiv, t, cov)
+        x = jnp.where(has_span, x_prop, x)
+        return (x, p_seg), x_pre
+
+    xs = (segs.t, segs.dt, segs.b_amt, segs.b_input, segs.rateiv, segs.is_event)
+    (_, _), x_pre_all = jax.lax.scan(step, (x0, p), xs)
+
+    x_obs = x_pre_all[segs.obs_pos]  # [NO, nstates]
+    obs_t = occ.obs_t.astype(fd)
+    y_all = jax.vmap(lambda x, t: jnp.asarray(spec.out(x, p, t, cov), dtype=fd))(
+        x_obs, obs_t
+    )  # [NO, nout]
+    pred = jnp.take_along_axis(y_all, occ.obs_outeq[:, None].astype(jnp.int32), axis=1)[
+        :, 0
+    ]
+    return OccasionSim(pred=pred, state=x_obs, y_all=y_all)

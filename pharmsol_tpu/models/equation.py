@@ -1,0 +1,466 @@
+"""Equation families: Analytical, ODE (SDE in models/sde.py).
+
+Public surface parity with the reference ``Equation`` trait
+(/root/reference/src/simulator/equation/mod.rs:377-577):
+
+- ``estimate_predictions(subject, parameters)`` -> SubjectPredictions
+- ``estimate_log_likelihood(subject, parameters, error_models)`` -> float
+- ``estimate_likelihood`` (deprecated, = exp(log_likelihood))
+- ``simulate_subject(subject, parameters, error_models)`` -> (preds, lik)
+- builder methods ``with_nstates/with_ndrugs/with_nout/with_metadata`` and
+  the ODE extras ``with_solver/with_tolerances``.
+
+Label resolution parity (equation/mod.rs:195-273): with metadata attached,
+route/output labels resolve by name (with ``input_<n>``/``outeq_<n>`` numeric
+aliases); without metadata, bare numeric labels become dense indices.
+
+TPU-native architecture: each equation instance owns
+
+- a host-side lowering cache (subject hash -> PopulationGrid), and
+- jitted device programs (row simulation, row log-lik, psi column) that are
+  traced once per padded shape signature and reused across calls — the
+  replacement for the reference's memoization caches (cache.rs), which this
+  design makes unnecessary on the hot path: recomputation is batched and
+  effectively free compared to a host-side hashmap.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import float_dtype
+from ..data.error_model import AssayErrorModels
+from ..data.event import Censor
+from ..data.structs import Data, Subject
+from ..engine.grid import PopulationGrid, lower_population
+from ..engine.ode import ODEOptions, make_ode_propagate
+from ..engine.sim import (
+    ModelSpec,
+    default_apply_bolus,
+    rhs_difference_apply_bolus,
+    simulate_occasion,
+)
+from ..errors import (
+    InputOutOfRangeError,
+    PharmsolError,
+    unknown_input_label,
+    unknown_output_label,
+)
+from ..likelihood.loglik import occasion_log_likelihood
+from ..likelihood.prediction import Prediction, SubjectPredictions
+from ..metadata import ModelKind, ModelMetadata, RouteKind, ValidatedModelMetadata
+
+
+def _as_dense_params(parameters) -> np.ndarray:
+    return np.asarray(parameters, dtype=np.float64).reshape(-1)
+
+
+class EquationBase:
+    """Shared simulation/likelihood machinery for all equation families."""
+
+    kind: str = "base"
+
+    def __init__(self, nstates: int = 5, ndrugs: int = 5, nout: int = 5):
+        self._nstates = nstates
+        self._ndrugs = ndrugs
+        self._nout = nout
+        self._metadata: Optional[ValidatedModelMetadata] = None
+        self._lower_cache: Dict[tuple, PopulationGrid] = {}
+        self._spec_cache: Optional[ModelSpec] = None
+
+    # -- builder API ----------------------------------------------------------
+    def with_nstates(self, nstates: int):
+        self._nstates = int(nstates)
+        self._invalidate()
+        return self
+
+    def with_ndrugs(self, ndrugs: int):
+        self._ndrugs = int(ndrugs)
+        self._invalidate()
+        return self
+
+    def with_nout(self, nout: int):
+        self._nout = int(nout)
+        self._invalidate()
+        return self
+
+    def with_metadata(self, metadata: ModelMetadata):
+        validated = (
+            metadata
+            if isinstance(metadata, ValidatedModelMetadata)
+            else metadata.validate_for(self._model_kind())
+        )
+        self._validate_metadata_dimensions(validated)
+        self._metadata = validated
+        self._invalidate()
+        return self
+
+    def _validate_metadata_dimensions(self, md: ValidatedModelMetadata) -> None:
+        if len(md.state_names) != self._nstates:
+            raise PharmsolError(
+                f"metadata declares {len(md.state_names)} states but model has "
+                f"{self._nstates}"
+            )
+        if md.route_input_count != self._ndrugs:
+            raise PharmsolError(
+                f"metadata declares {md.route_input_count} route inputs but model "
+                f"has {self._ndrugs}"
+            )
+        if len(md.output_names) != self._nout:
+            raise PharmsolError(
+                f"metadata declares {len(md.output_names)} outputs but model has "
+                f"{self._nout}"
+            )
+
+    def _invalidate(self):
+        self._lower_cache.clear()
+        self._spec_cache = None
+        self.__dict__.pop("_jit_sim_rows", None)
+        self.__dict__.pop("_jit_ll_rows", None)
+        self.__dict__.pop("_jit_psi", None)
+
+    def _model_kind(self) -> ModelKind:
+        raise NotImplementedError
+
+    # -- reference-parity accessors ---------------------------------------------
+    def metadata(self) -> Optional[ValidatedModelMetadata]:
+        return self._metadata
+
+    def nstates(self) -> int:
+        return self._nstates
+
+    def nouteqs(self) -> int:
+        return self._nout
+
+    def ndrugs(self) -> int:
+        return self._ndrugs
+
+    def parameter_index(self, name: str) -> Optional[int]:
+        return self._metadata.parameter_index(name) if self._metadata else None
+
+    def covariate_index(self, name: str) -> Optional[int]:
+        return self._metadata.covariate_index(name) if self._metadata else None
+
+    def state_index(self, name: str) -> Optional[int]:
+        return self._metadata.state_index(name) if self._metadata else None
+
+    def assay_error_models(self) -> AssayErrorModels:
+        if self._metadata is not None:
+            return AssayErrorModels.with_output_names(self._metadata.output_names)
+        return AssayErrorModels.empty()
+
+    # -- label resolution (equation/mod.rs:195-245) -------------------------------
+    def resolve_input_label(self, label, kind: str) -> int:
+        label_s = str(label)
+        if self._metadata is not None:
+            rk = RouteKind.BOLUS if kind == "bolus" else RouteKind.INFUSION
+            route = self._metadata.route_for_label(label_s, rk)
+            if route is None:
+                other = RouteKind.INFUSION if rk is RouteKind.BOLUS else RouteKind.BOLUS
+                if self._metadata.route_for_label(label_s, other) is not None:
+                    raise PharmsolError(
+                        f"route `{label_s}` does not support {kind} dosing"
+                    )
+                raise unknown_input_label(label_s, self._metadata.route_labels())
+            idx = route.input_index
+        else:
+            if not label_s.isdigit():
+                raise unknown_input_label(label_s)
+            idx = int(label_s)
+        if idx >= self._ndrugs:
+            raise InputOutOfRangeError(idx, self._ndrugs)
+        return idx
+
+    def resolve_output_label(self, label) -> int:
+        label_s = str(label)
+        if self._metadata is not None:
+            idx = self._metadata.output_for_label(label_s)
+            if idx is None:
+                raise unknown_output_label(label_s, self._metadata.output_labels())
+            return idx
+        if not label_s.isdigit():
+            raise unknown_output_label(label_s)
+        idx = int(label_s)
+        if idx >= self._nout:
+            raise unknown_output_label(
+                label_s, [str(i) for i in range(self._nout)]
+            )
+        return idx
+
+    # -- lowering ------------------------------------------------------------------
+    def _cov_names(self, subjects: Sequence[Subject]) -> List[str]:
+        if self._metadata is not None and self._metadata.covariate_decls:
+            return self._metadata.covariate_names()
+        names = set()
+        for s in subjects:
+            for occ in s.occasions():
+                names.update(occ.covariates.names())
+        return sorted(names)
+
+    def lower(self, subjects: Sequence[Subject]) -> PopulationGrid:
+        key = tuple(s.hash() for s in subjects)
+        grid = self._lower_cache.get(key)
+        if grid is None:
+            grid = lower_population(
+                subjects,
+                self.resolve_input_label,
+                self.resolve_output_label,
+                self._cov_names(subjects),
+            )
+            if len(self._lower_cache) > 64:
+                self._lower_cache.clear()
+            self._lower_cache[key] = grid
+        return grid
+
+    # -- spec / jitted programs -------------------------------------------------------
+    def _build_spec(self) -> ModelSpec:
+        raise NotImplementedError
+
+    @property
+    def spec(self) -> ModelSpec:
+        if self._spec_cache is None:
+            self._spec_cache = self._build_spec()
+        return self._spec_cache
+
+    def _sim_rows_fn(self, cov_names: tuple):
+        """vmap over occasion rows, shared parameter vector."""
+        spec = self.spec
+
+        def sim_rows(rows, p):
+            return jax.vmap(lambda occ: simulate_occasion(spec, occ, p, list(cov_names)))(
+                rows
+            )
+
+        return sim_rows
+
+    def _ll_rows_fn(self, cov_names: tuple):
+        spec = self.spec
+
+        def ll_rows(rows, p, em_kind, em_factor, em_poly):
+            def one(occ):
+                sim = simulate_occasion(spec, occ, p, list(cov_names))
+                return occasion_log_likelihood(occ, sim.pred, em_kind, em_factor, em_poly)
+
+            return jax.vmap(one)(rows)
+
+        return ll_rows
+
+    def _get_jit(self, name: str, builder: Callable, cov_names: tuple):
+        cache = self.__dict__.setdefault(f"_jit_{name}", {})
+        fn = cache.get(cov_names)
+        if fn is None:
+            fn = jax.jit(builder(cov_names))
+            cache[cov_names] = fn
+        return fn
+
+    # -- device-level entry points ---------------------------------------------------
+    def sim_population(self, grid: PopulationGrid, parameters):
+        p = jnp.asarray(_as_dense_params(parameters), dtype=float_dtype())
+        fn = self._get_jit("sim_rows", self._sim_rows_fn, tuple(grid.cov_names))
+        return fn(grid.rows, p)
+
+    def ll_population(self, grid: PopulationGrid, parameters, lowered_em):
+        p = jnp.asarray(_as_dense_params(parameters), dtype=float_dtype())
+        fn = self._get_jit("ll_rows", self._ll_rows_fn, tuple(grid.cov_names))
+        return fn(
+            grid.rows,
+            p,
+            jnp.asarray(lowered_em.kind),
+            jnp.asarray(lowered_em.factor, dtype=float_dtype()),
+            jnp.asarray(lowered_em.poly, dtype=float_dtype()),
+        )
+
+    # -- public API (reference Equation trait) ------------------------------------------
+    def estimate_predictions(self, subject: Subject, parameters) -> SubjectPredictions:
+        grid = self.lower([subject])
+        sim = self.sim_population(grid, parameters)
+        return self._assemble_subject_predictions(subject, grid, sim)
+
+    def simulate_subject(
+        self, subject: Subject, parameters, error_models: Optional[AssayErrorModels] = None
+    ) -> Tuple[SubjectPredictions, Optional[float]]:
+        preds = self.estimate_predictions(subject, parameters)
+        lik = None
+        if error_models is not None:
+            lik = float(np.exp(self.estimate_log_likelihood(subject, parameters, error_models)))
+        return preds, lik
+
+    def estimate_log_likelihood(
+        self, subject: Subject, parameters, error_models: AssayErrorModels
+    ) -> float:
+        grid = self.lower([subject])
+        lowered = error_models.lower(
+            lambda label: self.resolve_output_label(label), self._nout
+        )
+        lls = self.ll_population(grid, parameters, lowered)
+        return float(np.sum(np.asarray(lls)))
+
+    def estimate_likelihood(
+        self, subject: Subject, parameters, error_models: AssayErrorModels
+    ) -> float:
+        """Deprecated: exp(estimate_log_likelihood)."""
+        return float(np.exp(self.estimate_log_likelihood(subject, parameters, error_models)))
+
+    # -- host assembly ---------------------------------------------------------------------
+    def _assemble_subject_predictions(
+        self, subject: Subject, grid: PopulationGrid, sim
+    ) -> SubjectPredictions:
+        pred = np.asarray(sim.pred)
+        state = np.asarray(sim.state)
+        out = SubjectPredictions()
+        for row, occ in enumerate(subject.occasions()):
+            observations = occ.observations()
+            for i, obs in enumerate(observations):
+                out.add_prediction(
+                    Prediction(
+                        time=obs.time,
+                        observation=obs.value,
+                        prediction=float(pred[row, i]),
+                        outeq=self.resolve_output_label(obs.outeq),
+                        errorpoly=obs.errorpoly,
+                        state=list(state[row, i]),
+                        occasion=occ.index,
+                        censoring=obs.censoring,
+                    )
+                )
+        return out
+
+    # -- cache API parity (no-op: batching replaces memoization) --------------------------
+    def with_cache_capacity(self, size: int):
+        return self
+
+    def enable_cache(self):
+        return self
+
+    def clear_cache(self):
+        self._lower_cache.clear()
+
+    def disable_cache(self):
+        return self
+
+
+class Analytical(EquationBase):
+    """Closed-form analytical equation family.
+
+    Parity: analytical/mod.rs. ``eq(x, p, dt, rateiv, cov) -> x`` advances one
+    smooth segment; ``seq(p, t, cov) -> p`` accumulates within an inter-event
+    span and resets at events.
+    """
+
+    kind = "analytical"
+
+    def __init__(
+        self,
+        eq: Callable,
+        seq_eq: Optional[Callable] = None,
+        lag: Optional[Callable] = None,
+        fa: Optional[Callable] = None,
+        init: Optional[Callable] = None,
+        out: Optional[Callable] = None,
+        nstates: int = 5,
+        ndrugs: int = 5,
+        nout: int = 5,
+    ):
+        super().__init__(nstates, ndrugs, nout)
+        self._eq = eq
+        self._seq = seq_eq
+        self._lag = lag
+        self._fa = fa
+        self._init = init
+        self._out = out
+
+    def _model_kind(self) -> ModelKind:
+        return ModelKind.ANALYTICAL
+
+    def _build_spec(self) -> ModelSpec:
+        eq = self._eq
+
+        def propagate(x, p, dt, rateiv, t0, cov):
+            return jnp.asarray(eq(x, p, dt, rateiv, cov), dtype=x.dtype)
+
+        out = self._out or (lambda x, p, t, cov: x[: self._nout])
+        return ModelSpec(
+            kind="analytical",
+            nstates=self._nstates,
+            ninput=self._ndrugs,
+            nout=self._nout,
+            propagate=propagate,
+            out=out,
+            init=self._init,
+            lag=self._lag,
+            fa=self._fa,
+            seq=self._seq,
+            apply_bolus=default_apply_bolus(self._nstates),
+        )
+
+
+class ODE(EquationBase):
+    """Numerically integrated ODE equation family.
+
+    Parity: ode/mod.rs. ``diffeq(x, p, t, b, rateiv, cov) -> dx`` (the
+    reference closure writes into ``dx``; here it is returned). Boluses are
+    applied via the RHS-difference trick (ode/mod.rs:644-687); segment
+    boundaries replace the solver's left/right-continuity machinery.
+    """
+
+    kind = "ode"
+
+    def __init__(
+        self,
+        diffeq: Callable,
+        lag: Optional[Callable] = None,
+        fa: Optional[Callable] = None,
+        init: Optional[Callable] = None,
+        out: Optional[Callable] = None,
+        nstates: int = 5,
+        ndrugs: int = 5,
+        nout: int = 5,
+    ):
+        super().__init__(nstates, ndrugs, nout)
+        self._diffeq = diffeq
+        self._lag = lag
+        self._fa = fa
+        self._init = init
+        self._out = out
+        self._opts = ODEOptions(solver="dopri5")
+
+    def _model_kind(self) -> ModelKind:
+        return ModelKind.ODE
+
+    # -- solver configuration (ode/mod.rs:135-166) ------------------------------
+    def with_solver(self, solver: str):
+        self._opts = self._opts._replace(solver=str(solver))
+        self._invalidate()
+        return self
+
+    def with_tolerances(self, rtol: float, atol: float):
+        self._opts = self._opts._replace(rtol=float(rtol), atol=float(atol))
+        self._invalidate()
+        return self
+
+    def with_max_steps(self, max_steps: int):
+        self._opts = self._opts._replace(max_steps=int(max_steps))
+        self._invalidate()
+        return self
+
+    def _build_spec(self) -> ModelSpec:
+        diffeq = self._diffeq
+        propagate = make_ode_propagate(diffeq, self._opts)
+        out = self._out or (lambda x, p, t, cov: x[: self._nout])
+        return ModelSpec(
+            kind="ode",
+            nstates=self._nstates,
+            ninput=self._ndrugs,
+            nout=self._nout,
+            propagate=propagate,
+            out=out,
+            init=self._init,
+            lag=self._lag,
+            fa=self._fa,
+            seq=None,
+            apply_bolus=rhs_difference_apply_bolus(diffeq),
+        )
