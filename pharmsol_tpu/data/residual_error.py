@@ -106,8 +106,30 @@ class ResidualErrorModel:
         return ResidualErrorModel.exponential(new_sigma)
 
 
+# Dense kind codes for the lowered arrays.
+RESIDUAL_KIND_CODE = {
+    ResidualKind.CONSTANT: 1,
+    ResidualKind.PROPORTIONAL: 2,
+    ResidualKind.COMBINED: 3,
+    ResidualKind.EXPONENTIAL: 4,
+}
+
+
+@dataclass
+class LoweredResidualModels:
+    """Dense per-outeq arrays for the jitted batch-likelihood path."""
+
+    kind: "np.ndarray"  # [nout] int32; 0 = no model (-> -inf, parity with mod.rs:132)
+    a: "np.ndarray"  # [nout]
+    b: "np.ndarray"  # [nout]
+
+
 class ResidualErrorModels:
-    """Per-outeq residual error models with total-log-likelihood helpers."""
+    """Per-outeq residual error models with total-log-likelihood helpers.
+
+    An observation whose outeq has no model makes the total -inf
+    (residual_error.rs:124-136).
+    """
 
     def __init__(self):
         self._models: Dict[str, ResidualErrorModel] = {}
@@ -122,11 +144,46 @@ class ResidualErrorModels:
     def labels(self) -> List[str]:
         return list(self._models.keys())
 
-    def total_log_likelihood(self, observations, predictions, outeq_labels) -> float:
+    def total_log_likelihood(self, obs_pred_pairs) -> float:
+        """``obs_pred_pairs``: iterable of (outeq_label, observation, prediction)."""
         total = 0.0
-        for obs, pred, label in zip(observations, predictions, outeq_labels):
+        for label, obs, pred in obs_pred_pairs:
             m = self._models.get(str(label))
-            if m is None or obs is None:
+            if m is None:
+                return float("-inf")
+            if obs is None:
                 continue
             total += float(m.log_likelihood(obs, pred))
         return total
+
+    def lower(self, output_resolver, nout: int) -> LoweredResidualModels:
+        kind = np.zeros((nout,), dtype=np.int32)
+        a = np.zeros((nout,), dtype=np.float64)
+        b = np.zeros((nout,), dtype=np.float64)
+        for label, m in self._models.items():
+            idx = output_resolver(label)
+            if idx is None or idx < 0 or idx >= nout:
+                raise ValueError(
+                    f"residual-model label `{label}` does not resolve to an output slot"
+                )
+            kind[idx] = RESIDUAL_KIND_CODE[m.kind]
+            a[idx] = m.a
+            b[idx] = m.b
+        return LoweredResidualModels(kind=kind, a=a, b=b)
+
+
+def residual_sigma_array(kind, a, b, pred):
+    """Vectorized residual sigma over dense arrays (jnp-traced).
+
+    kind/a/b are per-observation (already gathered by outeq); pred [NO].
+    """
+    raw = jnp.where(
+        kind == 1,
+        a,
+        jnp.where(
+            kind == 2,
+            b * jnp.abs(pred),
+            jnp.where(kind == 3, jnp.sqrt(a**2 + b**2 * pred**2), a),
+        ),
+    )
+    return jnp.maximum(raw, _CUTOFF)
