@@ -30,7 +30,6 @@ from ..config import float_dtype
 from ..data.error_model import AssayErrorModels
 from ..data.residual_error import ResidualErrorModels, residual_sigma_array
 from ..data.structs import Data
-from ..engine.sim import simulate_occasion
 from ..errors import PharmsolError
 from .distributions import LOG_2PI
 from .loglik import occasion_log_likelihood
@@ -43,18 +42,13 @@ def _as_data(subjects) -> Data:
 
 
 def _psi_fn(equation, cov_names, n_subjects: int):
-    spec = equation.spec
-
-    def ll_one(occ, p, em_kind, em_factor, em_poly):
-        sim = simulate_occasion(spec, occ, p, list(cov_names))
-        return occasion_log_likelihood(occ, sim.pred, em_kind, em_factor, em_poly)
+    ll_rows = equation._ll_rows_fn(tuple(cov_names))
 
     def psi(rows, row_subject, support, em_kind, em_factor, em_poly):
         # [nspp, R]: vmap over support points of vmap over occasion rows
-        def over_rows(p):
-            return jax.vmap(lambda occ: ll_one(occ, p, em_kind, em_factor, em_poly))(rows)
-
-        ll = jax.vmap(over_rows)(support)  # [nspp, R]
+        ll = jax.vmap(lambda p: ll_rows(rows, p, em_kind, em_factor, em_poly))(
+            support
+        )  # [nspp, R]
         # occasion rows -> subjects
         psi_t = jax.ops.segment_sum(
             ll.T, row_subject, num_segments=n_subjects
@@ -123,18 +117,18 @@ def log_likelihood_matrix(
 
 
 def _batch_fn(equation, cov_names, n_subjects: int):
-    spec = equation.spec
+    pred_one = equation._pred_one_fn(tuple(cov_names))
 
-    def ll_residual_one(occ, p, re_kind, re_a, re_b):
-        sim = simulate_occasion(spec, occ, p, list(cov_names))
-        fd = sim.pred.dtype
+    def ll_residual_one(occ, p, re_kind, re_a, re_b, idx):
+        pred = pred_one(occ, p, idx)
+        fd = pred.dtype
         outeq = occ.obs_outeq.astype(jnp.int32)
         kind = re_kind[outeq]
         a = re_a[outeq].astype(fd)
         b = re_b[outeq].astype(fd)
-        sigma = residual_sigma_array(kind, a, b, sim.pred)
+        sigma = residual_sigma_array(kind, a, b, pred)
         obs = occ.obs_value.astype(fd)
-        z = (obs - sim.pred) / sigma
+        z = (obs - pred) / sigma
         ll = -0.5 * (LOG_2PI + 2.0 * jnp.log(sigma) + z * z)
         active = occ.obs_valid & occ.obs_has_value
         total = jnp.sum(jnp.where(active, ll, 0.0))
@@ -145,8 +139,9 @@ def _batch_fn(equation, cov_names, n_subjects: int):
     def batch(rows, row_subject, p_rows, re_kind, re_a, re_b):
         # p_rows: [n_subjects, n_params]; each occasion row uses its subject's row
         p_per_row = p_rows[row_subject]  # [R, n_params]
-        ll = jax.vmap(ll_residual_one, in_axes=(0, 0, None, None, None))(
-            rows, p_per_row, re_kind, re_a, re_b
+        n = p_per_row.shape[0]
+        ll = jax.vmap(ll_residual_one, in_axes=(0, 0, None, None, None, 0))(
+            rows, p_per_row, re_kind, re_a, re_b, jnp.arange(n)
         )
         return jax.ops.segment_sum(ll, row_subject, num_segments=n_subjects)
 

@@ -249,6 +249,15 @@ class EquationBase:
 
         return ll_rows
 
+    def _pred_one_fn(self, cov_names: tuple):
+        """fn(occ, p, row_idx) -> predictions [NO] (row_idx seeds SDE noise)."""
+        spec = self.spec
+
+        def pred_one(occ, p, idx):
+            return simulate_occasion(spec, occ, p, list(cov_names)).pred
+
+        return pred_one
+
     def _get_jit(self, name: str, builder: Callable, cov_names: tuple):
         cache = self.__dict__.setdefault(f"_jit_{name}", {})
         fn = cache.get(cov_names)

@@ -1,0 +1,224 @@
+"""SDE equation family: particle-filtered stochastic models.
+
+Parity with /root/reference/src/simulator/equation/sde/mod.rs:
+
+- ``SDE(drift, diffusion, lag, fa, init, out, nparticles)``;
+- ``estimate_predictions``: particles advance with no reweighting
+  (error_models=None path); predictions are the particle mean;
+- ``estimate_log_likelihood``: bootstrap particle filter; per-observation
+  contribution = mean particle weight; total = sum of logs (-inf when a
+  contribution underflows to 0);
+- metadata routes with InjectToDestination map boluses into their declared
+  destination state for every particle.
+
+Determinism: the reference uses thread-local RNG (non-reproducible runs) and
+a likelihood cache to freeze values per (subject, params). Here every run is
+keyed: ``with_seed(seed)`` fixes the PRNG; rows fold in their index. The same
+key is used across support points (common random numbers), which reduces psi
+variance for population work.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import float_dtype
+from ..engine.sde import SDESim, SDESpec, simulate_occasion_sde
+from ..metadata import ModelKind, RouteInputPolicy
+from .equation import EquationBase
+
+
+class SDE(EquationBase):
+    kind = "sde"
+
+    def __init__(
+        self,
+        drift: Callable,
+        diffusion: Callable,
+        lag: Optional[Callable] = None,
+        fa: Optional[Callable] = None,
+        init: Optional[Callable] = None,
+        out: Optional[Callable] = None,
+        nparticles: int = 1000,
+        nstates: int = 5,
+        ndrugs: int = 5,
+        nout: int = 5,
+        seed: int = 0,
+    ):
+        super().__init__(nstates, ndrugs, nout)
+        self._drift = drift
+        self._diffusion = diffusion
+        self._lag = lag
+        self._fa = fa
+        self._init = init
+        self._out = out
+        self._nparticles = int(nparticles)
+        self._seed = int(seed)
+
+    def _model_kind(self) -> ModelKind:
+        return ModelKind.SDE
+
+    def with_nparticles(self, n: int):
+        self._nparticles = int(n)
+        self._invalidate()
+        return self
+
+    def with_seed(self, seed: int):
+        self._seed = int(seed)
+        self._invalidate()
+        return self
+
+    def nparticles(self) -> int:
+        return self._nparticles
+
+    def with_metadata(self, metadata):
+        from ..metadata import ModelMetadata, ValidatedModelMetadata
+
+        validated = (
+            metadata
+            if isinstance(metadata, ValidatedModelMetadata)
+            else metadata.validate_for_with_particles(ModelKind.SDE, self._nparticles)
+        )
+        self._validate_metadata_dimensions(validated)
+        self._metadata = validated
+        if validated.particle_count:
+            self._nparticles = validated.particle_count
+        self._invalidate()
+        return self
+
+    # -- spec ---------------------------------------------------------------
+    def _sde_spec(self) -> SDESpec:
+        bolus_dest = None
+        if self._metadata is not None:
+            dest = list(range(self._ndrugs))
+            for route in self._metadata.validated_routes:
+                if route.input_policy is RouteInputPolicy.INJECT_TO_DESTINATION:
+                    if route.input_index < self._ndrugs:
+                        dest[route.input_index] = route.destination_index
+            bolus_dest = tuple(dest)
+        out = self._out or (lambda x, p, t, cov: x[: self._nout])
+        return SDESpec(
+            nstates=self._nstates,
+            ninput=self._ndrugs,
+            nout=self._nout,
+            nparticles=self._nparticles,
+            drift=self._drift,
+            diffusion=self._diffusion,
+            out=out,
+            init=self._init,
+            lag=self._lag,
+            fa=self._fa,
+            bolus_dest=bolus_dest,
+        )
+
+    @property
+    def spec(self):
+        if self._spec_cache is None:
+            self._spec_cache = self._sde_spec()
+        return self._spec_cache
+
+    def _build_spec(self):
+        return self._sde_spec()
+
+    # -- jitted row programs ---------------------------------------------------
+    def _sim_rows_fn(self, cov_names: tuple):
+        spec = self.spec
+        nout = self._nout
+        fd = float_dtype()
+        seed = self._seed
+
+        def sim_rows(rows, p):
+            key = jax.random.PRNGKey(seed)
+            zero_em = (
+                jnp.zeros((nout,), jnp.int32),
+                jnp.zeros((nout,), fd),
+                jnp.zeros((nout, 4), fd),
+            )
+
+            def one(occ, idx):
+                return simulate_occasion_sde(
+                    spec,
+                    occ,
+                    p,
+                    list(cov_names),
+                    jax.random.fold_in(key, idx),
+                    *zero_em,
+                    filter_on=False,
+                )
+
+            n = rows.obs_t.shape[0]
+            return jax.vmap(one)(rows, jnp.arange(n))
+
+        return sim_rows
+
+    def _ll_rows_fn(self, cov_names: tuple):
+        spec = self.spec
+        seed = self._seed
+
+        def ll_rows(rows, p, em_kind, em_factor, em_poly):
+            key = jax.random.PRNGKey(seed)
+
+            def one(occ, idx):
+                sim = simulate_occasion_sde(
+                    spec,
+                    occ,
+                    p,
+                    list(cov_names),
+                    jax.random.fold_in(key, idx),
+                    em_kind,
+                    em_factor,
+                    em_poly,
+                    filter_on=True,
+                )
+                return sim.log_likelihood
+
+            n = rows.obs_t.shape[0]
+            return jax.vmap(one)(rows, jnp.arange(n))
+
+        return ll_rows
+
+    def _pred_one_fn(self, cov_names: tuple):
+        spec = self.spec
+        nout = self._nout
+        fd = float_dtype()
+        seed = self._seed
+
+        def pred_one(occ, p, idx):
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), idx)
+            zero_em = (
+                jnp.zeros((nout,), jnp.int32),
+                jnp.zeros((nout,), fd),
+                jnp.zeros((nout, 4), fd),
+            )
+            sim = simulate_occasion_sde(
+                spec, occ, p, list(cov_names), key, *zero_em, filter_on=False
+            )
+            return sim.pred_mean
+
+        return pred_one
+
+    def _assemble_subject_predictions(self, subject, grid, sim: SDESim):
+        from ..likelihood.prediction import Prediction, SubjectPredictions
+
+        pred = np.asarray(sim.pred_mean)
+        state = np.asarray(sim.state_mean)
+        out = SubjectPredictions()
+        for row, occ in enumerate(subject.occasions()):
+            for i, obs in enumerate(occ.observations()):
+                out.add_prediction(
+                    Prediction(
+                        time=obs.time,
+                        observation=obs.value,
+                        prediction=float(pred[row, i]),
+                        outeq=self.resolve_output_label(obs.outeq),
+                        errorpoly=obs.errorpoly,
+                        state=list(state[row, i]),
+                        occasion=occ.index,
+                        censoring=obs.censoring,
+                    )
+                )
+        return out

@@ -1,0 +1,160 @@
+"""SDE particle filter tests.
+
+Strategy mirrors the reference (tests/test_pf.rs): statistical bounds on the
+particle-filter likelihood plus exact checks in the zero-diffusion limit,
+where the SDE collapses to the ODE and every particle is identical.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pharmsol_tpu as pst
+from pharmsol_tpu import (
+    Analytical,
+    AssayErrorModel,
+    AssayErrorModels,
+    ErrorPoly,
+    Subject,
+)
+from pharmsol_tpu.models.sde import SDE
+
+
+def decay_sde(nparticles=16, sigma_diff=0.0, seed=0):
+    return SDE(
+        drift=lambda x, p, t, rateiv, cov: jnp.stack([-p[0] * x[0] + rateiv[0]]),
+        diffusion=lambda p, t, cov: jnp.stack([p[2]]),
+        out=lambda x, p, t, cov: x[:1] / p[1],
+        nparticles=nparticles,
+        nstates=1,
+        ndrugs=1,
+        nout=1,
+        seed=seed,
+    )
+
+
+def subject():
+    return (
+        Subject.builder("s")
+        .bolus(0.0, 100.0, 0)
+        .observation(1.0, 8.0, 0)
+        .observation(2.0, 6.5, 0)
+        .observation(4.0, 4.5, 0)
+        .build()
+    )
+
+
+def test_zero_diffusion_matches_analytical():
+    sde = decay_sde(nparticles=8, seed=1)
+    analytical = Analytical(
+        pst.one_compartment,
+        out=lambda x, p, t, cov: x[:1] / p[1],
+        nstates=1,
+        ndrugs=1,
+        nout=1,
+    )
+    s = subject()
+    ke, v = 0.2, 10.0
+    got = sde.estimate_predictions(s, [ke, v, 0.0]).flat_predictions()
+    want = analytical.estimate_predictions(s, [ke, v]).flat_predictions()
+    # zero diffusion -> deterministic EM integration of the drift; the
+    # stepper's own tolerance class is 1e-2 (em.rs rtol=atol=1e-2, max dt 0.1)
+    np.testing.assert_allclose(got, want, rtol=1e-2)
+
+
+def test_zero_diffusion_loglik_matches_analytical():
+    sde = decay_sde(nparticles=8, seed=2)
+    analytical = Analytical(
+        pst.one_compartment,
+        out=lambda x, p, t, cov: x[:1] / p[1],
+        nstates=1,
+        ndrugs=1,
+        nout=1,
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    s = subject()
+    ll_sde = sde.estimate_log_likelihood(s, [0.2, 10.0, 0.0], ems)
+    ll_ana = analytical.estimate_log_likelihood(s, [0.2, 10.0], ems)
+    # identical particles -> mean weight = the deterministic likelihood;
+    # only EM integration error (rtol 1e-2 stepper) separates them
+    assert abs(ll_sde - ll_ana) < 0.05 * abs(ll_ana) + 0.05
+
+
+def test_same_seed_reproducible_different_seed_varies():
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    s = subject()
+    p = [0.2, 10.0, 0.5]
+    ll_a = decay_sde(64, seed=7).estimate_log_likelihood(s, p, ems)
+    ll_b = decay_sde(64, seed=7).estimate_log_likelihood(s, p, ems)
+    ll_c = decay_sde(64, seed=8).estimate_log_likelihood(s, p, ems)
+    assert ll_a == ll_b
+    assert ll_a != ll_c
+    assert np.isfinite(ll_a)
+
+
+def test_particle_filter_variance_bounded():
+    """Reference-style statistical test: repeated PF runs cluster around the
+    deterministic log-likelihood for small diffusion (test_pf.rs:4-50)."""
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    s = subject()
+    analytical = Analytical(
+        pst.one_compartment,
+        out=lambda x, p, t, cov: x[:1] / p[1],
+        nstates=1,
+        ndrugs=1,
+        nout=1,
+    )
+    ll_det = analytical.estimate_log_likelihood(s, [0.2, 10.0], ems)
+    lls = [
+        decay_sde(512, seed=seed).estimate_log_likelihood(s, [0.2, 10.0, 0.3], ems)
+        for seed in range(5)
+    ]
+    spread = max(lls) - min(lls)
+    assert spread < 1.0, f"PF spread too large: {lls}"
+    assert abs(np.mean(lls) - ll_det) < 1.0, f"PF biased: {np.mean(lls)} vs {ll_det}"
+
+
+def test_inject_to_destination_route():
+    from pharmsol_tpu import Route, metadata
+
+    md = (
+        metadata.new("inject")
+        .parameters(["ke", "v", "g"])
+        .states(["depot", "central"])
+        .outputs(["cp"])
+        .route(Route.bolus("oral").to_state("central").inject_input_to_destination())
+        .particles(4)
+    )
+    sde = SDE(
+        drift=lambda x, p, t, rateiv, cov: jnp.stack([0.0 * x[0], -p[0] * x[1]]),
+        diffusion=lambda p, t, cov: jnp.zeros(2),
+        out=lambda x, p, t, cov: x[1:2] / p[1],
+        nparticles=4,
+        nstates=2,
+        ndrugs=1,
+        nout=1,
+    ).with_metadata(md)
+    s = (
+        Subject.builder("s")
+        .bolus(0.0, 100.0, "oral")
+        .observation(1.0, 0.0, "cp")
+        .build()
+    )
+    got = sde.estimate_predictions(s, [0.2, 1.0, 0.0]).flat_predictions()
+    # bolus landed in `central` (state 1), not state 0 (EM tolerance class 1e-2)
+    np.testing.assert_allclose(got, [100.0 * math.exp(-0.2)], rtol=1e-2)
+    assert got[0] > 50.0  # would be ~0 if the bolus hit the inert depot
+
+
+def test_sde_in_psi_matrix():
+    from pharmsol_tpu import Data
+    from pharmsol_tpu.likelihood.matrix import log_likelihood_matrix
+
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    sde = decay_sde(32, seed=3)
+    support = np.array([[0.15, 10.0, 0.2], [0.25, 9.0, 0.2]])
+    psi = log_likelihood_matrix(sde, Data([subject()]), support, ems)
+    assert psi.shape == (1, 2)
+    assert np.all(np.isfinite(psi))
