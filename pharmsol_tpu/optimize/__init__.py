@@ -1,0 +1,3 @@
+from .effect import find_m0, get_e2
+from .nelder_mead import NelderMeadResult, initial_simplex, nelder_mead
+from .parameters import ParameterOptimizer
