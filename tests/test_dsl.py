@@ -1,0 +1,339 @@
+"""DSL parity tests.
+
+Mirrors the reference's authoring-parity strategy
+(tests/authoring_parity_corpus.rs, runtime_backend_matrix.rs): the same
+model expressed as DSL text and as handwritten closures must produce
+identical predictions; artifacts must round-trip exactly.
+
+The DSL sources follow the shapes of the reference's runtime corpus
+(tests/support/runtime_corpus.rs) without copying them verbatim.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pharmsol_tpu as pst
+from pharmsol_tpu import ODE, Analytical, AssayErrorModel, AssayErrorModels, ErrorPoly, Subject
+from pharmsol_tpu.dsl import (
+    DslError,
+    compile_model,
+    compile_module_source_to_runtime,
+    load_runtime_artifact,
+    parse_model,
+    save_artifact,
+)
+
+ODE_SRC = """
+name = one_cmt_oral_iv
+kind = ode
+
+params = ka, cl, v, tlag1, f1
+covariates = wt@linear
+states = depot, central
+derived = cl_i, ke
+outputs = cp
+
+bolus(oral) -> depot
+infusion(iv) -> central
+
+lag(oral) = tlag1
+fa(oral) = f1
+
+cl_i = cl * pow(wt / 70.0, 0.75)
+ke = cl_i / v
+
+dx(depot) = -ka * depot
+dx(central) = ka * depot - ke * central
+
+out(cp) = central / v ~ continuous()
+"""
+
+
+def oral_iv_subject():
+    return (
+        Subject.builder("s1")
+        .bolus(0.0, 100.0, "oral")
+        .infusion(12.0, 50.0, "iv", 2.0)
+        .observation(1.0, 0.0, "cp")
+        .observation(4.0, 0.0, "cp")
+        .observation(13.0, 0.0, "cp")
+        .observation(24.0, 0.0, "cp")
+        .covariate("wt", 0.0, 80.0)
+        .build()
+    )
+
+
+def test_dsl_ode_matches_handwritten():
+    runtime = compile_model(ODE_SRC)
+    assert runtime.kind == "ode"
+    p = [1.2, 5.0, 40.0, 0.5, 0.8]
+
+    def diffeq(x, p_, t, b, rateiv, cov):
+        ka, cl, v = p_[0], p_[1], p_[2]
+        ke = cl * (cov("wt", t) / 70.0) ** 0.75 / v
+        return jnp.stack(
+            [-ka * x[0] + b[0], ka * x[0] - ke * x[1] + rateiv[0]]
+        )
+
+    hand = ODE(
+        diffeq,
+        lag=lambda p_, t, cov: {0: p_[3]},
+        fa=lambda p_, t, cov: {0: p_[4]},
+        out=lambda x, p_, t, cov: x[1:2] / p_[2],
+        nstates=2,
+        ndrugs=1,
+        nout=1,
+    )
+    subject_named = oral_iv_subject()
+    subject_numeric = (
+        Subject.builder("s1")
+        .bolus(0.0, 100.0, 0)
+        .infusion(12.0, 50.0, 0, 2.0)
+        .observation(1.0, 0.0, 0)
+        .observation(4.0, 0.0, 0)
+        .observation(13.0, 0.0, 0)
+        .observation(24.0, 0.0, 0)
+        .covariate("wt", 0.0, 80.0)
+        .build()
+    )
+    got = runtime.estimate_predictions(subject_named, p).flat_predictions()
+    want = hand.estimate_predictions(subject_numeric, p).flat_predictions()
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+ANALYTICAL_SRC = """
+name = one_cmt_abs
+kind = analytical
+
+params = ka, ke, v, tlag1, f1
+states = depot, central
+outputs = cp
+
+bolus(oral) -> depot
+
+lag(oral) = tlag1
+fa(oral) = f1
+
+structure = one_compartment_with_absorption
+
+out(cp) = central / v ~ continuous()
+"""
+
+
+def test_dsl_analytical_matches_kernel():
+    runtime = compile_model(ANALYTICAL_SRC)
+    assert runtime.kind == "analytical"
+    p = [1.0, 0.15, 25.0, 0.5, 0.8]
+    hand = Analytical(
+        pst.one_compartment_with_absorption,
+        lag=lambda p_, t, cov: {0: p_[3]},
+        fa=lambda p_, t, cov: {0: p_[4]},
+        out=lambda x, p_, t, cov: x[1:2] / p_[2],
+        nstates=2,
+        ndrugs=1,
+        nout=1,
+    )
+    named = (
+        Subject.builder("s")
+        .bolus(0.0, 100.0, "oral")
+        .observation(1.0, 0.0, "cp")
+        .observation(4.0, 0.0, "cp")
+        .observation(12.0, 0.0, "cp")
+        .build()
+    )
+    numeric = (
+        Subject.builder("s")
+        .bolus(0.0, 100.0, 0)
+        .observation(1.0, 0.0, 0)
+        .observation(4.0, 0.0, 0)
+        .observation(12.0, 0.0, 0)
+        .build()
+    )
+    got = runtime.estimate_predictions(named, p).flat_predictions()
+    want = hand.estimate_predictions(numeric, p).flat_predictions()
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_dsl_analytical_derived_kernel_input():
+    src = """
+name = one_cmt_cl_derived
+kind = analytical
+params = cl, vol
+states = central
+derived = ke
+outputs = cp
+infusion(iv) -> central
+ke = cl / vol
+structure = one_compartment
+out(cp) = central / vol
+"""
+    runtime = compile_model(src)
+    p = [2.0, 20.0]
+    subject = (
+        Subject.builder("s")
+        .infusion(0.0, 100.0, "iv", 2.0)
+        .observation(1.0, 0.0, "cp")
+        .observation(3.0, 0.0, "cp")
+        .build()
+    )
+    got = runtime.estimate_predictions(subject, p).flat_predictions()
+    ke = 2.0 / 20.0
+    rate = 50.0
+    x1 = rate / ke * (1 - math.exp(-ke * 1.0))
+    x2 = rate / ke * (1 - math.exp(-ke * 2.0)) * math.exp(-ke * 1.0)
+    np.testing.assert_allclose(got, [x1 / 20.0, x2 / 20.0], rtol=1e-10)
+
+
+SDE_SRC = """
+name = sde_decay
+kind = sde
+params = ke, vol, ske
+states = central
+particles = 64
+outputs = cp
+bolus(iv) -> central
+dx(central) = -ke * central
+noise(central) = ske
+out(cp) = central / vol
+"""
+
+
+def test_dsl_sde_compiles_and_runs():
+    runtime = compile_module_source_to_runtime(SDE_SRC, name="sde_decay")
+    assert runtime.kind == "sde"
+    subject = (
+        Subject.builder("s")
+        .bolus(0.0, 100.0, "iv")
+        .observation(1.0, 8.0, "cp")
+        .observation(2.0, 6.0, "cp")
+        .build()
+    )
+    preds = runtime.estimate_predictions(subject, [0.2, 10.0, 0.0]).flat_predictions()
+    want = [10.0 * math.exp(-0.2 * t) for t in (1.0, 2.0)]
+    np.testing.assert_allclose(preds, want, rtol=1e-2)
+    ems = AssayErrorModels().add("cp", AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    ll = runtime.estimate_log_likelihood(subject, [0.2, 10.0, 0.3], ems)
+    assert np.isfinite(ll)
+
+
+def test_canonical_syntax():
+    src = """
+model demo {
+    kind ode
+    parameters { ke, v }
+    states { central }
+    routes { bolus iv -> central }
+    dynamics { dx(central) = -ke * central }
+    outputs { out(cp) = central / v }
+}
+"""
+    runtime = compile_model(src)
+    assert runtime.analyzed.name == "demo"
+    subject = Subject.builder("s").bolus(0, 100, "iv").observation(1.0, 0.0, "cp").build()
+    got = runtime.estimate_predictions(subject, [0.3, 2.0]).flat_predictions()
+    np.testing.assert_allclose(got, [100 * math.exp(-0.3) / 2.0], rtol=1e-6)
+
+
+def test_if_statement_lowering():
+    src = """
+name = conditional
+kind = ode
+params = ke, thresh
+states = central
+outputs = cp
+bolus(iv) -> central
+dx(central) = -ke * central
+out(cp) = central ~ continuous()
+init(central) = 0.0
+"""
+    # conditional in derive via if is exercised through canonical syntax
+    src2 = """
+model cond {
+    kind ode
+    parameters { ke, switch_t }
+    states { central }
+    derived { k_eff }
+    routes { bolus iv -> central }
+    derive {
+        k_eff = ke
+        if t > switch_t { k_eff = ke * 2.0 }
+    }
+    dynamics { dx(central) = -k_eff * central }
+    outputs { out(cp) = central }
+}
+"""
+    runtime = compile_model(src2)
+    subject = (
+        Subject.builder("s").bolus(0, 100, "iv").observation(1.0, 0.0, "cp")
+        .observation(3.0, 0.0, "cp").build()
+    )
+    got = runtime.estimate_predictions(subject, [0.2, 100.0]).flat_predictions()
+    # switch never triggers -> plain decay
+    np.testing.assert_allclose(got, [100 * math.exp(-0.2), 100 * math.exp(-0.6)], rtol=1e-7)
+
+
+def test_artifact_roundtrip(tmp_path):
+    runtime = compile_model(ODE_SRC)
+    path = str(tmp_path / "model.pkm")
+    save_artifact(runtime, path)
+    loaded = load_runtime_artifact(path)
+    assert loaded.analyzed.name == runtime.analyzed.name
+    p = [1.2, 5.0, 40.0, 0.5, 0.8]
+    subject = oral_iv_subject()
+    a = runtime.estimate_predictions(subject, p).flat_predictions()
+    b = loaded.estimate_predictions(subject, p).flat_predictions()
+    np.testing.assert_allclose(a, b, rtol=0)
+
+
+def test_diagnostics_unknown_name_with_suggestion():
+    src = ODE_SRC.replace("dx(depot) = -ka * depot", "dx(depot) = -kaa * depot")
+    with pytest.raises(DslError) as exc:
+        compile_model(src)
+    msg = str(exc.value)
+    assert "unknown name `kaa`" in msg
+    assert "did you mean `ka`" in msg
+
+
+def test_diagnostics_missing_structure():
+    src = "name = m\nkind = analytical\nparams = ke\nstates = c\noutputs = y\nbolus(b) -> c\nout(y) = c\n"
+    with pytest.raises(DslError) as exc:
+        compile_model(src)
+    assert "structure" in str(exc.value)
+
+
+def test_diagnostics_lag_on_infusion_rejected():
+    src = ODE_SRC + "\nlag(iv) = tlag1\n"
+    with pytest.raises(DslError) as exc:
+        compile_model(src)
+    assert "not allowed on infusion route" in str(exc.value)
+
+
+def test_diagnostics_missing_dx():
+    src = """
+name = m
+kind = ode
+params = ke
+states = a, b
+outputs = y
+bolus(x) -> a
+dx(a) = -ke * a
+out(y) = a
+"""
+    with pytest.raises(DslError) as exc:
+        compile_model(src)
+    assert "state `b` has no dx() equation" in str(exc.value)
+
+
+def test_model_info():
+    runtime = compile_model(ODE_SRC)
+    info = runtime.info()
+    assert info["name"] == "one_cmt_oral_iv"
+    assert info["kind"] == "ode"
+    assert info["parameters"] == ["ka", "cl", "v", "tlag1", "f1"]
+    assert [r["name"] for r in info["routes"]] == ["oral", "iv"]
+    assert info["routes"][0]["has_lag"] is True
+    assert info["routes"][0]["has_bioavailability"] is True
+    assert info["state_len"] == 2
