@@ -65,12 +65,18 @@ class EquationBase:
     kind: str = "base"
 
     def __init__(self, nstates: int = 5, ndrugs: int = 5, nout: int = 5):
+        from ..utils.cache import DEFAULT_CACHE_SIZE, LruCache
+
         self._nstates = nstates
         self._ndrugs = ndrugs
         self._nout = nout
         self._metadata: Optional[ValidatedModelMetadata] = None
         self._lower_cache: Dict[tuple, PopulationGrid] = {}
         self._spec_cache: Optional[ModelSpec] = None
+        # (subject-hash, params-bytes[, em-hash]) memoization for the
+        # single-subject API (cache.rs parity; shared across clones since
+        # Python objects share by reference)
+        self._pred_cache: Optional[LruCache] = LruCache(DEFAULT_CACHE_SIZE)
 
     # -- builder API ----------------------------------------------------------
     def with_nstates(self, nstates: int):
@@ -285,9 +291,18 @@ class EquationBase:
 
     # -- public API (reference Equation trait) ------------------------------------------
     def estimate_predictions(self, subject: Subject, parameters) -> SubjectPredictions:
+        key = None
+        if self._pred_cache is not None:
+            key = ("pred", subject.hash(), _as_dense_params(parameters).tobytes())
+            cached = self._pred_cache.get(key)
+            if cached is not None:
+                return cached
         grid = self.lower([subject])
         sim = self.sim_population(grid, parameters)
-        return self._assemble_subject_predictions(subject, grid, sim)
+        result = self._assemble_subject_predictions(subject, grid, sim)
+        if key is not None:
+            self._pred_cache.insert(key, result)
+        return result
 
     def simulate_subject(
         self, subject: Subject, parameters, error_models: Optional[AssayErrorModels] = None
@@ -301,12 +316,26 @@ class EquationBase:
     def estimate_log_likelihood(
         self, subject: Subject, parameters, error_models: AssayErrorModels
     ) -> float:
+        key = None
+        if self._pred_cache is not None:
+            key = (
+                "ll",
+                subject.hash(),
+                _as_dense_params(parameters).tobytes(),
+                error_models.content_hash(),
+            )
+            cached = self._pred_cache.get(key)
+            if cached is not None:
+                return cached
         grid = self.lower([subject])
         lowered = error_models.lower(
             lambda label: self.resolve_output_label(label), self._nout
         )
         lls = self.ll_population(grid, parameters, lowered)
-        return float(np.sum(np.asarray(lls)))
+        result = float(np.sum(np.asarray(lls)))
+        if key is not None:
+            self._pred_cache.insert(key, result)
+        return result
 
     def estimate_likelihood(
         self, subject: Subject, parameters, error_models: AssayErrorModels
@@ -338,17 +367,26 @@ class EquationBase:
                 )
         return out
 
-    # -- cache API parity (no-op: batching replaces memoization) --------------------------
+    # -- cache API (simulator/cache.rs parity) ----------------------------------------
     def with_cache_capacity(self, size: int):
+        from ..utils.cache import LruCache
+
+        self._pred_cache = LruCache(size)
         return self
 
     def enable_cache(self):
+        from ..utils.cache import DEFAULT_CACHE_SIZE, LruCache
+
+        self._pred_cache = LruCache(DEFAULT_CACHE_SIZE)
         return self
 
     def clear_cache(self):
         self._lower_cache.clear()
+        if self._pred_cache is not None:
+            self._pred_cache.invalidate_all()
 
     def disable_cache(self):
+        self._pred_cache = None
         return self
 
 

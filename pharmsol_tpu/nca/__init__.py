@@ -6,6 +6,7 @@ bioavailability, and population summaries.
 """
 
 from . import api as _api  # noqa: F401  (attaches .nca methods to data types)
+from . import metrics as _metrics  # noqa: F401  (attaches observation metrics)
 from .analyze import AnalysisContext, analyze  # noqa: F401
 from .api import (  # noqa: F401
     detect_infusion_duration,
@@ -27,6 +28,7 @@ from .bioavailability import (  # noqa: F401
     metabolite_parent_ratio,
 )
 from .calc import lambda_z, lambda_z_candidates, tlag_from_raw  # noqa: F401
+from .metrics import MetricsError  # noqa: F401
 from .observation import NCAError, ObservationProfile  # noqa: F401
 from .sparse import SparsePKResult, sparse_auc, sparse_auc_from_data  # noqa: F401
 from .summary import (  # noqa: F401
