@@ -52,7 +52,7 @@ def main() -> int:
     if args.quick:
         n_subjects, n_supports = 256, 32
     else:
-        n_subjects = args.subjects or (1024 if on_cpu else 8192)
+        n_subjects = args.subjects or (1024 if on_cpu else 16384)
         n_supports = args.supports or (64 if on_cpu else 512)
 
     # "Short" workload: 100 mg PO at t=0, 9 observations over 12 h.

@@ -296,3 +296,249 @@ KERNELS = {
     "three_compartments_cl": (three_compartments_cl, 3, 6),
     "three_compartments_cl_with_absorption": (three_compartments_cl_with_absorption, 4, 7),
 }
+
+
+# ---------------------------------------------------------------------------
+# Prepared kernels: split parameter-only work (eigenvalues, coefficient
+# ratios) from per-segment work (exponentials). When a model has no
+# secondary equations, parameters are constant across a subject's segments,
+# so `prepare` hoists out of the lax.scan and each segment only pays for its
+# exponentials. Biggest effect on the 3-cmt kernels (cubic roots + 27
+# coefficient divisions per segment otherwise).
+# ---------------------------------------------------------------------------
+
+
+def _one_cmt_prepare(p):
+    return (p[0],)
+
+
+def _one_cmt_apply(aux, x, t, rateiv):
+    (ke,) = aux
+    e = jnp.exp(-ke * t)
+    return jnp.stack([x[0] * e + rateiv[0] / ke * (1.0 - e)])
+
+
+def _one_cmt_abs_prepare(p):
+    ka, ke = p[0], p[1]
+    return (ka, ke, ka / (ka - ke))
+
+
+def _one_cmt_abs_apply(aux, x, t, rateiv):
+    ka, ke, ratio = aux
+    eka = jnp.exp(-ka * t)
+    eke = jnp.exp(-ke * t)
+    return jnp.stack(
+        [
+            x[0] * eka,
+            x[1] * eke + rateiv[0] / ke * (1.0 - eke) + ratio * x[0] * (eke - eka),
+        ]
+    )
+
+
+def _two_cmt_prepare_core(ke, kcp, kpc):
+    disc = (ke + kcp + kpc) ** 2 - 4.0 * ke * kpc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    l1 = (ke + kcp + kpc + sq) / 2.0
+    l2 = (ke + kcp + kpc - sq) / 2.0
+    inv_denom = 1.0 / (l1 - l2)
+    return (l1, l2, inv_denom, 1.0 / l1, 1.0 / l2, ke, kcp, kpc)
+
+
+def _two_cmt_apply_core(aux, x0, x1, t, rate):
+    l1, l2, inv_denom, inv_l1, inv_l2, ke, kcp, kpc = aux
+    e1 = jnp.exp(-l1 * t)
+    e2 = jnp.exp(-l2 * t)
+    hom0 = ((l1 - kpc) * e1 + (kpc - l2) * e2) * x0 + (-kpc * e1 + kpc * e2) * x1
+    hom1 = (-kcp * e1 + kcp * e2) * x0 + ((l1 - ke - kcp) * e1 + (ke + kcp - l2) * e2) * x1
+    inf0 = (l1 - kpc) * inv_l1 * (1.0 - e1) + (kpc - l2) * inv_l2 * (1.0 - e2)
+    inf1 = -kcp * inv_l1 * (1.0 - e1) + kcp * inv_l2 * (1.0 - e2)
+    return (
+        (hom0 + inf0 * rate) * inv_denom,
+        (hom1 + inf1 * rate) * inv_denom,
+        (e1, e2),
+    )
+
+
+def _two_cmt_prepare(p):
+    return _two_cmt_prepare_core(p[0], p[1], p[2])
+
+
+def _two_cmt_apply(aux, x, t, rateiv):
+    a, b, _ = _two_cmt_apply_core(aux, x[0], x[1], t, rateiv[0])
+    return jnp.stack([a, b])
+
+
+def _two_cmt_abs_prepare(p):
+    ke, ka, kcp, kpc = p[0], p[1], p[2], p[3]
+    core = _two_cmt_prepare_core(ke, kcp, kpc)
+    l1, l2 = core[0], core[1]
+    return core + (ka, 1.0 / (ka - l1), 1.0 / (ka - l2))
+
+
+def _two_cmt_abs_apply(aux, x, t, rateiv):
+    core = aux[:8]
+    ka, inv_ka_l1, inv_ka_l2 = aux[8], aux[9], aux[10]
+    l1, l2, inv_denom = core[0], core[1], core[2]
+    ke, kcp, kpc = core[5], core[6], core[7]
+    a, b, (e1, e2) = _two_cmt_apply_core(core, x[1], x[2], t, rateiv[0])
+    eka = jnp.exp(-ka * t)
+    abs0 = (l1 - kpc) * inv_ka_l1 * (e1 - eka) + (kpc - l2) * inv_ka_l2 * (e2 - eka)
+    abs1 = -kcp * inv_ka_l1 * (e1 - eka) + kcp * inv_ka_l2 * (e2 - eka)
+    scale = ka * x[0] * inv_denom
+    return jnp.stack([x[0] * eka, a + abs0 * scale, b + abs1 * scale])
+
+
+def _three_cmt_prepare_core(k10, k12, k13, k21, k31):
+    l1, l2, l3 = _three_cmt_eigs(k10, k12, k13, k21, k31)
+    d1 = 1.0 / ((l2 - l1) * (l3 - l1))
+    d2 = 1.0 / ((l1 - l2) * (l3 - l2))
+    d3 = 1.0 / ((l1 - l3) * (l2 - l3))
+    c = {}
+    c[1], c[2], c[3] = (k21 - l1) * (k31 - l1) * d1, (k21 - l2) * (k31 - l2) * d2, (k21 - l3) * (k31 - l3) * d3
+    c[4], c[5], c[6] = k21 * (k31 - l1) * d1, k21 * (k31 - l2) * d2, k21 * (k31 - l3) * d3
+    c[7], c[8], c[9] = k31 * (k21 - l1) * d1, k31 * (k21 - l2) * d2, k31 * (k21 - l3) * d3
+    c[10], c[11], c[12] = k12 * (k31 - l1) * d1, k12 * (k31 - l2) * d2, k12 * (k31 - l3) * d3
+    s = k10 + k12 + k13
+    c[13] = ((s - l1) * (k31 - l1) - k13 * k31) * d1
+    c[14] = ((s - l2) * (k31 - l2) - k13 * k31) * d2
+    c[15] = ((s - l3) * (k31 - l3) - k13 * k31) * d3
+    c[16], c[17], c[18] = k12 * k31 * d1, k12 * k31 * d2, k12 * k31 * d3
+    c[19], c[20], c[21] = k13 * (k21 - l1) * d1, k13 * (k21 - l2) * d2, k13 * (k21 - l3) * d3
+    c[22], c[23], c[24] = k21 * k13 * d1, k21 * k13 * d2, k21 * k13 * d3
+    c[25] = ((s - l1) * (k21 - l1) - k12 * k21) * d1
+    c[26] = ((s - l2) * (k21 - l2) - k12 * k21) * d2
+    c[27] = ((s - l3) * (k21 - l3) - k12 * k21) * d3
+    coeffs = jnp.stack([c[i] for i in range(1, 28)])
+    return (l1, l2, l3, 1.0 / l1, 1.0 / l2, 1.0 / l3, coeffs)
+
+
+def _three_cmt_apply_core(aux, x3, t, rate):
+    l1, l2, l3, il1, il2, il3, c = aux
+    e1 = jnp.exp(-l1 * t)
+    e2 = jnp.exp(-l2 * t)
+    e3 = jnp.exp(-l3 * t)
+
+    def row(i):  # c indices are 1-based in the reference derivation
+        return (
+            (c[i - 1] * e1 + c[i] * e2 + c[i + 1] * e3),
+            (c[i + 2] * e1 + c[i + 3] * e2 + c[i + 4] * e3),
+            (c[i + 5] * e1 + c[i + 6] * e2 + c[i + 7] * e3),
+        )
+
+    m11, m12, m13 = row(1)
+    m21, m22, m23 = row(10)
+    m31, m32, m33 = row(19)
+    hom = (
+        m11 * x3[0] + m12 * x3[1] + m13 * x3[2],
+        m21 * x3[0] + m22 * x3[1] + m23 * x3[2],
+        m31 * x3[0] + m32 * x3[1] + m33 * x3[2],
+    )
+    inf = (
+        (1.0 - e1) * c[0] * il1 + (1.0 - e2) * c[1] * il2 + (1.0 - e3) * c[2] * il3,
+        (1.0 - e1) * c[9] * il1 + (1.0 - e2) * c[10] * il2 + (1.0 - e3) * c[11] * il3,
+        (1.0 - e1) * c[18] * il1 + (1.0 - e2) * c[19] * il2 + (1.0 - e3) * c[20] * il3,
+    )
+    return (
+        hom[0] + inf[0] * rate,
+        hom[1] + inf[1] * rate,
+        hom[2] + inf[2] * rate,
+        (e1, e2, e3),
+    )
+
+
+def _three_cmt_prepare(p):
+    return _three_cmt_prepare_core(p[0], p[1], p[2], p[3], p[4])
+
+
+def _three_cmt_apply(aux, x, t, rateiv):
+    a, b, cc, _ = _three_cmt_apply_core(aux, x, t, rateiv[0])
+    return jnp.stack([a, b, cc])
+
+
+def _three_cmt_abs_prepare(p):
+    ka = p[0]
+    core = _three_cmt_prepare_core(p[1], p[2], p[3], p[4], p[5])
+    l1, l2, l3 = core[0], core[1], core[2]
+    return core + (ka, 1.0 / (ka - l1), 1.0 / (ka - l2), 1.0 / (ka - l3))
+
+
+def _three_cmt_abs_apply(aux, x, t, rateiv):
+    core = aux[:7]
+    ka, ik1, ik2, ik3 = aux[7], aux[8], aux[9], aux[10]
+    c = core[6]
+    a, b, cc, (e1, e2, e3) = _three_cmt_apply_core(core, x[1:4], t, rateiv[0])
+    eka = jnp.exp(-ka * t)
+    g1 = (e1 - eka) * ik1
+    g2 = (e2 - eka) * ik2
+    g3 = (e3 - eka) * ik3
+    scale = ka * x[0]
+    return jnp.stack(
+        [
+            x[0] * eka,
+            a + (g1 * c[0] + g2 * c[1] + g3 * c[2]) * scale,
+            b + (g1 * c[9] + g2 * c[10] + g3 * c[11]) * scale,
+            cc + (g1 * c[18] + g2 * c[19] + g3 * c[20]) * scale,
+        ]
+    )
+
+
+def _cl_reparam(prepare, mapping):
+    """Wrap a prepare fn with a CL/V -> micro-constant reparameterization."""
+
+    def prep(p):
+        return prepare(jnp.stack(mapping(p)))
+
+    return prep
+
+
+PREPARED_KERNELS = {
+    "one_compartment": (_one_cmt_prepare, _one_cmt_apply),
+    "one_compartment_with_absorption": (_one_cmt_abs_prepare, _one_cmt_abs_apply),
+    "one_compartment_cl": (
+        _cl_reparam(_one_cmt_prepare, lambda p: [p[0] / p[1]]),
+        _one_cmt_apply,
+    ),
+    "one_compartment_cl_with_absorption": (
+        _cl_reparam(_one_cmt_abs_prepare, lambda p: [p[0], p[1] / p[2]]),
+        _one_cmt_abs_apply,
+    ),
+    "two_compartments": (_two_cmt_prepare, _two_cmt_apply),
+    "two_compartments_with_absorption": (_two_cmt_abs_prepare, _two_cmt_abs_apply),
+    "two_compartments_cl": (
+        _cl_reparam(_two_cmt_prepare, lambda p: [p[0] / p[2], p[1] / p[2], p[1] / p[3]]),
+        _two_cmt_apply,
+    ),
+    "two_compartments_cl_with_absorption": (
+        _cl_reparam(
+            _two_cmt_abs_prepare,
+            lambda p: [p[1] / p[3], p[0], p[2] / p[3], p[2] / p[4]],
+        ),
+        _two_cmt_abs_apply,
+    ),
+    "three_compartments": (_three_cmt_prepare, _three_cmt_apply),
+    "three_compartments_with_absorption": (_three_cmt_abs_prepare, _three_cmt_abs_apply),
+    "three_compartments_cl": (
+        _cl_reparam(
+            _three_cmt_prepare,
+            lambda p: [p[0] / p[3], p[1] / p[3], p[2] / p[3], p[1] / p[4], p[2] / p[5]],
+        ),
+        _three_cmt_apply,
+    ),
+    "three_compartments_cl_with_absorption": (
+        _cl_reparam(
+            _three_cmt_abs_prepare,
+            lambda p: [
+                p[0],
+                p[1] / p[4],
+                p[2] / p[4],
+                p[3] / p[4],
+                p[2] / p[5],
+                p[3] / p[6],
+            ],
+        ),
+        _three_cmt_abs_apply,
+    ),
+}
+
+# kernel function object -> prepared pair, for spec construction
+PREPARED_BY_FN = {KERNELS[name][0]: pair for name, pair in PREPARED_KERNELS.items()}

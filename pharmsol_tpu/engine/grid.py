@@ -50,8 +50,10 @@ RANK_BOLUS = 2
 RANK_INFUSION = 3
 
 
-def _round_up(n: int, multiple: int = 4, minimum: int = 1) -> int:
+def _round_up(n: int, multiple: int = 1, minimum: int = 0) -> int:
     n = max(n, minimum)
+    if multiple <= 1:
+        return n
     return ((n + multiple - 1) // multiple) * multiple
 
 
@@ -311,12 +313,14 @@ def lower_population(
     resolve_input: Callable,
     resolve_output: Callable,
     cov_names: Sequence[str],
-    pad_multiple: int = 4,
+    pad_multiple: int = 1,
 ) -> PopulationGrid:
     """Lower a population into a single stacked PopulationGrid.
 
-    Pads every row to the population maxima (rounded up to ``pad_multiple``
-    so nearby dataset sizes reuse the same compiled executable).
+    Pads every row to the population maxima. ``pad_multiple`` defaults to 1
+    (exact padding — each padded segment costs real FLOPs in the scan);
+    raise it when many slightly-different datasets should share a compiled
+    executable.
     """
     occs: List[tuple] = []
     for si, subject in enumerate(subjects):
@@ -327,7 +331,7 @@ def lower_population(
 
     NB = _round_up(max(len(o.boluses()) for _, _, o in occs), pad_multiple)
     NI = _round_up(max(len(o.infusions()) for _, _, o in occs), pad_multiple)
-    NO = _round_up(max(len(o.observations()) for _, _, o in occs), pad_multiple)
+    NO = _round_up(max(len(o.observations()) for _, _, o in occs), pad_multiple, minimum=1)
     K = _round_up(
         max(
             (
@@ -336,6 +340,7 @@ def lower_population(
             ),
         ),
         pad_multiple,
+        minimum=1,
     )
 
     lowered = [

@@ -53,6 +53,12 @@ class ModelSpec(NamedTuple):
     seq: Optional[Callable] = None
     # apply_bolus(x, bvec[ninput], p, t, rateiv, cov) -> x ; None -> state add
     apply_bolus: Optional[Callable] = None
+    # Optional hoisted-parameter path (used when seq is None): prepare(p, cov)
+    # computes parameter-only quantities ONCE per occasion (eigenvalues,
+    # coefficient ratios); propagate_prepared(aux, x, dt, rateiv, t0, cov)
+    # runs per segment with only the dt-dependent work (exponentials).
+    prepare: Optional[Callable] = None
+    propagate_prepared: Optional[Callable] = None
 
 
 class OccasionSim(NamedTuple):
@@ -118,6 +124,8 @@ def simulate_occasion(
 
     apply_bolus = spec.apply_bolus or default_apply_bolus(spec.nstates)
     seq = spec.seq
+    use_prepared = spec.prepare is not None and seq is None
+    aux = spec.prepare(p, cov) if use_prepared else None
 
     def step(carry, seg):
         x, p_cur = carry
@@ -135,7 +143,10 @@ def simulate_occasion(
             p_seg = jnp.where(has_span, p_seg, p_base)
         else:
             p_seg = p_base
-        x_prop = spec.propagate(x, p_seg, dt, rateiv, t, cov)
+        if use_prepared:
+            x_prop = spec.propagate_prepared(aux, x, dt, rateiv, t, cov)
+        else:
+            x_prop = spec.propagate(x, p_seg, dt, rateiv, t, cov)
         x = jnp.where(has_span, x_prop, x)
         return (x, p_seg), x_pre
 
@@ -151,3 +162,91 @@ def simulate_occasion(
         :, 0
     ]
     return OccasionSim(pred=pred, state=x_obs, y_all=y_all)
+
+
+def simulate_occasion_ll(
+    spec: ModelSpec,
+    occ: OccasionArrays,
+    p: jnp.ndarray,
+    cov_names,
+    em_kind,
+    em_factor,
+    em_poly,
+) -> jnp.ndarray:
+    """Fused simulate + log-likelihood for one occasion (hot psi path).
+
+    Identical math to ``simulate_occasion`` + ``occasion_log_likelihood``,
+    but the per-observation log-likelihood accumulates in the scan carry:
+    no per-segment state history is written to HBM. On the psi matrix
+    (support x subjects x segments x states) that removes the dominant
+    memory traffic — the TPU analogue of the reference's "hot cache" path.
+    """
+    from ..likelihood.distributions import LOG_2PI
+    from ..likelihood.loglik import observation_sigmas
+    from jax.scipy.special import log_ndtr
+
+    fd = float_dtype()
+    p = jnp.asarray(p, dtype=fd)
+    cov = CovView(occ.cov_t.astype(fd), occ.cov_v.astype(fd), occ.cov_fixed, cov_names)
+    segs = build_segments(occ, p, spec.lag, spec.fa, spec.ninput, cov)
+
+    x0 = jnp.zeros((spec.nstates,), dtype=fd)
+    if spec.init is not None:
+        x0 = x0 + occ.init_mask.astype(fd) * jnp.asarray(
+            spec.init(p, jnp.asarray(0.0, fd), cov), dtype=fd
+        )
+    apply_bolus = spec.apply_bolus or default_apply_bolus(spec.nstates)
+    seq = spec.seq
+    use_prepared = spec.prepare is not None and seq is None
+    aux = spec.prepare(p, cov) if use_prepared else None
+
+    # Per-segment observation payload, scattered to sorted positions.
+    M = segs.t.shape[0]
+    sigma_obs, active_obs = observation_sigmas(occ, em_kind, em_factor, em_poly)
+    seg_sigma = jnp.ones((M,), fd).at[segs.obs_pos].set(sigma_obs)
+    seg_active = jnp.zeros((M,), bool).at[segs.obs_pos].set(active_obs)
+    seg_value = jnp.zeros((M,), fd).at[segs.obs_pos].set(occ.obs_value.astype(fd))
+    seg_cens = jnp.zeros((M,), jnp.int32).at[segs.obs_pos].set(occ.obs_cens)
+    seg_outeq = jnp.zeros((M,), jnp.int32).at[segs.obs_pos].set(
+        occ.obs_outeq.astype(jnp.int32)
+    )
+
+    def step(carry, seg):
+        x, p_cur, ll = carry
+        (t, dt, b_amt, b_input, rateiv, is_event,
+         sigma, active, value, cens_code, outeq) = seg
+
+        # observation before bolus (pre-dose state)
+        y_all = jnp.asarray(spec.out(x, p, t, cov), dtype=fd)
+        pred = y_all[outeq]
+        z = (value - pred) / sigma
+        ll_none = -0.5 * LOG_2PI - jnp.log(sigma) - 0.5 * z * z
+        ll_bloq = log_ndtr(z)
+        ll_aloq = log_ndtr(-z)
+        ll_obs = jnp.where(cens_code == 1, ll_bloq, jnp.where(cens_code == 2, ll_aloq, ll_none))
+        ll = ll + jnp.where(active, ll_obs, 0.0)
+
+        bvec = jnp.zeros((spec.ninput,), dtype=fd).at[b_input].add(b_amt)
+        x_dosed = apply_bolus(x, bvec, p, t, rateiv, cov)
+        x = jnp.where(b_amt != 0.0, x_dosed, x)
+
+        has_span = dt > 0.0
+        p_base = jnp.where(is_event, p, p_cur) if seq is not None else p
+        if seq is not None:
+            p_seg = jnp.asarray(seq(p_base, t + dt, cov), dtype=fd)
+            p_seg = jnp.where(has_span, p_seg, p_base)
+        else:
+            p_seg = p_base
+        if use_prepared:
+            x_prop = spec.propagate_prepared(aux, x, dt, rateiv, t, cov)
+        else:
+            x_prop = spec.propagate(x, p_seg, dt, rateiv, t, cov)
+        x = jnp.where(has_span, x_prop, x)
+        return (x, p_seg, ll), None
+
+    xs = (
+        segs.t, segs.dt, segs.b_amt, segs.b_input, segs.rateiv, segs.is_event,
+        seg_sigma, seg_active, seg_value, seg_cens, seg_outeq,
+    )
+    (_, _, ll), _ = jax.lax.scan(step, (x0, p, jnp.asarray(0.0, fd)), xs)
+    return ll

@@ -43,6 +43,7 @@ from ..engine.sim import (
     default_apply_bolus,
     rhs_difference_apply_bolus,
     simulate_occasion,
+    simulate_occasion_ll,
 )
 from ..errors import (
     InputOutOfRangeError,
@@ -248,8 +249,9 @@ class EquationBase:
 
         def ll_rows(rows, p, em_kind, em_factor, em_poly):
             def one(occ):
-                sim = simulate_occasion(spec, occ, p, list(cov_names))
-                return occasion_log_likelihood(occ, sim.pred, em_kind, em_factor, em_poly)
+                return simulate_occasion_ll(
+                    spec, occ, p, list(cov_names), em_kind, em_factor, em_poly
+                )
 
             return jax.vmap(one)(rows)
 
@@ -429,6 +431,22 @@ class Analytical(EquationBase):
         def propagate(x, p, dt, rateiv, t0, cov):
             return jnp.asarray(eq(x, p, dt, rateiv, cov), dtype=x.dtype)
 
+        # Built-in kernels without secondary equations use the hoisted
+        # prepare/apply split: eigen-decompositions leave the segment scan.
+        prepare = propagate_prepared = None
+        if self._seq is None:
+            from ..engine.analytical import PREPARED_BY_FN
+
+            pair = PREPARED_BY_FN.get(eq)
+            if pair is not None:
+                prep_fn, apply_fn = pair
+
+                def prepare(p, cov):
+                    return prep_fn(p)
+
+                def propagate_prepared(aux, x, dt, rateiv, t0, cov):
+                    return jnp.asarray(apply_fn(aux, x, dt, rateiv), dtype=x.dtype)
+
         out = self._out or (lambda x, p, t, cov: x[: self._nout])
         return ModelSpec(
             kind="analytical",
@@ -442,6 +460,8 @@ class Analytical(EquationBase):
             fa=self._fa,
             seq=self._seq,
             apply_bolus=default_apply_bolus(self._nstates),
+            prepare=prepare,
+            propagate_prepared=propagate_prepared,
         )
 
 
