@@ -184,6 +184,47 @@ class AssayErrorModels:
     def items(self):
         return self._models.items()
 
+    # -- per-output accessors (error_model.rs:473-626) -----------------------
+    def _model_or_raise(self, outeq) -> AssayErrorModel:
+        m = self._models.get(str(outeq))
+        if m is None:
+            raise ErrorModelError(f"no error model for output `{outeq}`")
+        if m.is_none():
+            raise ErrorModelError(f"output `{outeq}` has error model None")
+        return m
+
+    def errorpoly(self, outeq) -> ErrorPoly:
+        return self._model_or_raise(outeq).errorpoly()
+
+    def set_errorpoly(self, outeq, poly: ErrorPoly) -> None:
+        self._model_or_raise(outeq).poly = poly
+
+    def factor(self, outeq) -> float:
+        return self._model_or_raise(outeq).factor()
+
+    def set_factor(self, outeq, value: float) -> None:
+        self._model_or_raise(outeq).set_factor(value)
+
+    def factor_param(self, outeq) -> Factor:
+        return self._model_or_raise(outeq).factor_param
+
+    def is_factor_fixed(self, outeq) -> bool:
+        return self._model_or_raise(outeq).factor_param.is_fixed()
+
+    def fix_factor(self, outeq) -> None:
+        self._model_or_raise(outeq).factor_param.fixed = True
+
+    def unfix_factor(self, outeq) -> None:
+        self._model_or_raise(outeq).factor_param.fixed = False
+
+    def sigma(self, prediction) -> float:
+        """Observation-based sigma for a host-side Prediction object."""
+        m = self._model_or_raise(prediction.outeq)
+        poly = ErrorPoly(*prediction.errorpoly) if prediction.errorpoly else None
+        if prediction.observation is None:
+            raise ErrorModelError("prediction has no observation")
+        return m.sigma_from_value(prediction.observation, poly)
+
     def content_hash(self) -> str:
         h = hashlib.blake2b(digest_size=8)
         for label in sorted(self._models):

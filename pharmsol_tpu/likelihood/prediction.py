@@ -125,11 +125,42 @@ class SubjectPredictions:
 
 class PopulationPredictions:
     """Predictions across a population: [n_subjects, n_points] of
-    SubjectPredictions (subject.rs:145)."""
+    SubjectPredictions (subject.rs:145) — rows are subjects, columns support
+    points or other groupings."""
 
-    def __init__(self, grid: np.ndarray):
-        self.grid = grid  # object array of SubjectPredictions
+    def __init__(self, grid):
+        self.grid = np.asarray(grid, dtype=object)
+        if self.grid.ndim == 1:
+            self.grid = self.grid[:, None]
 
     @property
     def n_subjects(self) -> int:
         return self.grid.shape[0]
+
+    @property
+    def n_points(self) -> int:
+        return self.grid.shape[1]
+
+    def get(self, subject: int, point: int = 0) -> SubjectPredictions:
+        return self.grid[subject, point]
+
+    def flat_predictions(self) -> np.ndarray:
+        """All prediction values, row-major over (subject, point, obs)."""
+        out = []
+        for row in self.grid:
+            for sp in row:
+                out.extend(sp.flat_predictions())
+        return np.asarray(out)
+
+
+def population_predictions(equation, subjects, support_points) -> PopulationPredictions:
+    """Simulate every subject at every support point (PopulationPredictions
+    construction helper; reference builds this in PMcore)."""
+    import numpy as _np
+
+    sp = _np.asarray(support_points, dtype=_np.float64)
+    grid = _np.empty((len(subjects), sp.shape[0]), dtype=object)
+    for i, subject in enumerate(subjects):
+        for j in range(sp.shape[0]):
+            grid[i, j] = equation.estimate_predictions(subject, sp[j])
+    return PopulationPredictions(grid)

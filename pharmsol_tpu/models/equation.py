@@ -514,6 +514,16 @@ class ODE(EquationBase):
         self._invalidate()
         return self
 
+    def with_h0(self, h0: float):
+        self._opts = self._opts._replace(h0=float(h0))
+        self._invalidate()
+        return self
+
+    def with_newton_iters(self, n: int):
+        self._opts = self._opts._replace(newton_iters=int(n))
+        self._invalidate()
+        return self
+
     def _build_spec(self) -> ModelSpec:
         diffeq = self._diffeq
         propagate = make_ode_propagate(diffeq, self._opts)
