@@ -98,32 +98,56 @@ def main() -> int:
     lowered = ems.lower(model.resolve_output_label, model.nouteqs())
 
     fd = float_dtype()
-    psi_fn = jax.jit(_psi_fn(model, grid1.cov_names, n_subjects))
-    dev_args = (
-        jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype=fd) if np.issubdtype(np.asarray(x).dtype, np.floating) else jnp.asarray(x), rows),
-        jnp.asarray(row_subject),
-        jnp.asarray(support, dtype=fd),
+    psi_fn = _psi_fn(model, grid1.cov_names, n_subjects)
+    rows_d = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype=fd) if np.issubdtype(np.asarray(x).dtype, np.floating) else jnp.asarray(x), rows
+    )
+    em_args = (
         jnp.asarray(lowered.kind),
         jnp.asarray(lowered.factor, dtype=fd),
         jnp.asarray(lowered.poly, dtype=fd),
     )
+    sp0 = jnp.asarray(support, dtype=fd)
+    rs = jnp.asarray(row_subject)
 
-    # warmup / compile
-    psi = psi_fn(*dev_args)
-    psi.block_until_ready()
+    # correctness check once
+    psi = jax.jit(psi_fn)(rows_d, rs, sp0, *em_args)
     if not np.all(np.isfinite(np.asarray(psi, dtype=np.float64))):
         print("non-finite psi in benchmark", file=sys.stderr)
 
-    times = []
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        psi = psi_fn(*dev_args)
-        psi.block_until_ready()
-        times.append(time.perf_counter() - t0)
+    # Device time is measured by iteration scaling: run the psi program K
+    # times inside one jit (support perturbed per iteration so nothing is
+    # CSEd), fetch one scalar, and take the marginal time per iteration.
+    # This removes host<->device dispatch/transfer latency (which dominates
+    # through tunneled single-chip setups) from the measurement.
+    def make_iter_fn(K):
+        @jax.jit
+        def run(sp):
+            def body(c, i):
+                p = psi_fn(rows_d, rs, sp * (1.0 + 1e-6 * i), *em_args)
+                return c + jnp.sum(p), None
+            total, _ = jax.lax.scan(body, jnp.asarray(0.0, fd), jnp.arange(K, dtype=fd))
+            return total
+        return run
 
-    best = min(times)
+    k_lo, k_hi = (1, 3) if args.quick else (2, 8)
+    fn_lo, fn_hi = make_iter_fn(k_lo), make_iter_fn(k_hi)
+    float(fn_lo(sp0))
+    float(fn_hi(sp0))
+
+    def best_of(fn):
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            float(fn(sp0))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_lo, t_hi = best_of(fn_lo), best_of(fn_hi)
+    per_iter = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
     sims = n_subjects * n_supports
-    rate = sims / best
+    rate = sims / per_iter
+    best = per_iter
     result = {
         "metric": "subject_sims_per_sec_2cmt_oral_analytical",
         "value": round(rate, 1),
@@ -133,7 +157,8 @@ def main() -> int:
             "platform": platform,
             "subjects": n_subjects,
             "supports": n_supports,
-            "best_s": round(best, 4),
+            "device_s_per_psi": round(best, 5),
+            "end_to_end_s": round(t_hi / k_hi, 4),
             "reps": args.reps,
         },
     }
