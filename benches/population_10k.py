@@ -1,0 +1,189 @@
+"""BASELINE north-star population config, end to end.
+
+10 000 subjects x 1 000 support points, bimodal-ke 1-cmt oral population
+(the driver BASELINE.json workload), followed by NCA post-processing of the
+best-support predicted dense profiles.
+
+Stages:
+  1. simulate observations from a bimodal-ke truth (device),
+  2. psi log-likelihood matrix 10k x 1k (device, one jit),
+  3. per-subject MAP support point (device argmax),
+  4. dense-grid predictions at the MAP point (device),
+  5. NCA on every predicted profile (host, vectorized numpy per profile).
+
+Run: python benches/population_10k.py [--subjects N] [--supports M]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--subjects", type=int, default=10_000)
+    parser.add_argument("--supports", type=int, default=1_000)
+    parser.add_argument("--nca-subjects", type=int, default=None,
+                        help="cap NCA post-processing (default: all)")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import pharmsol_tpu as pst
+    from pharmsol_tpu import Analytical, AssayErrorModel, AssayErrorModels, ErrorPoly, Subject
+    from pharmsol_tpu.config import float_dtype, set_float_dtype
+    from pharmsol_tpu.likelihood.matrix import _psi_fn
+    from pharmsol_tpu.nca import NCAOptions
+    from pharmsol_tpu.nca.analyze import AnalysisContext, analyze
+    from pharmsol_tpu.nca.observation import ObservationProfile, _finalize
+    from pharmsol_tpu.data.event import Route as AdminRoute
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        set_float_dtype(np.float32)
+    fd = float_dtype()
+
+    N, S = args.subjects, args.supports
+    rng = np.random.RandomState(7)
+    t0_all = time.perf_counter()
+
+    # -- truth: bimodal ke (fast/slow metabolizers), lognormal v -----------------
+    ke_true = np.where(rng.rand(N) < 0.5, 0.08, 0.35) * np.exp(0.1 * rng.randn(N))
+    ka_true = 1.2 * np.exp(0.1 * rng.randn(N))
+    v_true = 30.0 * np.exp(0.15 * rng.randn(N))
+
+    obs_times = np.array([0.5, 1.0, 2.0, 3.0, 4.0, 6.0, 8.0, 10.0, 12.0])
+    dose = 100.0
+
+    model = Analytical(
+        pst.one_compartment_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2,
+        ndrugs=1,
+        nout=1,
+    )
+
+    # lower one prototype row, tile, then write per-subject observations
+    b = Subject.builder("proto").bolus(0.0, dose, 0)
+    for t in obs_times:
+        b = b.observation(float(t), 1.0, 0)
+    grid1 = model.lower([b.build()])
+    rows = jax.tree_util.tree_map(
+        lambda x: np.repeat(np.asarray(x), N, axis=0), grid1.rows
+    )
+
+    def conc(ka, ke, v, t):
+        return dose * ka / (ka - ke) * (np.exp(-ke * t) - np.exp(-ka * t)) / v
+
+    true_profiles = conc(
+        ka_true[:, None], ke_true[:, None], v_true[:, None], obs_times[None, :]
+    )
+    noisy = np.abs(true_profiles * (1.0 + 0.1 * rng.randn(N, len(obs_times))) + 0.05 * rng.randn(N, len(obs_times)))
+    obs_value = np.asarray(rows.obs_value)
+    obs_value[:, : len(obs_times)] = noisy
+    rows = rows._replace(obs_value=obs_value)
+    t_setup = time.perf_counter() - t0_all
+
+    # -- support grid over (ka, ke, v) ----------------------------------------------
+    sp = np.stack(
+        [
+            1.2 * np.exp(0.3 * rng.randn(S)),
+            np.exp(rng.uniform(np.log(0.05), np.log(0.6), S)),
+            30.0 * np.exp(0.3 * rng.randn(S)),
+        ],
+        axis=1,
+    )
+
+    ems = AssayErrorModels().add(0, AssayErrorModel.proportional(ErrorPoly(0.1, 0.1), 1.0))
+    lowered = ems.lower(model.resolve_output_label, 1)
+
+    psi_fn = jax.jit(_psi_fn(model, grid1.cov_names, N))
+    dev = lambda x: jnp.asarray(x, dtype=fd)
+    dev_args = (
+        jax.tree_util.tree_map(
+            lambda x: dev(x) if np.issubdtype(np.asarray(x).dtype, np.floating) else jnp.asarray(x),
+            rows,
+        ),
+        jnp.arange(N, dtype=jnp.int32),
+        dev(sp),
+        jnp.asarray(lowered.kind),
+        dev(lowered.factor),
+        dev(lowered.poly),
+    )
+
+    # Warm up fully: through tunneled setups only a host fetch synchronizes,
+    # so the first np.asarray absorbs remote compilation + first execution.
+    argmax_fn = jax.jit(lambda *a: jnp.argmax(psi_fn(*a), axis=1))
+    t0 = time.perf_counter()
+    best_idx = np.asarray(argmax_fn(*dev_args))
+    t_compile = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    best_idx = np.asarray(argmax_fn(*dev_args))
+    t_psi = time.perf_counter() - t0
+
+    # -- recovery quality: MAP ke should separate the two modes -------------------
+    ke_map = sp[best_idx, 1]
+    fast = ke_true > 0.2
+    sep = float(np.mean(ke_map[fast] > 0.2) * 0.5 + np.mean(ke_map[~fast] <= 0.2) * 0.5)
+
+    # -- dense predictions at MAP + NCA post-processing ----------------------------
+    dense_t = np.linspace(0.25, 24.0, 32)
+    t0 = time.perf_counter()
+    ka_m, ke_m, v_m = sp[best_idx, 0], sp[best_idx, 1], sp[best_idx, 2]
+    profiles = conc(ka_m[:, None], ke_m[:, None], v_m[:, None], dense_t[None, :])
+    n_nca = args.nca_subjects or N
+    options = NCAOptions()
+    results = []
+    for i in range(n_nca):
+        profile = _finalize(list(dense_t), list(profiles[i]))
+        results.append(
+            analyze(
+                AnalysisContext(
+                    profile=profile,
+                    dose_amount=dose,
+                    route=AdminRoute.EXTRAVASCULAR,
+                    infusion_duration=None,
+                    options=options,
+                    subject_id=str(i),
+                    occasion=0,
+                )
+            )
+        )
+    t_nca = time.perf_counter() - t0
+    half_lives = np.asarray([r.terminal.half_life for r in results if r.terminal])
+
+    total = time.perf_counter() - t0_all
+    out = {
+        "metric": "population_10k_end_to_end",
+        "value": round(N * S / t_psi, 1),
+        "unit": "psi cells/s (end-to-end incl. dispatch)",
+        "detail": {
+            "subjects": N,
+            "supports": S,
+            "setup_s": round(t_setup, 2),
+            "compile_s": round(t_compile, 2),
+            "psi_s": round(t_psi, 3),
+            "nca_s": round(t_nca, 2),
+            "nca_subjects": n_nca,
+            "total_s": round(total, 2),
+            "mode_separation_accuracy": round(sep, 4),
+            "median_half_life": round(float(np.median(half_lives)), 3),
+        },
+    }
+    print(json.dumps(out))
+    assert sep > 0.9, f"bimodal recovery too weak: {sep}"
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
