@@ -45,6 +45,7 @@ from .metadata import (  # noqa: F401
 from .metadata import new as metadata_new  # noqa: F401
 from .models.equation import ODE, Analytical, EquationBase  # noqa: F401
 from .models.declarative import analytical_model, ode_model, sde_model  # noqa: F401
+from .optimize import ParameterOptimizer, get_e2  # noqa: F401
 from .parameters import ParameterOrder, Parameters, dense  # noqa: F401
 
 from .engine import analytical as kernels  # noqa: F401

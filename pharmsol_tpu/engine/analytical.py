@@ -542,3 +542,18 @@ PREPARED_KERNELS = {
 
 # kernel function object -> prepared pair, for spec construction
 PREPARED_BY_FN = {KERNELS[name][0]: pair for name, pair in PREPARED_KERNELS.items()}
+
+
+# Named Pmetrics-padded wrappers (analytical/mod.rs pm_* export parity).
+pm_one_compartment = pm_wrap(one_compartment)
+pm_one_compartment_with_absorption = pm_wrap(one_compartment_with_absorption)
+pm_one_compartment_cl = pm_wrap(one_compartment_cl)
+pm_one_compartment_cl_with_absorption = pm_wrap(one_compartment_cl_with_absorption)
+pm_two_compartments = pm_wrap(two_compartments)
+pm_two_compartments_with_absorption = pm_wrap(two_compartments_with_absorption)
+pm_two_compartments_cl = pm_wrap(two_compartments_cl)
+pm_two_compartments_cl_with_absorption = pm_wrap(two_compartments_cl_with_absorption)
+pm_three_compartments = pm_wrap(three_compartments)
+pm_three_compartments_with_absorption = pm_wrap(three_compartments_with_absorption)
+pm_three_compartments_cl = pm_wrap(three_compartments_cl)
+pm_three_compartments_cl_with_absorption = pm_wrap(three_compartments_cl_with_absorption)
