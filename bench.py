@@ -146,8 +146,46 @@ def main() -> int:
     t_lo, t_hi = best_of(fn_lo), best_of(fn_hi)
     per_iter = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
     sims = n_subjects * n_supports
-    rate = sims / per_iter
-    best = per_iter
+    xla_rate = sims / per_iter
+
+    # Pallas fused-kernel path (the production fast path for exactly this
+    # flagship configuration). Same iteration-scaling measurement.
+    pallas_rate = None
+    pallas_per_iter = None
+    try:
+        from pharmsol_tpu.ops.pallas_psi import SP_TILE, SUB_TILE, psi_2cmt_oral, streams_from_grid
+
+        if n_subjects % SUB_TILE == 0 and n_supports % SP_TILE == 0 and not on_cpu:
+            streams = [jnp.asarray(a, dtype=fd) for a in streams_from_grid(rows, lowered)]
+
+            def make_pallas(K):
+                @jax.jit
+                def run(sp):
+                    def body(c, i):
+                        p = psi_2cmt_oral(*streams, sp * (1.0 + 1e-6 * i), interpret=False)
+                        return c + jnp.sum(p), None
+                    total, _ = jax.lax.scan(body, jnp.asarray(0.0, fd), jnp.arange(K, dtype=fd))
+                    return total
+                return run
+
+            # parity spot check against the general engine
+            psi_pallas = psi_2cmt_oral(*streams, sp0, interpret=False)
+            rel = np.max(
+                np.abs(np.asarray(psi_pallas, np.float64) - np.asarray(psi, np.float64))
+                / np.maximum(np.abs(np.asarray(psi, np.float64)), 1e-3)
+            )
+            if rel > 1e-3:
+                raise RuntimeError(f"pallas/general mismatch: {rel}")
+            p_lo, p_hi = make_pallas(k_lo), make_pallas(k_hi)
+            float(p_lo(sp0)); float(p_hi(sp0))
+            tp_lo, tp_hi = best_of(p_lo), best_of(p_hi)
+            pallas_per_iter = max((tp_hi - tp_lo) / (k_hi - k_lo), 1e-9)
+            pallas_rate = sims / pallas_per_iter
+    except Exception as e:
+        print(f"pallas path unavailable: {type(e).__name__}: {e}", file=sys.stderr)
+
+    rate = pallas_rate if pallas_rate is not None else xla_rate
+    best = pallas_per_iter if pallas_per_iter is not None else per_iter
     result = {
         "metric": "subject_sims_per_sec_2cmt_oral_analytical",
         "value": round(rate, 1),
@@ -158,6 +196,8 @@ def main() -> int:
             "subjects": n_subjects,
             "supports": n_supports,
             "device_s_per_psi": round(best, 5),
+            "engine": "pallas" if pallas_rate is not None else "xla",
+            "xla_sims_per_sec": round(xla_rate, 1),
             "end_to_end_s": round(t_hi / k_hi, 4),
             "reps": args.reps,
         },

@@ -302,6 +302,17 @@ class EquationBase:
         grid = self.lower([subject])
         sim = self.sim_population(grid, parameters)
         result = self._assemble_subject_predictions(subject, grid, sim)
+        # Solver-failure context (error/mod.rs:82-110 parity): the population
+        # paths degrade to -inf, but the single-subject API raises with the
+        # subject id and parameter values attached.
+        if any(not np.isfinite(p.prediction) for p in result.predictions()):
+            from ..errors import SolverError
+
+            raise SolverError(
+                "simulation produced non-finite predictions",
+                subject_id=subject.id,
+                parameters=list(map(float, _as_dense_params(parameters))),
+            )
         if key is not None:
             self._pred_cache.insert(key, result)
         return result

@@ -1,0 +1,261 @@
+"""Pallas TPU kernel: fused psi tile for the 2-cmt oral analytical model.
+
+The flagship workload (BASELINE: 2-compartment oral, one dose schedule per
+subject, psi over subjects x support points) gets a hand-scheduled kernel:
+
+- grid tiles of (SUB_TILE subjects) x (SP_TILE support points) live in VMEM;
+- support-dependent eigen quantities are computed once per tile (the
+  "prepared" split), states are held as [SUB_TILE, SP_TILE] lanes, and the
+  segment loop is fully unrolled (M is small and static);
+- per-segment work is exactly three exponentials plus the affine propagator,
+  and the log-likelihood accumulates in VMEM — nothing round-trips to HBM
+  until the final [SUB_TILE, SP_TILE] psi tile is written.
+
+Mosaic-friendliness notes: every intermediate stays 2-D (column slices use
+``ref[:, m:m+1]``), the support matrix is passed transposed ([5, S] so a
+parameter row is a [1, SP_TILE] lane vector), and segment streams are
+lane-padded to 128.
+
+This is an optional accelerator for the common case (one bolus into the
+depot at t=0, no infusions, additive/proportional error with shared sigma
+inputs); the general engine remains the reference path. ``psi_2cmt_oral``
+runs in interpret mode off-TPU, which is also how the parity test runs on
+CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+SUB_TILE = 8
+SP_TILE = 128
+SEG_PAD = 128  # segment streams are lane-padded to this width
+
+
+def _psi_kernel(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
+                obs_sigma_ref, ke_ref, ka_ref, kcp_ref, kpc_ref, v_ref,
+                out_ref, *, n_seg: int):
+    """One (SUB_TILE, SP_TILE) psi tile.
+
+    seg_*:  [SUB_TILE, SEG_PAD]  per-subject segment streams (cols >= n_seg unused)
+    ke..v:  [1, SP_TILE]         support parameter rows
+    out:    [SUB_TILE, SP_TILE]  log-likelihood
+
+    Mosaic note: per-segment scalars are extracted with one-hot lane
+    reductions instead of strided slices (sub-tile slicing fails to
+    legalize on some Mosaic versions).
+    """
+    ke = ke_ref[:, :]  # [1, SP_TILE]
+    ka = ka_ref[:, :]
+    kcp = kcp_ref[:, :]
+    kpc = kpc_ref[:, :]
+    v = v_ref[:, :]
+
+    # prepare: eigenvalues + ratios once per tile
+    disc = (ke + kcp + kpc) ** 2 - 4.0 * ke * kpc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    l1 = (ke + kcp + kpc + sq) * 0.5
+    l2 = (ke + kcp + kpc - sq) * 0.5
+    inv_denom = 1.0 / (l1 - l2)
+    inv_ka_l1 = 1.0 / (ka - l1)
+    inv_ka_l2 = 1.0 / (ka - l2)
+
+    shape = (out_ref.shape[0], out_ref.shape[1])
+    zeros = jnp.zeros(shape, dtype=out_ref.dtype)
+    x0 = zeros  # depot
+    x1 = zeros  # central
+    x2 = zeros  # peripheral
+    ll = zeros
+
+    dts = seg_dt_ref[:, :]
+    bols = seg_bolus_ref[:, :]
+    masks = obs_mask_ref[:, :]
+    vals = obs_value_ref[:, :]
+    sigs = obs_sigma_ref[:, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
+
+    one = jnp.ones(shape, dtype=out_ref.dtype)
+    for m in range(n_seg):
+        sel = jnp.where(lane == np.int32(m), one, zeros)
+
+        def col(a):
+            return jnp.sum(a * sel, axis=1, keepdims=True)  # [SUB_TILE, 1]
+
+        dt = col(dts)
+        bol = col(bols)
+        mask = col(masks)
+        val = col(vals)
+        sig = col(sigs) + (1.0 - col(masks))  # padded sigma lanes were zeroed
+
+        # observation before dose: central/v vs value
+        pred = x1 / v
+        z = (val - pred) / sig
+        ll = ll + mask * (-0.5 * LOG_2PI - jnp.log(sig) - 0.5 * z * z)
+
+        # bolus into depot
+        x0 = x0 + bol
+
+        # propagate over dt (2-cmt oral closed form, prepared quantities)
+        e1 = jnp.exp(-l1 * dt)
+        e2 = jnp.exp(-l2 * dt)
+        eka = jnp.exp(-ka * dt)
+        hom0 = ((l1 - kpc) * e1 + (kpc - l2) * e2) * x1 + kpc * (e2 - e1) * x2
+        hom1 = kcp * (e2 - e1) * x1 + ((l1 - ke - kcp) * e1 + (ke + kcp - l2) * e2) * x2
+        abs0 = (l1 - kpc) * inv_ka_l1 * (e1 - eka) + (kpc - l2) * inv_ka_l2 * (e2 - eka)
+        abs1 = kcp * (inv_ka_l2 * (e2 - eka) - inv_ka_l1 * (e1 - eka))
+        scale = ka * x0 * inv_denom
+        nx1 = hom0 * inv_denom + abs0 * scale
+        nx2 = hom1 * inv_denom + abs1 * scale
+        live = dt > 0.0
+        x1 = jnp.where(live, nx1, x1)
+        x2 = jnp.where(live, nx2, x2)
+        x0 = jnp.where(live, x0 * eka, x0)
+
+    out_ref[:, :] = ll
+
+
+def _pad_lanes(a, width: int):
+    pad = width - a.shape[1]
+    if pad <= 0:
+        return a
+    return jnp.concatenate([a, jnp.zeros((a.shape[0], pad), dtype=a.dtype)], axis=1)
+
+
+def psi_2cmt_oral(
+    seg_dt, seg_bolus, obs_mask, obs_value, obs_sigma, support,
+    interpret: Optional[bool] = None,
+):
+    """Fused psi for the 2-cmt oral model.
+
+    Arguments are per-subject segment streams [R, M] (sorted breakpoints,
+    observation-before-bolus semantics baked in) and the support matrix
+    [S, 5] as [ke, ka, kcp, kpc, v]. Returns psi [R, S].
+
+    R must be a multiple of SUB_TILE and S a multiple of SP_TILE (pad rows
+    with dt=0/mask=0 and supports by repetition).
+    """
+    from jax.experimental import pallas as pl
+
+    R, M = seg_dt.shape
+    S = support.shape[0]
+    if R % SUB_TILE or S % SP_TILE:
+        raise ValueError(
+            f"R ({R}) must be a multiple of {SUB_TILE} and S ({S}) of {SP_TILE}"
+        )
+    if M > SEG_PAD:
+        raise ValueError(f"segment stream too long ({M} > {SEG_PAD})")
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    dtype = seg_dt.dtype
+
+    streams = [
+        _pad_lanes(jnp.asarray(a, dtype), SEG_PAD)
+        for a in (seg_dt, seg_bolus, obs_mask, obs_value, obs_sigma)
+    ]
+    # zero out sigma where masked; the kernel re-adds 1.0 on masked lanes so
+    # log() stays finite
+    streams[4] = streams[4] * streams[2]
+    sp = jnp.asarray(support, dtype)
+    sp_rows = [sp[:, i].reshape(1, S) for i in range(5)]
+
+    kernel = functools.partial(_psi_kernel, n_seg=M)
+    row_spec = pl.BlockSpec((SUB_TILE, SEG_PAD), lambda i, j: (i, 0))
+    p_spec = pl.BlockSpec((1, SP_TILE), lambda i, j: (0, j))
+    def call():
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((R, S), dtype),
+            grid=(R // SUB_TILE, S // SP_TILE),
+            in_specs=[row_spec, row_spec, row_spec, row_spec, row_spec,
+                      p_spec, p_spec, p_spec, p_spec, p_spec],
+            out_specs=pl.BlockSpec((SUB_TILE, SP_TILE), lambda i, j: (i, j)),
+            interpret=interpret,
+        )(*streams, *sp_rows)
+
+    if dtype == jnp.float32:
+        # Trace with x64 disabled: under jax_enable_x64 the grid pipeline
+        # picks up an i64 scalar that this environment's Mosaic toolchain
+        # cannot legalize ("func.return (i32, i64)"). All operands are
+        # explicitly 32-bit, so disabling x64 changes nothing else.
+        with jax.enable_x64(False):
+            return call()
+    return call()
+
+
+def segment_stream_from_schedule(obs_times, obs_values, obs_sigmas, dose: float):
+    """Build the [M] segment stream for one bolus-at-0 oral schedule.
+
+    Breakpoints: bolus@0 then each observation; segment m spans to the next
+    breakpoint. Returns (seg_dt, seg_bolus, obs_mask, obs_value, obs_sigma)
+    each [M] with M = n_obs + 1.
+    """
+    obs_times = np.asarray(obs_times, dtype=np.float64)
+    n = obs_times.shape[0]
+    times = np.concatenate([[0.0], obs_times])
+    seg_dt = np.concatenate([np.diff(times), [0.0]])
+    seg_bolus = np.zeros(n + 1)
+    seg_bolus[0] = dose
+    obs_mask = np.concatenate([[0.0], np.ones(n)])
+    obs_value = np.concatenate([[0.0], np.asarray(obs_values, dtype=np.float64)])
+    obs_sigma = np.concatenate([[1.0], np.asarray(obs_sigmas, dtype=np.float64)])
+    return seg_dt, seg_bolus, obs_mask, obs_value, obs_sigma
+
+
+def streams_from_grid(rows, lowered_em):
+    """Convert stacked OccasionArrays rows into kernel segment streams.
+
+    Requirements of the fused kernel's model shape: exactly the 2-cmt oral
+    configuration — one bolus route into the depot, no infusions, single
+    output central/v, no covariates/lag/fa/seq, additive or proportional
+    assay error. Rows must have NI == 0 and NB == 1.
+
+    Returns (seg_dt, seg_bolus, obs_mask, obs_value, obs_sigma), each [R, M].
+    """
+    from ..config import BIG_TIME
+
+    bolus_t = np.asarray(rows.bolus_t, dtype=np.float64)
+    if bolus_t.shape[1] != 1 or np.asarray(rows.inf_t).shape[1] != 0:
+        raise ValueError("pallas psi fast path requires NB == 1 and NI == 0")
+    obs_t = np.asarray(rows.obs_t, dtype=np.float64)
+    R, NO = obs_t.shape
+    # breakpoints: [obs..., bolus]; sort by (time, rank) with obs rank 1 < bolus 2
+    times = np.concatenate([obs_t, bolus_t], axis=1)
+    ranks = np.concatenate(
+        [np.ones_like(obs_t), 2.0 * np.ones_like(bolus_t)], axis=1
+    )
+    order = np.lexsort((ranks, times), axis=1)
+    t_sorted = np.take_along_axis(times, order, axis=1)
+    M = t_sorted.shape[1]
+    t_next = np.concatenate([t_sorted[:, 1:], t_sorted[:, -1:]], axis=1)
+    live = t_next < BIG_TIME / 2
+    seg_dt = np.where(live, np.maximum(t_next - t_sorted, 0.0), 0.0)
+
+    def scatter(unsorted):
+        return np.take_along_axis(unsorted, order, axis=1)
+
+    seg_bolus = scatter(
+        np.concatenate([np.zeros_like(obs_t), np.asarray(rows.bolus_amt, dtype=np.float64)], axis=1)
+    )
+    valid = np.asarray(rows.obs_valid) & np.asarray(rows.obs_has_value)
+    obs_value_u = np.asarray(rows.obs_value, dtype=np.float64)
+    # observation-based sigma from the lowered error model (single outeq 0)
+    kind = int(lowered_em.kind[0])
+    factor = float(lowered_em.factor[0])
+    c0, c1, c2, c3 = (float(c) for c in lowered_em.poly[0])
+    alpha = c0 + c1 * obs_value_u + c2 * obs_value_u**2 + c3 * obs_value_u**3
+    sigma_u = np.sqrt(alpha**2 + factor**2) if kind == 1 else factor * alpha
+    seg_mask = scatter(
+        np.concatenate([valid.astype(np.float64), np.zeros_like(bolus_t)], axis=1)
+    )
+    seg_value = scatter(np.concatenate([obs_value_u, np.zeros_like(bolus_t)], axis=1))
+    seg_sigma = scatter(np.concatenate([sigma_u, np.ones_like(bolus_t)], axis=1))
+    seg_sigma = np.where(seg_mask > 0, seg_sigma, 1.0)
+    return seg_dt, seg_bolus, seg_mask, seg_value, seg_sigma

@@ -1,0 +1,50 @@
+"""Pallas fused psi kernel vs the general engine (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import pharmsol_tpu as pst
+from pharmsol_tpu import Analytical, AssayErrorModel, AssayErrorModels, Data, ErrorPoly, Subject
+from pharmsol_tpu.likelihood.matrix import log_likelihood_matrix
+from pharmsol_tpu.ops.pallas_psi import (
+    SP_TILE,
+    SUB_TILE,
+    psi_2cmt_oral,
+    segment_stream_from_schedule,
+)
+
+
+def test_pallas_psi_matches_engine():
+    rng = np.random.RandomState(0)
+    obs_times = [0.5, 1.0, 2.0, 4.0, 8.0, 12.0]
+    dose = 100.0
+    R, S = SUB_TILE, SP_TILE
+
+    subjects = []
+    streams = []
+    sigma_of = lambda v: np.sqrt((0.5 + 0.1 * v) ** 2 + 1.0)
+    for i in range(R):
+        values = np.abs(5 + rng.randn(len(obs_times)))
+        b = Subject.builder(f"s{i}").bolus(0.0, dose, 0)
+        for t, v in zip(obs_times, values):
+            b = b.observation(float(t), float(v), 0)
+        subjects.append(b.build())
+        streams.append(
+            segment_stream_from_schedule(obs_times, values, sigma_of(values), dose)
+        )
+
+    center = np.array([0.15, 1.2, 0.3, 0.2, 10.0])
+    support = np.abs(center[None, :] * (1.0 + 0.2 * rng.randn(S, 5)))
+
+    model = Analytical(
+        pst.two_compartments_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[4],
+        nstates=3, ndrugs=1, nout=1,
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    want = log_likelihood_matrix(model, Data(subjects), support, ems)
+
+    args = [jnp.asarray(np.stack(a)) for a in zip(*streams)]
+    # engine kernel takes p=[ke, ka, kcp, kpc]; pallas support layout matches
+    got = np.asarray(psi_2cmt_oral(*args, jnp.asarray(support), interpret=True))
+    np.testing.assert_allclose(got, want, rtol=5e-9, atol=1e-9)
