@@ -42,10 +42,7 @@ def main() -> int:
     from pharmsol_tpu import Analytical, AssayErrorModel, AssayErrorModels, ErrorPoly, Subject
     from pharmsol_tpu.config import float_dtype, set_float_dtype
     from pharmsol_tpu.likelihood.matrix import _psi_fn
-    from pharmsol_tpu.nca import NCAOptions
-    from pharmsol_tpu.nca.analyze import AnalysisContext, analyze
-    from pharmsol_tpu.nca.observation import ObservationProfile, _finalize
-    from pharmsol_tpu.data.event import Route as AdminRoute
+    from pharmsol_tpu.nca.batch import batch_nca
 
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
@@ -142,25 +139,9 @@ def main() -> int:
     ka_m, ke_m, v_m = sp[best_idx, 0], sp[best_idx, 1], sp[best_idx, 2]
     profiles = conc(ka_m[:, None], ke_m[:, None], v_m[:, None], dense_t[None, :])
     n_nca = args.nca_subjects or N
-    options = NCAOptions()
-    results = []
-    for i in range(n_nca):
-        profile = _finalize(list(dense_t), list(profiles[i]))
-        results.append(
-            analyze(
-                AnalysisContext(
-                    profile=profile,
-                    dose_amount=dose,
-                    route=AdminRoute.EXTRAVASCULAR,
-                    infusion_duration=None,
-                    options=options,
-                    subject_id=str(i),
-                    occasion=0,
-                )
-            )
-        )
+    nca = batch_nca(dense_t, np.abs(profiles[:n_nca]) + 1e-12, dose=dose)
     t_nca = time.perf_counter() - t0
-    half_lives = np.asarray([r.terminal.half_life for r in results if r.terminal])
+    half_lives = nca["half_life"][np.isfinite(nca["half_life"])]
 
     total = time.perf_counter() - t0_all
     out = {
