@@ -231,3 +231,13 @@ Subject.nca_with_dose = _subject_nca_with_dose
 Data.nca = _occ_nca
 Data.nca_all = _occ_nca_all
 Data.nca_grouped = lambda self, options=None: nca_grouped(self, options)
+
+
+def _superposition(self, tau, options=None, n_eval_points=None):
+    from .superposition import superposition as _sp
+
+    return _sp(self, tau, options, n_eval_points)
+
+
+Subject.superposition = _superposition
+Occasion.superposition = _superposition

@@ -1,0 +1,75 @@
+"""DSL extras: constants blocks, for loops, module selection, solver errors."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pharmsol_tpu import Subject
+from pharmsol_tpu.dsl import DslError, compile_model, compile_module, compile_module_source_to_runtime
+from pharmsol_tpu.errors import SolverError
+
+
+def test_constants_block_and_for_loop():
+    src = """
+model accum {
+    kind ode
+    parameters { ke }
+    constants { base = 2.0, scale = base * 3.0 }
+    states { central }
+    derived { boost }
+    routes { bolus iv -> central }
+    derive {
+        boost = 0.0
+        for i in 0..3 { boost = boost + scale }
+    }
+    dynamics { dx(central) = -ke * central * 0.0 }
+    outputs { out(cp) = central + boost }
+}
+"""
+    runtime = compile_model(src)
+    subject = Subject.builder("s").bolus(0, 10, "iv").observation(1.0, 0.0, "cp").build()
+    got = runtime.estimate_predictions(subject, [0.1]).flat_predictions()
+    # boost = 3 * (2*3) = 18; central stays 10 (zero dynamics)
+    np.testing.assert_allclose(got, [28.0], rtol=1e-9)
+
+
+def test_module_with_two_models():
+    src = """
+model a { kind ode
+  parameters { ke } states { c } routes { bolus iv -> c }
+  dynamics { dx(c) = -ke * c } outputs { out(y) = c } }
+model b { kind ode
+  parameters { ke } states { c } routes { bolus iv -> c }
+  dynamics { dx(c) = -2.0 * ke * c } outputs { out(y) = c } }
+"""
+    models = compile_module(src)
+    assert [m.analyzed.name for m in models] == ["a", "b"]
+    rb = compile_module_source_to_runtime(src, name="b")
+    subject = Subject.builder("s").bolus(0, 100, "iv").observation(1.0, 0.0, "y").build()
+    pa = models[0].estimate_predictions(subject, [0.3]).flat_predictions()[0]
+    pb = rb.estimate_predictions(subject, [0.3]).flat_predictions()[0]
+    np.testing.assert_allclose(pa, 100 * math.exp(-0.3), rtol=1e-6)
+    np.testing.assert_allclose(pb, 100 * math.exp(-0.6), rtol=2e-5)  # default ODE rtol 1e-4
+
+
+def test_solver_error_carries_subject_context():
+    from pharmsol_tpu import Analytical
+    import pharmsol_tpu as pst
+
+    model = Analytical(
+        pst.one_compartment, out=lambda x, p, t, cov: x[:1], nstates=1, ndrugs=1, nout=1
+    )
+    subject = Subject.builder("bad_subject").bolus(0, 100, 0).observation(1.0, 0.0, 0).build()
+    with pytest.raises(SolverError) as exc:
+        model.estimate_predictions(subject, [float("nan")])
+    assert "bad_subject" in str(exc.value)
+
+
+def test_superposition_attached_to_subject():
+    b = Subject.builder("sp").bolus(0.0, 100.0, 1)
+    for t in np.linspace(0.0, 48.0, 25):
+        b = b.observation(float(t), 10.0 * math.exp(-0.2 * t), 0)
+    res = b.build().superposition(tau=12.0, n_eval_points=13)
+    want = 1.0 / (1.0 - math.exp(-0.2 * 12.0))
+    assert abs(res.accumulation_ratio - want) / want < 0.05
