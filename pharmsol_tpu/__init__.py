@@ -48,6 +48,7 @@ from .models.declarative import analytical_model, ode_model, sde_model  # noqa: 
 from .optimize import ParameterOptimizer, get_e2  # noqa: F401
 from .parameters import ParameterOrder, Parameters, dense  # noqa: F401
 
+from . import nca  # noqa: F401  (attaches .nca/.superposition/metrics methods)
 from .engine import analytical as kernels  # noqa: F401
 from .engine.analytical import (  # noqa: F401
     one_compartment,
