@@ -41,6 +41,25 @@ def _as_data(subjects) -> Data:
     return Data(list(subjects))
 
 
+def check_error_model_coverage(grid, lowered) -> None:
+    """Raise when a valued observation's outeq has error model None.
+
+    Parity: the reference fails likelihood computation with
+    ErrorModelError::NoneErrorModel (error_model.rs:683); the jitted path
+    would otherwise silently contribute zero.
+    """
+    kind = np.asarray(lowered.kind)
+    outeq = np.asarray(grid.rows.obs_outeq)
+    active = np.asarray(grid.rows.obs_valid) & np.asarray(grid.rows.obs_has_value)
+    used = np.unique(outeq[active]) if active.any() else np.array([], dtype=int)
+    missing = [int(o) for o in used if kind[int(o)] == 0]
+    if missing:
+        raise PharmsolError(
+            f"output equation(s) {missing} have observations but error model "
+            f"None (define an assay error model for every observed output)"
+        )
+
+
 def _psi_fn(equation, cov_names, n_subjects: int):
     ll_rows = equation._ll_rows_fn(tuple(cov_names))
 
@@ -82,6 +101,7 @@ def log_likelihood_matrix(
         raise PharmsolError("support_points must be 2D [n_support, n_params]")
     grid = equation.lower(data.subjects())
     lowered = error_models.lower(equation.resolve_output_label, equation.nouteqs())
+    check_error_model_coverage(grid, lowered)
 
     t0 = time.perf_counter()
     if progress:

@@ -195,8 +195,8 @@ def ode_model(
     fa_routes = set()
     metadata = _metadata_for(
         ModelKind.ODE, name, parameters, states, outputs, list(routes), covariates,
-        lag_routes=[r.name for r in routes] if lag else [],
-        fa_routes=[r.name for r in routes] if fa else [],
+        lag_routes=[r.name for r in routes if r.kind is RouteKind.BOLUS] if lag else [],
+        fa_routes=[r.name for r in routes if r.kind is RouteKind.BOLUS] if fa else [],
     )
     bolus_routes, infusion_routes = _route_tables(metadata)
 
@@ -283,8 +283,8 @@ def analytical_model(
     metadata = _metadata_for(
         ModelKind.ANALYTICAL, name, parameters, states, outputs, list(routes),
         covariates, analytical=structure,
-        lag_routes=[r.name for r in routes] if lag else [],
-        fa_routes=[r.name for r in routes] if fa else [],
+        lag_routes=[r.name for r in routes if r.kind is RouteKind.BOLUS] if lag else [],
+        fa_routes=[r.name for r in routes if r.kind is RouteKind.BOLUS] if fa else [],
     )
     bolus_routes, _ = _route_tables(metadata)
     dest = [i for i in range(max(metadata.route_input_count, 1))]
@@ -394,8 +394,8 @@ def sde_model(
     metadata = _metadata_for(
         ModelKind.SDE, name, parameters, states, outputs, list(routes), covariates,
         particles=nparticles,
-        lag_routes=[r.name for r in routes] if lag else [],
-        fa_routes=[r.name for r in routes] if fa else [],
+        lag_routes=[r.name for r in routes if r.kind is RouteKind.BOLUS] if lag else [],
+        fa_routes=[r.name for r in routes if r.kind is RouteKind.BOLUS] if fa else [],
     )
     bolus_routes, infusion_routes = _route_tables(metadata)
 

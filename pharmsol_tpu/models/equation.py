@@ -344,6 +344,9 @@ class EquationBase:
         lowered = error_models.lower(
             lambda label: self.resolve_output_label(label), self._nout
         )
+        from ..likelihood.matrix import check_error_model_coverage
+
+        check_error_model_coverage(grid, lowered)
         lls = self.ll_population(grid, parameters, lowered)
         result = float(np.sum(np.asarray(lls)))
         if key is not None:

@@ -134,3 +134,21 @@ def test_fa_per_support_point_in_psi():
         want = model.estimate_log_likelihood(s, support[j], ems)
         np.testing.assert_allclose(psi[0, j], want, rtol=1e-12)
     assert psi[0, 0] != psi[0, 1]
+
+
+def test_missing_error_model_raises():
+    """Observed outputs without an assay error model must fail
+    (error_model.rs NoneErrorModel parity)."""
+    import pytest
+    from pharmsol_tpu.errors import PharmsolError
+
+    model = Analytical(
+        pst.one_compartment, out=lambda x, p, t, cov: x[:1], nstates=1, ndrugs=1, nout=1
+    )
+    s = Subject.builder("s").bolus(0, 100, 0).observation(1.0, 5.0, 0).build()
+    with pytest.raises(PharmsolError, match="error model"):
+        model.estimate_log_likelihood(s, [0.2], AssayErrorModels())
+    # missing observations (no value) are fine without a model
+    s2 = Subject.builder("s2").bolus(0, 100, 0).missing_observation(1.0, 0).build()
+    ll = model.estimate_log_likelihood(s2, [0.2], AssayErrorModels())
+    assert ll == 0.0
