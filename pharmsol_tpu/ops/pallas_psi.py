@@ -122,6 +122,62 @@ def _psi_kernel(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
     out_ref[:, :] = ll
 
 
+def _psi_kernel_1cmt(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
+                     obs_sigma_ref, ka_ref, ke_ref, v_ref, out_ref, *, n_seg: int):
+    """1-cmt oral psi tile: states [depot, central], p rows [ka, ke, v]."""
+    ka = ka_ref[:, :]
+    ke = ke_ref[:, :]
+    v = v_ref[:, :]
+    ratio = ka / (ka - ke)
+
+    shape = (out_ref.shape[0], out_ref.shape[1])
+    zeros = jnp.zeros(shape, dtype=out_ref.dtype)
+    x0 = zeros  # depot
+    x1 = zeros  # central
+    ll = zeros
+    one = jnp.ones(shape, dtype=out_ref.dtype)
+
+    dts = seg_dt_ref[:, :]
+    bols = seg_bolus_ref[:, :]
+    masks = obs_mask_ref[:, :]
+    vals = obs_value_ref[:, :]
+    sigs = obs_sigma_ref[:, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
+
+    for m in range(n_seg):
+        sel = jnp.where(lane == np.int32(m), one[:, :1] * jnp.ones_like(dts), jnp.zeros_like(dts))
+
+        def col(a):
+            return jnp.sum(a * sel, axis=1, keepdims=True)
+
+        dt = col(dts)
+        bol = col(bols)
+        mask = col(masks)
+        val = col(vals)
+        sig = col(sigs) + (1.0 - col(masks))
+
+        pred = x1 / v
+        z = (val - pred) / sig
+        ll = ll + mask * (-0.5 * LOG_2PI - jnp.log(sig) - 0.5 * z * z)
+
+        x0 = x0 + bol
+        eka = jnp.exp(-ka * dt)
+        eke = jnp.exp(-ke * dt)
+        nx1 = x1 * eke + ratio * x0 * (eke - eka)
+        live = dt > 0.0
+        x1 = jnp.where(live, nx1, x1)
+        x0 = jnp.where(live, x0 * eka, x0)
+
+    out_ref[:, :] = ll
+
+
+STRUCTURES = {
+    # name -> (kernel fn, n params)
+    "two_compartments_with_absorption": (_psi_kernel, 5),
+    "one_compartment_with_absorption": (_psi_kernel_1cmt, 3),
+}
+
+
 def _pad_lanes(a, width: int):
     pad = width - a.shape[1]
     if pad <= 0:
@@ -129,23 +185,28 @@ def _pad_lanes(a, width: int):
     return jnp.concatenate([a, jnp.zeros((a.shape[0], pad), dtype=a.dtype)], axis=1)
 
 
-def psi_2cmt_oral(
+def psi_oral(
     seg_dt, seg_bolus, obs_mask, obs_value, obs_sigma, support,
+    structure: str = "two_compartments_with_absorption",
     interpret: Optional[bool] = None,
 ):
-    """Fused psi for the 2-cmt oral model.
+    """Fused psi for single-bolus oral analytical structures.
 
     Arguments are per-subject segment streams [R, M] (sorted breakpoints,
-    observation-before-bolus semantics baked in) and the support matrix
-    [S, 5] as [ke, ka, kcp, kpc, v]. Returns psi [R, S].
+    observation-before-bolus semantics baked in) and the support matrix in
+    kernel parameter order ([ke, ka, kcp, kpc, v] for 2-cmt oral,
+    [ka, ke, v] for 1-cmt oral). Returns psi [R, S].
 
     R must be a multiple of SUB_TILE and S a multiple of SP_TILE (pad rows
     with dt=0/mask=0 and supports by repetition).
     """
     from jax.experimental import pallas as pl
 
+    kernel_fn, n_params = STRUCTURES[structure]
     R, M = seg_dt.shape
     S = support.shape[0]
+    if support.shape[1] != n_params:
+        raise ValueError(f"{structure} needs {n_params} support columns")
     if R % SUB_TILE or S % SP_TILE:
         raise ValueError(
             f"R ({R}) must be a multiple of {SUB_TILE} and S ({S}) of {SP_TILE}"
@@ -164,9 +225,9 @@ def psi_2cmt_oral(
     # log() stays finite
     streams[4] = streams[4] * streams[2]
     sp = jnp.asarray(support, dtype)
-    sp_rows = [sp[:, i].reshape(1, S) for i in range(5)]
+    sp_rows = [sp[:, i].reshape(1, S) for i in range(n_params)]
 
-    kernel = functools.partial(_psi_kernel, n_seg=M)
+    kernel = functools.partial(kernel_fn, n_seg=M)
     row_spec = pl.BlockSpec((SUB_TILE, SEG_PAD), lambda i, j: (i, 0))
     p_spec = pl.BlockSpec((1, SP_TILE), lambda i, j: (0, j))
     def call():
@@ -174,8 +235,7 @@ def psi_2cmt_oral(
             kernel,
             out_shape=jax.ShapeDtypeStruct((R, S), dtype),
             grid=(R // SUB_TILE, S // SP_TILE),
-            in_specs=[row_spec, row_spec, row_spec, row_spec, row_spec,
-                      p_spec, p_spec, p_spec, p_spec, p_spec],
+            in_specs=[row_spec] * 5 + [p_spec] * n_params,
             out_specs=pl.BlockSpec((SUB_TILE, SP_TILE), lambda i, j: (i, j)),
             interpret=interpret,
         )(*streams, *sp_rows)
@@ -207,6 +267,13 @@ def segment_stream_from_schedule(obs_times, obs_values, obs_sigmas, dose: float)
     obs_value = np.concatenate([[0.0], np.asarray(obs_values, dtype=np.float64)])
     obs_sigma = np.concatenate([[1.0], np.asarray(obs_sigmas, dtype=np.float64)])
     return seg_dt, seg_bolus, obs_mask, obs_value, obs_sigma
+
+
+def psi_2cmt_oral(seg_dt, seg_bolus, obs_mask, obs_value, obs_sigma, support,
+                  interpret: Optional[bool] = None):
+    """Back-compat alias for the 2-cmt oral structure."""
+    return psi_oral(seg_dt, seg_bolus, obs_mask, obs_value, obs_sigma, support,
+                    structure="two_compartments_with_absorption", interpret=interpret)
 
 
 def streams_from_grid(rows, lowered_em):

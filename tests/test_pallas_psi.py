@@ -48,3 +48,43 @@ def test_pallas_psi_matches_engine():
     # engine kernel takes p=[ke, ka, kcp, kpc]; pallas support layout matches
     got = np.asarray(psi_2cmt_oral(*args, jnp.asarray(support), interpret=True))
     np.testing.assert_allclose(got, want, rtol=5e-9, atol=1e-9)
+
+
+def test_pallas_psi_1cmt_matches_engine():
+    from pharmsol_tpu.ops.pallas_psi import psi_oral
+
+    rng = np.random.RandomState(3)
+    obs_times = [0.5, 1.0, 2.0, 4.0, 8.0, 12.0]
+    dose = 100.0
+    R, S = SUB_TILE, SP_TILE
+
+    subjects, streams = [], []
+    sigma_of = lambda v: np.sqrt((0.5 + 0.1 * v) ** 2 + 1.0)
+    for i in range(R):
+        values = np.abs(5 + rng.randn(len(obs_times)))
+        b = Subject.builder(f"s{i}").bolus(0.0, dose, 0)
+        for t, v in zip(obs_times, values):
+            b = b.observation(float(t), float(v), 0)
+        subjects.append(b.build())
+        streams.append(
+            segment_stream_from_schedule(obs_times, values, sigma_of(values), dose)
+        )
+
+    # support in kernel order [ka, ke, v]
+    support = np.abs(
+        np.array([1.2, 0.2, 10.0])[None, :] * (1.0 + 0.2 * rng.randn(S, 3))
+    )
+    model = Analytical(
+        pst.one_compartment_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    want = log_likelihood_matrix(model, Data(subjects), support, ems)
+
+    args = [jnp.asarray(np.stack(a)) for a in zip(*streams)]
+    got = np.asarray(
+        psi_oral(*args, jnp.asarray(support),
+                 structure="one_compartment_with_absorption", interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=5e-9, atol=1e-9)
