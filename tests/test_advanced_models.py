@@ -152,3 +152,53 @@ def test_missing_error_model_raises():
     s2 = Subject.builder("s2").bolus(0, 100, 0).missing_observation(1.0, 0).build()
     ll = model.estimate_log_likelihood(s2, [0.2], AssayErrorModels())
     assert ll == 0.0
+
+
+def test_censoring_and_errorpoly_override_in_psi():
+    """BLOQ/ALOQ censored observations and per-observation errorpoly
+    overrides must flow through the fused psi scan identically to the
+    prediction-path likelihood."""
+    from pharmsol_tpu import Censor
+
+    model = Analytical(
+        pst.one_compartment, out=lambda x, p, t, cov: x[:1], nstates=1, ndrugs=1, nout=1
+    )
+    s = (
+        Subject.builder("cens")
+        .bolus(0.0, 100.0, 0)
+        .observation(1.0, 60.0, 0)
+        .censored_observation(6.0, 5.0, 0, Censor.BLOQ)
+        .censored_observation(0.5, 90.0, 0, Censor.ALOQ)
+        .observation_with_error(2.0, 40.0, 0, (1.0, 0.0, 0.0, 0.0), Censor.NONE)
+        .build()
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    support = np.array([[0.2], [0.35]])
+    psi = log_likelihood_matrix(model, Data([s]), support, ems)
+    import math
+
+    from pharmsol_tpu.likelihood.distributions import LOG_2PI
+    from scipy.stats import norm
+
+    for j, ke in enumerate((0.2, 0.35)):
+        total = 0.0
+        for t, obs, cens, poly in (
+            (1.0, 60.0, "none", None),
+            (6.0, 5.0, "bloq", None),
+            (0.5, 90.0, "aloq", None),
+            (2.0, 40.0, "none", (1.0, 0.0, 0.0, 0.0)),
+        ):
+            pred = 100.0 * math.exp(-ke * t)
+            if poly is None:
+                a = 0.5 + 0.1 * obs
+            else:
+                a = poly[0]
+            sig = math.sqrt(a * a + 1.0)
+            z = (obs - pred) / sig
+            if cens == "none":
+                total += -0.5 * LOG_2PI - math.log(sig) - 0.5 * z * z
+            elif cens == "bloq":
+                total += norm.logcdf(z)
+            else:
+                total += norm.logsf(z)
+        np.testing.assert_allclose(psi[0, j], total, rtol=1e-9)
