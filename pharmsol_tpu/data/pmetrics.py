@@ -78,15 +78,20 @@ def read_pmetrics(source: Union[str, io.TextIOBase]) -> Data:
 
 
 def _read(f) -> Data:
-    lines = (line for line in f if not line.lstrip().startswith("#"))
-    reader = csv.reader(lines)
-    try:
-        header = next(reader)
-    except StopIteration:
+    raw_lines = iter(f)
+    # the header is the first non-empty line; Pmetrics conventionally writes
+    # it as `#ID,TIME,...`, so a leading '#' there is part of the header, not
+    # a comment. Subsequent '#' lines are comments.
+    header_line = None
+    for line in raw_lines:
+        if line.strip():
+            header_line = line
+            break
+    if header_line is None:
         raise DataError("empty Pmetrics file")
-    header = [h.strip().lower() for h in header]
-    # strip a leading '#' off the first header cell (Pmetrics convention
-    # writes `#ID`); the comment filter above skips full comment lines only
+    data_lines = (line for line in raw_lines if not line.lstrip().startswith("#"))
+    reader = csv.reader(data_lines)
+    header = [h.strip().lower() for h in next(csv.reader([header_line]))]
     if header and header[0].startswith("#"):
         header[0] = header[0].lstrip("#")
     cols = {name: i for i, name in enumerate(header)}

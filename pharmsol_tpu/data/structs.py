@@ -187,6 +187,10 @@ class Subject:
                     if e.value is not None:
                         h.update(np.float64(e.value).tobytes())
                     h.update(str(e.outeq).encode())
+                    h.update(e.censoring.value.encode())
+                    if e.errorpoly is not None:
+                        for c in e.errorpoly:
+                            h.update(np.float64(c).tobytes())
             h.update(occ.covariates.content_hash().encode())
         return h.hexdigest()
 

@@ -38,7 +38,7 @@ from ..metadata import (
 from ..models.equation import ODE, Analytical
 from ..models.sde import SDE
 from .analyze import AnalyzedModel, analyze_model, analyze_module
-from .ast import DslModelKind, DslRouteKind, Stmt
+from .ast import DslModelKind, DslRouteKind, Expr, Stmt
 from .diagnostic import Diagnostic, DslError
 from .interp import eval_expr, eval_stmts
 from .parser import parse_model, parse_module
@@ -217,7 +217,10 @@ class _RoleBuilder:
         plan = am.kernel_plan
 
         def propagate(x, p, dt, rateiv, t0, cov):
-            env = self.derived_env(p, t0, cov)
+            # secondary parameters advance to the segment END, matching the
+            # engine seq path and the reference (analytical/mod.rs:360
+            # seq_eq(parameters, next_t))
+            env = self.derived_env(p, t0 + dt, cov)
             inputs = []
             for source, index in plan.bindings:
                 if source == "primary":
@@ -483,7 +486,7 @@ def _am_from_json(data: dict) -> AnalyzedModel:
         init_stmts=[Stmt.from_json(s) for s in data["init"]],
         diffusion_stmts=[Stmt.from_json(s) for s in data["diffusion"]],
         output_annotations={
-            k: (v[0], [])
+            k: (v[0], [Expr.from_json(e) for e in v[1]])
             for k, v in data.get("output_annotations", {}).items()
         },
         analytical_kernel=data.get("analytical"),

@@ -98,9 +98,15 @@ def dopri5_segment(f: Callable, x0, t0, t1, opts: ODEOptions):
         h = jnp.minimum(h, t1 - t)
         x_new, err = one_step(x, t, h)
         ratio = _error_ratio(err, x, x_new, opts.rtol, opts.atol)
-        accept = ratio <= 1.0
-        # PI-ish controller with safety factor and clamped growth
-        factor = jnp.clip(0.9 * jnp.power(jnp.maximum(ratio, 1e-10), -0.2), 0.2, 5.0)
+        finite = jnp.all(jnp.isfinite(x_new)) & jnp.isfinite(ratio)
+        accept = (ratio <= 1.0) & finite
+        # controller with safety factor and clamped growth; a non-finite
+        # trial step shrinks hard instead of poisoning h with NaN
+        factor = jnp.where(
+            finite,
+            jnp.clip(0.9 * jnp.power(jnp.maximum(ratio, 1e-10), -0.2), 0.2, 5.0),
+            0.25,
+        )
         t = jnp.where(accept, t + h, t)
         x = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), x, x_new)
         h = jnp.maximum(h * factor, 1e-14)

@@ -36,7 +36,7 @@ class Prediction:
         return None if self.observation is None else self.prediction - self.observation
 
     def percentage_error(self) -> Optional[float]:
-        if self.observation is None:
+        if self.observation is None or self.observation == 0.0:
             return None
         return (self.prediction - self.observation) / self.observation * 100.0
 

@@ -126,6 +126,8 @@ class EquationBase:
     def _invalidate(self):
         self._lower_cache.clear()
         self._spec_cache = None
+        if self._pred_cache is not None:
+            self._pred_cache.invalidate_all()
         self.__dict__.pop("_jit_sim_rows", None)
         self.__dict__.pop("_jit_ll_rows", None)
         self.__dict__.pop("_jit_psi", None)

@@ -291,6 +291,15 @@ def streams_from_grid(rows, lowered_em):
     bolus_t = np.asarray(rows.bolus_t, dtype=np.float64)
     if bolus_t.shape[1] != 1 or np.asarray(rows.inf_t).shape[1] != 0:
         raise ValueError("pallas psi fast path requires NB == 1 and NI == 0")
+    valid_rows = np.asarray(rows.obs_valid) & np.asarray(rows.obs_has_value)
+    if np.any(np.asarray(rows.obs_cens)[valid_rows] != 0):
+        raise ValueError(
+            "pallas psi fast path does not support censored observations"
+        )
+    if np.any(np.asarray(rows.obs_has_poly)[valid_rows]):
+        raise ValueError(
+            "pallas psi fast path does not support per-observation errorpoly overrides"
+        )
     obs_t = np.asarray(rows.obs_t, dtype=np.float64)
     R, NO = obs_t.shape
     # breakpoints: [obs..., bolus]; sort by (time, rank) with obs rank 1 < bolus 2
@@ -311,7 +320,7 @@ def streams_from_grid(rows, lowered_em):
     seg_bolus = scatter(
         np.concatenate([np.zeros_like(obs_t), np.asarray(rows.bolus_amt, dtype=np.float64)], axis=1)
     )
-    valid = np.asarray(rows.obs_valid) & np.asarray(rows.obs_has_value)
+    valid = valid_rows
     obs_value_u = np.asarray(rows.obs_value, dtype=np.float64)
     # observation-based sigma from the lowered error model (single outeq 0)
     kind = int(lowered_em.kind[0])

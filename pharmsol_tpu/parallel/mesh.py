@@ -120,13 +120,14 @@ def log_likelihood_matrix_sharded(
 ) -> np.ndarray:
     """Mesh-sharded psi matrix; numerically identical to the unsharded path."""
     from ..data.structs import Data
-    from ..likelihood.matrix import _psi_fn
+    from ..likelihood.matrix import _psi_fn, check_error_model_coverage
 
     data = subjects if isinstance(subjects, Data) else Data(list(subjects))
     if mesh is None:
         mesh = population_mesh()
     grid = equation.lower(data.subjects())
     lowered = error_models.lower(equation.resolve_output_label, equation.nouteqs())
+    check_error_model_coverage(grid, lowered)
 
     rows, row_subject, _ = shard_population(grid, mesh)
     support, n_real = shard_support(

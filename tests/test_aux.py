@@ -163,3 +163,20 @@ out(cp) = central / v
     c = dsl.estimate_predictions(subj(True), p).flat_predictions()
     np.testing.assert_allclose(b, a, rtol=1e-12)
     np.testing.assert_allclose(c, a, rtol=1e-12)
+
+
+def test_invalidate_clears_prediction_cache():
+    """Reconfiguring a model must not serve stale cached results (review fix)."""
+    import jax.numpy as jnp
+    from pharmsol_tpu import ODE, Subject
+
+    ode = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([-p[0] * x[0] + b[0]]),
+        out=lambda x, p, t, cov: x[:1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    s = Subject.builder("s").bolus(0, 100, 0).observation(1.0, 0.0, 0).build()
+    a = ode.estimate_predictions(s, [0.3])
+    ode.with_tolerances(1e-10, 1e-10)
+    b = ode.estimate_predictions(s, [0.3])
+    assert a is not b  # cache was invalidated; result recomputed

@@ -165,3 +165,30 @@ def test_expand_dense_grid():
     assert times == [0.0, 0.5, 1.0]
     values = [o.value for o in occ.observations()]
     assert values == [None, None, 5.0]
+
+
+def test_pmetrics_hash_header():
+    """Standard Pmetrics files start the header with `#ID` (review fix)."""
+    csv_text = "#ID,EVID,TIME,DUR,DOSE,ADDL,II,INPUT,OUT,OUTEQ,C0,C1,C2,C3\n" \
+               "1,1,0,0,600,.,.,1,.,.,.,.,.,.\n" \
+               "# a comment line\n" \
+               "1,0,9,.,.,.,.,.,100,1,.,.,.,.\n"
+    data = read_pmetrics(io.StringIO(csv_text))
+    s = data.get_subject("1")
+    assert len(s.occasions()[0].boluses()) == 1
+    assert len(s.occasions()[0].observations()) == 1
+
+
+def test_subject_hash_distinguishes_censoring_and_errorpoly():
+    base = Subject.builder("h").bolus(0, 100, 0).observation(1.0, 5.0, 0).build()
+    bloq = (
+        Subject.builder("h").bolus(0, 100, 0)
+        .censored_observation(1.0, 5.0, 0, Censor.BLOQ).build()
+    )
+    poly = (
+        Subject.builder("h").bolus(0, 100, 0)
+        .observation_with_error(1.0, 5.0, 0, (0.1, 0, 0, 0)).build()
+    )
+    assert base.hash() != bloq.hash()
+    assert base.hash() != poly.hash()
+    assert bloq.hash() != poly.hash()
