@@ -66,6 +66,20 @@ class AnalyzedModel:
     particles: Optional[int] = None
 
 
+def _collect_call_targets(stmts: List[Stmt], callee: str) -> Set[str]:
+    """All `callee(arg)` assignment targets, including inside if/for bodies."""
+    out: Set[str] = set()
+    for s in stmts:
+        if s.kind == "assign" and s.target_kind == "call" and s.target == callee:
+            out.update(s.target_args)
+        elif s.kind == "if":
+            out |= _collect_call_targets(s.then_branch, callee)
+            out |= _collect_call_targets(s.else_branch, callee)
+        elif s.kind == "for":
+            out |= _collect_call_targets(s.body, callee)
+    return out
+
+
 def _const_value(expr: Expr, constants: Dict[str, float]) -> Optional[float]:
     """Constant folding for constants blocks."""
     if expr.kind in ("number", "bool"):
@@ -297,11 +311,7 @@ def analyze_model(model: DslModel) -> AnalyzedModel:
             c.err("DSL2017", "ODE models require dx(...) dynamics")
         c.check_stmts(dynamics, state_scope, "dynamics", call_target="dx",
                       call_args=set(states))
-        dyn_targets = {
-            s.target_args[0]
-            for s in dynamics
-            if s.kind == "assign" and s.target_kind == "call"
-        }
+        dyn_targets = _collect_call_targets(dynamics, "dx")
         for st in states:
             if st not in dyn_targets:
                 c.err("DSL2018", f"state `{st}` has no dx() equation")
@@ -371,11 +381,7 @@ def analyze_model(model: DslModel) -> AnalyzedModel:
     # outputs: every declared output must be produced
     c.check_stmts(model.output_stmts, state_scope, "outputs", call_target="out",
                   call_args=set(outputs))
-    produced = {
-        s.target_args[0]
-        for s in model.output_stmts
-        if s.kind == "assign" and s.target_kind == "call"
-    }
+    produced = _collect_call_targets(model.output_stmts, "out")
     for o in outputs:
         if o not in produced:
             c.err("DSL2031", f"output `{o}` has no out() equation")

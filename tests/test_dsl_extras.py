@@ -73,3 +73,40 @@ def test_superposition_attached_to_subject():
     res = b.build().superposition(tau=12.0, n_eval_points=13)
     want = 1.0 / (1.0 - math.exp(-0.2 * 12.0))
     assert abs(res.accumulation_ratio - want) / want < 0.05
+
+
+def test_if_inside_dynamics_michaelis_menten():
+    """Saturable elimination with branch-dependent dx (nested call targets)."""
+    import jax.numpy as jnp
+    from pharmsol_tpu import ODE
+
+    src = """
+model mm {
+    kind ode
+    parameters { vmax, km, v }
+    states { central }
+    routes { bolus iv -> central }
+    dynamics {
+        let conc = central / v
+        if conc > km { dx(central) = -vmax * central / (km + conc) }
+        else { dx(central) = -0.5 * vmax * central / (km + conc) }
+    }
+    outputs { out(cp) = central / v }
+}
+"""
+    rt = compile_model(src)
+
+    def diffeq(x, p, t, b, rateiv, cov):
+        conc = x[0] / p[2]
+        full = -p[0] * x[0] / (p[1] + conc)
+        half = -0.5 * p[0] * x[0] / (p[1] + conc)
+        return jnp.stack([jnp.where(conc > p[1], full, half) + 0.0 * b[0]]) + b[0]
+
+    hand = ODE(
+        diffeq, out=lambda x, p, t, cov: x[:1] / p[2], nstates=1, ndrugs=1, nout=1
+    )
+    s_named = Subject.builder("s").bolus(0, 100, "iv").observation(2.0, 0.0, "cp").build()
+    s_num = Subject.builder("s").bolus(0, 100, 0).observation(2.0, 0.0, 0).build()
+    got = rt.estimate_predictions(s_named, [5.0, 2.0, 10.0]).flat_predictions()
+    want = hand.estimate_predictions(s_num, [5.0, 2.0, 10.0]).flat_predictions()
+    np.testing.assert_allclose(got, want, rtol=1e-9)
