@@ -130,7 +130,7 @@ def main() -> int:
             return total
         return run
 
-    k_lo, k_hi = (1, 3) if args.quick else (2, 8)
+    k_lo, k_hi = (2, 50) if args.quick else (2, 8)
     fn_lo, fn_hi = make_iter_fn(k_lo), make_iter_fn(k_hi)
     float(fn_lo(sp0))
     float(fn_hi(sp0))
@@ -144,7 +144,11 @@ def main() -> int:
         return min(ts)
 
     t_lo, t_hi = best_of(fn_lo), best_of(fn_hi)
-    per_iter = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+    # marginal time per psi; if the spread is noise-dominated (tiny shapes),
+    # fall back to the amortized per-iteration time as an upper bound
+    per_iter = (t_hi - t_lo) / (k_hi - k_lo)
+    if per_iter < 0.05 * t_hi / k_hi:
+        per_iter = t_hi / k_hi
     sims = n_subjects * n_supports
     xla_rate = sims / per_iter
 
@@ -179,7 +183,9 @@ def main() -> int:
             p_lo, p_hi = make_pallas(k_lo), make_pallas(k_hi)
             float(p_lo(sp0)); float(p_hi(sp0))
             tp_lo, tp_hi = best_of(p_lo), best_of(p_hi)
-            pallas_per_iter = max((tp_hi - tp_lo) / (k_hi - k_lo), 1e-9)
+            pallas_per_iter = (tp_hi - tp_lo) / (k_hi - k_lo)
+            if pallas_per_iter < 0.05 * tp_hi / k_hi:
+                pallas_per_iter = tp_hi / k_hi
             pallas_rate = sims / pallas_per_iter
     except Exception as e:
         print(f"pallas path unavailable: {type(e).__name__}: {e}", file=sys.stderr)
