@@ -49,6 +49,7 @@ class AnalyzedModel:
     parameters: List[str]
     covariates: List[Tuple[str, Optional[str]]]  # (name, interpolation)
     states: List[str]
+    state_arrays: Dict[str, int]
     derived: List[str]
     outputs: List[str]
     constants: Dict[str, float]
@@ -78,6 +79,62 @@ def _collect_call_targets(stmts: List[Stmt], callee: str) -> Set[str]:
         elif s.kind == "for":
             out |= _collect_call_targets(s.body, callee)
     return out
+
+
+def _collect_index_targets(
+    stmts: List[Stmt],
+    callee: str,
+    arrays: Dict[str, int],
+    constants: Dict[str, float],
+) -> Set[str]:
+    """Expanded element names written via `callee(x[i])` / `callee[i]`.
+
+    A constant index covers exactly its element; a dynamic index (loop
+    variable) conservatively covers the whole array — coverage cannot be
+    decided element-by-element once indices depend on unrolled loop state.
+    """
+    out: Set[str] = set()
+    for s in stmts:
+        if s.kind == "assign" and s.target_kind == "index" and s.target == callee:
+            base = s.index_base
+            if base is not None and base in arrays:
+                cv = _const_value(s.index_expr, constants)
+                if cv is not None:
+                    out.add(f"{base}[{int(cv)}]")
+                else:
+                    out |= {f"{base}[{k}]" for k in range(arrays[base])}
+        elif s.kind == "if":
+            out |= _collect_index_targets(s.then_branch, callee, arrays, constants)
+            out |= _collect_index_targets(s.else_branch, callee, arrays, constants)
+        elif s.kind == "for":
+            out |= _collect_index_targets(s.body, callee, arrays, constants)
+    return out
+
+
+def _resolve_index_sugar(stmts: List[Stmt], arrays: Dict[str, int], c) -> None:
+    """Resolve `dx[i] = ...` sugar to the model's sole array state.
+
+    Mutates statements in place (the parse tree is per-compile). With zero or
+    several arrays the sugar is ambiguous and the explicit `dx(x[i])` form is
+    required.
+    """
+    sole = next(iter(arrays)) if len(arrays) == 1 else None
+    for s in stmts:
+        if s.kind == "assign" and s.target_kind == "index" and s.index_base is None:
+            if sole is None:
+                c.err(
+                    "DSL2037",
+                    f"`{s.target}[i]` requires exactly one array state",
+                    s.span,
+                    help=f"name the array explicitly: `{s.target}(arr[i]) = ...`",
+                )
+            else:
+                s.index_base = sole
+        elif s.kind == "if":
+            _resolve_index_sugar(s.then_branch, arrays, c)
+            _resolve_index_sugar(s.else_branch, arrays, c)
+        elif s.kind == "for":
+            _resolve_index_sugar(s.body, arrays, c)
 
 
 def _const_value(expr: Expr, constants: Dict[str, float]) -> Optional[float]:
@@ -110,12 +167,37 @@ def _const_value(expr: Expr, constants: Dict[str, float]) -> Optional[float]:
 class _Checker:
     def __init__(self, model: DslModel):
         self.model = model
+        self.arrays = dict(model.state_arrays)
+        self.constants: Dict[str, float] = {}
         self.diagnostics: List[Diagnostic] = []
 
     def err(self, code, message, span=Span.empty(), help=None, suggestion=None):
         self.diagnostics.append(Diagnostic.error(code, message, span, help, suggestion))
 
     def check_expr(self, expr: Expr, scope: Set[str], role: str):
+        if expr.kind == "index":
+            base, idx = expr.args
+            if base.kind == "name" and base.name in self.arrays:
+                n = self.arrays[base.name]
+                cv = _const_value(idx, self.constants)
+                if cv is not None and not (0 <= int(cv) < n):
+                    self.err(
+                        "DSL2033",
+                        f"index {int(cv)} out of bounds for array state "
+                        f"`{base.name}[{n}]` in {role}",
+                        expr.span,
+                    )
+                self.check_expr(idx, scope, role)
+                return
+            self.err(
+                "DSL2034",
+                f"only array states can be indexed in {role}",
+                expr.span,
+                suggestion=best_suggestion(
+                    base.name if base.kind == "name" else "", set(self.arrays)
+                ),
+            )
+            return
         if expr.kind == "name":
             if expr.name not in scope:
                 self.err(
@@ -170,6 +252,35 @@ class _Checker:
                                     s.span,
                                     suggestion=best_suggestion(a, call_args),
                                 )
+                elif s.target_kind == "index":
+                    if call_target is None or s.target != call_target:
+                        self.err(
+                            "DSL2035",
+                            f"indexed assignment `{s.target}[...]` is not allowed "
+                            f"in {role}",
+                            s.span,
+                        )
+                    elif s.index_base is None:
+                        pass  # unresolved sugar; diagnosed by the resolution pass
+                    elif s.index_base not in self.arrays:
+                        self.err(
+                            "DSL2036",
+                            f"`{s.index_base}` is not an array state",
+                            s.span,
+                            suggestion=best_suggestion(s.index_base, set(self.arrays)),
+                        )
+                    else:
+                        n = self.arrays[s.index_base]
+                        cv = _const_value(s.index_expr, self.constants)
+                        if cv is not None and not (0 <= int(cv) < n):
+                            self.err(
+                                "DSL2033",
+                                f"index {int(cv)} out of bounds for array state "
+                                f"`{s.index_base}[{n}]` in {role}",
+                                s.span,
+                            )
+                    if s.index_expr is not None:
+                        self.check_expr(s.index_expr, local, role)
                 else:
                     if assignable is not None and s.target not in assignable:
                         self.err(
@@ -203,9 +314,14 @@ def analyze_model(model: DslModel) -> AnalyzedModel:
             c.err("DSL2007", f"constant `{name}` must be a literal expression", expr.span)
         else:
             constants[name] = v
+    c.constants = constants
 
     params = list(model.parameters)
     states = list(model.states)
+    arrays = dict(model.state_arrays)
+    for stmts in (model.dynamics_stmts, model.drift_stmts,
+                  model.diffusion_stmts, model.init_stmts):
+        _resolve_index_sugar(stmts, arrays, c)
     covs = [(d.name, d.interpolation) for d in model.covariates]
     cov_names = [n for n, _ in covs]
 
@@ -249,7 +365,7 @@ def analyze_model(model: DslModel) -> AnalyzedModel:
     for domain, names in (
         ("parameter", params),
         ("covariate", cov_names),
-        ("state", states),
+        ("state", states + list(arrays)),
         ("derived", derived),
         ("constant", list(constants)),
     ):
@@ -312,6 +428,7 @@ def analyze_model(model: DslModel) -> AnalyzedModel:
         c.check_stmts(dynamics, state_scope, "dynamics", call_target="dx",
                       call_args=set(states))
         dyn_targets = _collect_call_targets(dynamics, "dx")
+        dyn_targets |= _collect_index_targets(dynamics, "dx", arrays, constants)
         for st in states:
             if st not in dyn_targets:
                 c.err("DSL2018", f"state `{st}` has no dx() equation")
@@ -408,6 +525,7 @@ def analyze_model(model: DslModel) -> AnalyzedModel:
         parameters=params,
         covariates=covs,
         states=states,
+        state_arrays=arrays,
         derived=derived,
         outputs=outputs,
         constants=constants,

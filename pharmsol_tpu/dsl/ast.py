@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import enum
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from .diagnostic import Span
 
@@ -105,8 +105,13 @@ class Stmt:
     span: Span = field(default_factory=Span.empty)
     # let / assign
     target: Optional[str] = None  # variable or call-target name
-    target_kind: str = "name"  # name | call (dx/out/init/lag/fa/noise)
+    target_kind: str = "name"  # name | call (dx/out/init/lag/fa/noise) | index
     target_args: List[str] = field(default_factory=list)  # call args (idents)
+    # index targets: dx[i] / dx(x[i]) — base array name + index expression.
+    # index_base is None for the `dx[i]` sugar until the analyzer resolves it
+    # to the model's sole array state.
+    index_base: Optional[str] = None
+    index_expr: Optional[Expr] = None
     value: Optional[Expr] = None
     annotation: Optional[Tuple[str, List[Expr]]] = None  # e.g. ('continuous', [])
     # if
@@ -121,7 +126,7 @@ class Stmt:
 
     def to_json(self):
         if self.kind in ("let", "assign"):
-            return {
+            out = {
                 "kind": self.kind,
                 "target": self.target,
                 "target_kind": self.target_kind,
@@ -133,6 +138,10 @@ class Stmt:
                     else None
                 ),
             }
+            if self.target_kind == "index":
+                out["index_base"] = self.index_base
+                out["index"] = self.index_expr.to_json()
+            return out
         if self.kind == "if":
             return {
                 "kind": "if",
@@ -158,6 +167,10 @@ class Stmt:
                 target=data["target"],
                 target_kind=data["target_kind"],
                 target_args=data.get("target_args", []),
+                index_base=data.get("index_base"),
+                index_expr=(
+                    Expr.from_json(data["index"]) if data.get("index") else None
+                ),
                 value=Expr.from_json(data["value"]) if data.get("value") else None,
                 annotation=(
                     (ann[0], [Expr.from_json(e) for e in ann[1]]) if ann else None
@@ -206,6 +219,9 @@ class DslModel:
     constants: List[Tuple[str, Expr]] = field(default_factory=list)
     covariates: List[CovariateDeclAst] = field(default_factory=list)
     states: List[str] = field(default_factory=list)
+    # array-state declarations (`states { x[3] }`): base name -> size.
+    # `states` holds the expanded element names (`x[0]`, `x[1]`, `x[2]`).
+    state_arrays: Dict[str, int] = field(default_factory=dict)
     derived: List[str] = field(default_factory=list)  # shorthand `derived =`
     outputs: List[str] = field(default_factory=list)  # shorthand `outputs =`
     routes: List[RouteDeclAst] = field(default_factory=list)

@@ -93,9 +93,32 @@ def eval_expr(expr: Expr, env: Dict[str, object]):
             )
         return fn(*(eval_expr(a, env) for a in expr.args))
     if expr.kind == "index":
-        target = eval_expr(expr.args[0], env)
-        idx = eval_expr(expr.args[1], env)
-        return target[int(idx)]
+        base, idx_expr = expr.args
+        idx = eval_expr(idx_expr, env)
+        if hasattr(idx, "aval"):  # traced value — indices must resolve at trace time
+            raise DslError(
+                Diagnostic.error(
+                    "DSL3006",
+                    "state index must be a constant (loop variables and literals "
+                    "are allowed; runtime values are not)",
+                    idx_expr.span,
+                )
+            )
+        i = int(idx)
+        if base.kind == "name":
+            # array-state element: env binds expanded names like `x[0]`
+            key = f"{base.name}[{i}]"
+            if key in env:
+                return env[key]
+            if base.name not in env:
+                raise DslError(
+                    Diagnostic.error(
+                        "DSL3007",
+                        f"index {i} out of range for array state `{base.name}`",
+                        expr.span,
+                    )
+                )
+        return eval_expr(base, env)[i]
     raise DslError(Diagnostic.error("DSL3003", f"bad expression kind `{expr.kind}`", expr.span))
 
 
@@ -123,6 +146,11 @@ def eval_stmts(stmts: List[Stmt], env: Dict[str, object]) -> Dict[str, object]:
             if s.target_kind == "call":
                 for arg in s.target_args:
                     env[f"{s.target}:{arg}"] = value
+            elif s.target_kind == "index":
+                # dx(x[i]) / dx[i]: keyed slot on the expanded element name so
+                # it participates in if-branch merging like scalar dx targets
+                i = _const_int(s.index_expr, env, "state index")
+                env[f"{s.target}:{s.index_base}[{i}]"] = value
             else:
                 env[s.target] = value
         elif s.kind == "if":

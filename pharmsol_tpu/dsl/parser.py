@@ -241,17 +241,60 @@ def _parse_assignment(ts: _TokenStream) -> Stmt:
     if nxt.is_punct("("):
         ts.next()
         args: List[str] = []
+        indexed = None  # (base, index expr) when an arg is `x[i]`
         if not ts.peek().is_punct(")"):
-            args.append(ts.expect_ident().text)
-            while ts.peek().is_punct(","):
+            while True:
+                arg = ts.expect_ident()
+                if ts.peek().is_punct("["):
+                    ts.next()
+                    idx = parse_expr(ts)
+                    ts.expect_punct("]")
+                    if indexed is not None or args:
+                        raise DslError(
+                            Diagnostic.error(
+                                "DSL0114",
+                                f"`{name.text}(...)` with an indexed state takes "
+                                "exactly one argument",
+                                arg.span,
+                            )
+                        )
+                    indexed = (arg.text, idx)
+                else:
+                    args.append(arg.text)
+                if not ts.peek().is_punct(","):
+                    break
                 ts.next()
-                args.append(ts.expect_ident().text)
         ts.expect_punct(")")
         ts.expect_op("=")
         value = parse_expr(ts)
         annotation = _parse_annotation(ts)
+        if indexed is not None:
+            if args:
+                raise DslError(
+                    Diagnostic.error(
+                        "DSL0114",
+                        f"`{name.text}(...)` with an indexed state takes exactly "
+                        "one argument",
+                        name.span,
+                    )
+                )
+            return Stmt("assign", name.span, target=name.text, target_kind="index",
+                        index_base=indexed[0], index_expr=indexed[1], value=value,
+                        annotation=annotation)
         return Stmt("assign", name.span, target=name.text, target_kind="call",
                     target_args=args, value=value, annotation=annotation)
+    if nxt.is_punct("["):
+        # indexed-target sugar: dx[i] = expr (resolved to the model's sole
+        # array state by the analyzer)
+        ts.next()
+        idx = parse_expr(ts)
+        ts.expect_punct("]")
+        ts.expect_op("=")
+        value = parse_expr(ts)
+        annotation = _parse_annotation(ts)
+        return Stmt("assign", name.span, target=name.text, target_kind="index",
+                    index_base=None, index_expr=idx, value=value,
+                    annotation=annotation)
     ts.expect_op("=")
     value = parse_expr(ts)
     annotation = _parse_annotation(ts)
@@ -290,6 +333,64 @@ def _parse_stmt_block(ts: _TokenStream) -> List[Stmt]:
 
 
 # -- canonical model parsing ----------------------------------------------------------
+
+
+def _expect_array_size(ts: _TokenStream) -> int:
+    """Parse the `[N]` suffix of an array-state declaration (N a positive int)."""
+    ts.expect_punct("[")
+    size_tok = ts.next()
+    if size_tok.kind != "number" or float(size_tok.text) != int(float(size_tok.text)) \
+            or int(float(size_tok.text)) < 1:
+        raise DslError(
+            Diagnostic.error(
+                "DSL0113",
+                f"array state size must be a positive integer, got `{size_tok.text}`",
+                size_tok.span,
+            )
+        )
+    ts.expect_punct("]")
+    return int(float(size_tok.text))
+
+
+def _expect_array_size_index(ts: _TokenStream) -> int:
+    """Parse a `[k]` constant element index (zero-based, used in route dests)."""
+    ts.expect_punct("[")
+    tok = ts.next()
+    if tok.kind != "number" or float(tok.text) != int(float(tok.text)) \
+            or int(float(tok.text)) < 0:
+        raise DslError(
+            Diagnostic.error(
+                "DSL0115",
+                f"state element index must be a non-negative integer, got `{tok.text}`",
+                tok.span,
+            )
+        )
+    ts.expect_punct("]")
+    return int(float(tok.text))
+
+
+def _state_items_from(ts: _TokenStream, names: List[str], arrays: dict) -> None:
+    """One state declaration: `name` or `name[N]` (expands to name[0..N-1])."""
+    t = ts.expect_ident()
+    if ts.peek().is_punct("["):
+        n = _expect_array_size(ts)
+        arrays[t.text] = n
+        names.extend(f"{t.text}[{k}]" for k in range(n))
+    else:
+        names.append(t.text)
+
+
+def _parse_state_list_block(ts: _TokenStream):
+    """Canonical `states { ... }` block with scalar and array declarations."""
+    ts.expect_punct("{")
+    names: List[str] = []
+    arrays: dict = {}
+    while not ts.peek().is_punct("}"):
+        _state_items_from(ts, names, arrays)
+        while ts.peek().is_punct(","):
+            ts.next()
+    ts.expect_punct("}")
+    return names, arrays
 
 
 def _parse_ident_list_block(ts: _TokenStream) -> List[Token]:
@@ -338,7 +439,7 @@ def _parse_model(ts: _TokenStream) -> DslModel:
                     ts.next()
             ts.expect_punct("}")
         elif text == "states":
-            model.states = [t.text for t in _parse_ident_list_block(ts)]
+            model.states, model.state_arrays = _parse_state_list_block(ts)
         elif text == "derived":
             model.derived = [t.text for t in _parse_ident_list_block(ts)]
         elif text == "outputs":
@@ -415,6 +516,9 @@ def _parse_route(ts: _TokenStream) -> RouteDeclAst:
     input_tok = ts.expect_ident()
     ts.expect_op("->")
     dest = ts.expect_ident()
+    dest_name = dest.text
+    if ts.peek().is_punct("["):
+        dest_name = f"{dest.text}[{_expect_array_size_index(ts)}]"
     props: List[Tuple[str, Expr]] = []
     if ts.peek().is_punct("{"):
         ts.next()
@@ -425,7 +529,7 @@ def _parse_route(ts: _TokenStream) -> RouteDeclAst:
             while ts.peek().is_punct(",", ";"):
                 ts.next()
         ts.expect_punct("}")
-    return RouteDeclAst(input_tok.text, dest.text, kind, props, input_tok.span)
+    return RouteDeclAst(input_tok.text, dest_name, kind, props, input_tok.span)
 
 
 def parse_canonical(src: str) -> DslModule:
@@ -475,8 +579,11 @@ def parse_shorthand(src: str) -> DslModule:
             ts.expect_punct(")")
             ts.expect_op("->")
             dest = ts.expect_ident()
+            dest_name = dest.text
+            if ts.peek().is_punct("["):
+                dest_name = f"{dest.text}[{_expect_array_size_index(ts)}]"
             model.routes.append(
-                RouteDeclAst(input_tok.text, dest.text, DslRouteKind(head.text), [], head.span)
+                RouteDeclAst(input_tok.text, dest_name, DslRouteKind(head.text), [], head.span)
             )
             continue
         if second.is_op("=") and head.text in (
@@ -496,7 +603,13 @@ def parse_shorthand(src: str) -> DslModule:
             elif head.text == "covariates":
                 model.covariates = _covariate_csv(ts)
             elif head.text == "states":
-                model.states = _ident_csv(ts)
+                names: List[str] = []
+                arrays: dict = {}
+                _state_items_from(ts, names, arrays)
+                while ts.peek().is_punct(","):
+                    ts.next()
+                    _state_items_from(ts, names, arrays)
+                model.states, model.state_arrays = names, arrays
             elif head.text == "derived":
                 model.derived = _ident_csv(ts)
             elif head.text == "outputs":
@@ -510,7 +623,24 @@ def parse_shorthand(src: str) -> DslModule:
         # statement lines: dx(s)=, out(o)=, init(s)=, lag(r)=, fa(r)=,
         # noise(s)=, derived assignments name = expr
         stmt = _parse_assignment(ts)
-        if stmt.target_kind == "call":
+        if stmt.target_kind == "index":
+            if stmt.target == "dx":
+                model.dynamics_stmts.append(stmt)
+            elif stmt.target == "init":
+                model.init_stmts.append(stmt)
+            elif stmt.target == "noise":
+                model.diffusion_stmts.append(stmt)
+            else:
+                raise DslError(
+                    Diagnostic.error(
+                        "DSL0116",
+                        f"indexed assignment `{stmt.target}[...]` is not a "
+                        "declaration",
+                        head.span,
+                        help="only dx, init, and noise accept indexed state targets",
+                    )
+                )
+        elif stmt.target_kind == "call":
             if stmt.target == "dx":
                 model.dynamics_stmts.append(stmt)
             elif stmt.target == "out":

@@ -424,6 +424,7 @@ def _am_to_json(am: AnalyzedModel) -> dict:
         "parameters": am.parameters,
         "covariates": [[n, i] for n, i in am.covariates],
         "states": am.states,
+        "state_arrays": am.state_arrays,
         "derived": am.derived,
         "outputs": am.outputs,
         "constants": am.constants,
@@ -471,6 +472,7 @@ def _am_from_json(data: dict) -> AnalyzedModel:
         parameters=data["parameters"],
         covariates=[tuple(c) for c in data["covariates"]],
         states=data["states"],
+        state_arrays={k: int(v) for k, v in data.get("state_arrays", {}).items()},
         derived=data["derived"],
         outputs=data["outputs"],
         constants=data["constants"],
