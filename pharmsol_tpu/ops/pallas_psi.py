@@ -171,10 +171,156 @@ def _psi_kernel_1cmt(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
     out_ref[:, :] = ll
 
 
+def _psi_kernel_3cmt(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
+                     obs_sigma_ref, ka_ref, k10_ref, k12_ref, k13_ref,
+                     k21_ref, k31_ref, v_ref, l1_ref, l2_ref, l3_ref,
+                     out_ref, *, n_seg: int):
+    """3-cmt oral psi tile: states [depot, central, p2, p3].
+
+    Support rows: [ka, k10, k12, k13, k21, k31, v]. The mammillary rate
+    matrix's three decay constants come from the classic trigonometric cubic
+    solution (all roots real positive for mammillary models); the matrix
+    exponential uses Lagrange spectral projectors
+    ``P_k = prod_{j!=k}(A + l_j I) / (l_j - l_k)``, prepared once per tile.
+    Degenerate (repeated-eigenvalue) supports are the caller's concern — the
+    general engine path handles those.
+    """
+    ka = ka_ref[:, :]
+    k10 = k10_ref[:, :]
+    k12 = k12_ref[:, :]
+    k13 = k13_ref[:, :]
+    k21 = k21_ref[:, :]
+    k31 = k31_ref[:, :]
+    v = v_ref[:, :]
+    # decay constants are prepared OUTSIDE the kernel (Mosaic has no acos
+    # lowering, and the cubic solve is support-only work) — see
+    # _prep_3cmt_eigenvalues
+    l1 = l1_ref[:, :]
+    l2 = l2_ref[:, :]
+    l3 = l3_ref[:, :]
+
+    # rate matrix (central, p2, p3) and its square, as [1, SP_TILE] lanes
+    a11 = -(k10 + k12 + k13)
+    m11 = a11 * a11 + k21 * k12 + k31 * k13
+    m12 = k21 * (a11 - k21)
+    m13 = k31 * (a11 - k31)
+    m21 = k12 * (a11 - k21)
+    m22 = k12 * k21 + k21 * k21
+    m23 = k12 * k31
+    m31 = k13 * (a11 - k31)
+    m32 = k13 * k21
+    m33 = k13 * k31 + k31 * k31
+
+    lam = (l1, l2, l3)
+    # per-eigenvalue projector entries and depot columns, prepared per tile
+    proj = []
+    for k in range(3):
+        lk = lam[k]
+        lj, ll_ = lam[(k + 1) % 3], lam[(k + 2) % 3]
+        s = lj + ll_
+        pr = lj * ll_
+        invd = 1.0 / ((lj - lk) * (ll_ - lk))
+        P = (
+            (m11 + s * a11 + pr) * invd,
+            (m12 + s * k21) * invd,
+            (m13 + s * k31) * invd,
+            (m21 + s * k12) * invd,
+            (m22 + s * (-k21) + pr) * invd,
+            m23 * invd,
+            (m31 + s * k13) * invd,
+            m32 * invd,
+            (m33 + s * (-k31) + pr) * invd,
+        )
+        inv_ka_lk = 1.0 / (ka - lk)
+        proj.append((lk, P, inv_ka_lk))
+
+    shape = (out_ref.shape[0], out_ref.shape[1])
+    zeros = jnp.zeros(shape, dtype=out_ref.dtype)
+    x0 = zeros  # depot
+    x1 = zeros  # central
+    x2 = zeros  # p2
+    x3 = zeros  # p3
+    ll = zeros
+    one = jnp.ones(shape, dtype=out_ref.dtype)
+
+    dts = seg_dt_ref[:, :]
+    bols = seg_bolus_ref[:, :]
+    masks = obs_mask_ref[:, :]
+    vals = obs_value_ref[:, :]
+    sigs = obs_sigma_ref[:, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
+
+    for m in range(n_seg):
+        sel = jnp.where(lane == np.int32(m), one, zeros)
+
+        def col(a):
+            return jnp.sum(a * sel, axis=1, keepdims=True)
+
+        dt = col(dts)
+        bol = col(bols)
+        mask = col(masks)
+        val = col(vals)
+        sig = col(sigs) + (1.0 - col(masks))
+
+        pred = x1 / v
+        z = (val - pred) / sig
+        ll = ll + mask * (-0.5 * LOG_2PI - jnp.log(sig) - 0.5 * z * z)
+
+        x0 = x0 + bol
+        eka = jnp.exp(-ka * dt)
+        nx1 = zeros
+        nx2 = zeros
+        nx3 = zeros
+        for lk, P, inv_ka_lk in proj:
+            ek = jnp.exp(-lk * dt)
+            # homogeneous part: ek * (P @ x)
+            nx1 = nx1 + ek * (P[0] * x1 + P[1] * x2 + P[2] * x3)
+            nx2 = nx2 + ek * (P[3] * x1 + P[4] * x2 + P[5] * x3)
+            nx3 = nx3 + ek * (P[6] * x1 + P[7] * x2 + P[8] * x3)
+            # depot forcing: ka*x0 * (ek - eka)/(ka - lk) * (P @ e1)
+            f = ka * x0 * (ek - eka) * inv_ka_lk
+            nx1 = nx1 + f * P[0]
+            nx2 = nx2 + f * P[3]
+            nx3 = nx3 + f * P[6]
+        live = dt > 0.0
+        x1 = jnp.where(live, nx1, x1)
+        x2 = jnp.where(live, nx2, x2)
+        x3 = jnp.where(live, nx3, x3)
+        x0 = jnp.where(live, x0 * eka, x0)
+
+    out_ref[:, :] = ll
+
+
+def _prep_3cmt_eigenvalues(sp_rows):
+    """Decay constants of the mammillary 3-cmt rate matrix, per support row.
+
+    Trigonometric solution of the monic cubic l^3 - A l^2 + B l - C with the
+    symmetric sums of the three (real, positive) decay constants. Runs in
+    XLA before the pallas_call — support-only work, one cubic per support
+    point.
+    """
+    _, k10, k12, k13, k21, k31, _ = sp_rows
+    A = k10 + k12 + k13 + k21 + k31
+    B = k10 * k21 + k10 * k31 + k12 * k31 + k13 * k21 + k21 * k31
+    C = k10 * k21 * k31
+    p = B - A * A / 3.0
+    q = -2.0 * A * A * A / 27.0 + A * B / 3.0 - C
+    mp3 = jnp.maximum(-p / 3.0, 1e-30)
+    rt = jnp.sqrt(mp3)
+    arg = jnp.clip(3.0 * q / (2.0 * jnp.minimum(p, -1e-30)) / rt, -1.0, 1.0)
+    phi = jnp.arccos(arg) / 3.0
+    two_pi_3 = 2.0 * math.pi / 3.0
+    l1 = 2.0 * rt * jnp.cos(phi) + A / 3.0
+    l2 = 2.0 * rt * jnp.cos(phi - two_pi_3) + A / 3.0
+    l3 = 2.0 * rt * jnp.cos(phi - 2.0 * two_pi_3) + A / 3.0
+    return [l1, l2, l3]
+
+
 STRUCTURES = {
-    # name -> (kernel fn, n params)
-    "two_compartments_with_absorption": (_psi_kernel, 5),
-    "one_compartment_with_absorption": (_psi_kernel_1cmt, 3),
+    # name -> (kernel fn, n support params, prep fn -> extra p rows)
+    "two_compartments_with_absorption": (_psi_kernel, 5, None),
+    "one_compartment_with_absorption": (_psi_kernel_1cmt, 3, None),
+    "three_compartments_with_absorption": (_psi_kernel_3cmt, 7, _prep_3cmt_eigenvalues),
 }
 
 
@@ -202,7 +348,12 @@ def psi_oral(
     """
     from jax.experimental import pallas as pl
 
-    kernel_fn, n_params = STRUCTURES[structure]
+    if structure not in STRUCTURES:
+        raise ValueError(
+            f"unknown pallas psi structure `{structure}` "
+            f"(available: {', '.join(sorted(STRUCTURES))})"
+        )
+    kernel_fn, n_params, prep_fn = STRUCTURES[structure]
     R, M = seg_dt.shape
     S = support.shape[0]
     if support.shape[1] != n_params:
@@ -226,6 +377,8 @@ def psi_oral(
     streams[4] = streams[4] * streams[2]
     sp = jnp.asarray(support, dtype)
     sp_rows = [sp[:, i].reshape(1, S) for i in range(n_params)]
+    if prep_fn is not None:
+        sp_rows = sp_rows + [jnp.asarray(r, dtype) for r in prep_fn(sp_rows)]
 
     kernel = functools.partial(kernel_fn, n_seg=M)
     row_spec = pl.BlockSpec((SUB_TILE, SEG_PAD), lambda i, j: (i, 0))
@@ -235,7 +388,7 @@ def psi_oral(
             kernel,
             out_shape=jax.ShapeDtypeStruct((R, S), dtype),
             grid=(R // SUB_TILE, S // SP_TILE),
-            in_specs=[row_spec] * 5 + [p_spec] * n_params,
+            in_specs=[row_spec] * 5 + [p_spec] * len(sp_rows),
             out_specs=pl.BlockSpec((SUB_TILE, SP_TILE), lambda i, j: (i, j)),
             interpret=interpret,
         )(*streams, *sp_rows)

@@ -88,3 +88,43 @@ def test_pallas_psi_1cmt_matches_engine():
                  structure="one_compartment_with_absorption", interpret=True)
     )
     np.testing.assert_allclose(got, want, rtol=5e-9, atol=1e-9)
+
+
+def test_pallas_psi_3cmt_matches_engine():
+    from pharmsol_tpu.ops.pallas_psi import psi_oral
+
+    rng = np.random.RandomState(7)
+    obs_times = [0.5, 1.0, 2.0, 4.0, 8.0, 12.0, 24.0]
+    dose = 100.0
+    R, S = SUB_TILE, SP_TILE
+
+    subjects, streams = [], []
+    sigma_of = lambda v: np.sqrt((0.5 + 0.1 * v) ** 2 + 1.0)
+    for i in range(R):
+        values = np.abs(3 + rng.randn(len(obs_times)))
+        b = Subject.builder(f"s{i}").bolus(0.0, dose, 0)
+        for t, v in zip(obs_times, values):
+            b = b.observation(float(t), float(v), 0)
+        subjects.append(b.build())
+        streams.append(
+            segment_stream_from_schedule(obs_times, values, sigma_of(values), dose)
+        )
+
+    # support in kernel order [ka, k10, k12, k13, k21, k31, v]
+    center = np.array([1.2, 0.15, 0.3, 0.08, 0.2, 0.05, 10.0])
+    support = np.abs(center[None, :] * (1.0 + 0.2 * rng.randn(S, 7)))
+
+    model = Analytical(
+        pst.three_compartments_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[6],
+        nstates=4, ndrugs=1, nout=1,
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    want = log_likelihood_matrix(model, Data(subjects), support, ems)
+
+    args = [jnp.asarray(np.stack(a)) for a in zip(*streams)]
+    got = np.asarray(
+        psi_oral(*args, jnp.asarray(support),
+                 structure="three_compartments_with_absorption", interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=5e-8, atol=1e-8)
