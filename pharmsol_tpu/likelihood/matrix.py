@@ -77,6 +77,93 @@ def _psi_fn(equation, cov_names, n_subjects: int):
     return psi
 
 
+def _pallas_structure_name(equation) -> str:
+    """Map an Analytical equation's kernel fn to a pallas psi structure."""
+    from ..engine.analytical import KERNELS
+    from ..ops.pallas_psi import STRUCTURES
+
+    eq_fn = getattr(equation, "_eq", None)
+    for name, (fn, _, _) in KERNELS.items():
+        if fn is eq_fn:
+            if name not in STRUCTURES:
+                raise PharmsolError(
+                    f"analytical kernel `{name}` has no pallas psi structure "
+                    f"(available: {', '.join(sorted(STRUCTURES))})"
+                )
+            return name
+    raise PharmsolError(
+        "engine='pallas' requires an Analytical equation built on a named "
+        "built-in kernel (one_compartment, two_compartments, "
+        "*_with_absorption, ...)"
+    )
+
+
+def _pallas_psi_matrix(equation, grid, sp, lowered) -> np.ndarray:
+    """Fused pallas psi path: single-output central/v models, bolus-only.
+
+    The support matrix layout is the kernel parameter order with the volume
+    of distribution appended as the LAST column (the fused kernels predict
+    central/v). Structural requirements are validated here; data-shape
+    requirements (no infusions, no censoring, no errorpoly overrides) are
+    validated by ``streams_from_grid``.
+    """
+    from ..engine.analytical import KERNELS
+    from ..ops.pallas_psi import SP_TILE, SUB_TILE, psi_oral, streams_from_grid
+
+    structure = _pallas_structure_name(equation)
+    _, _, n_kernel_params = KERNELS[structure]
+    if sp.shape[1] != n_kernel_params + 1:
+        raise PharmsolError(
+            f"engine='pallas' with `{structure}` needs support columns "
+            f"[{n_kernel_params} kernel params..., v], got {sp.shape[1]} columns"
+        )
+    if equation._seq is not None or equation._lag is not None \
+            or equation._fa is not None or equation._init is not None:
+        raise PharmsolError(
+            "engine='pallas' does not support seq/lag/fa/init equations"
+        )
+    if grid.cov_names:
+        raise PharmsolError("engine='pallas' does not support covariates")
+    valid = np.asarray(grid.rows.obs_valid) & np.asarray(grid.rows.obs_has_value)
+    if np.any(np.asarray(grid.rows.obs_outeq)[valid] != 0):
+        raise PharmsolError("engine='pallas' supports a single output equation")
+
+    streams = streams_from_grid(grid.rows, lowered)
+    R = streams[0].shape[0]
+    S = sp.shape[0]
+    Rp = ((R + SUB_TILE - 1) // SUB_TILE) * SUB_TILE
+    Sp = ((S + SP_TILE - 1) // SP_TILE) * SP_TILE
+    fd = float_dtype()
+
+    def pad_rows(a):
+        a = np.asarray(a, dtype=np.float64)
+        if Rp == R:
+            return a
+        return np.concatenate(
+            [a, np.zeros((Rp - R, a.shape[1]), dtype=a.dtype)], axis=0
+        )
+
+    sp_p = sp if Sp == S else np.concatenate(
+        [sp, np.repeat(sp[-1:], Sp - S, axis=0)], axis=0
+    )
+    # compiled Mosaic kernels are float32-only; the CPU interpret path keeps
+    # the configured float dtype (f64 under the test config)
+    if jax.devices()[0].platform == "tpu":
+        fd = jnp.float32
+    psi_rows = np.asarray(
+        psi_oral(
+            *(jnp.asarray(pad_rows(a), dtype=fd) for a in streams),
+            jnp.asarray(sp_p, dtype=fd),
+            structure=structure,
+        ),
+        dtype=np.float64,
+    )[:R, :S]
+    # occasion rows -> subjects
+    psi = np.zeros((grid.n_subjects, S), dtype=np.float64)
+    np.add.at(psi, np.asarray(grid.row_subject), psi_rows)
+    return psi
+
+
 def log_likelihood_matrix(
     equation,
     subjects,
@@ -84,11 +171,17 @@ def log_likelihood_matrix(
     error_models: AssayErrorModels,
     progress: bool = False,
     on_error: str = "neg_inf",
+    engine: str = "xla",
 ) -> np.ndarray:
     """Log-likelihood of every subject at every support point.
 
     ``support_points``: [n_support, n_params] dense in model order (use
     ParameterOrder.matrix to reorder external columns first).
+
+    ``engine='pallas'`` opts into the fused TPU psi kernels for supported
+    analytical structures (bolus-only, single output central/v, support
+    columns = kernel params + v last); results match the default XLA engine
+    at float-dtype precision.
 
     Divergence note: the reference aborts the whole matrix on a simulation
     error; here non-finite cells are mapped to -inf (``on_error='neg_inf'``,
@@ -102,6 +195,14 @@ def log_likelihood_matrix(
     grid = equation.lower(data.subjects())
     lowered = error_models.lower(equation.resolve_output_label, equation.nouteqs())
     check_error_model_coverage(grid, lowered)
+
+    if engine == "pallas":
+        psi = _pallas_psi_matrix(equation, grid, sp, lowered)
+        if on_error == "neg_inf":
+            psi = np.where(np.isfinite(psi), psi, -np.inf)
+        return psi
+    if engine != "xla":
+        raise PharmsolError(f"unknown psi engine `{engine}` (xla or pallas)")
 
     t0 = time.perf_counter()
     if progress:

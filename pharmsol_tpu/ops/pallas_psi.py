@@ -291,6 +291,108 @@ def _psi_kernel_3cmt(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
     out_ref[:, :] = ll
 
 
+def _psi_kernel_1cmt_iv(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
+                        obs_sigma_ref, ke_ref, v_ref, out_ref, *, n_seg: int):
+    """1-cmt IV bolus psi tile: state [central], p rows [ke, v]."""
+    ke = ke_ref[:, :]
+    v = v_ref[:, :]
+
+    shape = (out_ref.shape[0], out_ref.shape[1])
+    zeros = jnp.zeros(shape, dtype=out_ref.dtype)
+    x1 = zeros
+    ll = zeros
+    one = jnp.ones(shape, dtype=out_ref.dtype)
+
+    dts = seg_dt_ref[:, :]
+    bols = seg_bolus_ref[:, :]
+    masks = obs_mask_ref[:, :]
+    vals = obs_value_ref[:, :]
+    sigs = obs_sigma_ref[:, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
+
+    for m in range(n_seg):
+        sel = jnp.where(lane == np.int32(m), one, zeros)
+
+        def col(a):
+            return jnp.sum(a * sel, axis=1, keepdims=True)
+
+        dt = col(dts)
+        bol = col(bols)
+        mask = col(masks)
+        val = col(vals)
+        sig = col(sigs) + (1.0 - col(masks))
+
+        pred = x1 / v
+        z = (val - pred) / sig
+        ll = ll + mask * (-0.5 * LOG_2PI - jnp.log(sig) - 0.5 * z * z)
+
+        x1 = x1 + bol  # bolus into central
+        live = dt > 0.0
+        x1 = jnp.where(live, x1 * jnp.exp(-ke * dt), x1)
+
+    out_ref[:, :] = ll
+
+
+def _psi_kernel_2cmt_iv(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
+                        obs_sigma_ref, ke_ref, kcp_ref, kpc_ref, v_ref,
+                        out_ref, *, n_seg: int):
+    """2-cmt IV bolus psi tile: states [central, peripheral], p rows
+    [ke, kcp, kpc, v] (the reference's "Repeat" workload shape,
+    benches/common/mod.rs:7)."""
+    ke = ke_ref[:, :]
+    kcp = kcp_ref[:, :]
+    kpc = kpc_ref[:, :]
+    v = v_ref[:, :]
+
+    disc = (ke + kcp + kpc) ** 2 - 4.0 * ke * kpc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    l1 = (ke + kcp + kpc + sq) * 0.5
+    l2 = (ke + kcp + kpc - sq) * 0.5
+    inv_denom = 1.0 / (l1 - l2)
+
+    shape = (out_ref.shape[0], out_ref.shape[1])
+    zeros = jnp.zeros(shape, dtype=out_ref.dtype)
+    x1 = zeros  # central
+    x2 = zeros  # peripheral
+    ll = zeros
+    one = jnp.ones(shape, dtype=out_ref.dtype)
+
+    dts = seg_dt_ref[:, :]
+    bols = seg_bolus_ref[:, :]
+    masks = obs_mask_ref[:, :]
+    vals = obs_value_ref[:, :]
+    sigs = obs_sigma_ref[:, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
+
+    for m in range(n_seg):
+        sel = jnp.where(lane == np.int32(m), one, zeros)
+
+        def col(a):
+            return jnp.sum(a * sel, axis=1, keepdims=True)
+
+        dt = col(dts)
+        bol = col(bols)
+        mask = col(masks)
+        val = col(vals)
+        sig = col(sigs) + (1.0 - col(masks))
+
+        pred = x1 / v
+        z = (val - pred) / sig
+        ll = ll + mask * (-0.5 * LOG_2PI - jnp.log(sig) - 0.5 * z * z)
+
+        x1 = x1 + bol  # bolus into central
+        e1 = jnp.exp(-l1 * dt)
+        e2 = jnp.exp(-l2 * dt)
+        nx1 = (((l1 - kpc) * e1 + (kpc - l2) * e2) * x1 + kpc * (e2 - e1) * x2) * inv_denom
+        nx2 = (kcp * (e2 - e1) * x1
+               + ((l1 - ke - kcp) * e1 + (ke + kcp - l2) * e2) * x2) * inv_denom
+        live = dt > 0.0
+        x1 = jnp.where(live, nx1, x1)
+        x2 = jnp.where(live, nx2, x2)
+
+    out_ref[:, :] = ll
+
+
 def _prep_3cmt_eigenvalues(sp_rows):
     """Decay constants of the mammillary 3-cmt rate matrix, per support row.
 
@@ -321,6 +423,8 @@ STRUCTURES = {
     "two_compartments_with_absorption": (_psi_kernel, 5, None),
     "one_compartment_with_absorption": (_psi_kernel_1cmt, 3, None),
     "three_compartments_with_absorption": (_psi_kernel_3cmt, 7, _prep_3cmt_eigenvalues),
+    "one_compartment": (_psi_kernel_1cmt_iv, 2, None),
+    "two_compartments": (_psi_kernel_2cmt_iv, 4, None),
 }
 
 
@@ -367,6 +471,11 @@ def psi_oral(
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     dtype = seg_dt.dtype
+    if not interpret and dtype != jnp.float32:
+        raise ValueError(
+            f"compiled pallas psi kernels are float32-only (got {dtype}); "
+            "cast the streams/support to float32 or pass interpret=True"
+        )
 
     streams = [
         _pad_lanes(jnp.asarray(a, dtype), SEG_PAD)
@@ -432,18 +541,20 @@ def psi_2cmt_oral(seg_dt, seg_bolus, obs_mask, obs_value, obs_sigma, support,
 def streams_from_grid(rows, lowered_em):
     """Convert stacked OccasionArrays rows into kernel segment streams.
 
-    Requirements of the fused kernel's model shape: exactly the 2-cmt oral
-    configuration — one bolus route into the depot, no infusions, single
-    output central/v, no covariates/lag/fa/seq, additive or proportional
-    assay error. Rows must have NI == 0 and NB == 1.
+    Requirements of the fused kernel's model shape: a single bolus route into
+    the structure's dose compartment (depot for *_with_absorption, central
+    for IV structures), no infusions, single output central/v, no
+    covariates/lag/fa/seq, additive or proportional assay error. Rows must
+    have NI == 0 and NB >= 1 (multi-dose schedules like the reference's
+    "Repeat" workload, benches/common/mod.rs:7, are supported).
 
     Returns (seg_dt, seg_bolus, obs_mask, obs_value, obs_sigma), each [R, M].
     """
     from ..config import BIG_TIME
 
     bolus_t = np.asarray(rows.bolus_t, dtype=np.float64)
-    if bolus_t.shape[1] != 1 or np.asarray(rows.inf_t).shape[1] != 0:
-        raise ValueError("pallas psi fast path requires NB == 1 and NI == 0")
+    if bolus_t.shape[1] < 1 or np.asarray(rows.inf_t).shape[1] != 0:
+        raise ValueError("pallas psi fast path requires NB >= 1 and NI == 0")
     valid_rows = np.asarray(rows.obs_valid) & np.asarray(rows.obs_has_value)
     if np.any(np.asarray(rows.obs_cens)[valid_rows] != 0):
         raise ValueError(
@@ -470,8 +581,13 @@ def streams_from_grid(rows, lowered_em):
     def scatter(unsorted):
         return np.take_along_axis(unsorted, order, axis=1)
 
+    # padded bolus slots (time >= BIG_TIME) must contribute zero dose — the
+    # kernel applies the bolus column even on dt==0 terminal segments
+    bolus_amt = np.where(
+        bolus_t < BIG_TIME / 2, np.asarray(rows.bolus_amt, dtype=np.float64), 0.0
+    )
     seg_bolus = scatter(
-        np.concatenate([np.zeros_like(obs_t), np.asarray(rows.bolus_amt, dtype=np.float64)], axis=1)
+        np.concatenate([np.zeros_like(obs_t), bolus_amt], axis=1)
     )
     valid = valid_rows
     obs_value_u = np.asarray(rows.obs_value, dtype=np.float64)

@@ -128,3 +128,100 @@ def test_pallas_psi_3cmt_matches_engine():
                  structure="three_compartments_with_absorption", interpret=True)
     )
     np.testing.assert_allclose(got, want, rtol=5e-8, atol=1e-8)
+
+
+def _repeat_subjects(rng, R, iv=True, n_dose=10, tau=12.0):
+    """The reference's "Repeat" shape: q12h x 10 doses, 14 obs over 120 h."""
+    obs_times = np.linspace(1.0, 120.0, 14)
+    subjects = []
+    for i in range(R):
+        b = Subject.builder(f"r{i}")
+        for d in range(n_dose):
+            b = b.bolus(d * tau, 100.0, 0)
+        for t in obs_times:
+            b = b.observation(float(t), float(np.abs(5 + rng.randn())), 0)
+        subjects.append(b.build())
+    return subjects
+
+
+def test_pallas_engine_repeat_dose_2cmt_iv():
+    """Multi-bolus IV through log_likelihood_matrix(engine='pallas')."""
+    rng = np.random.RandomState(11)
+    subjects = _repeat_subjects(rng, SUB_TILE)
+    model = Analytical(
+        pst.two_compartments,
+        out=lambda x, p, t, cov: x[0:1] / p[3],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    support = np.abs(
+        np.array([0.15, 0.3, 0.2, 10.0])[None, :] * (1.0 + 0.2 * rng.randn(40, 4))
+    )
+    want = log_likelihood_matrix(model, Data(subjects), support, ems)
+    got = log_likelihood_matrix(model, Data(subjects), support, ems, engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=5e-9, atol=1e-9)
+
+
+def test_pallas_engine_1cmt_iv_multi_occasion():
+    """1-cmt IV with occasion splits: row->subject aggregation must match."""
+    rng = np.random.RandomState(13)
+    subjects = []
+    for i in range(4):
+        b = Subject.builder(f"m{i}").bolus(0.0, 100.0, 0)
+        b = b.observation(2.0, float(np.abs(4 + rng.randn())), 0)
+        b = b.reset().bolus(0.0, 50.0, 0)
+        b = b.observation(3.0, float(np.abs(2 + rng.randn())), 0)
+        subjects.append(b.build())
+    model = Analytical(
+        pst.one_compartment,
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.proportional(ErrorPoly(0.1, 0.1), 1.0))
+    support = np.abs(np.array([0.2, 12.0])[None, :] * (1.0 + 0.3 * rng.randn(17, 2)))
+    want = log_likelihood_matrix(model, Data(subjects), support, ems)
+    got = log_likelihood_matrix(model, Data(subjects), support, ems, engine="pallas")
+    assert got.shape == (4, 17)
+    np.testing.assert_allclose(got, want, rtol=5e-9, atol=1e-9)
+
+
+def test_pallas_engine_rejections():
+    import pytest
+    from pharmsol_tpu.errors import PharmsolError
+
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    s = Subject.builder("s").bolus(0.0, 100.0, 0).observation(1.0, 5.0, 0).build()
+    support_bad = np.ones((4, 3))
+
+    # wrong support width for the structure
+    model = Analytical(
+        pst.two_compartments, out=lambda x, p, t, cov: x[0:1] / p[3],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    with pytest.raises(PharmsolError, match="support columns"):
+        log_likelihood_matrix(model, Data([s]), support_bad, ems, engine="pallas")
+
+    # kernel without a pallas structure
+    model_cl = Analytical(
+        pst.two_compartments_cl, out=lambda x, p, t, cov: x[0:1] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    with pytest.raises(PharmsolError, match="no pallas psi structure"):
+        log_likelihood_matrix(model_cl, Data([s]), np.ones((4, 5)), ems, engine="pallas")
+
+    # censored observation -> data-shape rejection from streams_from_grid
+    from pharmsol_tpu import Censor
+    sc = (
+        Subject.builder("c").bolus(0.0, 100.0, 0)
+        .censored_observation(1.0, 0.5, 0, Censor.BLOQ).build()
+    )
+    model1 = Analytical(
+        pst.one_compartment, out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    with pytest.raises(ValueError, match="censored"):
+        log_likelihood_matrix(model1, Data([sc]), np.ones((4, 2)), ems, engine="pallas")
+
+    # unknown engine name
+    with pytest.raises(PharmsolError, match="unknown psi engine"):
+        log_likelihood_matrix(model1, Data([s]), np.ones((4, 2)), ems, engine="cuda")
