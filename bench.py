@@ -30,7 +30,7 @@ def main() -> int:
     parser.add_argument("--quick", action="store_true", help="small shapes, CPU-friendly")
     parser.add_argument("--subjects", type=int, default=None)
     parser.add_argument("--supports", type=int, default=None)
-    parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--reps", type=int, default=5)
     args = parser.parse_args()
 
     import jax
@@ -130,7 +130,7 @@ def main() -> int:
             return total
         return run
 
-    k_lo, k_hi = (2, 50) if args.quick else (2, 8)
+    k_lo, k_hi = (2, 50) if args.quick else (2, 16)
     fn_lo, fn_hi = make_iter_fn(k_lo), make_iter_fn(k_hi)
     float(fn_lo(sp0))
     float(fn_hi(sp0))

@@ -16,11 +16,14 @@ Mosaic-friendliness notes: every intermediate stays 2-D (column slices use
 parameter row is a [1, SP_TILE] lane vector), and segment streams are
 lane-padded to 128.
 
-This is an optional accelerator for the common case (one bolus into the
-depot at t=0, no infusions, additive/proportional error with shared sigma
-inputs); the general engine remains the reference path. ``psi_2cmt_oral``
-runs in interpret mode off-TPU, which is also how the parity test runs on
-CPU.
+This is an optional accelerator for common regimen shapes (multi-dose bolus
+and constant-rate infusions into central, additive/proportional error with
+shared sigma inputs); the general engine remains the reference path.
+Infusion segments propagate via the steady-state offset
+``x(dt) = ss + expm(A dt)(x - ss)``; for bolus-only streams the infusion
+compute and its input stream are statically compiled out (``has_inf``).
+``psi_2cmt_oral`` runs in interpret mode off-TPU, which is also how the
+parity tests run on CPU.
 """
 
 from __future__ import annotations
@@ -40,9 +43,9 @@ SP_TILE = 128
 SEG_PAD = 128  # segment streams are lane-padded to this width
 
 
-def _psi_kernel(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
-                obs_sigma_ref, ke_ref, ka_ref, kcp_ref, kpc_ref, v_ref,
-                out_ref, *, n_seg: int):
+def _psi_kernel(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
+                obs_value_ref, obs_sigma_ref, ke_ref, ka_ref, kcp_ref,
+                kpc_ref, v_ref, out_ref, *, n_seg: int, has_inf: bool = True):
     """One (SUB_TILE, SP_TILE) psi tile.
 
     seg_*:  [SUB_TILE, SEG_PAD]  per-subject segment streams (cols >= n_seg unused)
@@ -67,6 +70,8 @@ def _psi_kernel(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
     inv_denom = 1.0 / (l1 - l2)
     inv_ka_l1 = 1.0 / (ka - l1)
     inv_ka_l2 = 1.0 / (ka - l2)
+    inv_ke = 1.0 / ke
+    ss_ratio2 = kcp / (ke * kpc)
 
     shape = (out_ref.shape[0], out_ref.shape[1])
     zeros = jnp.zeros(shape, dtype=out_ref.dtype)
@@ -77,6 +82,7 @@ def _psi_kernel(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
 
     dts = seg_dt_ref[:, :]
     bols = seg_bolus_ref[:, :]
+    rates = seg_rateiv_ref[:, :] if has_inf else None
     masks = obs_mask_ref[:, :]
     vals = obs_value_ref[:, :]
     sigs = obs_sigma_ref[:, :]
@@ -107,13 +113,26 @@ def _psi_kernel(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
         e1 = jnp.exp(-l1 * dt)
         e2 = jnp.exp(-l2 * dt)
         eka = jnp.exp(-ka * dt)
-        hom0 = ((l1 - kpc) * e1 + (kpc - l2) * e2) * x1 + kpc * (e2 - e1) * x2
-        hom1 = kcp * (e2 - e1) * x1 + ((l1 - ke - kcp) * e1 + (ke + kcp - l2) * e2) * x2
+        # infusion into central: steady-state offset, hom propagates (x - ss);
+        # compiled out entirely for bolus-only workloads (has_inf static)
+        if has_inf:
+            r = col(rates)
+            ss1 = r * inv_ke
+            ss2 = r * ss_ratio2
+            y1 = x1 - ss1
+            y2 = x2 - ss2
+        else:
+            y1, y2 = x1, x2
+        hom0 = ((l1 - kpc) * e1 + (kpc - l2) * e2) * y1 + kpc * (e2 - e1) * y2
+        hom1 = kcp * (e2 - e1) * y1 + ((l1 - ke - kcp) * e1 + (ke + kcp - l2) * e2) * y2
         abs0 = (l1 - kpc) * inv_ka_l1 * (e1 - eka) + (kpc - l2) * inv_ka_l2 * (e2 - eka)
         abs1 = kcp * (inv_ka_l2 * (e2 - eka) - inv_ka_l1 * (e1 - eka))
         scale = ka * x0 * inv_denom
         nx1 = hom0 * inv_denom + abs0 * scale
         nx2 = hom1 * inv_denom + abs1 * scale
+        if has_inf:
+            nx1 = nx1 + ss1
+            nx2 = nx2 + ss2
         live = dt > 0.0
         x1 = jnp.where(live, nx1, x1)
         x2 = jnp.where(live, nx2, x2)
@@ -122,13 +141,15 @@ def _psi_kernel(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
     out_ref[:, :] = ll
 
 
-def _psi_kernel_1cmt(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
-                     obs_sigma_ref, ka_ref, ke_ref, v_ref, out_ref, *, n_seg: int):
+def _psi_kernel_1cmt(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
+                     obs_value_ref, obs_sigma_ref, ka_ref, ke_ref, v_ref,
+                     out_ref, *, n_seg: int, has_inf: bool = True):
     """1-cmt oral psi tile: states [depot, central], p rows [ka, ke, v]."""
     ka = ka_ref[:, :]
     ke = ke_ref[:, :]
     v = v_ref[:, :]
     ratio = ka / (ka - ke)
+    inv_ke = 1.0 / ke
 
     shape = (out_ref.shape[0], out_ref.shape[1])
     zeros = jnp.zeros(shape, dtype=out_ref.dtype)
@@ -139,6 +160,7 @@ def _psi_kernel_1cmt(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
 
     dts = seg_dt_ref[:, :]
     bols = seg_bolus_ref[:, :]
+    rates = seg_rateiv_ref[:, :] if has_inf else None
     masks = obs_mask_ref[:, :]
     vals = obs_value_ref[:, :]
     sigs = obs_sigma_ref[:, :]
@@ -164,6 +186,8 @@ def _psi_kernel_1cmt(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
         eka = jnp.exp(-ka * dt)
         eke = jnp.exp(-ke * dt)
         nx1 = x1 * eke + ratio * x0 * (eke - eka)
+        if has_inf:
+            nx1 = nx1 + col(rates) * inv_ke * (1.0 - eke)
         live = dt > 0.0
         x1 = jnp.where(live, nx1, x1)
         x0 = jnp.where(live, x0 * eka, x0)
@@ -171,10 +195,10 @@ def _psi_kernel_1cmt(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
     out_ref[:, :] = ll
 
 
-def _psi_kernel_3cmt(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
-                     obs_sigma_ref, ka_ref, k10_ref, k12_ref, k13_ref,
-                     k21_ref, k31_ref, v_ref, l1_ref, l2_ref, l3_ref,
-                     out_ref, *, n_seg: int):
+def _psi_kernel_3cmt(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
+                     obs_value_ref, obs_sigma_ref, ka_ref, k10_ref, k12_ref,
+                     k13_ref, k21_ref, k31_ref, v_ref, l1_ref, l2_ref, l3_ref,
+                     out_ref, *, n_seg: int, has_inf: bool = True):
     """3-cmt oral psi tile: states [depot, central, p2, p3].
 
     Support rows: [ka, k10, k12, k13, k21, k31, v]. The mammillary rate
@@ -233,6 +257,9 @@ def _psi_kernel_3cmt(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
         )
         inv_ka_lk = 1.0 / (ka - lk)
         proj.append((lk, P, inv_ka_lk))
+    inv_k10 = 1.0 / k10
+    ss_ratio2 = k12 / (k10 * k21)
+    ss_ratio3 = k13 / (k10 * k31)
 
     shape = (out_ref.shape[0], out_ref.shape[1])
     zeros = jnp.zeros(shape, dtype=out_ref.dtype)
@@ -245,6 +272,7 @@ def _psi_kernel_3cmt(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
 
     dts = seg_dt_ref[:, :]
     bols = seg_bolus_ref[:, :]
+    rates = seg_rateiv_ref[:, :] if has_inf else None
     masks = obs_mask_ref[:, :]
     vals = obs_value_ref[:, :]
     sigs = obs_sigma_ref[:, :]
@@ -258,6 +286,7 @@ def _psi_kernel_3cmt(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
 
         dt = col(dts)
         bol = col(bols)
+        r = col(rates) if has_inf else None
         mask = col(masks)
         val = col(vals)
         sig = col(sigs) + (1.0 - col(masks))
@@ -268,15 +297,28 @@ def _psi_kernel_3cmt(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
 
         x0 = x0 + bol
         eka = jnp.exp(-ka * dt)
-        nx1 = zeros
-        nx2 = zeros
-        nx3 = zeros
+        # infusion into central: steady-state of the mammillary block
+        if has_inf:
+            ss1 = r * inv_k10
+            ss2 = r * ss_ratio2
+            ss3 = r * ss_ratio3
+            y1 = x1 - ss1
+            y2 = x2 - ss2
+            y3 = x3 - ss3
+            nx1 = ss1
+            nx2 = ss2
+            nx3 = ss3
+        else:
+            y1, y2, y3 = x1, x2, x3
+            nx1 = zeros
+            nx2 = zeros
+            nx3 = zeros
         for lk, P, inv_ka_lk in proj:
             ek = jnp.exp(-lk * dt)
-            # homogeneous part: ek * (P @ x)
-            nx1 = nx1 + ek * (P[0] * x1 + P[1] * x2 + P[2] * x3)
-            nx2 = nx2 + ek * (P[3] * x1 + P[4] * x2 + P[5] * x3)
-            nx3 = nx3 + ek * (P[6] * x1 + P[7] * x2 + P[8] * x3)
+            # homogeneous part: ek * (P @ (x - ss))
+            nx1 = nx1 + ek * (P[0] * y1 + P[1] * y2 + P[2] * y3)
+            nx2 = nx2 + ek * (P[3] * y1 + P[4] * y2 + P[5] * y3)
+            nx3 = nx3 + ek * (P[6] * y1 + P[7] * y2 + P[8] * y3)
             # depot forcing: ka*x0 * (ek - eka)/(ka - lk) * (P @ e1)
             f = ka * x0 * (ek - eka) * inv_ka_lk
             nx1 = nx1 + f * P[0]
@@ -291,11 +333,13 @@ def _psi_kernel_3cmt(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
     out_ref[:, :] = ll
 
 
-def _psi_kernel_1cmt_iv(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
-                        obs_sigma_ref, ke_ref, v_ref, out_ref, *, n_seg: int):
+def _psi_kernel_1cmt_iv(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
+                        obs_value_ref, obs_sigma_ref, ke_ref, v_ref, out_ref,
+                        *, n_seg: int, has_inf: bool = True):
     """1-cmt IV bolus psi tile: state [central], p rows [ke, v]."""
     ke = ke_ref[:, :]
     v = v_ref[:, :]
+    inv_ke = 1.0 / ke
 
     shape = (out_ref.shape[0], out_ref.shape[1])
     zeros = jnp.zeros(shape, dtype=out_ref.dtype)
@@ -305,6 +349,7 @@ def _psi_kernel_1cmt_iv(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
 
     dts = seg_dt_ref[:, :]
     bols = seg_bolus_ref[:, :]
+    rates = seg_rateiv_ref[:, :] if has_inf else None
     masks = obs_mask_ref[:, :]
     vals = obs_value_ref[:, :]
     sigs = obs_sigma_ref[:, :]
@@ -318,6 +363,7 @@ def _psi_kernel_1cmt_iv(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
 
         dt = col(dts)
         bol = col(bols)
+        r = col(rates) if has_inf else None
         mask = col(masks)
         val = col(vals)
         sig = col(sigs) + (1.0 - col(masks))
@@ -328,14 +374,18 @@ def _psi_kernel_1cmt_iv(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
 
         x1 = x1 + bol  # bolus into central
         live = dt > 0.0
-        x1 = jnp.where(live, x1 * jnp.exp(-ke * dt), x1)
+        if has_inf:
+            ss = r * inv_ke
+            x1 = jnp.where(live, ss + (x1 - ss) * jnp.exp(-ke * dt), x1)
+        else:
+            x1 = jnp.where(live, x1 * jnp.exp(-ke * dt), x1)
 
     out_ref[:, :] = ll
 
 
-def _psi_kernel_2cmt_iv(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
-                        obs_sigma_ref, ke_ref, kcp_ref, kpc_ref, v_ref,
-                        out_ref, *, n_seg: int):
+def _psi_kernel_2cmt_iv(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
+                        obs_value_ref, obs_sigma_ref, ke_ref, kcp_ref, kpc_ref,
+                        v_ref, out_ref, *, n_seg: int, has_inf: bool = True):
     """2-cmt IV bolus psi tile: states [central, peripheral], p rows
     [ke, kcp, kpc, v] (the reference's "Repeat" workload shape,
     benches/common/mod.rs:7)."""
@@ -349,6 +399,8 @@ def _psi_kernel_2cmt_iv(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
     l1 = (ke + kcp + kpc + sq) * 0.5
     l2 = (ke + kcp + kpc - sq) * 0.5
     inv_denom = 1.0 / (l1 - l2)
+    inv_ke = 1.0 / ke
+    ss_ratio2 = kcp / (ke * kpc)
 
     shape = (out_ref.shape[0], out_ref.shape[1])
     zeros = jnp.zeros(shape, dtype=out_ref.dtype)
@@ -359,6 +411,7 @@ def _psi_kernel_2cmt_iv(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
 
     dts = seg_dt_ref[:, :]
     bols = seg_bolus_ref[:, :]
+    rates = seg_rateiv_ref[:, :] if has_inf else None
     masks = obs_mask_ref[:, :]
     vals = obs_value_ref[:, :]
     sigs = obs_sigma_ref[:, :]
@@ -372,6 +425,7 @@ def _psi_kernel_2cmt_iv(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
 
         dt = col(dts)
         bol = col(bols)
+        r = col(rates) if has_inf else None
         mask = col(masks)
         val = col(vals)
         sig = col(sigs) + (1.0 - col(masks))
@@ -381,11 +435,22 @@ def _psi_kernel_2cmt_iv(seg_dt_ref, seg_bolus_ref, obs_mask_ref, obs_value_ref,
         ll = ll + mask * (-0.5 * LOG_2PI - jnp.log(sig) - 0.5 * z * z)
 
         x1 = x1 + bol  # bolus into central
+        if has_inf:
+            ss1 = r * inv_ke
+            ss2 = r * ss_ratio2
+            y1 = x1 - ss1
+            y2 = x2 - ss2
+        else:
+            y1, y2 = x1, x2
         e1 = jnp.exp(-l1 * dt)
         e2 = jnp.exp(-l2 * dt)
-        nx1 = (((l1 - kpc) * e1 + (kpc - l2) * e2) * x1 + kpc * (e2 - e1) * x2) * inv_denom
-        nx2 = (kcp * (e2 - e1) * x1
-               + ((l1 - ke - kcp) * e1 + (ke + kcp - l2) * e2) * x2) * inv_denom
+        nx1 = (((l1 - kpc) * e1 + (kpc - l2) * e2) * y1
+               + kpc * (e2 - e1) * y2) * inv_denom
+        nx2 = (kcp * (e2 - e1) * y1
+               + ((l1 - ke - kcp) * e1 + (ke + kcp - l2) * e2) * y2) * inv_denom
+        if has_inf:
+            nx1 = nx1 + ss1
+            nx2 = nx2 + ss2
         live = dt > 0.0
         x1 = jnp.where(live, nx1, x1)
         x2 = jnp.where(live, nx2, x2)
@@ -436,16 +501,17 @@ def _pad_lanes(a, width: int):
 
 
 def psi_oral(
-    seg_dt, seg_bolus, obs_mask, obs_value, obs_sigma, support,
+    seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma, support,
     structure: str = "two_compartments_with_absorption",
     interpret: Optional[bool] = None,
 ):
-    """Fused psi for single-bolus oral analytical structures.
+    """Fused psi for bolus/infusion analytical structures.
 
     Arguments are per-subject segment streams [R, M] (sorted breakpoints,
-    observation-before-bolus semantics baked in) and the support matrix in
-    kernel parameter order ([ke, ka, kcp, kpc, v] for 2-cmt oral,
-    [ka, ke, v] for 1-cmt oral). Returns psi [R, S].
+    observation-before-bolus semantics baked in; ``seg_rateiv`` is the
+    infusion rate into central active during each segment, or None) and the
+    support matrix in kernel parameter order ([ke, ka, kcp, kpc, v] for
+    2-cmt oral, [ka, ke, v] for 1-cmt oral). Returns psi [R, S].
 
     R must be a multiple of SUB_TILE and S a multiple of SP_TILE (pad rows
     with dt=0/mask=0 and supports by repetition).
@@ -477,19 +543,37 @@ def psi_oral(
             "cast the streams/support to float32 or pass interpret=True"
         )
 
+    has_inf = seg_rateiv is not None
+    if has_inf:
+        try:  # concrete host arrays: skip infusion compute when all-zero
+            has_inf = bool(np.any(np.asarray(seg_rateiv)))
+        except Exception:
+            has_inf = True  # traced value: keep the general path
+    if seg_rateiv is None:
+        seg_rateiv = jnp.zeros_like(jnp.asarray(seg_dt, dtype))
     streams = [
         _pad_lanes(jnp.asarray(a, dtype), SEG_PAD)
-        for a in (seg_dt, seg_bolus, obs_mask, obs_value, obs_sigma)
+        for a in (seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma)
     ]
     # zero out sigma where masked; the kernel re-adds 1.0 on masked lanes so
     # log() stays finite
-    streams[4] = streams[4] * streams[2]
+    streams[5] = streams[5] * streams[3]
     sp = jnp.asarray(support, dtype)
     sp_rows = [sp[:, i].reshape(1, S) for i in range(n_params)]
     if prep_fn is not None:
         sp_rows = sp_rows + [jnp.asarray(r, dtype) for r in prep_fn(sp_rows)]
 
-    kernel = functools.partial(kernel_fn, n_seg=M)
+    inner = functools.partial(kernel_fn, n_seg=M, has_inf=has_inf)
+    if has_inf:
+        kernel = inner
+        n_streams = 6
+    else:
+        # bolus-only: the rateiv stream is dropped from the pipeline entirely
+        # (no DMA, no VMEM block); the kernel never reads the ref
+        def kernel(dt_ref, bol_ref, mask_ref, val_ref, sig_ref, *rest):
+            return inner(dt_ref, bol_ref, None, mask_ref, val_ref, sig_ref, *rest)
+        streams.pop(2)
+        n_streams = 5
     row_spec = pl.BlockSpec((SUB_TILE, SEG_PAD), lambda i, j: (i, 0))
     p_spec = pl.BlockSpec((1, SP_TILE), lambda i, j: (0, j))
     def call():
@@ -497,7 +581,7 @@ def psi_oral(
             kernel,
             out_shape=jax.ShapeDtypeStruct((R, S), dtype),
             grid=(R // SUB_TILE, S // SP_TILE),
-            in_specs=[row_spec] * 5 + [p_spec] * len(sp_rows),
+            in_specs=[row_spec] * n_streams + [p_spec] * len(sp_rows),
             out_specs=pl.BlockSpec((SUB_TILE, SP_TILE), lambda i, j: (i, j)),
             interpret=interpret,
         )(*streams, *sp_rows)
@@ -516,8 +600,8 @@ def segment_stream_from_schedule(obs_times, obs_values, obs_sigmas, dose: float)
     """Build the [M] segment stream for one bolus-at-0 oral schedule.
 
     Breakpoints: bolus@0 then each observation; segment m spans to the next
-    breakpoint. Returns (seg_dt, seg_bolus, obs_mask, obs_value, obs_sigma)
-    each [M] with M = n_obs + 1.
+    breakpoint. Returns (seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value,
+    obs_sigma) each [M] with M = n_obs + 1.
     """
     obs_times = np.asarray(obs_times, dtype=np.float64)
     n = obs_times.shape[0]
@@ -525,17 +609,19 @@ def segment_stream_from_schedule(obs_times, obs_values, obs_sigmas, dose: float)
     seg_dt = np.concatenate([np.diff(times), [0.0]])
     seg_bolus = np.zeros(n + 1)
     seg_bolus[0] = dose
+    seg_rateiv = np.zeros(n + 1)
     obs_mask = np.concatenate([[0.0], np.ones(n)])
     obs_value = np.concatenate([[0.0], np.asarray(obs_values, dtype=np.float64)])
     obs_sigma = np.concatenate([[1.0], np.asarray(obs_sigmas, dtype=np.float64)])
-    return seg_dt, seg_bolus, obs_mask, obs_value, obs_sigma
+    return seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma
 
 
-def psi_2cmt_oral(seg_dt, seg_bolus, obs_mask, obs_value, obs_sigma, support,
-                  interpret: Optional[bool] = None):
+def psi_2cmt_oral(seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma,
+                  support, interpret: Optional[bool] = None):
     """Back-compat alias for the 2-cmt oral structure."""
-    return psi_oral(seg_dt, seg_bolus, obs_mask, obs_value, obs_sigma, support,
-                    structure="two_compartments_with_absorption", interpret=interpret)
+    return psi_oral(seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma,
+                    support, structure="two_compartments_with_absorption",
+                    interpret=interpret)
 
 
 def streams_from_grid(rows, lowered_em):
@@ -543,18 +629,20 @@ def streams_from_grid(rows, lowered_em):
 
     Requirements of the fused kernel's model shape: a single bolus route into
     the structure's dose compartment (depot for *_with_absorption, central
-    for IV structures), no infusions, single output central/v, no
-    covariates/lag/fa/seq, additive or proportional assay error. Rows must
-    have NI == 0 and NB >= 1 (multi-dose schedules like the reference's
-    "Repeat" workload, benches/common/mod.rs:7, are supported).
+    for IV structures), infusions into central only, single output central/v,
+    no covariates/lag/fa/seq, additive or proportional assay error.
+    Multi-dose schedules like the reference's "Repeat" workload
+    (benches/common/mod.rs:7) and mixed bolus+infusion regimens are
+    supported; the per-segment infusion rate uses the same midpoint
+    containment as the general engine (grid.build_segments).
 
-    Returns (seg_dt, seg_bolus, obs_mask, obs_value, obs_sigma), each [R, M].
+    Returns (seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma),
+    each [R, M].
     """
     from ..config import BIG_TIME
 
     bolus_t = np.asarray(rows.bolus_t, dtype=np.float64)
-    if bolus_t.shape[1] < 1 or np.asarray(rows.inf_t).shape[1] != 0:
-        raise ValueError("pallas psi fast path requires NB >= 1 and NI == 0")
+    inf_t = np.asarray(rows.inf_t, dtype=np.float64)
     valid_rows = np.asarray(rows.obs_valid) & np.asarray(rows.obs_has_value)
     if np.any(np.asarray(rows.obs_cens)[valid_rows] != 0):
         raise ValueError(
@@ -564,12 +652,28 @@ def streams_from_grid(rows, lowered_em):
         raise ValueError(
             "pallas psi fast path does not support per-observation errorpoly overrides"
         )
+    NI = inf_t.shape[1]
+    if NI:
+        real_inf = inf_t < BIG_TIME / 2
+        if np.any(np.asarray(rows.inf_input)[real_inf] != 0):
+            raise ValueError(
+                "pallas psi fast path supports infusions into input 0 (central) only"
+            )
     obs_t = np.asarray(rows.obs_t, dtype=np.float64)
     R, NO = obs_t.shape
-    # breakpoints: [obs..., bolus]; sort by (time, rank) with obs rank 1 < bolus 2
-    times = np.concatenate([obs_t, bolus_t], axis=1)
+    inf_dur = np.asarray(rows.inf_dur, dtype=np.float64)
+    inf_end = np.where(inf_t < BIG_TIME / 2, inf_t + inf_dur, inf_t)
+    # breakpoints: [obs..., bolus..., inf-start..., inf-end...]; sort by
+    # (time, rank) with engine ranks inf-end 0 < obs 1 < bolus 2 < inf-start 3
+    times = np.concatenate([obs_t, bolus_t, inf_t, inf_end], axis=1)
     ranks = np.concatenate(
-        [np.ones_like(obs_t), 2.0 * np.ones_like(bolus_t)], axis=1
+        [
+            np.ones_like(obs_t),
+            2.0 * np.ones_like(bolus_t),
+            3.0 * np.ones_like(inf_t),
+            np.zeros_like(inf_end),
+        ],
+        axis=1,
     )
     order = np.lexsort((ranks, times), axis=1)
     t_sorted = np.take_along_axis(times, order, axis=1)
@@ -581,14 +685,33 @@ def streams_from_grid(rows, lowered_em):
     def scatter(unsorted):
         return np.take_along_axis(unsorted, order, axis=1)
 
+    def with_zero_pads(obs_col, bolus_col):
+        return np.concatenate(
+            [obs_col, bolus_col, np.zeros((R, 2 * NI))], axis=1
+        )
+
     # padded bolus slots (time >= BIG_TIME) must contribute zero dose — the
     # kernel applies the bolus column even on dt==0 terminal segments
     bolus_amt = np.where(
         bolus_t < BIG_TIME / 2, np.asarray(rows.bolus_amt, dtype=np.float64), 0.0
     )
-    seg_bolus = scatter(
-        np.concatenate([np.zeros_like(obs_t), bolus_amt], axis=1)
-    )
+    seg_bolus = scatter(with_zero_pads(np.zeros_like(obs_t), bolus_amt))
+    # per-segment infusion rate: midpoint containment (engine parity)
+    if NI:
+        rate = np.where(
+            (inf_t < BIG_TIME / 2) & (inf_dur > 0),
+            np.asarray(rows.inf_amt, dtype=np.float64) / np.maximum(inf_dur, 1e-300),
+            0.0,
+        )
+        mid = t_sorted + 0.5 * seg_dt  # [R, M]
+        contained = (
+            (mid[:, :, None] >= inf_t[:, None, :])
+            & (mid[:, :, None] < inf_end[:, None, :])
+            & (seg_dt[:, :, None] > 0)
+        )
+        seg_rateiv = np.einsum("rmi,ri->rm", contained.astype(np.float64), rate)
+    else:
+        seg_rateiv = np.zeros_like(seg_dt)
     valid = valid_rows
     obs_value_u = np.asarray(rows.obs_value, dtype=np.float64)
     # observation-based sigma from the lowered error model (single outeq 0)
@@ -597,10 +720,8 @@ def streams_from_grid(rows, lowered_em):
     c0, c1, c2, c3 = (float(c) for c in lowered_em.poly[0])
     alpha = c0 + c1 * obs_value_u + c2 * obs_value_u**2 + c3 * obs_value_u**3
     sigma_u = np.sqrt(alpha**2 + factor**2) if kind == 1 else factor * alpha
-    seg_mask = scatter(
-        np.concatenate([valid.astype(np.float64), np.zeros_like(bolus_t)], axis=1)
-    )
-    seg_value = scatter(np.concatenate([obs_value_u, np.zeros_like(bolus_t)], axis=1))
-    seg_sigma = scatter(np.concatenate([sigma_u, np.ones_like(bolus_t)], axis=1))
+    seg_mask = scatter(with_zero_pads(valid.astype(np.float64), np.zeros_like(bolus_t)))
+    seg_value = scatter(with_zero_pads(obs_value_u, np.zeros_like(bolus_t)))
+    seg_sigma = scatter(with_zero_pads(sigma_u, np.zeros_like(bolus_t)))
     seg_sigma = np.where(seg_mask > 0, seg_sigma, 1.0)
-    return seg_dt, seg_bolus, seg_mask, seg_value, seg_sigma
+    return seg_dt, seg_bolus, seg_rateiv, seg_mask, seg_value, seg_sigma

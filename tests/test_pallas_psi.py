@@ -225,3 +225,90 @@ def test_pallas_engine_rejections():
     # unknown engine name
     with pytest.raises(PharmsolError, match="unknown psi engine"):
         log_likelihood_matrix(model1, Data([s]), np.ones((4, 2)), ems, engine="cuda")
+
+
+def test_pallas_engine_infusion_2cmt_iv():
+    """IV infusion regimen (1h infusions q12h) through engine='pallas'."""
+    rng = np.random.RandomState(17)
+    obs_times = np.linspace(1.5, 60.0, 9)
+    subjects = []
+    for i in range(SUB_TILE):
+        b = Subject.builder(f"i{i}")
+        for d in range(5):
+            b = b.infusion(d * 12.0, 100.0, 0, 1.0)  # 100 mg over 1 h
+        for t in obs_times:
+            b = b.observation(float(t), float(np.abs(4 + rng.randn())), 0)
+        subjects.append(b.build())
+    model = Analytical(
+        pst.two_compartments,
+        out=lambda x, p, t, cov: x[0:1] / p[3],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    support = np.abs(
+        np.array([0.15, 0.3, 0.2, 10.0])[None, :] * (1.0 + 0.2 * rng.randn(33, 4))
+    )
+    want = log_likelihood_matrix(model, Data(subjects), support, ems)
+    got = log_likelihood_matrix(model, Data(subjects), support, ems, engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=5e-9, atol=1e-9)
+
+
+def test_pallas_engine_mixed_bolus_infusion_oral():
+    """Loading bolus into depot + maintenance infusion into central, 2-cmt oral."""
+    rng = np.random.RandomState(19)
+    obs_times = [0.5, 1.0, 2.0, 4.0, 8.0, 12.0, 18.0, 24.0]
+    subjects = []
+    for i in range(SUB_TILE):
+        b = Subject.builder(f"x{i}").bolus(0.0, 100.0, 0)
+        b = b.infusion(2.0, 50.0, 0, 4.0)  # 50 mg over 4 h starting at t=2
+        for t in obs_times:
+            b = b.observation(float(t), float(np.abs(5 + rng.randn())), 0)
+        subjects.append(b.build())
+    model = Analytical(
+        pst.two_compartments_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[4],
+        nstates=3, ndrugs=1, nout=1,
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.proportional(ErrorPoly(0.1, 0.1), 1.0))
+    support = np.abs(
+        np.array([0.15, 1.2, 0.3, 0.2, 10.0])[None, :] * (1.0 + 0.2 * rng.randn(50, 5))
+    )
+    want = log_likelihood_matrix(model, Data(subjects), support, ems)
+    got = log_likelihood_matrix(model, Data(subjects), support, ems, engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=5e-9, atol=1e-9)
+
+
+def test_pallas_engine_infusion_3cmt_and_1cmt():
+    """Infusion parity across the remaining structures."""
+    rng = np.random.RandomState(23)
+    obs_times = [1.0, 2.0, 4.0, 8.0, 16.0, 30.0]
+    subjects = []
+    for i in range(SUB_TILE):
+        b = Subject.builder(f"z{i}").infusion(0.0, 200.0, 0, 2.0)
+        b = b.bolus(12.0, 100.0, 0)
+        for t in obs_times:
+            b = b.observation(float(t), float(np.abs(4 + rng.randn())), 0)
+        subjects.append(b.build())
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+
+    m1 = Analytical(pst.one_compartment, out=lambda x, p, t, cov: x[0:1] / p[1],
+                    nstates=1, ndrugs=1, nout=1)
+    sp1 = np.abs(np.array([0.2, 12.0])[None, :] * (1.0 + 0.3 * rng.randn(20, 2)))
+    np.testing.assert_allclose(
+        log_likelihood_matrix(m1, Data(subjects), sp1, ems, engine="pallas"),
+        log_likelihood_matrix(m1, Data(subjects), sp1, ems),
+        rtol=5e-9, atol=1e-9,
+    )
+
+    m3 = Analytical(pst.three_compartments_with_absorption,
+                    out=lambda x, p, t, cov: x[1:2] / p[6],
+                    nstates=4, ndrugs=1, nout=1)
+    sp3 = np.abs(
+        np.array([1.2, 0.15, 0.3, 0.08, 0.2, 0.05, 10.0])[None, :]
+        * (1.0 + 0.2 * rng.randn(20, 7))
+    )
+    np.testing.assert_allclose(
+        log_likelihood_matrix(m3, Data(subjects), sp3, ems, engine="pallas"),
+        log_likelihood_matrix(m3, Data(subjects), sp3, ems),
+        rtol=5e-8, atol=1e-8,
+    )
