@@ -13,9 +13,11 @@ Parity with /root/reference/src/simulator/equation/sde/mod.rs:
 
 Determinism: the reference uses thread-local RNG (non-reproducible runs) and
 a likelihood cache to freeze values per (subject, params). Here every run is
-keyed: ``with_seed(seed)`` fixes the PRNG; rows fold in their index. The same
-key is used across support points (common random numbers), which reduces psi
-variance for population work.
+keyed: ``with_seed(seed)`` fixes the PRNG; rows fold in their index. By
+default the same key is shared across support points (common random numbers,
+lower psi variance); ``with_noise('independent')`` additionally keys on the
+parameter vector, matching the reference's per-call RNG semantics
+(sde/mod.rs:175 fresh rng per simulation).
 """
 
 from __future__ import annotations
@@ -48,6 +50,7 @@ class SDE(EquationBase):
         ndrugs: int = 5,
         nout: int = 5,
         seed: int = 0,
+        noise: str = "common",
     ):
         super().__init__(nstates, ndrugs, nout)
         self._drift = drift
@@ -58,6 +61,9 @@ class SDE(EquationBase):
         self._out = out
         self._nparticles = int(nparticles)
         self._seed = int(seed)
+        if noise not in ("common", "independent"):
+            raise ValueError("noise must be 'common' or 'independent'")
+        self._noise = noise
 
     def _model_kind(self) -> ModelKind:
         return ModelKind.SDE
@@ -69,6 +75,22 @@ class SDE(EquationBase):
 
     def with_seed(self, seed: int):
         self._seed = int(seed)
+        self._invalidate()
+        return self
+
+    def with_noise(self, noise: str):
+        """Noise coupling across parameter sets in population likelihoods.
+
+        ``'common'`` (default): the same draws are reused for every support
+        point (common random numbers) — lower psi-matrix variance, smooth in
+        the parameters. ``'independent'``: draws additionally key on the
+        parameter vector, matching the reference's per-call RNG
+        (sde/mod.rs uses a fresh rng per simulate call), so every
+        (subject, support) cell is an independent particle-filter estimate.
+        """
+        if noise not in ("common", "independent"):
+            raise ValueError("noise must be 'common' or 'independent'")
+        self._noise = noise
         self._invalidate()
         return self
 
@@ -158,9 +180,18 @@ class SDE(EquationBase):
     def _ll_rows_fn(self, cov_names: tuple):
         spec = self.spec
         seed = self._seed
+        independent = self._noise == "independent"
 
         def ll_rows(rows, p, em_kind, em_factor, em_poly):
             key = jax.random.PRNGKey(seed)
+            if independent:
+                # per-call RNG semantics: key on the parameter vector so every
+                # (subject, support) cell draws independent noise
+                pb = jax.lax.bitcast_convert_type(
+                    jnp.asarray(p, jnp.float32), jnp.uint32
+                )
+                for i in range(pb.shape[0]):
+                    key = jax.random.fold_in(key, pb[i])
 
             def one(occ, idx):
                 sim = simulate_occasion_sde(

@@ -158,3 +158,48 @@ def test_sde_in_psi_matrix():
     psi = log_likelihood_matrix(sde, Data([subject()]), support, ems)
     assert psi.shape == (1, 2)
     assert np.all(np.isfinite(psi))
+
+
+def test_sde_noise_modes():
+    """with_noise('independent') keys draws on the parameter vector.
+
+    Common mode reuses draws across support points; independent mode matches
+    the reference's per-call RNG (fresh draws per (subject, params) cell).
+    Zero-diffusion models must be mode-invariant.
+    """
+    import numpy as np
+    from pharmsol_tpu import Data
+    from pharmsol_tpu.likelihood.matrix import log_likelihood_matrix
+
+    subject = (
+        Subject.builder("n1").bolus(0.0, 100.0, 0)
+        .observation(1.0, 4.2, 0).observation(3.0, 2.1, 0).build()
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    support = np.array([[0.2, 20.0], [0.200001, 20.0], [0.4, 25.0]])
+
+    def make(noise, dcoef):
+        return SDE(
+            drift=lambda x, p, t, rateiv, cov: -p[0] * x[:1],
+            diffusion=lambda p, t, cov: jnp.full((1,), dcoef),
+            out=lambda x, p, t, cov: x[:1] / p[1],
+            nparticles=300,
+            nstates=1, ndrugs=1, nout=1,
+            seed=7,
+        ).with_noise(noise)
+
+    # zero diffusion: modes identical (noise multiplied by zero)
+    psi_c0 = log_likelihood_matrix(make("common", 0.0), Data([subject]), support, ems)
+    psi_i0 = log_likelihood_matrix(make("independent", 0.0), Data([subject]), support, ems)
+    np.testing.assert_allclose(psi_c0, psi_i0, rtol=1e-12)
+
+    # with diffusion: common mode gives nearly-identical LL for nearly-equal
+    # params (same draws); independent mode decorrelates them
+    psi_c = log_likelihood_matrix(make("common", 0.05), Data([subject]), support, ems)
+    psi_i = log_likelihood_matrix(make("independent", 0.05), Data([subject]), support, ems)
+    d_common = abs(psi_c[0, 0] - psi_c[0, 1])
+    d_indep = abs(psi_i[0, 0] - psi_i[0, 1])
+    assert d_common < 1e-3, f"common random numbers should be smooth ({d_common})"
+    assert d_indep > d_common, "independent draws should decorrelate cells"
+    # both are consistent estimates of the same likelihood
+    np.testing.assert_allclose(psi_c, psi_i, atol=0.5)
