@@ -117,8 +117,15 @@ def log_likelihood_matrix_sharded(
     error_models,
     mesh: Optional[Mesh] = None,
     progress: bool = False,
+    engine: str = "xla",
 ) -> np.ndarray:
-    """Mesh-sharded psi matrix; numerically identical to the unsharded path."""
+    """Mesh-sharded psi matrix; numerically identical to the unsharded path.
+
+    ``engine='pallas'`` runs the fused psi kernel inside a ``shard_map`` over
+    the subjects axis (support replicated): each device evaluates its own
+    occasion-row block with the hand-scheduled kernel, no cross-device
+    traffic until the host-side row->subject aggregation.
+    """
     from ..data.structs import Data
     from ..likelihood.matrix import _psi_fn, check_error_model_coverage
 
@@ -128,6 +135,16 @@ def log_likelihood_matrix_sharded(
     grid = equation.lower(data.subjects())
     lowered = error_models.lower(equation.resolve_output_label, equation.nouteqs())
     check_error_model_coverage(grid, lowered)
+
+    if engine == "pallas":
+        return _pallas_psi_sharded(
+            equation, grid, np.asarray(support_points, dtype=np.float64),
+            lowered, mesh,
+        )
+    if engine != "xla":
+        from ..errors import PharmsolError
+
+        raise PharmsolError(f"unknown psi engine `{engine}` (xla or pallas)")
 
     rows, row_subject, _ = shard_population(grid, mesh)
     support, n_real = shard_support(
@@ -151,4 +168,61 @@ def log_likelihood_matrix_sharded(
         jnp.asarray(lowered.poly, dtype=fd),
     )
     psi = np.asarray(psi, dtype=np.float64)[:, :n_real]
+    return np.where(np.isfinite(psi), psi, -np.inf)
+
+
+def _pallas_psi_sharded(equation, grid, sp, lowered, mesh) -> np.ndarray:
+    """shard_map(pallas psi) over the subjects axis; support replicated.
+
+    Per-shard row blocks are padded so every device sees a SUB_TILE multiple;
+    inert padding rows (all-zero streams) produce ll == 0 and are sliced off.
+    """
+    from functools import partial
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from ..likelihood.matrix import _pallas_structure_name
+    from ..ops.pallas_psi import SP_TILE, SUB_TILE, psi_oral, streams_from_grid
+
+    structure = _pallas_structure_name(equation)
+    streams = streams_from_grid(grid.rows, lowered)
+    n_shards = mesh.shape["subjects"]
+    R = streams[0].shape[0]
+    S = sp.shape[0]
+    Rp = ((R + SUB_TILE * n_shards - 1) // (SUB_TILE * n_shards)) * SUB_TILE * n_shards
+    Sp = ((S + SP_TILE - 1) // SP_TILE) * SP_TILE
+    fd = float_dtype()
+    if jax.devices()[0].platform == "tpu":
+        fd = jnp.float32  # compiled Mosaic kernels are float32-only
+
+    def pad_rows(a):
+        a = np.asarray(a, dtype=np.float64)
+        if Rp == R:
+            return a
+        return np.concatenate([a, np.zeros((Rp - R, a.shape[1]), a.dtype)], axis=0)
+
+    sp_p = sp if Sp == S else np.concatenate(
+        [sp, np.repeat(sp[-1:], Sp - S, axis=0)], axis=0
+    )
+    padded = [jnp.asarray(pad_rows(a), dtype=fd) for a in streams]
+    sp_dev = jnp.asarray(sp_p, dtype=fd)
+
+    stream_spec = P("subjects", None)
+    sm_kwargs = dict(
+        mesh=mesh,
+        in_specs=(stream_spec,) * 6 + (P(None, None),),
+        out_specs=stream_spec,
+    )
+    try:  # jax >= 0.8 uses check_vma; the experimental API used check_rep
+        fn = shard_map(partial(psi_oral, structure=structure),
+                       check_vma=False, **sm_kwargs)
+    except TypeError:
+        fn = shard_map(partial(psi_oral, structure=structure),
+                       check_rep=False, **sm_kwargs)
+    psi_rows = np.asarray(jax.jit(fn)(*padded, sp_dev), dtype=np.float64)[:R, :S]
+    psi = np.zeros((grid.n_subjects, S), dtype=np.float64)
+    np.add.at(psi, np.asarray(grid.row_subject), psi_rows)
     return np.where(np.isfinite(psi), psi, -np.inf)

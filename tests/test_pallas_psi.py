@@ -312,3 +312,27 @@ def test_pallas_engine_infusion_3cmt_and_1cmt():
         log_likelihood_matrix(m3, Data(subjects), sp3, ems),
         rtol=5e-8, atol=1e-8,
     )
+
+
+def test_pallas_psi_sharded_matches_unsharded():
+    """shard_map(pallas) over the 8-device virtual mesh == unsharded psi."""
+    from pharmsol_tpu.parallel.mesh import log_likelihood_matrix_sharded, population_mesh
+
+    rng = np.random.RandomState(29)
+    subjects = _repeat_subjects(rng, 20)  # not a SUB_TILE*8 multiple: pad path
+    model = Analytical(
+        pst.two_compartments,
+        out=lambda x, p, t, cov: x[0:1] / p[3],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    support = np.abs(
+        np.array([0.15, 0.3, 0.2, 10.0])[None, :] * (1.0 + 0.2 * rng.randn(37, 4))
+    )
+    mesh = population_mesh()  # all 8 virtual devices on the subjects axis
+    want = log_likelihood_matrix(model, Data(subjects), support, ems, engine="pallas")
+    got = log_likelihood_matrix_sharded(
+        model, Data(subjects), support, ems, mesh=mesh, engine="pallas"
+    )
+    assert got.shape == (20, 37)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
