@@ -21,6 +21,7 @@ in tests.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -164,35 +165,40 @@ class Subject:
         return out
 
     def hash(self) -> str:
-        """Stable content hash over id, events, and covariates."""
-        h = hashlib.blake2b(digest_size=8)
-        h.update(self.id.encode())
+        """Stable content hash over id, events, and covariates.
+
+        Memoized: subjects are treated as immutable once built (the builder
+        always returns fresh objects; the reference likewise hashes a frozen
+        Subject, data/structs.rs). One packed buffer -> one blake2b update,
+        instead of a digest update per scalar.
+        """
+        cached = self.__dict__.get("_hash_cache")
+        if cached is not None:
+            return cached
+        parts: List[bytes] = [self.id.encode()]
+        pack = struct.pack
         for occ in self._occasions:
-            h.update(np.int64(occ.index).tobytes())
+            parts.append(pack("<q", occ.index))
             for e in occ.events:
                 if isinstance(e, Bolus):
-                    h.update(b"B")
-                    h.update(np.float64(e.time).tobytes())
-                    h.update(np.float64(e.amount).tobytes())
-                    h.update(str(e.input).encode())
+                    parts.append(pack("<cdd", b"B", e.time, e.amount))
+                    parts.append(str(e.input).encode())
                 elif isinstance(e, Infusion):
-                    h.update(b"I")
-                    h.update(np.float64(e.time).tobytes())
-                    h.update(np.float64(e.amount).tobytes())
-                    h.update(str(e.input).encode())
-                    h.update(np.float64(e.duration).tobytes())
+                    parts.append(pack("<cddd", b"I", e.time, e.amount, e.duration))
+                    parts.append(str(e.input).encode())
                 else:
-                    h.update(b"O")
-                    h.update(np.float64(e.time).tobytes())
+                    parts.append(pack("<cd", b"O", e.time))
                     if e.value is not None:
-                        h.update(np.float64(e.value).tobytes())
-                    h.update(str(e.outeq).encode())
-                    h.update(e.censoring.value.encode())
+                        parts.append(pack("<d", e.value))
+                    parts.append(str(e.outeq).encode())
+                    parts.append(e.censoring.value.encode())
                     if e.errorpoly is not None:
-                        for c in e.errorpoly:
-                            h.update(np.float64(c).tobytes())
-            h.update(occ.covariates.content_hash().encode())
-        return h.hexdigest()
+                        parts.append(pack("<4d", *e.errorpoly))
+            parts.append(occ.covariates.content_hash().encode())
+        h = hashlib.blake2b(b"\x1f".join(parts), digest_size=8)
+        digest = h.hexdigest()
+        self.__dict__["_hash_cache"] = digest
+        return digest
 
 
 class Data:

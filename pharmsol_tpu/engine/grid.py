@@ -343,21 +343,135 @@ def lower_population(
         minimum=1,
     )
 
-    lowered = [
-        lower_occasion(
-            occ, sid, resolve_input, resolve_output, cov_names, NB, NI, NO, K
-        )
-        for _, sid, occ in occs
-    ]
-    stacked = jax.tree_util.tree_map(
-        lambda *xs: np.stack(xs, axis=0), *[l.arrays for l in lowered]
+    # Batch lowering: one pass over every occasion's events into flat
+    # streams, then vectorized scatter into the padded [R, N] arrays.
+    # Semantics identical to per-occasion lower_occasion (the slow oracle,
+    # kept above and equality-tested); ~10x faster on large populations
+    # because the per-event work is list appends instead of numpy scalar
+    # stores, and there is no per-row array allocation or final stack.
+    from ..data.event import Bolus, Infusion
+
+    fd = np.float64
+    R = len(occs)
+    in_cache: dict = {}
+    out_cache: dict = {}
+
+    def rin(label, kind):
+        key = (label, kind)
+        v = in_cache.get(key)
+        if v is None:
+            v = in_cache[key] = int(resolve_input(label, kind))
+        return v
+
+    def rout(label):
+        v = out_cache.get(label)
+        if v is None:
+            v = out_cache[label] = int(resolve_output(label))
+        return v
+
+    b_row, b_slot, b_t, b_amt, b_in = [], [], [], [], []
+    i_row, i_slot, i_t, i_dur, i_amt, i_in = [], [], [], [], [], []
+    o_row, o_slot, o_t, o_outeq, o_cens = [], [], [], [], []
+    ov_row, ov_slot, ov_val = [], [], []
+    op_row, op_slot, op_poly = [], [], []
+    cov_ts, cov_vs, cov_fx = [], [], []
+    init_mask = np.zeros(R, dtype=fd)
+    occ_index = np.zeros(R, dtype=np.int32)
+    n_obs_per_row = np.zeros(R, dtype=np.int32)
+    names = list(cov_names)
+
+    for r, (si, sid, occ) in enumerate(occs):
+        nb = ni = no = 0
+        for e in occ.events:
+            if isinstance(e, Bolus):
+                b_row.append(r); b_slot.append(nb)
+                b_t.append(e.time); b_amt.append(e.amount)
+                b_in.append(rin(e.input, "bolus"))
+                nb += 1
+            elif isinstance(e, Infusion):
+                i_row.append(r); i_slot.append(ni)
+                i_t.append(e.time); i_dur.append(e.duration); i_amt.append(e.amount)
+                i_in.append(rin(e.input, "infusion"))
+                ni += 1
+            else:
+                o_row.append(r); o_slot.append(no)
+                o_t.append(e.time); o_outeq.append(rout(e.outeq))
+                o_cens.append(e.censoring.code())
+                if e.value is not None:
+                    ov_row.append(r); ov_slot.append(no); ov_val.append(e.value)
+                if e.errorpoly is not None:
+                    op_row.append(r); op_slot.append(no); op_poly.append(e.errorpoly)
+                no += 1
+        if nb > NB or ni > NI or no > NO:
+            raise DataError("padding smaller than event counts")
+        n_obs_per_row[r] = no
+        init_mask[r] = 1.0 if occ.index == 0 else 0.0
+        occ_index[r] = occ.index
+        lc = occ.covariates.lower(names, K)
+        cov_ts.append(lc.knot_t); cov_vs.append(lc.knot_v); cov_fx.append(lc.fixed)
+
+    bolus_t = np.full((R, NB), BIG_TIME, dtype=fd)
+    bolus_amt = np.zeros((R, NB), dtype=fd)
+    bolus_input = np.zeros((R, NB), dtype=np.int32)
+    bolus_t[b_row, b_slot] = b_t
+    bolus_amt[b_row, b_slot] = b_amt
+    bolus_input[b_row, b_slot] = b_in
+
+    inf_t = np.full((R, NI), BIG_TIME, dtype=fd)
+    inf_dur = np.ones((R, NI), dtype=fd)
+    inf_amt = np.zeros((R, NI), dtype=fd)
+    inf_input = np.zeros((R, NI), dtype=np.int32)
+    inf_t[i_row, i_slot] = i_t
+    inf_dur[i_row, i_slot] = i_dur
+    inf_amt[i_row, i_slot] = i_amt
+    inf_input[i_row, i_slot] = i_in
+
+    obs_t = np.full((R, NO), BIG_TIME, dtype=fd)
+    obs_value = np.zeros((R, NO), dtype=fd)
+    obs_has_value = np.zeros((R, NO), dtype=bool)
+    obs_valid = np.zeros((R, NO), dtype=bool)
+    obs_outeq = np.zeros((R, NO), dtype=np.int32)
+    obs_cens = np.zeros((R, NO), dtype=np.int32)
+    obs_poly = np.zeros((R, NO, 4), dtype=fd)
+    obs_has_poly = np.zeros((R, NO), dtype=bool)
+    obs_t[o_row, o_slot] = o_t
+    obs_valid[o_row, o_slot] = True
+    obs_outeq[o_row, o_slot] = o_outeq
+    obs_cens[o_row, o_slot] = o_cens
+    obs_value[ov_row, ov_slot] = ov_val
+    obs_has_value[ov_row, ov_slot] = True
+    if op_row:
+        obs_poly[op_row, op_slot] = np.asarray(op_poly, dtype=fd)
+        obs_has_poly[op_row, op_slot] = True
+
+    rows = OccasionArrays(
+        bolus_t=bolus_t,
+        bolus_amt=bolus_amt,
+        bolus_input=bolus_input,
+        inf_t=inf_t,
+        inf_dur=inf_dur,
+        inf_amt=inf_amt,
+        inf_input=inf_input,
+        obs_t=obs_t,
+        obs_value=obs_value,
+        obs_has_value=obs_has_value,
+        obs_valid=obs_valid,
+        obs_outeq=obs_outeq,
+        obs_cens=obs_cens,
+        obs_poly=obs_poly,
+        obs_has_poly=obs_has_poly,
+        cov_t=np.stack(cov_ts, axis=0),
+        cov_v=np.stack(cov_vs, axis=0),
+        cov_fixed=np.stack(cov_fx, axis=0),
+        init_mask=init_mask,
+        occasion_index=occ_index,
     )
     return PopulationGrid(
-        rows=stacked,
+        rows=rows,
         row_subject=np.asarray([si for si, _, _ in occs], dtype=np.int32),
         subject_ids=[s.id for s in subjects],
-        cov_names=list(cov_names),
-        n_obs_per_row=np.asarray([l.n_obs for l in lowered], dtype=np.int32),
+        cov_names=names,
+        n_obs_per_row=n_obs_per_row,
     )
 
 

@@ -192,3 +192,54 @@ def test_subject_hash_distinguishes_censoring_and_errorpoly():
     assert base.hash() != bloq.hash()
     assert base.hash() != poly.hash()
     assert bloq.hash() != poly.hash()
+
+
+def test_batch_lowering_matches_per_occasion_oracle():
+    """lower_population's vectorized batch path == lower_occasion per row."""
+    import jax
+    from pharmsol_tpu.data.covariate import Covariate, CovariateSegment
+    from pharmsol_tpu.engine.grid import lower_occasion, lower_population
+
+    b1 = (
+        Subject.builder("g1")
+        .bolus(0.0, 100.0, 0)
+        .infusion(2.0, 50.0, 1, 4.0)
+        .observation(1.0, 5.0, 0)
+        .observation_with_error(3.0, 4.0, 1, (0.1, 0.2, 0.0, 0.0))
+        .censored_observation(6.0, 0.5, 0, Censor.BLOQ)
+        .missing_observation(8.0, 0)
+        .covariate("wt", 0.0, 70.0)
+        .covariate("wt", 12.0, 72.0)
+        .reset()
+        .bolus(0.0, 60.0, 1)
+        .observation(2.0, 3.0, 1)
+        .build()
+    )
+    b2 = (
+        Subject.builder("g2")
+        .infusion(0.0, 200.0, 0, 1.0)
+        .observation(0.5, 9.0, 0)
+        .build()
+    )
+    subjects = [b1, b2]
+    rin = lambda label, kind: int(label)
+    rout = lambda label: int(label)
+    cov_names = ["wt"]
+
+    grid = lower_population(subjects, rin, rout, cov_names)
+    occs = [(si, s.id, occ) for si, s in enumerate(subjects) for occ in s.occasions()]
+    NB = grid.rows.bolus_t.shape[1]
+    NI = grid.rows.inf_t.shape[1]
+    NO = grid.rows.obs_t.shape[1]
+    K = grid.rows.cov_t.shape[2]
+    oracle = [
+        lower_occasion(occ, sid, rin, rout, cov_names, NB, NI, NO, K)
+        for _, sid, occ in occs
+    ]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs, axis=0), *[l.arrays for l in oracle]
+    )
+    for name, got, want in zip(stacked._fields, grid.rows, stacked):
+        np.testing.assert_array_equal(got, want, err_msg=name)
+    assert list(grid.n_obs_per_row) == [l.n_obs for l in oracle]
+    assert list(grid.row_subject) == [si for si, _, _ in occs]
