@@ -110,3 +110,28 @@ model mm {
     got = rt.estimate_predictions(s_named, [5.0, 2.0, 10.0]).flat_predictions()
     want = hand.estimate_predictions(s_num, [5.0, 2.0, 10.0]).flat_predictions()
     np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_t_keyword_reflects_simulation_time():
+    """Output `t` echoes observation times (dsl_time_keyword.rs:80)."""
+    import numpy as np
+
+    src = """
+name = clock
+kind = ode
+params = ke
+states = central
+outputs = y
+
+bolus(dose) -> central
+
+dx(central) = -ke * central
+out(y) = t
+"""
+    rt = compile_module_source_to_runtime(src)
+    times = [0.25, 1.5, 3.75, 9.0]
+    b = Subject.builder("clk").bolus(0.0, 10.0, "dose")
+    for t in times:
+        b = b.observation(t, -1.0, "y")
+    preds = rt.estimate_predictions(b.build(), [0.3]).flat_predictions()
+    np.testing.assert_allclose(preds, times, rtol=1e-12)
