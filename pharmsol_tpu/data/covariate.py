@@ -62,27 +62,24 @@ class Covariate:
         self.fixed = bool(fixed)
         self._observations: List[Tuple[float, float]] = []
         self._segments: List[CovariateSegment] = []
+        self._dirty = False
         for t, v in observations:
             self.add_observation(t, v)
 
     # -- mutation ---------------------------------------------------------
     def add_observation(self, time: float, value: float) -> None:
-        time = float(time)
-        value = float(value)
-        for i, (t, _) in enumerate(self._observations):
-            if t == time:
-                self._observations[i] = (time, value)
-                self._build_segments()
-                return
-        self._observations.append((time, value))
-        self._observations.sort(key=lambda tv: tv[0])
-        self._build_segments()
+        # O(1) append; normalization (sort + last-value-wins dedup) and
+        # segment construction are deferred to the first read. Rebuilding on
+        # every add made bulk ingest quadratic in the knot count.
+        self._observations.append((float(time), float(value)))
+        self._dirty = True
 
     def update_observation(self, time: float, new_value: float) -> None:
         if self.remove_observation(time):
             self.add_observation(time, new_value)
 
     def remove_observation(self, time: float) -> bool:
+        self._ensure()
         n = len(self._observations)
         self._observations = [(t, v) for (t, v) in self._observations if t != time]
         if len(self._observations) < n:
@@ -90,11 +87,24 @@ class Covariate:
             return True
         return False
 
+    def _ensure(self) -> None:
+        if not self._dirty:
+            return
+        # stable: the most recently added value wins at duplicate times
+        dedup: dict = {}
+        for t, v in self._observations:
+            dedup[t] = v
+        self._observations = sorted(dedup.items())
+        self._build_segments()
+        self._dirty = False
+
     # -- views ------------------------------------------------------------
     def observations(self) -> List[Tuple[float, float]]:
+        self._ensure()
         return list(self._observations)
 
     def segments(self) -> List[CovariateSegment]:
+        self._ensure()
         return list(self._segments)
 
     def _build_segments(self) -> None:
@@ -112,6 +122,7 @@ class Covariate:
                 )
 
     def interpolate(self, time: float) -> float:
+        self._ensure()
         if not self._observations:
             raise CovariateError(f"covariate `{self.name}` has no observations")
         for seg in self._segments:
@@ -127,6 +138,7 @@ class Covariate:
         raise CovariateError(f"covariate `{self.name}` could not interpolate at t={time}")
 
     def __repr__(self):
+        self._ensure()
         kind = "fixed" if self.fixed else "linear"
         return f"Covariate({self.name!r}, {kind}, {self._observations})"
 

@@ -110,10 +110,19 @@ def read_pmetrics_native(source) -> Data:
         lib.psn_free(handle)
 
     # -- assemble subjects/occasions (row.rs build_data semantics) -------------
+    # group rows by subject in one stable argsort (the previous per-subject
+    # `nonzero(id_idx == k)` scan was O(rows x subjects))
+    order = np.argsort(id_idx, kind="stable")
+    sorted_ids = id_idx[order]
+    cuts = np.nonzero(np.diff(sorted_ids))[0] + 1
+    groups = {
+        int(sorted_ids[g[0]]): g for g in np.split(order, cuts) if g.size
+    }
     subjects = []
-    for sid in sorted(set(ids), key=lambda s: s):
-        sid_idx = ids.index(sid)
-        rows = np.nonzero(id_idx == sid_idx)[0]
+    for sid_idx, sid in sorted(enumerate(ids), key=lambda kv: kv[1]):
+        rows = groups.get(sid_idx)
+        if rows is None:
+            continue
         # occasion split at EVID=4
         blocks = []
         current = []
