@@ -43,9 +43,47 @@ SP_TILE = 128
 SEG_PAD = 128  # segment streams are lane-padded to this width
 
 
+def _log_ndtr(x):
+    """Mosaic-compatible log of the standard normal CDF.
+
+    Mosaic lowers neither acos nor erf, so: Abramowitz-Stegun 7.1.26 erf for
+    x >= -3 (abs err 1.5e-7) and the Laplace continued fraction for the Mills
+    ratio in the left tail. Max abs error ~6e-5 over [-30, 8] in float32 —
+    well inside assay-likelihood noise. The engine's exact log_ndtr remains
+    the reference path.
+    """
+    sqrt2 = math.sqrt(2.0)
+    u = x / sqrt2
+    a = jnp.abs(u)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+           + t * (-1.453152027 + t * 1.061405429))))
+    erf_abs = 1.0 - poly * jnp.exp(-a * a)
+    erf = jnp.where(u >= 0.0, erf_abs, -erf_abs)
+    log_direct = jnp.log(jnp.maximum(0.5 * (1.0 + erf), 1e-38))
+    # tail: logPhi(x) = logpdf(x) - log(cf), cf = Laplace continued fraction
+    z = jnp.maximum(-x, 3.0)
+    cf = z + 9.0
+    for k in range(8, 0, -1):
+        cf = z + k / cf
+    log_tail = -0.5 * x * x - 0.5 * LOG_2PI - jnp.log(cf)
+    return jnp.where(x < -3.0, log_tail, log_direct)
+
+
+def _obs_ll(val, pred, sig, mask, s, has_cens: bool):
+    """Per-observation log-likelihood lane: normal pdf, or log CDF/CCDF for
+    censored rows (s = +1 BLOQ, -1 ALOQ, 0 none; loglik.py parity)."""
+    z = (val - pred) / sig
+    normal = -0.5 * LOG_2PI - jnp.log(sig) - 0.5 * z * z
+    if not has_cens:
+        return mask * normal
+    return mask * jnp.where(s == 0.0, normal, _log_ndtr(s * z))
+
+
 def _psi_kernel(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
-                obs_value_ref, obs_sigma_ref, ke_ref, ka_ref, kcp_ref,
-                kpc_ref, v_ref, out_ref, *, n_seg: int, has_inf: bool = True):
+                obs_value_ref, obs_sigma_ref, obs_cens_ref, ke_ref, ka_ref,
+                kcp_ref, kpc_ref, v_ref, out_ref, *, n_seg: int,
+                has_inf: bool = True, has_cens: bool = False):
     """One (SUB_TILE, SP_TILE) psi tile.
 
     seg_*:  [SUB_TILE, SEG_PAD]  per-subject segment streams (cols >= n_seg unused)
@@ -86,6 +124,7 @@ def _psi_kernel(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
     masks = obs_mask_ref[:, :]
     vals = obs_value_ref[:, :]
     sigs = obs_sigma_ref[:, :]
+    censs = obs_cens_ref[:, :] if has_cens else None
     lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
 
     one = jnp.ones(shape, dtype=out_ref.dtype)
@@ -102,9 +141,8 @@ def _psi_kernel(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
         sig = col(sigs) + (1.0 - col(masks))  # padded sigma lanes were zeroed
 
         # observation before dose: central/v vs value
-        pred = x1 / v
-        z = (val - pred) / sig
-        ll = ll + mask * (-0.5 * LOG_2PI - jnp.log(sig) - 0.5 * z * z)
+        s_c = col(censs) if has_cens else None
+        ll = ll + _obs_ll(val, x1 / v, sig, mask, s_c, has_cens)
 
         # bolus into depot
         x0 = x0 + bol
@@ -142,8 +180,9 @@ def _psi_kernel(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
 
 
 def _psi_kernel_1cmt(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
-                     obs_value_ref, obs_sigma_ref, ka_ref, ke_ref, v_ref,
-                     out_ref, *, n_seg: int, has_inf: bool = True):
+                     obs_value_ref, obs_sigma_ref, obs_cens_ref, ka_ref,
+                     ke_ref, v_ref, out_ref, *, n_seg: int,
+                     has_inf: bool = True, has_cens: bool = False):
     """1-cmt oral psi tile: states [depot, central], p rows [ka, ke, v]."""
     ka = ka_ref[:, :]
     ke = ke_ref[:, :]
@@ -164,6 +203,7 @@ def _psi_kernel_1cmt(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
     masks = obs_mask_ref[:, :]
     vals = obs_value_ref[:, :]
     sigs = obs_sigma_ref[:, :]
+    censs = obs_cens_ref[:, :] if has_cens else None
     lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
 
     for m in range(n_seg):
@@ -178,9 +218,8 @@ def _psi_kernel_1cmt(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
         val = col(vals)
         sig = col(sigs) + (1.0 - col(masks))
 
-        pred = x1 / v
-        z = (val - pred) / sig
-        ll = ll + mask * (-0.5 * LOG_2PI - jnp.log(sig) - 0.5 * z * z)
+        s_c = col(censs) if has_cens else None
+        ll = ll + _obs_ll(val, x1 / v, sig, mask, s_c, has_cens)
 
         x0 = x0 + bol
         eka = jnp.exp(-ka * dt)
@@ -196,9 +235,10 @@ def _psi_kernel_1cmt(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
 
 
 def _psi_kernel_3cmt(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
-                     obs_value_ref, obs_sigma_ref, ka_ref, k10_ref, k12_ref,
-                     k13_ref, k21_ref, k31_ref, v_ref, l1_ref, l2_ref, l3_ref,
-                     out_ref, *, n_seg: int, has_inf: bool = True):
+                     obs_value_ref, obs_sigma_ref, obs_cens_ref, ka_ref,
+                     k10_ref, k12_ref, k13_ref, k21_ref, k31_ref, v_ref,
+                     l1_ref, l2_ref, l3_ref, out_ref, *, n_seg: int,
+                     has_inf: bool = True, has_cens: bool = False):
     """3-cmt oral psi tile: states [depot, central, p2, p3].
 
     Support rows: [ka, k10, k12, k13, k21, k31, v]. The mammillary rate
@@ -276,6 +316,7 @@ def _psi_kernel_3cmt(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
     masks = obs_mask_ref[:, :]
     vals = obs_value_ref[:, :]
     sigs = obs_sigma_ref[:, :]
+    censs = obs_cens_ref[:, :] if has_cens else None
     lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
 
     for m in range(n_seg):
@@ -291,9 +332,8 @@ def _psi_kernel_3cmt(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
         val = col(vals)
         sig = col(sigs) + (1.0 - col(masks))
 
-        pred = x1 / v
-        z = (val - pred) / sig
-        ll = ll + mask * (-0.5 * LOG_2PI - jnp.log(sig) - 0.5 * z * z)
+        s_c = col(censs) if has_cens else None
+        ll = ll + _obs_ll(val, x1 / v, sig, mask, s_c, has_cens)
 
         x0 = x0 + bol
         eka = jnp.exp(-ka * dt)
@@ -334,8 +374,9 @@ def _psi_kernel_3cmt(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
 
 
 def _psi_kernel_1cmt_iv(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
-                        obs_value_ref, obs_sigma_ref, ke_ref, v_ref, out_ref,
-                        *, n_seg: int, has_inf: bool = True):
+                        obs_value_ref, obs_sigma_ref, obs_cens_ref, ke_ref,
+                        v_ref, out_ref, *, n_seg: int,
+                        has_inf: bool = True, has_cens: bool = False):
     """1-cmt IV bolus psi tile: state [central], p rows [ke, v]."""
     ke = ke_ref[:, :]
     v = v_ref[:, :]
@@ -353,6 +394,7 @@ def _psi_kernel_1cmt_iv(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
     masks = obs_mask_ref[:, :]
     vals = obs_value_ref[:, :]
     sigs = obs_sigma_ref[:, :]
+    censs = obs_cens_ref[:, :] if has_cens else None
     lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
 
     for m in range(n_seg):
@@ -368,9 +410,8 @@ def _psi_kernel_1cmt_iv(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
         val = col(vals)
         sig = col(sigs) + (1.0 - col(masks))
 
-        pred = x1 / v
-        z = (val - pred) / sig
-        ll = ll + mask * (-0.5 * LOG_2PI - jnp.log(sig) - 0.5 * z * z)
+        s_c = col(censs) if has_cens else None
+        ll = ll + _obs_ll(val, x1 / v, sig, mask, s_c, has_cens)
 
         x1 = x1 + bol  # bolus into central
         live = dt > 0.0
@@ -384,8 +425,9 @@ def _psi_kernel_1cmt_iv(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
 
 
 def _psi_kernel_2cmt_iv(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
-                        obs_value_ref, obs_sigma_ref, ke_ref, kcp_ref, kpc_ref,
-                        v_ref, out_ref, *, n_seg: int, has_inf: bool = True):
+                        obs_value_ref, obs_sigma_ref, obs_cens_ref, ke_ref,
+                        kcp_ref, kpc_ref, v_ref, out_ref, *, n_seg: int,
+                        has_inf: bool = True, has_cens: bool = False):
     """2-cmt IV bolus psi tile: states [central, peripheral], p rows
     [ke, kcp, kpc, v] (the reference's "Repeat" workload shape,
     benches/common/mod.rs:7)."""
@@ -415,6 +457,7 @@ def _psi_kernel_2cmt_iv(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
     masks = obs_mask_ref[:, :]
     vals = obs_value_ref[:, :]
     sigs = obs_sigma_ref[:, :]
+    censs = obs_cens_ref[:, :] if has_cens else None
     lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
 
     for m in range(n_seg):
@@ -430,9 +473,8 @@ def _psi_kernel_2cmt_iv(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
         val = col(vals)
         sig = col(sigs) + (1.0 - col(masks))
 
-        pred = x1 / v
-        z = (val - pred) / sig
-        ll = ll + mask * (-0.5 * LOG_2PI - jnp.log(sig) - 0.5 * z * z)
+        s_c = col(censs) if has_cens else None
+        ll = ll + _obs_ll(val, x1 / v, sig, mask, s_c, has_cens)
 
         x1 = x1 + bol  # bolus into central
         if has_inf:
@@ -501,7 +543,8 @@ def _pad_lanes(a, width: int):
 
 
 def psi_oral(
-    seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma, support,
+    seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma, obs_cens,
+    support,
     structure: str = "two_compartments_with_absorption",
     interpret: Optional[bool] = None,
 ):
@@ -509,7 +552,9 @@ def psi_oral(
 
     Arguments are per-subject segment streams [R, M] (sorted breakpoints,
     observation-before-bolus semantics baked in; ``seg_rateiv`` is the
-    infusion rate into central active during each segment, or None) and the
+    infusion rate into central active during each segment, or None;
+    ``obs_cens`` is the per-segment censoring sign, +1 BLOQ / -1 ALOQ / 0,
+    or None) and the
     support matrix in kernel parameter order ([ke, ka, kcp, kpc, v] for
     2-cmt oral, [ka, ke, v] for 1-cmt oral). Returns psi [R, S].
 
@@ -543,37 +588,51 @@ def psi_oral(
             "cast the streams/support to float32 or pass interpret=True"
         )
 
-    has_inf = seg_rateiv is not None
-    if has_inf:
-        try:  # concrete host arrays: skip infusion compute when all-zero
-            has_inf = bool(np.any(np.asarray(seg_rateiv)))
+    def _static_any(a):
+        if a is None:
+            return False
+        try:  # concrete host arrays: compile the feature out when all-zero
+            return bool(np.any(np.asarray(a)))
         except Exception:
-            has_inf = True  # traced value: keep the general path
+            return True  # traced value: keep the general path
+
+    has_inf = _static_any(seg_rateiv)
+    has_cens = _static_any(obs_cens)
+    zeros_like_dt = None
     if seg_rateiv is None:
-        seg_rateiv = jnp.zeros_like(jnp.asarray(seg_dt, dtype))
-    streams = [
+        seg_rateiv = zeros_like_dt = jnp.zeros_like(jnp.asarray(seg_dt, dtype))
+    if obs_cens is None:
+        obs_cens = zeros_like_dt if zeros_like_dt is not None else (
+            jnp.zeros_like(jnp.asarray(seg_dt, dtype))
+        )
+    full = [
         _pad_lanes(jnp.asarray(a, dtype), SEG_PAD)
-        for a in (seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma)
+        for a in (seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value,
+                  obs_sigma, obs_cens)
     ]
     # zero out sigma where masked; the kernel re-adds 1.0 on masked lanes so
     # log() stays finite
-    streams[5] = streams[5] * streams[3]
+    full[5] = full[5] * full[3]
     sp = jnp.asarray(support, dtype)
     sp_rows = [sp[:, i].reshape(1, S) for i in range(n_params)]
     if prep_fn is not None:
         sp_rows = sp_rows + [jnp.asarray(r, dtype) for r in prep_fn(sp_rows)]
 
-    inner = functools.partial(kernel_fn, n_seg=M, has_inf=has_inf)
-    if has_inf:
+    inner = functools.partial(
+        kernel_fn, n_seg=M, has_inf=has_inf, has_cens=has_cens
+    )
+    # all-zero optional streams are dropped from the pipeline entirely
+    # (no DMA, no VMEM block); the kernel never reads those refs
+    include = [True, True, has_inf, True, True, True, has_cens]
+    streams = [a for a, inc in zip(full, include) if inc]
+    n_streams = len(streams)
+    if all(include):
         kernel = inner
-        n_streams = 6
     else:
-        # bolus-only: the rateiv stream is dropped from the pipeline entirely
-        # (no DMA, no VMEM block); the kernel never reads the ref
-        def kernel(dt_ref, bol_ref, mask_ref, val_ref, sig_ref, *rest):
-            return inner(dt_ref, bol_ref, None, mask_ref, val_ref, sig_ref, *rest)
-        streams.pop(2)
-        n_streams = 5
+        def kernel(*refs):
+            it = iter(refs[:n_streams])
+            stream_refs = [next(it) if inc else None for inc in include]
+            inner(*stream_refs, *refs[n_streams:])
     row_spec = pl.BlockSpec((SUB_TILE, SEG_PAD), lambda i, j: (i, 0))
     p_spec = pl.BlockSpec((1, SP_TILE), lambda i, j: (0, j))
     def call():
@@ -601,7 +660,7 @@ def segment_stream_from_schedule(obs_times, obs_values, obs_sigmas, dose: float)
 
     Breakpoints: bolus@0 then each observation; segment m spans to the next
     breakpoint. Returns (seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value,
-    obs_sigma) each [M] with M = n_obs + 1.
+    obs_sigma, obs_cens) each [M] with M = n_obs + 1.
     """
     obs_times = np.asarray(obs_times, dtype=np.float64)
     n = obs_times.shape[0]
@@ -613,14 +672,16 @@ def segment_stream_from_schedule(obs_times, obs_values, obs_sigmas, dose: float)
     obs_mask = np.concatenate([[0.0], np.ones(n)])
     obs_value = np.concatenate([[0.0], np.asarray(obs_values, dtype=np.float64)])
     obs_sigma = np.concatenate([[1.0], np.asarray(obs_sigmas, dtype=np.float64)])
-    return seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma
+    obs_cens = np.zeros(n + 1)
+    return seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma, obs_cens
 
 
 def psi_2cmt_oral(seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma,
-                  support, interpret: Optional[bool] = None):
+                  obs_cens, support, interpret: Optional[bool] = None):
     """Back-compat alias for the 2-cmt oral structure."""
     return psi_oral(seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma,
-                    support, structure="two_compartments_with_absorption",
+                    obs_cens, support,
+                    structure="two_compartments_with_absorption",
                     interpret=interpret)
 
 
@@ -631,23 +692,20 @@ def streams_from_grid(rows, lowered_em):
     the structure's dose compartment (depot for *_with_absorption, central
     for IV structures), infusions into central only, single output central/v,
     no covariates/lag/fa/seq, additive or proportional assay error.
+    BLOQ/ALOQ-censored observations contribute log CDF/CCDF terms.
     Multi-dose schedules like the reference's "Repeat" workload
     (benches/common/mod.rs:7) and mixed bolus+infusion regimens are
     supported; the per-segment infusion rate uses the same midpoint
     containment as the general engine (grid.build_segments).
 
-    Returns (seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma),
-    each [R, M].
+    Returns (seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma,
+    obs_cens), each [R, M].
     """
     from ..config import BIG_TIME
 
     bolus_t = np.asarray(rows.bolus_t, dtype=np.float64)
     inf_t = np.asarray(rows.inf_t, dtype=np.float64)
     valid_rows = np.asarray(rows.obs_valid) & np.asarray(rows.obs_has_value)
-    if np.any(np.asarray(rows.obs_cens)[valid_rows] != 0):
-        raise ValueError(
-            "pallas psi fast path does not support censored observations"
-        )
     if np.any(np.asarray(rows.obs_has_poly)[valid_rows]):
         raise ValueError(
             "pallas psi fast path does not support per-observation errorpoly overrides"
@@ -724,4 +782,10 @@ def streams_from_grid(rows, lowered_em):
     seg_value = scatter(with_zero_pads(obs_value_u, np.zeros_like(bolus_t)))
     seg_sigma = scatter(with_zero_pads(sigma_u, np.zeros_like(bolus_t)))
     seg_sigma = np.where(seg_mask > 0, seg_sigma, 1.0)
-    return seg_dt, seg_bolus, seg_rateiv, seg_mask, seg_value, seg_sigma
+    # censoring sign: +1 BLOQ (logCDF), -1 ALOQ (logCCDF), 0 uncensored
+    cens_code = np.asarray(rows.obs_cens, dtype=np.int64)
+    cens_sign = np.where(cens_code == 1, 1.0, np.where(cens_code == 2, -1.0, 0.0))
+    cens_sign = np.where(valid_rows, cens_sign, 0.0)
+    seg_cens = scatter(with_zero_pads(cens_sign, np.zeros_like(bolus_t)))
+    return (seg_dt, seg_bolus, seg_rateiv, seg_mask, seg_value, seg_sigma,
+            seg_cens)

@@ -213,7 +213,7 @@ def _pallas_psi_sharded(equation, grid, sp, lowered, mesh) -> np.ndarray:
     stream_spec = P("subjects", None)
     sm_kwargs = dict(
         mesh=mesh,
-        in_specs=(stream_spec,) * 6 + (P(None, None),),
+        in_specs=(stream_spec,) * 7 + (P(None, None),),
         out_specs=stream_spec,
     )
     try:  # jax >= 0.8 uses check_vma; the experimental API used check_rep

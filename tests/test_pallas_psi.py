@@ -209,18 +209,17 @@ def test_pallas_engine_rejections():
     with pytest.raises(PharmsolError, match="no pallas psi structure"):
         log_likelihood_matrix(model_cl, Data([s]), np.ones((4, 5)), ems, engine="pallas")
 
-    # censored observation -> data-shape rejection from streams_from_grid
-    from pharmsol_tpu import Censor
-    sc = (
+    # per-observation errorpoly overrides -> data-shape rejection
+    sp = (
         Subject.builder("c").bolus(0.0, 100.0, 0)
-        .censored_observation(1.0, 0.5, 0, Censor.BLOQ).build()
+        .observation_with_error(1.0, 5.0, 0, (0.1, 0.0, 0.0, 0.0)).build()
     )
     model1 = Analytical(
         pst.one_compartment, out=lambda x, p, t, cov: x[0:1] / p[1],
         nstates=1, ndrugs=1, nout=1,
     )
-    with pytest.raises(ValueError, match="censored"):
-        log_likelihood_matrix(model1, Data([sc]), np.ones((4, 2)), ems, engine="pallas")
+    with pytest.raises(ValueError, match="errorpoly"):
+        log_likelihood_matrix(model1, Data([sp]), np.ones((4, 2)), ems, engine="pallas")
 
     # unknown engine name
     with pytest.raises(PharmsolError, match="unknown psi engine"):
@@ -336,3 +335,40 @@ def test_pallas_psi_sharded_matches_unsharded():
     )
     assert got.shape == (20, 37)
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_pallas_engine_censored_observations():
+    """BLOQ/ALOQ cells use the in-kernel log CDF approximation.
+
+    The kernel's log_ndtr (A-S erf + Laplace continued fraction; Mosaic has
+    no erf lowering) is accurate to ~6e-5 absolute, so parity vs the engine's
+    exact log_ndtr is checked at atol 1e-3.
+    """
+    from pharmsol_tpu import Censor
+
+    rng = np.random.RandomState(31)
+    obs_times = [0.5, 1.0, 2.0, 4.0, 8.0, 12.0, 24.0, 48.0]
+    subjects = []
+    for i in range(SUB_TILE):
+        b = Subject.builder(f"c{i}").bolus(0.0, 100.0, 0)
+        for k, t in enumerate(obs_times):
+            v = float(np.abs(4 + rng.randn()))
+            if k >= 6:
+                b = b.censored_observation(t, 0.5, 0, Censor.BLOQ)  # LOQ tail
+            elif k == 0:
+                b = b.censored_observation(t, 20.0, 0, Censor.ALOQ)
+            else:
+                b = b.observation(t, v, 0)
+        subjects.append(b.build())
+    model = Analytical(
+        pst.two_compartments_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[4],
+        nstates=3, ndrugs=1, nout=1,
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    support = np.abs(
+        np.array([0.15, 1.2, 0.3, 0.2, 10.0])[None, :] * (1.0 + 0.3 * rng.randn(64, 5))
+    )
+    want = log_likelihood_matrix(model, Data(subjects), support, ems)
+    got = log_likelihood_matrix(model, Data(subjects), support, ems, engine="pallas")
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-6)
