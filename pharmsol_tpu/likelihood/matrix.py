@@ -99,13 +99,14 @@ def _pallas_structure_name(equation) -> str:
 
 
 def _pallas_psi_matrix(equation, grid, sp, lowered) -> np.ndarray:
-    """Fused pallas psi path: single-output central/v models, bolus-only.
+    """Fused pallas psi path: single-output central/v analytical structures.
 
-    The support matrix layout is the kernel parameter order with the volume
-    of distribution appended as the LAST column (the fused kernels predict
-    central/v). Structural requirements are validated here; data-shape
-    requirements (no infusions, no censoring, no errorpoly overrides) are
-    validated by ``streams_from_grid``.
+    Covers multi-dose bolus and constant-rate infusion regimens, BLOQ/ALOQ
+    censoring, and per-observation errorpoly overrides. The support matrix
+    layout is the kernel parameter order with the volume of distribution
+    appended as the LAST column (the fused kernels predict central/v).
+    seq/lag/fa/init equations and covariates are not supported — the
+    general engine handles those.
     """
     from ..engine.analytical import KERNELS
     from ..ops.pallas_psi import SP_TILE, SUB_TILE, psi_oral, streams_from_grid
@@ -179,9 +180,11 @@ def log_likelihood_matrix(
     ParameterOrder.matrix to reorder external columns first).
 
     ``engine='pallas'`` opts into the fused TPU psi kernels for supported
-    analytical structures (bolus-only, single output central/v, support
-    columns = kernel params + v last); results match the default XLA engine
-    at float-dtype precision.
+    analytical structures (single output central/v, support columns =
+    kernel params + v last; bolus/infusion regimens, censoring, errorpoly
+    overrides); results match the default XLA engine at float-dtype
+    precision (censored cells at ~6e-5 absolute, the in-kernel log-CDF
+    approximation).
 
     Divergence note: the reference aborts the whole matrix on a simulation
     error; here non-finite cells are mapped to -inf (``on_error='neg_inf'``,

@@ -706,10 +706,6 @@ def streams_from_grid(rows, lowered_em):
     bolus_t = np.asarray(rows.bolus_t, dtype=np.float64)
     inf_t = np.asarray(rows.inf_t, dtype=np.float64)
     valid_rows = np.asarray(rows.obs_valid) & np.asarray(rows.obs_has_value)
-    if np.any(np.asarray(rows.obs_has_poly)[valid_rows]):
-        raise ValueError(
-            "pallas psi fast path does not support per-observation errorpoly overrides"
-        )
     NI = inf_t.shape[1]
     if NI:
         real_inf = inf_t < BIG_TIME / 2
@@ -772,11 +768,19 @@ def streams_from_grid(rows, lowered_em):
         seg_rateiv = np.zeros_like(seg_dt)
     valid = valid_rows
     obs_value_u = np.asarray(rows.obs_value, dtype=np.float64)
-    # observation-based sigma from the lowered error model (single outeq 0)
+    # observation-based sigma from the lowered error model (single outeq 0);
+    # per-observation errorpoly overrides replace the poly, keeping
+    # kind/factor (loglik.observation_sigmas parity)
     kind = int(lowered_em.kind[0])
     factor = float(lowered_em.factor[0])
-    c0, c1, c2, c3 = (float(c) for c in lowered_em.poly[0])
-    alpha = c0 + c1 * obs_value_u + c2 * obs_value_u**2 + c3 * obs_value_u**3
+    shared_poly = np.asarray(lowered_em.poly[0], dtype=np.float64)
+    poly = np.where(
+        np.asarray(rows.obs_has_poly)[:, :, None],
+        np.asarray(rows.obs_poly, dtype=np.float64),
+        shared_poly,
+    )
+    alpha = (poly[..., 0] + poly[..., 1] * obs_value_u
+             + poly[..., 2] * obs_value_u**2 + poly[..., 3] * obs_value_u**3)
     sigma_u = np.sqrt(alpha**2 + factor**2) if kind == 1 else factor * alpha
     seg_mask = scatter(with_zero_pads(valid.astype(np.float64), np.zeros_like(bolus_t)))
     seg_value = scatter(with_zero_pads(obs_value_u, np.zeros_like(bolus_t)))

@@ -209,17 +209,10 @@ def test_pallas_engine_rejections():
     with pytest.raises(PharmsolError, match="no pallas psi structure"):
         log_likelihood_matrix(model_cl, Data([s]), np.ones((4, 5)), ems, engine="pallas")
 
-    # per-observation errorpoly overrides -> data-shape rejection
-    sp = (
-        Subject.builder("c").bolus(0.0, 100.0, 0)
-        .observation_with_error(1.0, 5.0, 0, (0.1, 0.0, 0.0, 0.0)).build()
-    )
     model1 = Analytical(
         pst.one_compartment, out=lambda x, p, t, cov: x[0:1] / p[1],
         nstates=1, ndrugs=1, nout=1,
     )
-    with pytest.raises(ValueError, match="errorpoly"):
-        log_likelihood_matrix(model1, Data([sp]), np.ones((4, 2)), ems, engine="pallas")
 
     # unknown engine name
     with pytest.raises(PharmsolError, match="unknown psi engine"):
@@ -372,3 +365,29 @@ def test_pallas_engine_censored_observations():
     want = log_likelihood_matrix(model, Data(subjects), support, ems)
     got = log_likelihood_matrix(model, Data(subjects), support, ems, engine="pallas")
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-6)
+
+
+def test_pallas_engine_errorpoly_overrides():
+    """Per-observation errorpoly overrides resolve in the host-side sigma."""
+    rng = np.random.RandomState(37)
+    subjects = []
+    for i in range(SUB_TILE):
+        b = Subject.builder(f"e{i}").bolus(0.0, 100.0, 0)
+        b = b.observation(1.0, float(np.abs(5 + rng.randn())), 0)
+        b = b.observation_with_error(
+            4.0, float(np.abs(3 + rng.randn())), 0, (1.0, 0.25, 0.0, 0.0)
+        )
+        b = b.observation(12.0, float(np.abs(1 + rng.randn())), 0)
+        subjects.append(b.build())
+    model = Analytical(
+        pst.one_compartment_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    support = np.abs(
+        np.array([1.2, 0.2, 10.0])[None, :] * (1.0 + 0.2 * rng.randn(25, 3))
+    )
+    want = log_likelihood_matrix(model, Data(subjects), support, ems)
+    got = log_likelihood_matrix(model, Data(subjects), support, ems, engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=5e-9, atol=1e-9)
