@@ -217,6 +217,7 @@ def main() -> int:
                 "cells": matrix_subjects * matrix_support,
                 "cells_per_sec": matrix_subjects * matrix_support / t_matrix,
             })
+
             print(
                 f"{solver:10s} {authoring:11s} {wname:6s}  "
                 f"pred hot {results[-4]['seconds']*1e3:8.2f}ms  "
@@ -224,6 +225,29 @@ def main() -> int:
                 f"matrix {t_matrix*1e3:8.1f}ms "
                 f"({results[-1]['cells_per_sec']:,.0f} cells/s)"
             )
+            # fused pallas engine where the model shape allows (handwritten
+            # analytical on a built-in kernel)
+            if solver == "analytical" and authoring == "handwritten":
+                try:
+                    log_likelihood_matrix(model, data, support, em, engine="pallas")
+                    t_pl = bench_cell(
+                        lambda: log_likelihood_matrix(
+                            model, data, support, em, engine="pallas"
+                        ),
+                        max(args.reps // 2, 1),
+                    )
+                    results.append({
+                        "id": f"native/likelihood-matrix/{wname}/{solver}/pallas",
+                        "seconds": t_pl,
+                        "cells": matrix_subjects * matrix_support,
+                        "cells_per_sec": matrix_subjects * matrix_support / t_pl,
+                    })
+                    print(f"{'':10s} {'pallas':11s} {wname:6s}  "
+                          f"matrix {t_pl*1e3:8.1f}ms "
+                          f"({results[-1]['cells_per_sec']:,.0f} cells/s)")
+                except Exception as exc:  # pragma: no cover - shape-dependent
+                    print(f"           pallas      {wname:6s}  skipped: {exc}")
+
 
     if args.json:
         with open(args.json, "w") as f:

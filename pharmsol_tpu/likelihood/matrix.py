@@ -151,11 +151,27 @@ def _pallas_psi_matrix(equation, grid, sp, lowered) -> np.ndarray:
     # the configured float dtype (f64 under the test config)
     if jax.devices()[0].platform == "tpu":
         fd = jnp.float32
+    padded = [jnp.asarray(pad_rows(a), dtype=fd) for a in streams]
+    # all-zero optional streams are passed as None so the kernel variant
+    # without them compiles (psi_oral's static flags survive jit tracing)
+    pass_inf = bool(np.any(streams[2]))
+    pass_cens = bool(np.any(streams[6]))
+    key = ("pallas", structure, Rp, Sp, padded[0].shape[1], pass_inf,
+           pass_cens, str(fd))
+    cache = equation.__dict__.setdefault("_jit_psi", {})
+    fn = cache.get(key)
+    if fn is None:
+        def run(dt, bol, inf, mask, val, sig, cens, sp_dev):
+            return psi_oral(dt, bol, inf, mask, val, sig, cens, sp_dev,
+                            structure=structure)
+        fn = cache[key] = jax.jit(run)
     psi_rows = np.asarray(
-        psi_oral(
-            *(jnp.asarray(pad_rows(a), dtype=fd) for a in streams),
+        fn(
+            padded[0], padded[1],
+            padded[2] if pass_inf else None,
+            padded[3], padded[4], padded[5],
+            padded[6] if pass_cens else None,
             jnp.asarray(sp_p, dtype=fd),
-            structure=structure,
         ),
         dtype=np.float64,
     )[:R, :S]

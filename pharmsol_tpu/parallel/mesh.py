@@ -209,20 +209,37 @@ def _pallas_psi_sharded(equation, grid, sp, lowered, mesh) -> np.ndarray:
     )
     padded = [jnp.asarray(pad_rows(a), dtype=fd) for a in streams]
     sp_dev = jnp.asarray(sp_p, dtype=fd)
+    # all-zero optional streams are dropped so the lean kernel variant
+    # compiles (psi_oral decides statically; traced zeros would defeat it)
+    pass_inf = bool(np.any(streams[2]))
+    pass_cens = bool(np.any(streams[6]))
+    arrays = [padded[0], padded[1]]
+    if pass_inf:
+        arrays.append(padded[2])
+    arrays += [padded[3], padded[4], padded[5]]
+    if pass_cens:
+        arrays.append(padded[6])
+
+    def run(*args):
+        it = iter(args[:-1])
+        dt, bol = next(it), next(it)
+        inf = next(it) if pass_inf else None
+        mask, val, sig = next(it), next(it), next(it)
+        cens = next(it) if pass_cens else None
+        return psi_oral(dt, bol, inf, mask, val, sig, cens, args[-1],
+                        structure=structure)
 
     stream_spec = P("subjects", None)
     sm_kwargs = dict(
         mesh=mesh,
-        in_specs=(stream_spec,) * 7 + (P(None, None),),
+        in_specs=(stream_spec,) * len(arrays) + (P(None, None),),
         out_specs=stream_spec,
     )
     try:  # jax >= 0.8 uses check_vma; the experimental API used check_rep
-        fn = shard_map(partial(psi_oral, structure=structure),
-                       check_vma=False, **sm_kwargs)
+        fn = shard_map(run, check_vma=False, **sm_kwargs)
     except TypeError:
-        fn = shard_map(partial(psi_oral, structure=structure),
-                       check_rep=False, **sm_kwargs)
-    psi_rows = np.asarray(jax.jit(fn)(*padded, sp_dev), dtype=np.float64)[:R, :S]
+        fn = shard_map(run, check_rep=False, **sm_kwargs)
+    psi_rows = np.asarray(jax.jit(fn)(*arrays, sp_dev), dtype=np.float64)[:R, :S]
     psi = np.zeros((grid.n_subjects, S), dtype=np.float64)
     np.add.at(psi, np.asarray(grid.row_subject), psi_rows)
     return np.where(np.isfinite(psi), psi, -np.inf)
