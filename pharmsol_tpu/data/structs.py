@@ -44,14 +44,17 @@ class Occasion:
         self.events: List = []
         self.covariates: Covariates = Covariates()
         self.index: int = index
+        self._version: int = 0  # bumped by mutators; invalidates Subject.hash
 
     # -- construction -------------------------------------------------------
     def add_event(self, event) -> None:
         self.events.append(event)
+        self._version += 1
         self.sort()
 
     def add_covariate(self, name: str, covariate: Covariate) -> None:
         self.covariates.add_covariate(name, covariate)
+        self._version += 1
 
     def add_observation(self, time, value, outeq, errorpoly=None, censored=Censor.NONE):
         self.add_event(
@@ -167,14 +170,20 @@ class Subject:
     def hash(self) -> str:
         """Stable content hash over id, events, and covariates.
 
-        Memoized: subjects are treated as immutable once built (the builder
-        always returns fresh objects; the reference likewise hashes a frozen
-        Subject, data/structs.rs). One packed buffer -> one blake2b update,
-        instead of a digest update per scalar.
+        Memoized against a structural fingerprint (occasion versions + event
+        counts), so mutations through the Occasion API invalidate the cached
+        digest. Direct attribute pokes on an Event object (``e.time = ...``)
+        are not detectable — treat events as immutable, like the reference's
+        frozen Subject (data/structs.rs). One packed buffer -> one blake2b
+        update, instead of a digest update per scalar.
         """
+        fingerprint = tuple(
+            (getattr(occ, "_version", 0), len(occ.events))
+            for occ in self._occasions
+        )
         cached = self.__dict__.get("_hash_cache")
-        if cached is not None:
-            return cached
+        if cached is not None and cached[0] == fingerprint:
+            return cached[1]
         parts: List[bytes] = [self.id.encode()]
         pack = struct.pack
         for occ in self._occasions:
@@ -197,7 +206,7 @@ class Subject:
             parts.append(occ.covariates.content_hash().encode())
         h = hashlib.blake2b(b"\x1f".join(parts), digest_size=8)
         digest = h.hexdigest()
-        self.__dict__["_hash_cache"] = digest
+        self.__dict__["_hash_cache"] = (fingerprint, digest)
         return digest
 
 

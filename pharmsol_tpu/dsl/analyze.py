@@ -89,9 +89,12 @@ def _collect_index_targets(
 ) -> Set[str]:
     """Expanded element names written via `callee(x[i])` / `callee[i]`.
 
-    A constant index covers exactly its element; a dynamic index (loop
-    variable) conservatively covers the whole array — coverage cannot be
-    decided element-by-element once indices depend on unrolled loop state.
+    A constant index covers exactly its element. Constant-bounded ``for``
+    loops (the only kind the interpreter accepts) are simulated iteration by
+    iteration with the binding folded as a constant, so
+    ``for i in 1..3 { dx[i] = ... }`` covers exactly elements 1 and 2 —
+    partially-covered arrays still trip DSL2018. Only a genuinely
+    undecidable index (non-const bound) falls back to whole-array coverage.
     """
     out: Set[str] = set()
     for s in stmts:
@@ -107,7 +110,15 @@ def _collect_index_targets(
             out |= _collect_index_targets(s.then_branch, callee, arrays, constants)
             out |= _collect_index_targets(s.else_branch, callee, arrays, constants)
         elif s.kind == "for":
-            out |= _collect_index_targets(s.body, callee, arrays, constants)
+            lo = _const_value(s.range_start, constants)
+            hi = _const_value(s.range_end, constants)
+            if lo is not None and hi is not None and int(hi) - int(lo) <= 4096:
+                for i in range(int(lo), int(hi)):
+                    out |= _collect_index_targets(
+                        s.body, callee, arrays, {**constants, s.binding: float(i)}
+                    )
+            else:
+                out |= _collect_index_targets(s.body, callee, arrays, constants)
     return out
 
 

@@ -98,6 +98,89 @@ def _pallas_structure_name(equation) -> str:
     )
 
 
+class _PallasPsiPlan:
+    """Validated, padded inputs for a fused pallas psi evaluation.
+
+    Shared by the unsharded driver here and the shard_map driver in
+    parallel/mesh.py so validation and stream layout cannot diverge.
+    """
+
+    def __init__(self, equation, grid, sp, lowered, row_multiple: int):
+        from ..engine.analytical import KERNELS
+        from ..ops.pallas_psi import SP_TILE, streams_from_grid
+
+        self.structure = _pallas_structure_name(equation)
+        _, _, n_kernel_params = KERNELS[self.structure]
+        if sp.shape[1] != n_kernel_params + 1:
+            raise PharmsolError(
+                f"engine='pallas' with `{self.structure}` needs support columns "
+                f"[{n_kernel_params} kernel params..., v], got {sp.shape[1]} columns"
+            )
+        if equation._seq is not None or equation._lag is not None \
+                or equation._fa is not None or equation._init is not None:
+            raise PharmsolError(
+                "engine='pallas' does not support seq/lag/fa/init equations"
+            )
+        if grid.cov_names:
+            raise PharmsolError("engine='pallas' does not support covariates")
+        valid = np.asarray(grid.rows.obs_valid) & np.asarray(grid.rows.obs_has_value)
+        if np.any(np.asarray(grid.rows.obs_outeq)[valid] != 0):
+            raise PharmsolError("engine='pallas' supports a single output equation")
+
+        streams = streams_from_grid(grid.rows, lowered)
+        self.R = streams[0].shape[0]
+        self.S = sp.shape[0]
+        self.M = streams[0].shape[1]
+        self.Rp = ((self.R + row_multiple - 1) // row_multiple) * row_multiple
+        self.Sp = ((self.S + SP_TILE - 1) // SP_TILE) * SP_TILE
+        # compiled Mosaic kernels are float32-only; the CPU interpret path
+        # keeps the configured float dtype (f64 under the test config)
+        fd = float_dtype()
+        if jax.devices()[0].platform == "tpu":
+            fd = jnp.float32
+        self.fd = fd
+
+        def pad_rows(a):
+            a = np.asarray(a, dtype=np.float64)
+            if self.Rp == self.R:
+                return a
+            return np.concatenate(
+                [a, np.zeros((self.Rp - self.R, a.shape[1]), dtype=a.dtype)],
+                axis=0,
+            )
+
+        self.padded = [jnp.asarray(pad_rows(a), dtype=fd) for a in streams]
+        self.sp_dev = jnp.asarray(
+            sp if self.Sp == self.S else np.concatenate(
+                [sp, np.repeat(sp[-1:], self.Sp - self.S, axis=0)], axis=0
+            ),
+            dtype=fd,
+        )
+        # all-zero optional streams are passed as None so psi_oral's static
+        # has_inf/has_cens flags survive jit tracing and the lean kernel
+        # variants compile
+        self.pass_inf = bool(np.any(streams[2]))
+        self.pass_cens = bool(np.any(streams[6]))
+
+    def cache_key(self, *extra):
+        return ("pallas", self.structure, self.Rp, self.Sp, self.M,
+                self.pass_inf, self.pass_cens, str(self.fd)) + extra
+
+    def call_args(self):
+        """Streams with dropped optionals replaced by None, plus support."""
+        p = self.padded
+        return (p[0], p[1], p[2] if self.pass_inf else None,
+                p[3], p[4], p[5], p[6] if self.pass_cens else None,
+                self.sp_dev)
+
+    def finalize(self, psi_rows, grid) -> np.ndarray:
+        """Unpad and aggregate occasion rows -> subjects."""
+        psi_rows = np.asarray(psi_rows, dtype=np.float64)[: self.R, : self.S]
+        psi = np.zeros((grid.n_subjects, self.S), dtype=np.float64)
+        np.add.at(psi, np.asarray(grid.row_subject), psi_rows)
+        return psi
+
+
 def _pallas_psi_matrix(equation, grid, sp, lowered) -> np.ndarray:
     """Fused pallas psi path: single-output central/v analytical structures.
 
@@ -108,77 +191,21 @@ def _pallas_psi_matrix(equation, grid, sp, lowered) -> np.ndarray:
     seq/lag/fa/init equations and covariates are not supported — the
     general engine handles those.
     """
-    from ..engine.analytical import KERNELS
-    from ..ops.pallas_psi import SP_TILE, SUB_TILE, psi_oral, streams_from_grid
+    from ..ops.pallas_psi import SUB_TILE, psi_oral
 
-    structure = _pallas_structure_name(equation)
-    _, _, n_kernel_params = KERNELS[structure]
-    if sp.shape[1] != n_kernel_params + 1:
-        raise PharmsolError(
-            f"engine='pallas' with `{structure}` needs support columns "
-            f"[{n_kernel_params} kernel params..., v], got {sp.shape[1]} columns"
-        )
-    if equation._seq is not None or equation._lag is not None \
-            or equation._fa is not None or equation._init is not None:
-        raise PharmsolError(
-            "engine='pallas' does not support seq/lag/fa/init equations"
-        )
-    if grid.cov_names:
-        raise PharmsolError("engine='pallas' does not support covariates")
-    valid = np.asarray(grid.rows.obs_valid) & np.asarray(grid.rows.obs_has_value)
-    if np.any(np.asarray(grid.rows.obs_outeq)[valid] != 0):
-        raise PharmsolError("engine='pallas' supports a single output equation")
-
-    streams = streams_from_grid(grid.rows, lowered)
-    R = streams[0].shape[0]
-    S = sp.shape[0]
-    Rp = ((R + SUB_TILE - 1) // SUB_TILE) * SUB_TILE
-    Sp = ((S + SP_TILE - 1) // SP_TILE) * SP_TILE
-    fd = float_dtype()
-
-    def pad_rows(a):
-        a = np.asarray(a, dtype=np.float64)
-        if Rp == R:
-            return a
-        return np.concatenate(
-            [a, np.zeros((Rp - R, a.shape[1]), dtype=a.dtype)], axis=0
-        )
-
-    sp_p = sp if Sp == S else np.concatenate(
-        [sp, np.repeat(sp[-1:], Sp - S, axis=0)], axis=0
-    )
-    # compiled Mosaic kernels are float32-only; the CPU interpret path keeps
-    # the configured float dtype (f64 under the test config)
-    if jax.devices()[0].platform == "tpu":
-        fd = jnp.float32
-    padded = [jnp.asarray(pad_rows(a), dtype=fd) for a in streams]
-    # all-zero optional streams are passed as None so the kernel variant
-    # without them compiles (psi_oral's static flags survive jit tracing)
-    pass_inf = bool(np.any(streams[2]))
-    pass_cens = bool(np.any(streams[6]))
-    key = ("pallas", structure, Rp, Sp, padded[0].shape[1], pass_inf,
-           pass_cens, str(fd))
+    plan = _PallasPsiPlan(equation, grid, sp, lowered, row_multiple=SUB_TILE)
     cache = equation.__dict__.setdefault("_jit_psi", {})
+    key = plan.cache_key()
     fn = cache.get(key)
     if fn is None:
+        structure = plan.structure
+
         def run(dt, bol, inf, mask, val, sig, cens, sp_dev):
             return psi_oral(dt, bol, inf, mask, val, sig, cens, sp_dev,
                             structure=structure)
+
         fn = cache[key] = jax.jit(run)
-    psi_rows = np.asarray(
-        fn(
-            padded[0], padded[1],
-            padded[2] if pass_inf else None,
-            padded[3], padded[4], padded[5],
-            padded[6] if pass_cens else None,
-            jnp.asarray(sp_p, dtype=fd),
-        ),
-        dtype=np.float64,
-    )[:R, :S]
-    # occasion rows -> subjects
-    psi = np.zeros((grid.n_subjects, S), dtype=np.float64)
-    np.add.at(psi, np.asarray(grid.row_subject), psi_rows)
-    return psi
+    return plan.finalize(fn(*plan.call_args()), grid)
 
 
 def log_likelihood_matrix(

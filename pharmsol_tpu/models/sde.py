@@ -186,10 +186,13 @@ class SDE(EquationBase):
             key = jax.random.PRNGKey(seed)
             if independent:
                 # per-call RNG semantics: key on the parameter vector so every
-                # (subject, support) cell draws independent noise
+                # (subject, support) cell draws independent noise. Bitcast at
+                # the vector's own width (f64 -> 2 uint32 words per element)
+                # so supports that differ below f32 resolution still get
+                # distinct keys.
                 pb = jax.lax.bitcast_convert_type(
-                    jnp.asarray(p, jnp.float32), jnp.uint32
-                )
+                    jnp.asarray(p), jnp.uint32
+                ).reshape(-1)
                 for i in range(pb.shape[0]):
                     key = jax.random.fold_in(key, pb[i])
 

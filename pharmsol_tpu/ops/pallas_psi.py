@@ -706,6 +706,12 @@ def streams_from_grid(rows, lowered_em):
     bolus_t = np.asarray(rows.bolus_t, dtype=np.float64)
     inf_t = np.asarray(rows.inf_t, dtype=np.float64)
     valid_rows = np.asarray(rows.obs_valid) & np.asarray(rows.obs_has_value)
+    real_bolus = bolus_t < BIG_TIME / 2
+    if np.any(np.asarray(rows.bolus_input)[real_bolus] != 0):
+        raise ValueError(
+            "pallas psi fast path supports boluses into input 0 (the "
+            "structure's dose compartment) only"
+        )
     NI = inf_t.shape[1]
     if NI:
         real_inf = inf_t < BIG_TIME / 2

@@ -174,72 +174,52 @@ def log_likelihood_matrix_sharded(
 def _pallas_psi_sharded(equation, grid, sp, lowered, mesh) -> np.ndarray:
     """shard_map(pallas psi) over the subjects axis; support replicated.
 
-    Per-shard row blocks are padded so every device sees a SUB_TILE multiple;
-    inert padding rows (all-zero streams) produce ll == 0 and are sliced off.
+    Validation, stream layout, padding, and row->subject aggregation are
+    shared with the unsharded driver via ``_PallasPsiPlan``; per-shard row
+    blocks are padded so every device sees a SUB_TILE multiple (inert
+    padding rows produce ll == 0 and are sliced off).
     """
-    from functools import partial
-
     try:
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    from ..likelihood.matrix import _pallas_structure_name
-    from ..ops.pallas_psi import SP_TILE, SUB_TILE, psi_oral, streams_from_grid
+    from ..likelihood.matrix import _PallasPsiPlan
+    from ..ops.pallas_psi import SUB_TILE, psi_oral
 
-    structure = _pallas_structure_name(equation)
-    streams = streams_from_grid(grid.rows, lowered)
     n_shards = mesh.shape["subjects"]
-    R = streams[0].shape[0]
-    S = sp.shape[0]
-    Rp = ((R + SUB_TILE * n_shards - 1) // (SUB_TILE * n_shards)) * SUB_TILE * n_shards
-    Sp = ((S + SP_TILE - 1) // SP_TILE) * SP_TILE
-    fd = float_dtype()
-    if jax.devices()[0].platform == "tpu":
-        fd = jnp.float32  # compiled Mosaic kernels are float32-only
-
-    def pad_rows(a):
-        a = np.asarray(a, dtype=np.float64)
-        if Rp == R:
-            return a
-        return np.concatenate([a, np.zeros((Rp - R, a.shape[1]), a.dtype)], axis=0)
-
-    sp_p = sp if Sp == S else np.concatenate(
-        [sp, np.repeat(sp[-1:], Sp - S, axis=0)], axis=0
+    plan = _PallasPsiPlan(
+        equation, grid, sp, lowered, row_multiple=SUB_TILE * n_shards
     )
-    padded = [jnp.asarray(pad_rows(a), dtype=fd) for a in streams]
-    sp_dev = jnp.asarray(sp_p, dtype=fd)
-    # all-zero optional streams are dropped so the lean kernel variant
-    # compiles (psi_oral decides statically; traced zeros would defeat it)
-    pass_inf = bool(np.any(streams[2]))
-    pass_cens = bool(np.any(streams[6]))
-    arrays = [padded[0], padded[1]]
-    if pass_inf:
-        arrays.append(padded[2])
-    arrays += [padded[3], padded[4], padded[5]]
-    if pass_cens:
-        arrays.append(padded[6])
+    cache = equation.__dict__.setdefault("_jit_psi", {})
+    key = plan.cache_key("sharded", mesh.shape_tuple)
+    fn = cache.get(key)
+    if fn is None:
+        structure = plan.structure
+        pass_inf, pass_cens = plan.pass_inf, plan.pass_cens
+        n_arrays = 5 + int(pass_inf) + int(pass_cens)
 
-    def run(*args):
-        it = iter(args[:-1])
-        dt, bol = next(it), next(it)
-        inf = next(it) if pass_inf else None
-        mask, val, sig = next(it), next(it), next(it)
-        cens = next(it) if pass_cens else None
-        return psi_oral(dt, bol, inf, mask, val, sig, cens, args[-1],
-                        structure=structure)
+        def run(*args):
+            it = iter(args[:-1])
+            dt, bol = next(it), next(it)
+            inf = next(it) if pass_inf else None
+            mask, val, sig = next(it), next(it), next(it)
+            cens = next(it) if pass_cens else None
+            return psi_oral(dt, bol, inf, mask, val, sig, cens, args[-1],
+                            structure=structure)
 
-    stream_spec = P("subjects", None)
-    sm_kwargs = dict(
-        mesh=mesh,
-        in_specs=(stream_spec,) * len(arrays) + (P(None, None),),
-        out_specs=stream_spec,
-    )
-    try:  # jax >= 0.8 uses check_vma; the experimental API used check_rep
-        fn = shard_map(run, check_vma=False, **sm_kwargs)
-    except TypeError:
-        fn = shard_map(run, check_rep=False, **sm_kwargs)
-    psi_rows = np.asarray(jax.jit(fn)(*arrays, sp_dev), dtype=np.float64)[:R, :S]
-    psi = np.zeros((grid.n_subjects, S), dtype=np.float64)
-    np.add.at(psi, np.asarray(grid.row_subject), psi_rows)
+        stream_spec = P("subjects", None)
+        sm_kwargs = dict(
+            mesh=mesh,
+            in_specs=(stream_spec,) * n_arrays + (P(None, None),),
+            out_specs=stream_spec,
+        )
+        try:  # jax >= 0.8 uses check_vma; the experimental API used check_rep
+            sharded = shard_map(run, check_vma=False, **sm_kwargs)
+        except TypeError:
+            sharded = shard_map(run, check_rep=False, **sm_kwargs)
+        fn = cache[key] = jax.jit(sharded)
+
+    args = [a for a in plan.call_args()[:-1] if a is not None]
+    psi = plan.finalize(fn(*args, plan.sp_dev), grid)
     return np.where(np.isfinite(psi), psi, -np.inf)

@@ -243,3 +243,12 @@ def test_batch_lowering_matches_per_occasion_oracle():
         np.testing.assert_array_equal(got, want, err_msg=name)
     assert list(grid.n_obs_per_row) == [l.n_obs for l in oracle]
     assert list(grid.row_subject) == [si for si, _, _ in occs]
+
+
+def test_subject_hash_invalidates_on_occasion_mutation():
+    """Memoized hash must track mutations through the Occasion API."""
+    s = Subject.builder("h2").bolus(0, 100, 0).observation(1.0, 5.0, 0).build()
+    h1 = s.hash()
+    assert s.hash() == h1  # memoized
+    s.get_occasion(0).add_observation(5.0, 2.0, 0)
+    assert s.hash() != h1

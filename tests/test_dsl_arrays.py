@@ -230,3 +230,20 @@ model m {
 }
 """
     compile_module(src)  # should not raise
+
+
+def test_partial_loop_coverage_diagnosed():
+    """Const-bounded loops are simulated, so a[2]/a[3] uncovered -> DSL2018."""
+    _expect_code(
+        """
+model m { kind ode
+  parameters { k }
+  states { a[4] }
+  routes { bolus oral -> a[0] }
+  dynamics {
+    for i in 0..2 { dx[i] = -k * a[i] }
+  }
+  outputs { out(y) = a[3] }
+}""",
+        "DSL2018",
+    )

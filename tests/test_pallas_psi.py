@@ -391,3 +391,38 @@ def test_pallas_engine_errorpoly_overrides():
     want = log_likelihood_matrix(model, Data(subjects), support, ems)
     got = log_likelihood_matrix(model, Data(subjects), support, ems, engine="pallas")
     np.testing.assert_allclose(got, want, rtol=5e-9, atol=1e-9)
+
+
+def test_pallas_sharded_validates_like_unsharded():
+    """The sharded driver shares _PallasPsiPlan validation (review fix)."""
+    import pytest
+    from pharmsol_tpu.errors import PharmsolError
+    from pharmsol_tpu.parallel.mesh import log_likelihood_matrix_sharded
+
+    s = Subject.builder("s").bolus(0.0, 100.0, 0).observation(1.0, 5.0, 0).build()
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    model = Analytical(
+        pst.two_compartments,
+        out=lambda x, p, t, cov: x[0:1] / p[3],
+        lag=lambda p, t, cov: {0: p[0]},
+        nstates=2, ndrugs=1, nout=1,
+    )
+    with pytest.raises(PharmsolError, match="seq/lag/fa/init"):
+        log_likelihood_matrix_sharded(
+            model, Data([s]), np.ones((4, 4)), ems, engine="pallas"
+        )
+
+
+def test_pallas_rejects_bolus_into_other_input():
+    """Boluses must target input 0 (review fix: guard was infusion-only)."""
+    import pytest
+
+    s = Subject.builder("b").bolus(0.0, 100.0, 1).observation(1.0, 5.0, 0).build()
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    model = Analytical(
+        pst.two_compartments,
+        out=lambda x, p, t, cov: x[0:1] / p[3],
+        nstates=2, ndrugs=2, nout=1,
+    )
+    with pytest.raises(ValueError, match="boluses into input 0"):
+        log_likelihood_matrix(model, Data([s]), np.ones((4, 4)), ems, engine="pallas")

@@ -203,3 +203,29 @@ def test_sde_noise_modes():
     assert d_indep > d_common, "independent draws should decorrelate cells"
     # both are consistent estimates of the same likelihood
     np.testing.assert_allclose(psi_c, psi_i, atol=0.5)
+
+
+def test_independent_noise_distinguishes_sub_f32_params():
+    """Keys bitcast at f64 width: supports differing below f32 resolution
+    still draw independently (review fix)."""
+    import numpy as np
+    from pharmsol_tpu import Data
+    from pharmsol_tpu.likelihood.matrix import log_likelihood_matrix
+
+    subject = (
+        Subject.builder("k1").bolus(0.0, 100.0, 0)
+        .observation(1.0, 4.2, 0).build()
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    support = np.array([[0.2, 20.0], [0.2 * (1 + 1e-12), 20.0]])
+    model = SDE(
+        drift=lambda x, p, t, rateiv, cov: -p[0] * x[:1],
+        diffusion=lambda p, t, cov: jnp.full((1,), 0.2),
+        out=lambda x, p, t, cov: x[:1] / p[1],
+        nparticles=100, nstates=1, ndrugs=1, nout=1, seed=3,
+    ).with_noise("independent")
+    psi = log_likelihood_matrix(model, Data([subject]), support, ems)
+    # with f32-keying these two cells were bit-identical; f64 keying makes
+    # them independent draws (values still close: same likelihood estimated)
+    assert psi[0, 0] != psi[0, 1]
+    assert abs(psi[0, 0] - psi[0, 1]) < 0.5
