@@ -8,6 +8,7 @@ to the pure-Python reader when the toolchain is unavailable.
 
 from __future__ import annotations
 
+import copy as _copy
 import ctypes
 import math
 from typing import Optional
@@ -110,6 +111,24 @@ def read_pmetrics_native(source) -> Data:
         lib.psn_free(handle)
 
     # -- assemble subjects/occasions (row.rs build_data semantics) -------------
+    # Python-list views: indexing np scalars in the assembly loop is ~5x
+    # slower than list indexing, and every element is touched exactly once
+    time = time.tolist()
+    evid = evid.tolist()
+    dose = dose.tolist()
+    dur = dur.tolist()
+    addl = addl.tolist()
+    ii = ii.tolist()
+    out_col = out_col.tolist()
+    cens = cens.tolist()
+    c0 = c0.tolist()
+    c1 = c1.tolist()
+    c2 = c2.tolist()
+    c3 = c3.tolist()
+    input_idx = input_idx.tolist()
+    outeq_idx = outeq_idx.tolist()
+    cov_cols = [c.tolist() for c in cov_cols]
+
     # group rows by subject in one stable argsort (the previous per-subject
     # `nonzero(id_idx == k)` scan was O(rows x subjects))
     order = np.argsort(id_idx, kind="stable")
@@ -123,6 +142,7 @@ def read_pmetrics_native(source) -> Data:
         rows = groups.get(sid_idx)
         if rows is None:
             continue
+        rows = rows.tolist()
         # occasion split at EVID=4
         blocks = []
         current = []
@@ -180,8 +200,6 @@ def read_pmetrics_native(source) -> Data:
                     if a != 0 and interval > 0.0:
                         direction = 1.0 if a > 0 else -1.0
                         tt = t
-                        import copy as _copy
-
                         for _ in range(abs(a)):
                             tt += direction * interval
                             extra = _copy.copy(base)
