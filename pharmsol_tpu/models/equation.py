@@ -57,7 +57,9 @@ from ..metadata import ModelKind, ModelMetadata, RouteKind, ValidatedModelMetada
 
 
 def _as_dense_params(parameters) -> np.ndarray:
-    return np.asarray(parameters, dtype=np.float64).reshape(-1)
+    # +0.0 normalizes -0.0 so both hash to the same cache key (the reference
+    # normalizes the sign bit in parameters_hash, equation/mod.rs:600-609)
+    return np.asarray(parameters, dtype=np.float64).reshape(-1) + 0.0
 
 
 class EquationBase:
