@@ -164,6 +164,104 @@ def simulate_occasion(
     return OccasionSim(pred=pred, state=x_obs, y_all=y_all)
 
 
+def simulate_occasion_assoc(
+    spec: ModelSpec,
+    occ: OccasionArrays,
+    p: jnp.ndarray,
+    cov_names,
+) -> OccasionSim:
+    """Sequence-parallel occasion simulation via ``lax.associative_scan``.
+
+    The reference marches segments strictly serially
+    (analytical/mod.rs:298-370); this path has no reference counterpart.
+    Every closed-form compartment kernel is affine in the state, so the
+    per-segment transition (bolus add, then propagate over dt with constant
+    infusion forcing) is ``x -> A_m x + b_m``. The (A, b) pairs for all M
+    segments are built in one fully-parallel vmap (n+1 kernel applications
+    per segment extract the matrix columns), then prefix states come from an
+    O(log M)-depth associative scan instead of an O(M) serial scan.
+
+    Preconditions (validated by Analytical.with_scan): no seq equation, no
+    custom bolus application — i.e. the propagator is genuinely affine.
+
+    Measured trade-off (v5e, 512 rows x 128 supports x 50 segments, 2-cmt
+    oral): the serial fused scan carries 3 floats of state in registers,
+    while this path materializes [rows, supports, M, n, n] prefix tensors
+    through log2(M) compose rounds — ~18x more wall time, and f32 matrix
+    products compose error to ~2e-2 relative (f64 is exact to 1e-10). The
+    serial scan therefore stays the default; this path exists as the
+    measured answer to SURVEY §5's sequence-parallelism question and for
+    f64 workloads with very long schedules and few rows, where segment
+    depth (not bandwidth) dominates.
+    """
+    fd = float_dtype()
+    p = jnp.asarray(p, dtype=fd)
+    cov = CovView(occ.cov_t.astype(fd), occ.cov_v.astype(fd), occ.cov_fixed, cov_names)
+    segs = build_segments(occ, p, spec.lag, spec.fa, spec.ninput, cov)
+    n = spec.nstates
+
+    x0 = jnp.zeros((n,), dtype=fd)
+    if spec.init is not None:
+        x0 = x0 + occ.init_mask.astype(fd) * jnp.asarray(
+            spec.init(p, jnp.asarray(0.0, fd), cov), dtype=fd
+        )
+
+    use_prepared = spec.prepare is not None and spec.seq is None
+    aux = spec.prepare(p, cov) if use_prepared else None
+
+    def prop(x, dt, rateiv, t):
+        if use_prepared:
+            return jnp.asarray(spec.propagate_prepared(aux, x, dt, rateiv, t, cov), fd)
+        return jnp.asarray(spec.propagate(x, p, dt, rateiv, t, cov), fd)
+
+    eye = jnp.eye(n, dtype=fd)
+
+    def seg_affine(t, dt, b_amt, b_input, rateiv):
+        # bolus add (default input->state mapping), as an affine offset
+        bvec = jnp.zeros((spec.ninput,), dtype=fd).at[b_input].add(b_amt)
+        pad = n - spec.ninput
+        d = (
+            jnp.concatenate([bvec, jnp.zeros((pad,), dtype=fd)])
+            if pad > 0
+            else bvec[:n]
+        )
+        # affine decomposition of the propagator: c = f(0), M e_j = f(e_j) - c
+        c = prop(jnp.zeros((n,), fd), dt, rateiv, t)
+        cols = jax.vmap(lambda e: prop(e, dt, rateiv, t) - c)(eye)  # [n, n] rows = M e_j
+        M = cols.T
+        has_span = dt > 0.0
+        A = jnp.where(has_span, M, eye)
+        b = jnp.where(has_span, M @ d + c, d)
+        return A, b
+
+    A, b = jax.vmap(seg_affine)(
+        segs.t, segs.dt, segs.b_amt, segs.b_input, segs.rateiv
+    )  # [M, n, n], [M, n]
+
+    def combine(f, g):
+        # g applied after f: x -> A_g (A_f x + b_f) + b_g
+        Af, bf = f
+        Ag, bg = g
+        return (
+            jnp.einsum("...ij,...jk->...ik", Ag, Af),
+            jnp.einsum("...ij,...j->...i", Ag, bf) + bg,
+        )
+
+    Ap, bp = jax.lax.associative_scan(combine, (A, b))
+    x_after = jnp.einsum("mij,j->mi", Ap, x0) + bp
+    x_pre_all = jnp.concatenate([x0[None, :], x_after[:-1]], axis=0)
+
+    x_obs = x_pre_all[segs.obs_pos]
+    obs_t = occ.obs_t.astype(fd)
+    y_all = jax.vmap(lambda x, t: jnp.asarray(spec.out(x, p, t, cov), dtype=fd))(
+        x_obs, obs_t
+    )
+    pred = jnp.take_along_axis(y_all, occ.obs_outeq[:, None].astype(jnp.int32), axis=1)[
+        :, 0
+    ]
+    return OccasionSim(pred=pred, state=x_obs, y_all=y_all)
+
+
 def simulate_occasion_ll(
     spec: ModelSpec,
     occ: OccasionArrays,

@@ -133,6 +133,7 @@ class EquationBase:
         self.__dict__.pop("_jit_sim_rows", None)
         self.__dict__.pop("_jit_ll_rows", None)
         self.__dict__.pop("_jit_psi", None)
+        self.__dict__.pop("_jit_batch", None)
 
     def _model_kind(self) -> ModelKind:
         raise NotImplementedError
@@ -237,12 +238,21 @@ class EquationBase:
             self._spec_cache = self._build_spec()
         return self._spec_cache
 
+    def _simulate_fn(self):
+        """The occasion simulator for the configured scan mode."""
+        if getattr(self, "_scan_mode", "serial") == "associative":
+            from ..engine.sim import simulate_occasion_assoc
+
+            return simulate_occasion_assoc
+        return simulate_occasion
+
     def _sim_rows_fn(self, cov_names: tuple):
         """vmap over occasion rows, shared parameter vector."""
         spec = self.spec
+        sim = self._simulate_fn()
 
         def sim_rows(rows, p):
-            return jax.vmap(lambda occ: simulate_occasion(spec, occ, p, list(cov_names)))(
+            return jax.vmap(lambda occ: sim(spec, occ, p, list(cov_names)))(
                 rows
             )
 
@@ -250,6 +260,20 @@ class EquationBase:
 
     def _ll_rows_fn(self, cov_names: tuple):
         spec = self.spec
+        if getattr(self, "_scan_mode", "serial") == "associative":
+            from ..engine.sim import simulate_occasion_assoc
+            from ..likelihood.loglik import occasion_log_likelihood
+
+            def ll_rows_assoc(rows, p, em_kind, em_factor, em_poly):
+                def one(occ):
+                    sim = simulate_occasion_assoc(spec, occ, p, list(cov_names))
+                    return occasion_log_likelihood(
+                        occ, sim.pred, em_kind, em_factor, em_poly
+                    )
+
+                return jax.vmap(one)(rows)
+
+            return ll_rows_assoc
 
         def ll_rows(rows, p, em_kind, em_factor, em_poly):
             def one(occ):
@@ -264,9 +288,10 @@ class EquationBase:
     def _pred_one_fn(self, cov_names: tuple):
         """fn(occ, p, row_idx) -> predictions [NO] (row_idx seeds SDE noise)."""
         spec = self.spec
+        sim = self._simulate_fn()
 
         def pred_one(occ, p, idx):
-            return simulate_occasion(spec, occ, p, list(cov_names)).pred
+            return sim(spec, occ, p, list(cov_names)).pred
 
         return pred_one
 
@@ -439,6 +464,26 @@ class Analytical(EquationBase):
         self._fa = fa
         self._init = init
         self._out = out
+        self._scan_mode = "serial"
+
+    def with_scan(self, mode: str):
+        """Segment-scan strategy: 'serial' (lax.scan, default) or
+        'associative' (lax.associative_scan over affine per-segment
+        propagators — O(log M) depth; SURVEY's sequence-parallel path, no
+        reference counterpart). Associative requires an affine propagator
+        (no seq equation, default bolus application) and is measured to be
+        slower and less f32-accurate than the fused serial scan on typical
+        population workloads — see simulate_occasion_assoc's docstring."""
+        if mode not in ("serial", "associative"):
+            raise PharmsolError("scan mode must be 'serial' or 'associative'")
+        if mode == "associative" and self._seq is not None:
+            raise PharmsolError(
+                "associative scan requires an affine propagator: models with "
+                "a seq equation must use the serial scan"
+            )
+        self._scan_mode = mode
+        self._invalidate()
+        return self
 
     def _model_kind(self) -> ModelKind:
         return ModelKind.ANALYTICAL

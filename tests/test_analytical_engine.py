@@ -340,3 +340,71 @@ def test_covariate_modulated_elimination():
     ke = 1e-12
     got = model.estimate_predictions(subject, [ke]).flat_predictions()
     np.testing.assert_allclose(got, [0.0, 100.0 / 70.0], rtol=1e-9)
+
+
+def test_associative_scan_matches_serial():
+    """with_scan('associative'): O(log M)-depth affine prefix composition
+    must reproduce the serial segment scan exactly (SURVEY §5's
+    sequence-parallel path; the reference has no counterpart)."""
+    import numpy as np
+    from pharmsol_tpu.likelihood.matrix import log_likelihood_matrix
+
+    from pharmsol_tpu import AssayErrorModel, AssayErrorModels, Censor, ErrorPoly
+
+    rng = np.random.RandomState(41)
+    # long mixed regimen: q12h x 10 boluses + two infusions + dense obs,
+    # multi-occasion, with BLOQ censoring
+    b = Subject.builder("assoc")
+    for d in range(10):
+        b = b.bolus(d * 12.0, 100.0, 0)
+    b = b.infusion(3.0, 50.0, 0, 2.0).infusion(60.0, 80.0, 0, 4.0)
+    for t in np.linspace(0.5, 118.0, 25):
+        b = b.observation(float(t), float(np.abs(5 + rng.randn())), 0)
+    b = b.censored_observation(119.0, 0.5, 0, Censor.BLOQ)
+    b = b.reset().bolus(0.0, 60.0, 0).observation(2.0, 3.0, 0)
+    subject = b.build()
+
+    def preds(model):
+        return np.array(
+            [q.prediction for q in model.estimate_predictions(
+                subject, [0.15, 1.2, 0.3, 0.2, 10.0]).predictions()]
+        )
+
+    serial = Analytical(
+        pst.two_compartments_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[4],
+        nstates=3, ndrugs=1, nout=1,
+    )
+    assoc = Analytical(
+        pst.two_compartments_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[4],
+        nstates=3, ndrugs=1, nout=1,
+    ).with_scan("associative")
+    np.testing.assert_allclose(preds(assoc), preds(serial), rtol=1e-10)
+
+    # psi path (ll_rows hook) with censoring
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    support = np.abs(
+        np.array([0.15, 1.2, 0.3, 0.2, 10.0])[None, :] * (1.0 + 0.2 * rng.randn(11, 5))
+    )
+    from pharmsol_tpu import Data
+    want = log_likelihood_matrix(serial, Data([subject]), support, ems)
+    got = log_likelihood_matrix(assoc, Data([subject]), support, ems)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_associative_scan_rejects_seq_models():
+    import pytest
+    from pharmsol_tpu.errors import PharmsolError
+
+    m = Analytical(
+        pst.one_compartment,
+        seq_eq=lambda p, t, cov: p,
+        out=lambda x, p, t, cov: x[:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    with pytest.raises(PharmsolError, match="affine"):
+        m.with_scan("associative")
+    with pytest.raises(PharmsolError, match="scan mode"):
+        Analytical(pst.one_compartment, out=lambda x, p, t, cov: x[:1],
+                   nstates=1, ndrugs=1, nout=1).with_scan("butterfly")
