@@ -426,3 +426,55 @@ def test_pallas_rejects_bolus_into_other_input():
     )
     with pytest.raises(ValueError, match="boluses into input 0"):
         log_likelihood_matrix(model, Data([s]), np.ones((4, 4)), ems, engine="pallas")
+
+
+def test_pallas_segment_capacity_limits():
+    """M == SEG_PAD works; M > SEG_PAD raises the capacity error."""
+    import pytest
+    from pharmsol_tpu.ops.pallas_psi import SEG_PAD, psi_oral
+
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    model = Analytical(
+        pst.one_compartment, out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    rng = np.random.RandomState(43)
+    support = np.abs(np.array([0.2, 12.0])[None, :] * (1.0 + 0.2 * rng.randn(9, 2)))
+
+    def subject_with_obs(n_obs):
+        b = Subject.builder("cap").bolus(0.0, 100.0, 0)
+        for k in range(n_obs):
+            b = b.observation(0.5 + k * 0.5, float(np.abs(3 + rng.randn())), 0)
+        return b.build()
+
+    # exactly at capacity: 1 bolus + (SEG_PAD - 1) observations
+    at_cap = subject_with_obs(SEG_PAD - 1)
+    want = log_likelihood_matrix(model, Data([at_cap]), support, ems)
+    got = log_likelihood_matrix(model, Data([at_cap]), support, ems, engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=5e-9, atol=1e-9)
+
+    over = subject_with_obs(SEG_PAD)
+    with pytest.raises(ValueError, match="segment stream too long"):
+        log_likelihood_matrix(model, Data([over]), support, ems, engine="pallas")
+
+
+def test_pallas_pure_infusion_no_bolus():
+    """NB == 0 regimens (infusions only) work through the engine path."""
+    rng = np.random.RandomState(47)
+    subjects = []
+    for i in range(3):
+        b = Subject.builder(f"p{i}").infusion(0.0, 120.0, 0, 3.0)
+        for t in (1.0, 2.0, 4.0, 8.0):
+            b = b.observation(t, float(np.abs(4 + rng.randn())), 0)
+        subjects.append(b.build())
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    model = Analytical(
+        pst.two_compartments, out=lambda x, p, t, cov: x[0:1] / p[3],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    support = np.abs(
+        np.array([0.15, 0.3, 0.2, 10.0])[None, :] * (1.0 + 0.2 * rng.randn(13, 4))
+    )
+    want = log_likelihood_matrix(model, Data(subjects), support, ems)
+    got = log_likelihood_matrix(model, Data(subjects), support, ems, engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=5e-9, atol=1e-9)
