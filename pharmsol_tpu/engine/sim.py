@@ -29,6 +29,20 @@ from ..config import float_dtype
 from .grid import CovView, OccasionArrays, Segments, build_segments
 
 
+def _segment_unroll(spec: "ModelSpec", n_segments: int):
+    """Unroll policy for the segment scan.
+
+    Closed-form analytical bodies are a handful of elementwise ops, and XLA
+    only fuses across scan iterations when the loop is unrolled — measured
+    1.6x on the psi hot path (v5e, 16384x512, 7 segments: 770 -> 1254 M
+    cells/s). ODE/SDE bodies embed adaptive steppers; unrolling those
+    multiplies compile time for no fusion win, so they keep the rolled scan.
+    """
+    if spec.kind != "analytical":
+        return 1
+    return True if n_segments <= 64 else 8
+
+
 class ModelSpec(NamedTuple):
     """The role decomposition every authoring surface lowers to.
 
@@ -151,7 +165,9 @@ def simulate_occasion(
         return (x, p_seg), x_pre
 
     xs = (segs.t, segs.dt, segs.b_amt, segs.b_input, segs.rateiv, segs.is_event)
-    (_, _), x_pre_all = jax.lax.scan(step, (x0, p), xs)
+    (_, _), x_pre_all = jax.lax.scan(
+        step, (x0, p), xs, unroll=_segment_unroll(spec, segs.t.shape[0])
+    )
 
     x_obs = x_pre_all[segs.obs_pos]  # [NO, nstates]
     obs_t = occ.obs_t.astype(fd)
@@ -346,5 +362,8 @@ def simulate_occasion_ll(
         segs.t, segs.dt, segs.b_amt, segs.b_input, segs.rateiv, segs.is_event,
         seg_sigma, seg_active, seg_value, seg_cens, seg_outeq,
     )
-    (_, _, ll), _ = jax.lax.scan(step, (x0, p, jnp.asarray(0.0, fd)), xs)
+    (_, _, ll), _ = jax.lax.scan(
+        step, (x0, p, jnp.asarray(0.0, fd)), xs,
+        unroll=_segment_unroll(spec, segs.t.shape[0]),
+    )
     return ll
