@@ -422,8 +422,28 @@ def analyze_model(model: DslModel) -> AnalyzedModel:
                 continue
             table[label] = s
 
-    bind_route_stmt(model.lag_stmts, route_lag, "lag")
-    bind_route_stmt(model.fa_stmts, route_fa, "fa")
+    # canonical route properties `{ lag = expr, fa = expr }` desugar to the
+    # same statements as the flat `lag(route) = expr` form
+    lag_stmts = list(model.lag_stmts)
+    fa_stmts = list(model.fa_stmts)
+    for r in model.routes:
+        for pname, pexpr in r.properties:
+            if pname in ("lag", "fa"):
+                stmt = Stmt(
+                    "assign", r.span, target=pname, target_kind="call",
+                    target_args=[r.input], value=pexpr,
+                )
+                (lag_stmts if pname == "lag" else fa_stmts).append(stmt)
+            else:
+                c.err(
+                    "DSL2038",
+                    f"unknown route property `{pname}`",
+                    r.span,
+                    help="route properties are `lag` and `fa`",
+                )
+
+    bind_route_stmt(lag_stmts, route_lag, "lag")
+    bind_route_stmt(fa_stmts, route_fa, "fa")
 
     base_scope = set(params) | set(cov_names) | set(constants) | {"t"}
     derive_scope = set(base_scope)

@@ -135,3 +135,48 @@ out(y) = t
         b = b.observation(t, -1.0, "y")
     preds = rt.estimate_predictions(b.build(), [0.3]).flat_predictions()
     np.testing.assert_allclose(preds, times, rtol=1e-12)
+
+
+def test_canonical_route_properties_desugar_to_lag_fa():
+    """`routes { bolus oral -> depot { lag = ..., fa = ... } }` must behave
+    exactly like the flat `lag(oral) = ...` form (previously parsed but
+    silently dropped)."""
+    canon = """
+model m {
+  kind ode
+  parameters { ka, ke, v, tlag }
+  states { depot, central }
+  routes { bolus oral -> depot { lag = tlag, fa = 0.8 } }
+  dynamics {
+    dx(depot) = -ka * depot
+    dx(central) = ka * depot - ke * central
+  }
+  outputs { out(cp) = central / v }
+}
+"""
+    flat = """
+name = m
+kind = ode
+params = ka, ke, v, tlag
+states = depot, central
+outputs = cp
+bolus(oral) -> depot
+lag(oral) = tlag
+fa(oral) = 0.8
+dx(depot) = -ka * depot
+dx(central) = ka * depot - ke * central
+out(cp) = central / v
+"""
+    a = compile_model(canon)
+    b = compile_model(flat)
+    info = a.info()["routes"][0]
+    assert info["has_lag"] and info["has_bioavailability"]
+    s = (Subject.builder("s").bolus(0.0, 100.0, "oral")
+         .observation(1.0, -1.0, "cp").observation(4.0, -1.0, "cp").build())
+    p = [1.2, 0.2, 10.0, 0.5]
+    pa = [q.prediction for q in a.estimate_predictions(s, p).predictions()]
+    pb = [q.prediction for q in b.estimate_predictions(s, p).predictions()]
+    np.testing.assert_allclose(pa, pb, rtol=1e-12)
+
+    with pytest.raises(DslError, match="DSL2038"):
+        compile_model(canon.replace("fa = 0.8", "rate = 0.8"))
