@@ -75,9 +75,11 @@ def dopri5_segment(f: Callable, x0, t0, t1, opts: ODEOptions):
     """Integrate dx/dt = f(x, t) from t0 to t1 (t1 >= t0), adaptive DP5(4)."""
     span = t1 - t0
 
-    def one_step(x, t, h):
-        ks = []
-        for i in range(7):
+    def one_step(x, t, h, k1):
+        # FSAL: stage 1 is the previous step's stage 7 (f at the accepted
+        # point), so each trial step costs 6 fresh RHS evaluations, not 7
+        ks = [k1]
+        for i in range(1, 7):
             xi = x
             for j, aij in enumerate(_DP_A[i]):
                 xi = xi + h * aij * ks[j]
@@ -87,16 +89,16 @@ def dopri5_segment(f: Callable, x0, t0, t1, opts: ODEOptions):
         for bi5, bi4, k in zip(_DP_B5, _DP_B4, ks):
             x5 = x5 + h * bi5 * k
             x4 = x4 + h * bi4 * k
-        return x5, x5 - x4
+        return x5, x5 - x4, ks[6]
 
     def cond(carry):
-        t, x, h, steps = carry
+        t, x, h, k1, steps = carry
         return (t < t1 - 1e-14 * jnp.maximum(jnp.abs(t1), 1.0)) & (steps < opts.max_steps)
 
     def body(carry):
-        t, x, h, steps = carry
+        t, x, h, k1, steps = carry
         h = jnp.minimum(h, t1 - t)
-        x_new, err = one_step(x, t, h)
+        x_new, err, k_last = one_step(x, t, h, k1)
         ratio = _error_ratio(err, x, x_new, opts.rtol, opts.atol)
         finite = jnp.all(jnp.isfinite(x_new)) & jnp.isfinite(ratio)
         accept = (ratio <= 1.0) & finite
@@ -109,11 +111,17 @@ def dopri5_segment(f: Callable, x0, t0, t1, opts: ODEOptions):
         )
         t = jnp.where(accept, t + h, t)
         x = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), x, x_new)
+        # on reject, (x, t) are unchanged so the cached k1 stays valid; a
+        # non-finite trial could still poison k_last, so guard it too
+        k1 = jnp.where(accept & jnp.all(jnp.isfinite(k_last)), k_last, k1)
         h = jnp.maximum(h * factor, 1e-14)
-        return (t, x, h, steps + 1)
+        return (t, x, h, k1, steps + 1)
 
     h_init = jnp.minimum(jnp.asarray(opts.h0, x0.dtype), jnp.maximum(span, 1e-14))
-    t_end, x_end, _, _ = jax.lax.while_loop(cond, body, (t0, x0, h_init, 0))
+    k1_init = f(x0, t0)
+    t_end, x_end, _, _, _ = jax.lax.while_loop(
+        cond, body, (t0, x0, h_init, k1_init, 0)
+    )
     return x_end
 
 
