@@ -148,3 +148,51 @@ def test_progress_tracker():
     assert "Simulation complete!" in out
     assert format_duration(3725) == "01h:02m:05s"
     assert format_duration(65) == "01m:05s"
+
+
+def test_reference_readme_quickstart():
+    """The reference's front-page example (README.md:17-64): analytical
+    structure with a covariate-derived kernel input, named parameters."""
+    import numpy as np
+
+    from pharmsol_tpu import Parameters, Route, Subject, analytical_model
+
+    model = analytical_model(
+        structure="one_compartment_with_absorption",
+        parameters=["ka", "ke0", "v"],
+        covariates=["wt"],
+        states=["gut", "central"],
+        outputs=["cp"],
+        routes=[Route.bolus("oral").to_state("gut")],
+        derive=lambda p, t, cov: {"ke": p.ke0 * (cov.wt / 70.0) ** 0.75},
+        out=lambda s, p, t, cov: {"cp": s.central / p.v},
+    )
+    subject = (
+        Subject.builder("patient_001")
+        .bolus(0.0, 500.0, "oral")
+        .missing_observation(0.5, "cp")
+        .missing_observation(1.0, "cp")
+        .missing_observation(2.0, "cp")
+        .missing_observation(4.0, "cp")
+        .covariate("wt", 0.0, 75.0)
+        .build()
+    )
+    params = Parameters.with_model(model, [("ka", 1.2), ("ke0", 0.08), ("v", 194.0)])
+    got = [p.prediction for p in model.estimate_predictions(subject, params).predictions()]
+
+    # closure oracle with the allometric ke folded in by hand
+    import pharmsol_tpu as pst2
+
+    ke = 0.08 * (75.0 / 70.0) ** 0.75
+    oracle = pst2.Analytical(
+        pst2.one_compartment_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    s2 = (
+        Subject.builder("p").bolus(0.0, 500.0, 0)
+        .missing_observation(0.5, 0).missing_observation(1.0, 0)
+        .missing_observation(2.0, 0).missing_observation(4.0, 0).build()
+    )
+    want = [p.prediction for p in oracle.estimate_predictions(s2, [1.2, ke, 194.0]).predictions()]
+    np.testing.assert_allclose(got, want, rtol=1e-10)
