@@ -169,13 +169,33 @@ def _finalize(proc_t, proc_c) -> ObservationProfile:
     return ObservationProfile(t, c, cmax_idx, cmin_idx, tlast_idx)
 
 
-def get_observations(occasion, outeq: int):
+def get_observations(occasion, outeq):
     """Extract (times, concs, censoring) for one output equation
-    (structs.rs:993-1011 — missing values are skipped)."""
-    times, concs, censoring = [], [], []
-    for obs in occasion.observations():
-        if obs.outeq_index() == outeq and obs.value is not None:
-            times.append(obs.time)
-            concs.append(obs.value)
-            censoring.append(obs.censoring)
+    (structs.rs:993-1011 — missing values are skipped).
+
+    ``outeq`` may be a numeric index or a string label. Divergence from the
+    reference: a numeric ``outeq`` that matches nothing falls back to the
+    occasion's sole distinct label when there is exactly one — the
+    reference's own README NCA example (observations labelled "cp" with
+    the default ``outeq: 0``) returns "insufficient data" upstream because
+    string labels never parse as indices (event.rs:616-618).
+    """
+    def collect(match):
+        times, concs, censoring = [], [], []
+        for obs in occasion.observations():
+            if match(obs) and obs.value is not None:
+                times.append(obs.time)
+                concs.append(obs.value)
+                censoring.append(obs.censoring)
+        return times, concs, censoring
+
+    if isinstance(outeq, str) and not outeq.isdigit():
+        return collect(lambda o: str(o.outeq) == outeq)
+    idx = int(outeq)
+    times, concs, censoring = collect(lambda o: o.outeq_index() == idx)
+    if not times:
+        labels = {str(o.outeq) for o in occasion.observations()}
+        if len(labels) == 1:
+            (label,) = labels
+            return collect(lambda o: str(o.outeq) == label)
     return times, concs, censoring

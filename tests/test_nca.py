@@ -321,3 +321,43 @@ def test_nca_with_dose_override():
     assert result.dose_amount == 100.0
     assert result.route is Route.IV_BOLUS
     assert result.clearance is not None
+
+
+def test_nca_string_outeq_and_sole_label_fallback():
+    """The reference's README NCA example uses labelled observations ("cp")
+    with the default numeric outeq 0 — upstream that finds zero points
+    (event.rs:616 parses labels as indices). Documented divergence: a
+    numeric miss falls back to the occasion's sole distinct label; with
+    several labels it still raises, and a string outeq selects explicitly.
+    """
+    from dataclasses import replace
+
+    import pytest
+
+    from pharmsol_tpu.nca import NCAOptions
+    from pharmsol_tpu.nca.observation import NCAError
+
+    subject = (
+        Subject.builder("patient_001")
+        .bolus(0.0, 100.0, "oral")
+        .observation(0.5, 5.0, "cp")
+        .observation(1.0, 10.0, "cp")
+        .observation(2.0, 8.0, "cp")
+        .observation(4.0, 4.0, "cp")
+        .observation(8.0, 2.0, "cp")
+        .build()
+    )
+    r = subject.nca(NCAOptions())
+    assert abs(r.exposure.cmax - 10.0) < 1e-12
+    assert abs(r.exposure.auc_last - 35.80) < 0.01
+
+    two = (
+        Subject.builder("x").bolus(0.0, 100.0, "oral")
+        .observation(1.0, 5.0, "cp").observation(2.0, 4.0, "cp")
+        .observation(1.0, 2.0, "metab").observation(2.0, 1.5, "metab")
+        .build()
+    )
+    with pytest.raises(NCAError):
+        two.nca(NCAOptions())  # ambiguous: numeric miss with two labels
+    rm = two.nca(replace(NCAOptions(), outeq="metab"))
+    assert abs(rm.exposure.cmax - 2.0) < 1e-12
