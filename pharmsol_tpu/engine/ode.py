@@ -176,6 +176,28 @@ _KV5_B = _KV5_A[6]
 _KV5_BHAT = _KV5_A[5] + (0.0,)
 
 
+def _dense_solve(A, b):
+    """Gauss-Jordan with partial pivoting, unrolled over the static size.
+
+    ``jnp.linalg.solve`` lowers to LU custom calls that this environment's
+    TPU compile helper rejects in float64; the Newton systems here are tiny
+    (nstates-sized), so an unrolled elimination in pure elementwise ops is
+    both portable and faster than the general LU path.
+    """
+    n = A.shape[0]
+    M = jnp.concatenate([A, b[:, None]], axis=1)
+    idx = jnp.arange(n)
+    for k in range(n):
+        col = jnp.abs(M[:, k])
+        piv = jnp.argmax(jnp.where(idx >= k, col, -1.0))
+        row_k, row_p = M[k], M[piv]
+        M = M.at[k].set(row_p).at[piv].set(row_k)
+        M = M.at[k].set(M[k] / M[k, k])
+        factors = M[:, k].at[k].set(0.0)
+        M = M - factors[:, None] * M[k][None, :]
+    return M[:, n]
+
+
 def _newton_stage(f, x_base, t_stage, h, gamma, x_guess, newton_iters):
     """Solve z = x_base + h*gamma*f(z, t_stage) by Newton iteration."""
 
@@ -187,7 +209,7 @@ def _newton_stage(f, x_base, t_stage, h, gamma, x_guess, newton_iters):
     def body(_, z):
         resid = F(z)
         jac = J(z)
-        delta = jnp.linalg.solve(jac, resid)
+        delta = _dense_solve(jac, resid)
         return z - delta
 
     return jax.lax.fori_loop(0, newton_iters, body, x_guess)
