@@ -1,0 +1,151 @@
+"""On-device smoke sweep: every subsystem executed on the real accelerator.
+
+The test suite runs on CPU (f64 parity oracles); this script exercises each
+subsystem on whatever device JAX sees — the way the ESDIRK float64
+``linalg.solve`` TPU-compile failure was caught. Run it after changes that
+could alter lowering (new ops, dtype policy, solver internals):
+
+    python scripts/tpu_smoke.py
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import pharmsol_tpu as pst
+from pharmsol_tpu import (
+    Analytical,
+    AssayErrorModel,
+    AssayErrorModels,
+    Censor,
+    Data,
+    ErrorPoly,
+    ODE,
+    Parameters,
+    ResidualErrorModel,
+    ResidualErrorModels,
+    Route,
+    Subject,
+    analytical_model,
+)
+from pharmsol_tpu.likelihood.matrix import log_likelihood_batch, log_likelihood_matrix
+from pharmsol_tpu.models.sde import SDE
+
+
+def main():
+    print("platform:", jax.devices()[0].platform)
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    checks = []
+
+    # 1. analytical predictions + every ODE solver (f64 Newton dense-solve)
+    s = Subject.builder("a").bolus(0.0, 100.0, 0)
+    for t in (0.5, 2.0, 8.0):
+        s = s.missing_observation(t, 0)
+    s = s.build()
+    ana = Analytical(pst.two_compartments_with_absorption,
+                     out=lambda x, p, t, cov: x[1:2] / p[4],
+                     nstates=3, ndrugs=1, nout=1)
+    ref = np.asarray(ana.estimate_predictions(s, [0.15, 1.2, 0.3, 0.2, 10.0]).flat_predictions())
+    checks.append(("analytical", np.all(np.isfinite(ref))))
+    print("  ...analytical compiled")
+
+    def eq(x, p, t, b, rateiv, cov):
+        ke, ka, kcp, kpc = p[0], p[1], p[2], p[3]
+        return jnp.stack([-ka * x[0] + b[0],
+                          ka * x[0] - (ke + kcp) * x[1] + kpc * x[2] + rateiv[0],
+                          kcp * x[1] - kpc * x[2]])
+
+    for name in ("dopri5", "kvaerno3"):  # kvaerno3 covers the ESDIRK dense-solve path
+        m = ODE(eq, out=lambda x, p, t, cov: x[1:2] / p[4],
+                nstates=3, ndrugs=1, nout=1).with_solver(name)
+        got = np.asarray(m.estimate_predictions(s, [0.15, 1.2, 0.3, 0.2, 10.0]).flat_predictions())
+        rel = np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1e-12))
+        checks.append((f"ode/{name}", rel < 1e-3))
+        print(f"  ...{name} compiled")
+
+    # 2. SDE particle filter + psi
+    sub = (Subject.builder("s").bolus(0.0, 100.0, 0)
+           .observation(1.0, 4.2, 0).observation(3.0, 2.1, 0).build())
+    sde = SDE(drift=lambda x, p, t, rateiv, cov: -p[0] * x[:1],
+              diffusion=lambda p, t, cov: jnp.full((1,), 0.1),
+              out=lambda x, p, t, cov: x[:1] / p[1],
+              nparticles=200, nstates=1, ndrugs=1, nout=1, seed=1)
+    ll = float(sde.estimate_log_likelihood(sub, [0.2, 20.0], ems))
+    checks.append(("sde/pf", np.isfinite(ll)))
+
+    # 3. pallas psi engine (bolus, censoring) vs XLA engine
+    rng = np.random.RandomState(0)
+    subs = []
+    for i in range(16):
+        b = Subject.builder(f"p{i}").bolus(0.0, 100.0, 0)
+        for t in (0.5, 1.0, 2.0, 4.0, 8.0, 12.0):
+            b = b.observation(float(t), float(abs(5 + rng.randn())), 0)
+        b = b.censored_observation(24.0, 0.5, 0, Censor.BLOQ)
+        subs.append(b.build())
+    support = np.abs(np.array([0.15, 1.2, 0.3, 0.2, 10.0])[None, :]
+                     * (1.0 + 0.2 * rng.randn(40, 5)))
+    want = log_likelihood_matrix(ana, Data(subs), support, ems)
+    got = log_likelihood_matrix(ana, Data(subs), support, ems, engine="pallas")
+    rel = np.max(np.abs(got - want) / np.maximum(np.abs(want), 1.0))
+    checks.append(("pallas/psi+censoring", rel < 1e-3))
+
+    # 4. batch NCA + residual batch LL + Nelder-Mead
+    from pharmsol_tpu.nca.batch import batch_nca
+    t = np.array([0.5, 1, 2, 4, 8, 12, 24], dtype=float)
+    prof = np.abs(10 * np.exp(-0.2 * t)[None, :] * (1 + 0.05 * rng.randn(64, 7))) + 1e-12
+    res = batch_nca(t, prof, dose=100.0)
+    checks.append(("nca/batch", np.isfinite(np.nanmedian(res["half_life"]))))
+    m1 = Analytical(pst.one_compartment, out=lambda x, p, t, cov: x[:1] / p[1],
+                    nstates=1, ndrugs=1, nout=1)
+    rems = ResidualErrorModels().add(0, ResidualErrorModel.proportional(0.2))
+    bl = log_likelihood_batch(m1, Data(subs[:4]), np.abs(np.array([[0.2, 10.0]] * 4)), rems)
+    checks.append(("likelihood/batch", np.all(np.isfinite(bl))))
+    from pharmsol_tpu.optimize import ParameterOptimizer
+    psi0 = log_likelihood_matrix(m1, Data(subs[:4]), np.array([[0.2, 10.0]]), ems)
+    opt = ParameterOptimizer(m1, Data(subs[:4]), ems, np.exp(psi0[:, 0]))
+    checks.append(("optimize/nm", np.all(np.isfinite(opt.optimize_point(np.array([0.25, 12.0]))))))
+
+    # 5. DSL runtime + declarative with covariate-derived structure input
+    from pharmsol_tpu.dsl import compile_model
+    rt = compile_model("""
+name = m
+kind = ode
+params = ka, ke, v
+states = depot, central
+outputs = cp
+bolus(oral) -> depot
+dx(depot) = -ka * depot
+dx(central) = ka * depot - ke * central
+out(cp) = central / v
+""")
+    sd = (Subject.builder("d").bolus(0.0, 100.0, "oral")
+          .observation(1.0, -1.0, "cp").build())
+    checks.append(("dsl/ode", np.isfinite(rt.estimate_predictions(sd, [1.2, 0.2, 10.0]).flat_predictions()[0])))
+    am = analytical_model(
+        structure="one_compartment_with_absorption",
+        parameters=["ka", "ke0", "v"], covariates=["wt"],
+        states=["gut", "central"], outputs=["cp"],
+        routes=[Route.bolus("oral").to_state("gut")],
+        derive=lambda p, t, cov: {"ke": p.ke0 * (cov.wt / 70.0) ** 0.75},
+        out=lambda s, p, t, cov: {"cp": s.central / p.v},
+    )
+    sq = (Subject.builder("q").bolus(0.0, 500.0, "oral").missing_observation(2.0, "cp")
+          .covariate("wt", 0.0, 75.0).build())
+    pv = am.estimate_predictions(sq, Parameters.with_model(am, [("ka", 1.2), ("ke0", 0.08), ("v", 194.0)]))
+    checks.append(("declarative/covariates", np.isfinite(pv.flat_predictions()[0])))
+
+    failed = [name for name, ok in checks if not ok]
+    for name, ok in checks:
+        print(f"  {'OK  ' if ok else 'FAIL'} {name}")
+    if failed:
+        raise SystemExit(f"TPU smoke failures: {failed}")
+    print(f"all {len(checks)} on-device checks passed.")
+
+
+if __name__ == "__main__":
+    main()
