@@ -38,9 +38,14 @@ import numpy as np
 
 LOG_2PI = math.log(2.0 * math.pi)
 
-SUB_TILE = 8
+SUB_TILE = 8  # minimum row-padding unit (callers pad R to a multiple of this)
 SP_TILE = 128
 SEG_PAD = 128  # segment streams are lane-padded to this width
+# Kernel row-block: the largest of these dividing R is used per call. Bigger
+# blocks amortize grid-step overhead dramatically (measured on v5e at
+# 16384x512: 8 -> 3.9 B sims/s, 512 -> ~17-20 B sims/s, bit-identical
+# output); 1024 regresses and >=2048 exceeds VMEM.
+ROW_BLOCKS = (512, 256, 128, 64, 32, 16, 8)
 
 
 def _log_ndtr(x):
@@ -633,15 +638,16 @@ def psi_oral(
             it = iter(refs[:n_streams])
             stream_refs = [next(it) if inc else None for inc in include]
             inner(*stream_refs, *refs[n_streams:])
-    row_spec = pl.BlockSpec((SUB_TILE, SEG_PAD), lambda i, j: (i, 0))
+    row_block = next(b for b in ROW_BLOCKS if R % b == 0)
+    row_spec = pl.BlockSpec((row_block, SEG_PAD), lambda i, j: (i, 0))
     p_spec = pl.BlockSpec((1, SP_TILE), lambda i, j: (0, j))
     def call():
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((R, S), dtype),
-            grid=(R // SUB_TILE, S // SP_TILE),
+            grid=(R // row_block, S // SP_TILE),
             in_specs=[row_spec] * n_streams + [p_spec] * len(sp_rows),
-            out_specs=pl.BlockSpec((SUB_TILE, SP_TILE), lambda i, j: (i, j)),
+            out_specs=pl.BlockSpec((row_block, SP_TILE), lambda i, j: (i, j)),
             interpret=interpret,
         )(*streams, *sp_rows)
 
