@@ -41,11 +41,15 @@ LOG_2PI = math.log(2.0 * math.pi)
 SUB_TILE = 8  # minimum row-padding unit (callers pad R to a multiple of this)
 SP_TILE = 128
 SEG_PAD = 128  # segment streams are lane-padded to this width
-# Kernel row-block: the largest of these dividing R is used per call. Bigger
-# blocks amortize grid-step overhead dramatically (measured on v5e at
-# 16384x512: 8 -> 3.9 B sims/s, 512 -> ~17-20 B sims/s, bit-identical
-# output); 1024 regresses and >=2048 exceeds VMEM.
+# Kernel tile sizes: the largest row/support blocks dividing R/S are used
+# per call, capped so row_block * sp_block stays within the known-compiling
+# VMEM budget. Bigger tiles amortize grid-step overhead dramatically
+# (measured on v5e at 16384x512: (8,128) -> 3.9 B sims/s, (512,256) ->
+# 13-26 B sims/s depending on chip hour, bit-identical output); tiles with
+# row_block * sp_block > 512*256 fail to compile (VMEM).
 ROW_BLOCKS = (512, 256, 128, 64, 32, 16, 8)
+SP_BLOCKS = (256, 128)
+TILE_BUDGET = 512 * 256
 
 
 def _log_ndtr(x):
@@ -134,7 +138,7 @@ def _psi_kernel(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
 
     one = jnp.ones(shape, dtype=out_ref.dtype)
     for m in range(n_seg):
-        sel = jnp.where(lane == np.int32(m), one, zeros)
+        sel = (lane == np.int32(m)).astype(dts.dtype)
 
         def col(a):
             return jnp.sum(a * sel, axis=1, keepdims=True)  # [SUB_TILE, 1]
@@ -212,7 +216,7 @@ def _psi_kernel_1cmt(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
 
     for m in range(n_seg):
-        sel = jnp.where(lane == np.int32(m), one[:, :1] * jnp.ones_like(dts), jnp.zeros_like(dts))
+        sel = (lane == np.int32(m)).astype(dts.dtype)
 
         def col(a):
             return jnp.sum(a * sel, axis=1, keepdims=True)
@@ -325,7 +329,7 @@ def _psi_kernel_3cmt(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
 
     for m in range(n_seg):
-        sel = jnp.where(lane == np.int32(m), one, zeros)
+        sel = (lane == np.int32(m)).astype(dts.dtype)
 
         def col(a):
             return jnp.sum(a * sel, axis=1, keepdims=True)
@@ -403,7 +407,7 @@ def _psi_kernel_1cmt_iv(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
 
     for m in range(n_seg):
-        sel = jnp.where(lane == np.int32(m), one, zeros)
+        sel = (lane == np.int32(m)).astype(dts.dtype)
 
         def col(a):
             return jnp.sum(a * sel, axis=1, keepdims=True)
@@ -466,7 +470,7 @@ def _psi_kernel_2cmt_iv(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
 
     for m in range(n_seg):
-        sel = jnp.where(lane == np.int32(m), one, zeros)
+        sel = (lane == np.int32(m)).astype(dts.dtype)
 
         def col(a):
             return jnp.sum(a * sel, axis=1, keepdims=True)
@@ -639,15 +643,18 @@ def psi_oral(
             stream_refs = [next(it) if inc else None for inc in include]
             inner(*stream_refs, *refs[n_streams:])
     row_block = next(b for b in ROW_BLOCKS if R % b == 0)
+    sp_block = next(b for b in SP_BLOCKS if S % b == 0)
+    while row_block * sp_block > TILE_BUDGET and row_block > 8:
+        row_block //= 2
     row_spec = pl.BlockSpec((row_block, SEG_PAD), lambda i, j: (i, 0))
-    p_spec = pl.BlockSpec((1, SP_TILE), lambda i, j: (0, j))
+    p_spec = pl.BlockSpec((1, sp_block), lambda i, j: (0, j))
     def call():
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((R, S), dtype),
-            grid=(R // row_block, S // SP_TILE),
+            grid=(R // row_block, S // sp_block),
             in_specs=[row_spec] * n_streams + [p_spec] * len(sp_rows),
-            out_specs=pl.BlockSpec((row_block, SP_TILE), lambda i, j: (i, j)),
+            out_specs=pl.BlockSpec((row_block, sp_block), lambda i, j: (i, j)),
             interpret=interpret,
         )(*streams, *sp_rows)
 
