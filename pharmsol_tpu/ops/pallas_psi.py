@@ -1,29 +1,41 @@
-"""Pallas TPU kernel: fused psi tile for the 2-cmt oral analytical model.
+"""Pallas TPU kernels: fused psi tiles for all analytical model structures.
 
-The flagship workload (BASELINE: 2-compartment oral, one dose schedule per
-subject, psi over subjects x support points) gets a hand-scheduled kernel:
+The population workload (BASELINE: psi over subjects x support points for
+closed-form PK structures) gets hand-scheduled kernels:
 
-- grid tiles of (SUB_TILE subjects) x (SP_TILE support points) live in VMEM;
+- grid tiles of (row_block subjects) x (sp_block support points) live in VMEM;
 - support-dependent eigen quantities are computed once per tile (the
-  "prepared" split), states are held as [SUB_TILE, SP_TILE] lanes, and the
-  segment loop is fully unrolled (M is small and static);
-- per-segment work is exactly three exponentials plus the affine propagator,
+  "prepared" split, mirroring engine/analytical.py PREPARED_KERNELS), states
+  are held as [row_block, sp_block] lanes, and the segment loop is fully
+  unrolled (M is small and static);
+- per-segment work is a handful of exponentials plus the affine propagator,
   and the log-likelihood accumulates in VMEM — nothing round-trips to HBM
-  until the final [SUB_TILE, SP_TILE] psi tile is written.
+  until the final [row_block, sp_block] psi tile is written.
+
+Every structure in ``engine.analytical.KERNELS`` is covered: the six
+micro-constant kernels have dedicated prepare/propagate pairs and the six
+CL-parameterized variants reuse them through an XLA-side support-row remap
+(exactly the reparameterization the reference applies in
+one/two/three_compartment_cl_models.rs). Output equations are handled
+generically: any observation function linear in the state
+(``y_k = C_k(p) . x + b_k(p)``) is supported, including multiple output
+equations — the coefficient rows are extracted OUTSIDE the kernel by basis
+evaluation of the model's ``out`` closure (support-only work) and streamed
+in as extra parameter rows; per-observation outeq indices ride a segment
+stream and select coefficients with one-hot lane math.
 
 Mosaic-friendliness notes: every intermediate stays 2-D (column slices use
-``ref[:, m:m+1]``), the support matrix is passed transposed ([5, S] so a
-parameter row is a [1, SP_TILE] lane vector), and segment streams are
-lane-padded to 128.
+one-hot lane reductions), support parameter quantities are [1, sp_block]
+lane vectors that broadcast against [row_block, sp_block] states, and
+segment streams are lane-padded to 128.
 
-This is an optional accelerator for common regimen shapes (multi-dose bolus
-and constant-rate infusions into central, additive/proportional error with
-shared sigma inputs); the general engine remains the reference path.
-Infusion segments propagate via the steady-state offset
-``x(dt) = ss + expm(A dt)(x - ss)``; for bolus-only streams the infusion
-compute and its input stream are statically compiled out (``has_inf``).
-``psi_2cmt_oral`` runs in interpret mode off-TPU, which is also how the
-parity tests run on CPU.
+Optional features (infusion rates, censoring, multi-output) ride extra
+streams that are statically compiled out when absent. Infusion segments
+propagate via the steady-state offset ``x(dt) = ss + expm(A dt)(x - ss)``.
+Mosaic lowers neither ``acos`` nor ``erf``: the 3-cmt eigenvalue cubic is
+prepared in XLA before the pallas_call and the kernel carries its own
+log_ndtr. Compiled kernels are float32-only; off-TPU the kernels run in
+interpret mode (which is also how the CPU/f64 parity tests run).
 """
 
 from __future__ import annotations
@@ -89,190 +101,129 @@ def _obs_ll(val, pred, sig, mask, s, has_cens: bool):
     return mask * jnp.where(s == 0.0, normal, _log_ndtr(s * z))
 
 
-def _psi_kernel(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
-                obs_value_ref, obs_sigma_ref, obs_cens_ref, ke_ref, ka_ref,
-                kcp_ref, kpc_ref, v_ref, out_ref, *, n_seg: int,
-                has_inf: bool = True, has_cens: bool = False):
-    """One (SUB_TILE, SP_TILE) psi tile.
+# ---------------------------------------------------------------------------
+# Structure definitions.
+#
+# ``prepare(params)`` does parameter-only work once per tile (eigen
+# quantities, coefficient ratios — the PREPARED_KERNELS split); it receives
+# the base-parameterization lane rows (plus any XLA-prepared extras such as
+# the 3-cmt decay constants) and returns an aux tuple. ``propagate(aux, xs,
+# dt, rate)`` advances the state lanes over one segment; ``rate`` is None
+# when the workload has no infusions (the infusion compute is then compiled
+# out entirely). All quantities are broadcastable 2-D lanes: parameter rows
+# are [1, sp_block], states [row_block, sp_block].
+#
+# Closed-form algebra parity: one/two/three_compartment_models.rs (the same
+# eigen solutions; divergences documented in engine/analytical.py:18-21).
+# ---------------------------------------------------------------------------
 
-    seg_*:  [SUB_TILE, SEG_PAD]  per-subject segment streams (cols >= n_seg unused)
-    ke..v:  [1, SP_TILE]         support parameter rows
-    out:    [SUB_TILE, SP_TILE]  log-likelihood
 
-    Mosaic note: per-segment scalars are extracted with one-hot lane
-    reductions instead of strided slices (sub-tile slicing fails to
-    legalize on some Mosaic versions).
-    """
-    ke = ke_ref[:, :]  # [1, SP_TILE]
-    ka = ka_ref[:, :]
-    kcp = kcp_ref[:, :]
-    kpc = kpc_ref[:, :]
-    v = v_ref[:, :]
+def _prep_1cmt_iv(p):
+    (ke,) = p
+    return (ke, 1.0 / ke)
 
-    # prepare: eigenvalues + ratios once per tile
+
+def _prop_1cmt_iv(aux, xs, dt, rate):
+    ke, inv_ke = aux
+    (x1,) = xs
+    e = jnp.exp(-ke * dt)
+    if rate is None:
+        return [x1 * e]
+    ss = rate * inv_ke
+    return [ss + (x1 - ss) * e]
+
+
+def _prep_1cmt_oral(p):
+    ka, ke = p
+    return (ka, ke, ka / (ka - ke), 1.0 / ke)
+
+
+def _prop_1cmt_oral(aux, xs, dt, rate):
+    ka, ke, ratio, inv_ke = aux
+    x0, x1 = xs
+    eka = jnp.exp(-ka * dt)
+    eke = jnp.exp(-ke * dt)
+    nx1 = x1 * eke + ratio * x0 * (eke - eka)
+    if rate is not None:
+        nx1 = nx1 + rate * inv_ke * (1.0 - eke)
+    return [x0 * eka, nx1]
+
+
+def _two_cmt_eigs(ke, kcp, kpc):
     disc = (ke + kcp + kpc) ** 2 - 4.0 * ke * kpc
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     l1 = (ke + kcp + kpc + sq) * 0.5
     l2 = (ke + kcp + kpc - sq) * 0.5
+    return l1, l2
+
+
+def _prep_2cmt_iv(p):
+    ke, kcp, kpc = p
+    l1, l2 = _two_cmt_eigs(ke, kcp, kpc)
     inv_denom = 1.0 / (l1 - l2)
-    inv_ka_l1 = 1.0 / (ka - l1)
-    inv_ka_l2 = 1.0 / (ka - l2)
-    inv_ke = 1.0 / ke
-    ss_ratio2 = kcp / (ke * kpc)
-
-    shape = (out_ref.shape[0], out_ref.shape[1])
-    zeros = jnp.zeros(shape, dtype=out_ref.dtype)
-    x0 = zeros  # depot
-    x1 = zeros  # central
-    x2 = zeros  # peripheral
-    ll = zeros
-
-    dts = seg_dt_ref[:, :]
-    bols = seg_bolus_ref[:, :]
-    rates = seg_rateiv_ref[:, :] if has_inf else None
-    masks = obs_mask_ref[:, :]
-    vals = obs_value_ref[:, :]
-    sigs = obs_sigma_ref[:, :]
-    censs = obs_cens_ref[:, :] if has_cens else None
-    lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
-
-    one = jnp.ones(shape, dtype=out_ref.dtype)
-    for m in range(n_seg):
-        sel = (lane == np.int32(m)).astype(dts.dtype)
-
-        def col(a):
-            return jnp.sum(a * sel, axis=1, keepdims=True)  # [SUB_TILE, 1]
-
-        dt = col(dts)
-        bol = col(bols)
-        mask = col(masks)
-        val = col(vals)
-        sig = col(sigs) + (1.0 - col(masks))  # padded sigma lanes were zeroed
-
-        # observation before dose: central/v vs value
-        s_c = col(censs) if has_cens else None
-        ll = ll + _obs_ll(val, x1 / v, sig, mask, s_c, has_cens)
-
-        # bolus into depot
-        x0 = x0 + bol
-
-        # propagate over dt (2-cmt oral closed form, prepared quantities)
-        e1 = jnp.exp(-l1 * dt)
-        e2 = jnp.exp(-l2 * dt)
-        eka = jnp.exp(-ka * dt)
-        # infusion into central: steady-state offset, hom propagates (x - ss);
-        # compiled out entirely for bolus-only workloads (has_inf static)
-        if has_inf:
-            r = col(rates)
-            ss1 = r * inv_ke
-            ss2 = r * ss_ratio2
-            y1 = x1 - ss1
-            y2 = x2 - ss2
-        else:
-            y1, y2 = x1, x2
-        hom0 = ((l1 - kpc) * e1 + (kpc - l2) * e2) * y1 + kpc * (e2 - e1) * y2
-        hom1 = kcp * (e2 - e1) * y1 + ((l1 - ke - kcp) * e1 + (ke + kcp - l2) * e2) * y2
-        abs0 = (l1 - kpc) * inv_ka_l1 * (e1 - eka) + (kpc - l2) * inv_ka_l2 * (e2 - eka)
-        abs1 = kcp * (inv_ka_l2 * (e2 - eka) - inv_ka_l1 * (e1 - eka))
-        scale = ka * x0 * inv_denom
-        nx1 = hom0 * inv_denom + abs0 * scale
-        nx2 = hom1 * inv_denom + abs1 * scale
-        if has_inf:
-            nx1 = nx1 + ss1
-            nx2 = nx2 + ss2
-        live = dt > 0.0
-        x1 = jnp.where(live, nx1, x1)
-        x2 = jnp.where(live, nx2, x2)
-        x0 = jnp.where(live, x0 * eka, x0)
-
-    out_ref[:, :] = ll
+    return (ke, kcp, kpc, l1, l2, inv_denom, 1.0 / ke, kcp / (ke * kpc))
 
 
-def _psi_kernel_1cmt(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
-                     obs_value_ref, obs_sigma_ref, obs_cens_ref, ka_ref,
-                     ke_ref, v_ref, out_ref, *, n_seg: int,
-                     has_inf: bool = True, has_cens: bool = False):
-    """1-cmt oral psi tile: states [depot, central], p rows [ka, ke, v]."""
-    ka = ka_ref[:, :]
-    ke = ke_ref[:, :]
-    v = v_ref[:, :]
-    ratio = ka / (ka - ke)
-    inv_ke = 1.0 / ke
-
-    shape = (out_ref.shape[0], out_ref.shape[1])
-    zeros = jnp.zeros(shape, dtype=out_ref.dtype)
-    x0 = zeros  # depot
-    x1 = zeros  # central
-    ll = zeros
-    one = jnp.ones(shape, dtype=out_ref.dtype)
-
-    dts = seg_dt_ref[:, :]
-    bols = seg_bolus_ref[:, :]
-    rates = seg_rateiv_ref[:, :] if has_inf else None
-    masks = obs_mask_ref[:, :]
-    vals = obs_value_ref[:, :]
-    sigs = obs_sigma_ref[:, :]
-    censs = obs_cens_ref[:, :] if has_cens else None
-    lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
-
-    for m in range(n_seg):
-        sel = (lane == np.int32(m)).astype(dts.dtype)
-
-        def col(a):
-            return jnp.sum(a * sel, axis=1, keepdims=True)
-
-        dt = col(dts)
-        bol = col(bols)
-        mask = col(masks)
-        val = col(vals)
-        sig = col(sigs) + (1.0 - col(masks))
-
-        s_c = col(censs) if has_cens else None
-        ll = ll + _obs_ll(val, x1 / v, sig, mask, s_c, has_cens)
-
-        x0 = x0 + bol
-        eka = jnp.exp(-ka * dt)
-        eke = jnp.exp(-ke * dt)
-        nx1 = x1 * eke + ratio * x0 * (eke - eka)
-        if has_inf:
-            nx1 = nx1 + col(rates) * inv_ke * (1.0 - eke)
-        live = dt > 0.0
-        x1 = jnp.where(live, nx1, x1)
-        x0 = jnp.where(live, x0 * eka, x0)
-
-    out_ref[:, :] = ll
+def _prop_2cmt_iv(aux, xs, dt, rate):
+    ke, kcp, kpc, l1, l2, inv_denom, inv_ke, ss_ratio2 = aux
+    x1, x2 = xs
+    if rate is not None:
+        ss1 = rate * inv_ke
+        ss2 = rate * ss_ratio2
+        y1 = x1 - ss1
+        y2 = x2 - ss2
+    else:
+        y1, y2 = x1, x2
+    e1 = jnp.exp(-l1 * dt)
+    e2 = jnp.exp(-l2 * dt)
+    nx1 = (((l1 - kpc) * e1 + (kpc - l2) * e2) * y1
+           + kpc * (e2 - e1) * y2) * inv_denom
+    nx2 = (kcp * (e2 - e1) * y1
+           + ((l1 - ke - kcp) * e1 + (ke + kcp - l2) * e2) * y2) * inv_denom
+    if rate is not None:
+        nx1 = nx1 + ss1
+        nx2 = nx2 + ss2
+    return [nx1, nx2]
 
 
-def _psi_kernel_3cmt(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
-                     obs_value_ref, obs_sigma_ref, obs_cens_ref, ka_ref,
-                     k10_ref, k12_ref, k13_ref, k21_ref, k31_ref, v_ref,
-                     l1_ref, l2_ref, l3_ref, out_ref, *, n_seg: int,
-                     has_inf: bool = True, has_cens: bool = False):
-    """3-cmt oral psi tile: states [depot, central, p2, p3].
+def _prep_2cmt_oral(p):
+    ke, ka, kcp, kpc = p
+    l1, l2 = _two_cmt_eigs(ke, kcp, kpc)
+    return (ke, ka, kcp, kpc, l1, l2, 1.0 / (l1 - l2),
+            1.0 / (ka - l1), 1.0 / (ka - l2), 1.0 / ke, kcp / (ke * kpc))
 
-    Support rows: [ka, k10, k12, k13, k21, k31, v]. The mammillary rate
-    matrix's three decay constants come from the classic trigonometric cubic
-    solution (all roots real positive for mammillary models); the matrix
-    exponential uses Lagrange spectral projectors
-    ``P_k = prod_{j!=k}(A + l_j I) / (l_j - l_k)``, prepared once per tile.
-    Degenerate (repeated-eigenvalue) supports are the caller's concern — the
-    general engine path handles those.
-    """
-    ka = ka_ref[:, :]
-    k10 = k10_ref[:, :]
-    k12 = k12_ref[:, :]
-    k13 = k13_ref[:, :]
-    k21 = k21_ref[:, :]
-    k31 = k31_ref[:, :]
-    v = v_ref[:, :]
-    # decay constants are prepared OUTSIDE the kernel (Mosaic has no acos
-    # lowering, and the cubic solve is support-only work) — see
-    # _prep_3cmt_eigenvalues
-    l1 = l1_ref[:, :]
-    l2 = l2_ref[:, :]
-    l3 = l3_ref[:, :]
 
-    # rate matrix (central, p2, p3) and its square, as [1, SP_TILE] lanes
+def _prop_2cmt_oral(aux, xs, dt, rate):
+    (ke, ka, kcp, kpc, l1, l2, inv_denom, inv_ka_l1, inv_ka_l2, inv_ke,
+     ss_ratio2) = aux
+    x0, x1, x2 = xs
+    e1 = jnp.exp(-l1 * dt)
+    e2 = jnp.exp(-l2 * dt)
+    eka = jnp.exp(-ka * dt)
+    if rate is not None:
+        ss1 = rate * inv_ke
+        ss2 = rate * ss_ratio2
+        y1 = x1 - ss1
+        y2 = x2 - ss2
+    else:
+        y1, y2 = x1, x2
+    hom0 = ((l1 - kpc) * e1 + (kpc - l2) * e2) * y1 + kpc * (e2 - e1) * y2
+    hom1 = kcp * (e2 - e1) * y1 + ((l1 - ke - kcp) * e1 + (ke + kcp - l2) * e2) * y2
+    abs0 = (l1 - kpc) * inv_ka_l1 * (e1 - eka) + (kpc - l2) * inv_ka_l2 * (e2 - eka)
+    abs1 = kcp * (inv_ka_l2 * (e2 - eka) - inv_ka_l1 * (e1 - eka))
+    scale = ka * x0 * inv_denom
+    nx1 = hom0 * inv_denom + abs0 * scale
+    nx2 = hom1 * inv_denom + abs1 * scale
+    if rate is not None:
+        nx1 = nx1 + ss1
+        nx2 = nx2 + ss2
+    return [x0 * eka, nx1, nx2]
+
+
+def _prep_3cmt_projectors(k10, k12, k13, k21, k31, lam):
+    """Lagrange spectral projectors of the mammillary rate matrix:
+    ``P_k = prod_{j!=k}(A + l_j I) / prod_{j!=k}(l_j - l_k)``, prepared once
+    per tile from the XLA-side decay constants ``lam``."""
     a11 = -(k10 + k12 + k13)
     m11 = a11 * a11 + k21 * k12 + k31 * k13
     m12 = k21 * (a11 - k21)
@@ -283,9 +234,6 @@ def _psi_kernel_3cmt(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
     m31 = k13 * (a11 - k31)
     m32 = k13 * k21
     m33 = k13 * k31 + k31 * k31
-
-    lam = (l1, l2, l3)
-    # per-eigenvalue projector entries and depot columns, prepared per tile
     proj = []
     for k in range(3):
         lk = lam[k]
@@ -304,220 +252,82 @@ def _psi_kernel_3cmt(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
             m32 * invd,
             (m33 + s * (-k31) + pr) * invd,
         )
-        inv_ka_lk = 1.0 / (ka - lk)
-        proj.append((lk, P, inv_ka_lk))
-    inv_k10 = 1.0 / k10
-    ss_ratio2 = k12 / (k10 * k21)
-    ss_ratio3 = k13 / (k10 * k31)
-
-    shape = (out_ref.shape[0], out_ref.shape[1])
-    zeros = jnp.zeros(shape, dtype=out_ref.dtype)
-    x0 = zeros  # depot
-    x1 = zeros  # central
-    x2 = zeros  # p2
-    x3 = zeros  # p3
-    ll = zeros
-    one = jnp.ones(shape, dtype=out_ref.dtype)
-
-    dts = seg_dt_ref[:, :]
-    bols = seg_bolus_ref[:, :]
-    rates = seg_rateiv_ref[:, :] if has_inf else None
-    masks = obs_mask_ref[:, :]
-    vals = obs_value_ref[:, :]
-    sigs = obs_sigma_ref[:, :]
-    censs = obs_cens_ref[:, :] if has_cens else None
-    lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
-
-    for m in range(n_seg):
-        sel = (lane == np.int32(m)).astype(dts.dtype)
-
-        def col(a):
-            return jnp.sum(a * sel, axis=1, keepdims=True)
-
-        dt = col(dts)
-        bol = col(bols)
-        r = col(rates) if has_inf else None
-        mask = col(masks)
-        val = col(vals)
-        sig = col(sigs) + (1.0 - col(masks))
-
-        s_c = col(censs) if has_cens else None
-        ll = ll + _obs_ll(val, x1 / v, sig, mask, s_c, has_cens)
-
-        x0 = x0 + bol
-        eka = jnp.exp(-ka * dt)
-        # infusion into central: steady-state of the mammillary block
-        if has_inf:
-            ss1 = r * inv_k10
-            ss2 = r * ss_ratio2
-            ss3 = r * ss_ratio3
-            y1 = x1 - ss1
-            y2 = x2 - ss2
-            y3 = x3 - ss3
-            nx1 = ss1
-            nx2 = ss2
-            nx3 = ss3
-        else:
-            y1, y2, y3 = x1, x2, x3
-            nx1 = zeros
-            nx2 = zeros
-            nx3 = zeros
-        for lk, P, inv_ka_lk in proj:
-            ek = jnp.exp(-lk * dt)
-            # homogeneous part: ek * (P @ (x - ss))
-            nx1 = nx1 + ek * (P[0] * y1 + P[1] * y2 + P[2] * y3)
-            nx2 = nx2 + ek * (P[3] * y1 + P[4] * y2 + P[5] * y3)
-            nx3 = nx3 + ek * (P[6] * y1 + P[7] * y2 + P[8] * y3)
-            # depot forcing: ka*x0 * (ek - eka)/(ka - lk) * (P @ e1)
-            f = ka * x0 * (ek - eka) * inv_ka_lk
-            nx1 = nx1 + f * P[0]
-            nx2 = nx2 + f * P[3]
-            nx3 = nx3 + f * P[6]
-        live = dt > 0.0
-        x1 = jnp.where(live, nx1, x1)
-        x2 = jnp.where(live, nx2, x2)
-        x3 = jnp.where(live, nx3, x3)
-        x0 = jnp.where(live, x0 * eka, x0)
-
-    out_ref[:, :] = ll
+        proj.append((lk, P))
+    return proj
 
 
-def _psi_kernel_1cmt_iv(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
-                        obs_value_ref, obs_sigma_ref, obs_cens_ref, ke_ref,
-                        v_ref, out_ref, *, n_seg: int,
-                        has_inf: bool = True, has_cens: bool = False):
-    """1-cmt IV bolus psi tile: state [central], p rows [ke, v]."""
-    ke = ke_ref[:, :]
-    v = v_ref[:, :]
-    inv_ke = 1.0 / ke
-
-    shape = (out_ref.shape[0], out_ref.shape[1])
-    zeros = jnp.zeros(shape, dtype=out_ref.dtype)
-    x1 = zeros
-    ll = zeros
-    one = jnp.ones(shape, dtype=out_ref.dtype)
-
-    dts = seg_dt_ref[:, :]
-    bols = seg_bolus_ref[:, :]
-    rates = seg_rateiv_ref[:, :] if has_inf else None
-    masks = obs_mask_ref[:, :]
-    vals = obs_value_ref[:, :]
-    sigs = obs_sigma_ref[:, :]
-    censs = obs_cens_ref[:, :] if has_cens else None
-    lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
-
-    for m in range(n_seg):
-        sel = (lane == np.int32(m)).astype(dts.dtype)
-
-        def col(a):
-            return jnp.sum(a * sel, axis=1, keepdims=True)
-
-        dt = col(dts)
-        bol = col(bols)
-        r = col(rates) if has_inf else None
-        mask = col(masks)
-        val = col(vals)
-        sig = col(sigs) + (1.0 - col(masks))
-
-        s_c = col(censs) if has_cens else None
-        ll = ll + _obs_ll(val, x1 / v, sig, mask, s_c, has_cens)
-
-        x1 = x1 + bol  # bolus into central
-        live = dt > 0.0
-        if has_inf:
-            ss = r * inv_ke
-            x1 = jnp.where(live, ss + (x1 - ss) * jnp.exp(-ke * dt), x1)
-        else:
-            x1 = jnp.where(live, x1 * jnp.exp(-ke * dt), x1)
-
-    out_ref[:, :] = ll
+def _prep_3cmt_iv(p):
+    k10, k12, k13, k21, k31, l1, l2, l3 = p
+    proj = _prep_3cmt_projectors(k10, k12, k13, k21, k31, (l1, l2, l3))
+    return (proj, 1.0 / k10, k12 / (k10 * k21), k13 / (k10 * k31))
 
 
-def _psi_kernel_2cmt_iv(seg_dt_ref, seg_bolus_ref, seg_rateiv_ref, obs_mask_ref,
-                        obs_value_ref, obs_sigma_ref, obs_cens_ref, ke_ref,
-                        kcp_ref, kpc_ref, v_ref, out_ref, *, n_seg: int,
-                        has_inf: bool = True, has_cens: bool = False):
-    """2-cmt IV bolus psi tile: states [central, peripheral], p rows
-    [ke, kcp, kpc, v] (the reference's "Repeat" workload shape,
-    benches/common/mod.rs:7)."""
-    ke = ke_ref[:, :]
-    kcp = kcp_ref[:, :]
-    kpc = kpc_ref[:, :]
-    v = v_ref[:, :]
-
-    disc = (ke + kcp + kpc) ** 2 - 4.0 * ke * kpc
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    l1 = (ke + kcp + kpc + sq) * 0.5
-    l2 = (ke + kcp + kpc - sq) * 0.5
-    inv_denom = 1.0 / (l1 - l2)
-    inv_ke = 1.0 / ke
-    ss_ratio2 = kcp / (ke * kpc)
-
-    shape = (out_ref.shape[0], out_ref.shape[1])
-    zeros = jnp.zeros(shape, dtype=out_ref.dtype)
-    x1 = zeros  # central
-    x2 = zeros  # peripheral
-    ll = zeros
-    one = jnp.ones(shape, dtype=out_ref.dtype)
-
-    dts = seg_dt_ref[:, :]
-    bols = seg_bolus_ref[:, :]
-    rates = seg_rateiv_ref[:, :] if has_inf else None
-    masks = obs_mask_ref[:, :]
-    vals = obs_value_ref[:, :]
-    sigs = obs_sigma_ref[:, :]
-    censs = obs_cens_ref[:, :] if has_cens else None
-    lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
-
-    for m in range(n_seg):
-        sel = (lane == np.int32(m)).astype(dts.dtype)
-
-        def col(a):
-            return jnp.sum(a * sel, axis=1, keepdims=True)
-
-        dt = col(dts)
-        bol = col(bols)
-        r = col(rates) if has_inf else None
-        mask = col(masks)
-        val = col(vals)
-        sig = col(sigs) + (1.0 - col(masks))
-
-        s_c = col(censs) if has_cens else None
-        ll = ll + _obs_ll(val, x1 / v, sig, mask, s_c, has_cens)
-
-        x1 = x1 + bol  # bolus into central
-        if has_inf:
-            ss1 = r * inv_ke
-            ss2 = r * ss_ratio2
-            y1 = x1 - ss1
-            y2 = x2 - ss2
-        else:
-            y1, y2 = x1, x2
-        e1 = jnp.exp(-l1 * dt)
-        e2 = jnp.exp(-l2 * dt)
-        nx1 = (((l1 - kpc) * e1 + (kpc - l2) * e2) * y1
-               + kpc * (e2 - e1) * y2) * inv_denom
-        nx2 = (kcp * (e2 - e1) * y1
-               + ((l1 - ke - kcp) * e1 + (ke + kcp - l2) * e2) * y2) * inv_denom
-        if has_inf:
-            nx1 = nx1 + ss1
-            nx2 = nx2 + ss2
-        live = dt > 0.0
-        x1 = jnp.where(live, nx1, x1)
-        x2 = jnp.where(live, nx2, x2)
-
-    out_ref[:, :] = ll
+def _prop_3cmt_iv(aux, xs, dt, rate):
+    proj, inv_k10, ss_ratio2, ss_ratio3 = aux
+    x1, x2, x3 = xs
+    if rate is not None:
+        ss1 = rate * inv_k10
+        ss2 = rate * ss_ratio2
+        ss3 = rate * ss_ratio3
+        y1, y2, y3 = x1 - ss1, x2 - ss2, x3 - ss3
+        nx1, nx2, nx3 = ss1, ss2, ss3
+    else:
+        y1, y2, y3 = x1, x2, x3
+        nx1 = nx2 = nx3 = jnp.zeros_like(x1)
+    for lk, P in proj:
+        ek = jnp.exp(-lk * dt)
+        nx1 = nx1 + ek * (P[0] * y1 + P[1] * y2 + P[2] * y3)
+        nx2 = nx2 + ek * (P[3] * y1 + P[4] * y2 + P[5] * y3)
+        nx3 = nx3 + ek * (P[6] * y1 + P[7] * y2 + P[8] * y3)
+    return [nx1, nx2, nx3]
 
 
-def _prep_3cmt_eigenvalues(sp_rows):
+def _prep_3cmt_oral(p):
+    ka, k10, k12, k13, k21, k31, l1, l2, l3 = p
+    proj = _prep_3cmt_projectors(k10, k12, k13, k21, k31, (l1, l2, l3))
+    proj = [(lk, P, 1.0 / (ka - lk)) for lk, P in proj]
+    return (ka, proj, 1.0 / k10, k12 / (k10 * k21), k13 / (k10 * k31))
+
+
+def _prop_3cmt_oral(aux, xs, dt, rate):
+    ka, proj, inv_k10, ss_ratio2, ss_ratio3 = aux
+    x0, x1, x2, x3 = xs
+    eka = jnp.exp(-ka * dt)
+    if rate is not None:
+        ss1 = rate * inv_k10
+        ss2 = rate * ss_ratio2
+        ss3 = rate * ss_ratio3
+        y1, y2, y3 = x1 - ss1, x2 - ss2, x3 - ss3
+        nx1, nx2, nx3 = ss1, ss2, ss3
+    else:
+        y1, y2, y3 = x1, x2, x3
+        nx1 = nx2 = nx3 = jnp.zeros_like(x1)
+    for lk, P, inv_ka_lk in proj:
+        ek = jnp.exp(-lk * dt)
+        nx1 = nx1 + ek * (P[0] * y1 + P[1] * y2 + P[2] * y3)
+        nx2 = nx2 + ek * (P[3] * y1 + P[4] * y2 + P[5] * y3)
+        nx3 = nx3 + ek * (P[6] * y1 + P[7] * y2 + P[8] * y3)
+        # depot forcing: ka*x0 * (ek - eka)/(ka - lk) * (P @ e1)
+        f = ka * x0 * (ek - eka) * inv_ka_lk
+        nx1 = nx1 + f * P[0]
+        nx2 = nx2 + f * P[3]
+        nx3 = nx3 + f * P[6]
+    return [x0 * eka, nx1, nx2, nx3]
+
+
+def _prep_3cmt_eigenvalues(base_rows):
     """Decay constants of the mammillary 3-cmt rate matrix, per support row.
 
     Trigonometric solution of the monic cubic l^3 - A l^2 + B l - C with the
-    symmetric sums of the three (real, positive) decay constants. Runs in
-    XLA before the pallas_call — support-only work, one cubic per support
-    point.
+    symmetric sums of the three (real, positive) decay constants
+    (three_compartment_models.rs:24-45). Runs in XLA before the pallas_call —
+    support-only work, one cubic per support point (Mosaic has no acos
+    lowering).
+
+    ``base_rows`` is the micro-constant parameterization; for oral
+    structures the leading ka row is present and skipped.
     """
-    _, k10, k12, k13, k21, k31, _ = sp_rows
+    k10, k12, k13, k21, k31 = base_rows[-5:]
     A = k10 + k12 + k13 + k21 + k31
     B = k10 * k21 + k10 * k31 + k12 * k31 + k13 * k21 + k21 * k31
     C = k10 * k21 * k31
@@ -534,14 +344,168 @@ def _prep_3cmt_eigenvalues(sp_rows):
     return [l1, l2, l3]
 
 
+# CL-parameterization remaps (XLA-side, on support rows or planes): the same
+# micro-constant reparameterizations as engine/analytical.py one/two/
+# three_compartments_cl* (parity: *_cl_models.rs).
+
+
+def _remap_1cmt_cl(r):
+    cl, v = r
+    return [cl / v]
+
+
+def _remap_1cmt_cl_abs(r):
+    ka, cl, v = r
+    return [ka, cl / v]
+
+
+def _remap_2cmt_cl(r):
+    cl, q, vc, vp = r
+    return [cl / vc, q / vc, q / vp]
+
+
+def _remap_2cmt_cl_abs(r):
+    ka, cl, q, vc, vp = r
+    return [cl / vc, ka, q / vc, q / vp]
+
+
+def _remap_3cmt_cl(r):
+    cl, q1, q2, vc, vp1, vp2 = r
+    return [cl / vc, q1 / vc, q2 / vc, q1 / vp1, q2 / vp2]
+
+
+def _remap_3cmt_cl_abs(r):
+    ka, cl, q1, q2, vc, vp1, vp2 = r
+    return [ka, cl / vc, q1 / vc, q2 / vc, q1 / vp1, q2 / vp2]
+
+
+def _struct(n_params, n_states, dose_state, central, prepare, propagate,
+            prep_xla=None, remap=None):
+    return {
+        "n_params": n_params,       # support columns consumed by the kernel
+        "n_states": n_states,
+        "dose_state": dose_state,   # bolus destination
+        "central": central,         # state index of the default central/v output
+        "prepare": prepare,
+        "propagate": propagate,
+        "prep_xla": prep_xla,       # extra param rows computed in XLA
+        "remap": remap,             # CL -> micro-constant reparameterization
+    }
+
+
 STRUCTURES = {
-    # name -> (kernel fn, n support params, prep fn -> extra p rows)
-    "two_compartments_with_absorption": (_psi_kernel, 5, None),
-    "one_compartment_with_absorption": (_psi_kernel_1cmt, 3, None),
-    "three_compartments_with_absorption": (_psi_kernel_3cmt, 7, _prep_3cmt_eigenvalues),
-    "one_compartment": (_psi_kernel_1cmt_iv, 2, None),
-    "two_compartments": (_psi_kernel_2cmt_iv, 4, None),
+    "one_compartment": _struct(1, 1, 0, 0, _prep_1cmt_iv, _prop_1cmt_iv),
+    "one_compartment_with_absorption": _struct(
+        2, 2, 0, 1, _prep_1cmt_oral, _prop_1cmt_oral),
+    "one_compartment_cl": _struct(
+        2, 1, 0, 0, _prep_1cmt_iv, _prop_1cmt_iv, remap=_remap_1cmt_cl),
+    "one_compartment_cl_with_absorption": _struct(
+        3, 2, 0, 1, _prep_1cmt_oral, _prop_1cmt_oral, remap=_remap_1cmt_cl_abs),
+    "two_compartments": _struct(3, 2, 0, 0, _prep_2cmt_iv, _prop_2cmt_iv),
+    "two_compartments_with_absorption": _struct(
+        4, 3, 0, 1, _prep_2cmt_oral, _prop_2cmt_oral),
+    "two_compartments_cl": _struct(
+        4, 2, 0, 0, _prep_2cmt_iv, _prop_2cmt_iv, remap=_remap_2cmt_cl),
+    "two_compartments_cl_with_absorption": _struct(
+        5, 3, 0, 1, _prep_2cmt_oral, _prop_2cmt_oral, remap=_remap_2cmt_cl_abs),
+    "three_compartments": _struct(
+        5, 3, 0, 0, _prep_3cmt_iv, _prop_3cmt_iv,
+        prep_xla=_prep_3cmt_eigenvalues),
+    "three_compartments_with_absorption": _struct(
+        6, 4, 0, 1, _prep_3cmt_oral, _prop_3cmt_oral,
+        prep_xla=_prep_3cmt_eigenvalues),
+    "three_compartments_cl": _struct(
+        6, 3, 0, 0, _prep_3cmt_iv, _prop_3cmt_iv,
+        prep_xla=_prep_3cmt_eigenvalues, remap=_remap_3cmt_cl),
+    "three_compartments_cl_with_absorption": _struct(
+        7, 4, 0, 1, _prep_3cmt_oral, _prop_3cmt_oral,
+        prep_xla=_prep_3cmt_eigenvalues, remap=_remap_3cmt_cl_abs),
 }
+
+
+def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
+                 n_out: int, has_bias: bool, n_param_rows: int):
+    """Build the psi tile kernel for one structure + feature combination.
+
+    Ref layout (in order): segment streams (dt, bolus, [rateiv], mask, value,
+    sigma, [cens], [outeq]) each [row_block, SEG_PAD]; parameter rows
+    (base params + XLA-prepared extras) each [1, sp_block]; output coefficient
+    rows (n_out * n_states) and optional bias rows (n_out); then out_ref
+    [row_block, sp_block].
+
+    Mosaic note: per-segment scalars are extracted with one-hot lane
+    reductions instead of strided slices (sub-tile slicing fails to legalize
+    on some Mosaic versions).
+    """
+    prepare = sdef["prepare"]
+    propagate = sdef["propagate"]
+    n_states = sdef["n_states"]
+    dose_state = sdef["dose_state"]
+    has_outeq = n_out > 1
+
+    def kernel(*refs):
+        it = iter(refs)
+        dts = next(it)[:, :]
+        bols = next(it)[:, :]
+        rates = next(it)[:, :] if has_inf else None
+        masks = next(it)[:, :]
+        vals = next(it)[:, :]
+        sigs = next(it)[:, :]
+        censs = next(it)[:, :] if has_cens else None
+        outeqs = next(it)[:, :] if has_outeq else None
+        params = [next(it)[:, :] for _ in range(n_param_rows)]
+        coefs = [[next(it)[:, :] for _ in range(n_states)] for _ in range(n_out)]
+        biases = [next(it)[:, :] for _ in range(n_out)] if has_bias else None
+        out_ref = next(it)
+
+        aux = prepare(params)
+        shape = (out_ref.shape[0], out_ref.shape[1])
+        zeros = jnp.zeros(shape, dtype=out_ref.dtype)
+        xs = [zeros] * n_states
+        ll = zeros
+        lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
+
+        for m in range(n_seg):
+            sel = (lane == np.int32(m)).astype(dts.dtype)
+
+            def col(a):
+                return jnp.sum(a * sel, axis=1, keepdims=True)  # [rows, 1]
+
+            dt = col(dts)
+            bol = col(bols)
+            mask = col(masks)
+            val = col(vals)
+            sig = col(sigs) + (1.0 - mask)  # padded sigma lanes were zeroed
+
+            # observation before dose: y_k = C_k . x (+ b_k)
+            def pred_out(k):
+                p = coefs[k][0] * xs[0]
+                for i in range(1, n_states):
+                    p = p + coefs[k][i] * xs[i]
+                if has_bias:
+                    p = p + biases[k]
+                return p
+
+            if n_out == 1:
+                pred = pred_out(0)
+            else:
+                oe = col(outeqs)
+                pred = jnp.zeros_like(ll)
+                for k in range(n_out):
+                    pred = pred + (oe == float(k)).astype(ll.dtype) * pred_out(k)
+
+            s_c = col(censs) if has_cens else None
+            ll = ll + _obs_ll(val, pred, sig, mask, s_c, has_cens)
+
+            xs[dose_state] = xs[dose_state] + bol
+            rate = col(rates) if has_inf else None
+            nxs = propagate(aux, xs, dt, rate)
+            live = dt > 0.0
+            xs = [jnp.where(live, nx, x) for nx, x in zip(nxs, xs)]
+
+        out_ref[:, :] = ll
+
+    return kernel
 
 
 def _pad_lanes(a, width: int):
@@ -551,24 +515,43 @@ def _pad_lanes(a, width: int):
     return jnp.concatenate([a, jnp.zeros((a.shape[0], pad), dtype=a.dtype)], axis=1)
 
 
+def _static_any(a):
+    if a is None:
+        return False
+    try:  # concrete host arrays: compile the feature out when all-zero
+        return bool(np.any(np.asarray(a)))
+    except Exception:
+        return True  # traced value: keep the general path
+
+
 def psi_oral(
     seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma, obs_cens,
     support,
     structure: str = "two_compartments_with_absorption",
     interpret: Optional[bool] = None,
+    obs_outeq=None,
+    out_coef=None,
+    out_bias=None,
 ):
-    """Fused psi for bolus/infusion analytical structures.
+    """Fused psi for the closed-form analytical structures.
 
     Arguments are per-subject segment streams [R, M] (sorted breakpoints,
     observation-before-bolus semantics baked in; ``seg_rateiv`` is the
     infusion rate into central active during each segment, or None;
     ``obs_cens`` is the per-segment censoring sign, +1 BLOQ / -1 ALOQ / 0,
-    or None) and the
-    support matrix in kernel parameter order ([ke, ka, kcp, kpc, v] for
-    2-cmt oral, [ka, ke, v] for 1-cmt oral). Returns psi [R, S].
+    or None) and the support matrix ``[S, n_cols]`` whose leading columns are
+    the structure's parameterization (micro constants, or CL params for the
+    ``*_cl*`` structures — remapped in XLA exactly as *_cl_models.rs).
 
-    R must be a multiple of SUB_TILE and S a multiple of SP_TILE (pad rows
-    with dt=0/mask=0 and supports by repetition).
+    Output equations: ``out_coef`` [n_out, n_states, S] (and optional
+    ``out_bias`` [n_out, S]) give each output as a linear function of the
+    state per support point; ``obs_outeq`` [R, M] selects the outeq per
+    observation segment (required when n_out > 1). When ``out_coef`` is None
+    the classic convention applies: one extra support column (v, last) and
+    the single output is central/v.
+
+    Returns psi [R, S]. R must be a multiple of SUB_TILE and S a multiple of
+    SP_TILE (pad rows with dt=0/mask=0 and supports by repetition).
     """
     from jax.experimental import pallas as pl
 
@@ -577,11 +560,18 @@ def psi_oral(
             f"unknown pallas psi structure `{structure}` "
             f"(available: {', '.join(sorted(STRUCTURES))})"
         )
-    kernel_fn, n_params, prep_fn = STRUCTURES[structure]
+    sdef = STRUCTURES[structure]
+    n_params = sdef["n_params"]
+    n_states = sdef["n_states"]
     R, M = seg_dt.shape
     S = support.shape[0]
-    if support.shape[1] != n_params:
-        raise ValueError(f"{structure} needs {n_params} support columns")
+    if out_coef is None:
+        if support.shape[1] != n_params + 1:
+            raise ValueError(
+                f"{structure} needs {n_params} support columns plus v (last)"
+            )
+    elif support.shape[1] < n_params:
+        raise ValueError(f"{structure} needs >= {n_params} support columns")
     if R % SUB_TILE or S % SP_TILE:
         raise ValueError(
             f"R ({R}) must be a multiple of {SUB_TILE} and S ({S}) of {SP_TILE}"
@@ -597,66 +587,89 @@ def psi_oral(
             "cast the streams/support to float32 or pass interpret=True"
         )
 
-    def _static_any(a):
-        if a is None:
-            return False
-        try:  # concrete host arrays: compile the feature out when all-zero
-            return bool(np.any(np.asarray(a)))
-        except Exception:
-            return True  # traced value: keep the general path
-
     has_inf = _static_any(seg_rateiv)
     has_cens = _static_any(obs_cens)
-    zeros_like_dt = None
+    zeros_rm = jnp.zeros_like(jnp.asarray(seg_dt, dtype))
     if seg_rateiv is None:
-        seg_rateiv = zeros_like_dt = jnp.zeros_like(jnp.asarray(seg_dt, dtype))
+        seg_rateiv = zeros_rm
     if obs_cens is None:
-        obs_cens = zeros_like_dt if zeros_like_dt is not None else (
-            jnp.zeros_like(jnp.asarray(seg_dt, dtype))
+        obs_cens = zeros_rm
+    # output coefficient rows
+    sp = jnp.asarray(support, dtype)
+    if out_coef is None:
+        n_out = 1
+        v = sp[:, n_params].reshape(1, S)
+        coef_rows = [
+            (1.0 / v) if i == sdef["central"] else jnp.zeros_like(v)
+            for i in range(n_states)
+        ]
+        has_bias = False
+        bias_rows = []
+    else:
+        out_coef = jnp.asarray(out_coef, dtype)
+        n_out = out_coef.shape[0]
+        if out_coef.shape != (n_out, n_states, S):
+            raise ValueError(
+                f"out_coef must be [n_out, {n_states}, {S}], got {out_coef.shape}"
+            )
+        coef_rows = [
+            out_coef[k, i].reshape(1, S)
+            for k in range(n_out) for i in range(n_states)
+        ]
+        has_bias = _static_any(out_bias)
+        bias_rows = (
+            [jnp.asarray(out_bias, dtype)[k].reshape(1, S) for k in range(n_out)]
+            if has_bias else []
         )
+    has_outeq = n_out > 1
+    if has_outeq and obs_outeq is None:
+        raise ValueError("obs_outeq stream required for multi-output psi")
+    if obs_outeq is None:
+        obs_outeq = zeros_rm
+
     full = [
         _pad_lanes(jnp.asarray(a, dtype), SEG_PAD)
         for a in (seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value,
-                  obs_sigma, obs_cens)
+                  obs_sigma, obs_cens, obs_outeq)
     ]
     # zero out sigma where masked; the kernel re-adds 1.0 on masked lanes so
     # log() stays finite
     full[5] = full[5] * full[3]
-    sp = jnp.asarray(support, dtype)
-    sp_rows = [sp[:, i].reshape(1, S) for i in range(n_params)]
-    if prep_fn is not None:
-        sp_rows = sp_rows + [jnp.asarray(r, dtype) for r in prep_fn(sp_rows)]
+    # base parameter rows: remap CL columns, then XLA-prepare eigen extras
+    raw_rows = [sp[:, i].reshape(1, S) for i in range(n_params)]
+    base_rows = sdef["remap"](raw_rows) if sdef["remap"] else raw_rows
+    if sdef["prep_xla"] is not None:
+        base_rows = base_rows + [
+            jnp.asarray(r, dtype) for r in sdef["prep_xla"](base_rows)
+        ]
+    p_rows = base_rows + coef_rows + bias_rows
 
-    inner = functools.partial(
-        kernel_fn, n_seg=M, has_inf=has_inf, has_cens=has_cens
+    kernel = _make_kernel(
+        sdef, n_seg=M, has_inf=has_inf, has_cens=has_cens, n_out=n_out,
+        has_bias=has_bias, n_param_rows=len(base_rows),
     )
     # all-zero optional streams are dropped from the pipeline entirely
     # (no DMA, no VMEM block); the kernel never reads those refs
-    include = [True, True, has_inf, True, True, True, has_cens]
+    include = [True, True, has_inf, True, True, True, has_cens, has_outeq]
     streams = [a for a, inc in zip(full, include) if inc]
     n_streams = len(streams)
-    if all(include):
-        kernel = inner
-    else:
-        def kernel(*refs):
-            it = iter(refs[:n_streams])
-            stream_refs = [next(it) if inc else None for inc in include]
-            inner(*stream_refs, *refs[n_streams:])
+
     row_block = next(b for b in ROW_BLOCKS if R % b == 0)
     sp_block = next(b for b in SP_BLOCKS if S % b == 0)
     while row_block * sp_block > TILE_BUDGET and row_block > 8:
         row_block //= 2
     row_spec = pl.BlockSpec((row_block, SEG_PAD), lambda i, j: (i, 0))
     p_spec = pl.BlockSpec((1, sp_block), lambda i, j: (0, j))
+
     def call():
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((R, S), dtype),
             grid=(R // row_block, S // sp_block),
-            in_specs=[row_spec] * n_streams + [p_spec] * len(sp_rows),
+            in_specs=[row_spec] * n_streams + [p_spec] * len(p_rows),
             out_specs=pl.BlockSpec((row_block, sp_block), lambda i, j: (i, j)),
             interpret=interpret,
-        )(*streams, *sp_rows)
+        )(*streams, *p_rows)
 
     if dtype == jnp.float32:
         # Trace with x64 disabled: under jax_enable_x64 the grid pipeline
@@ -666,6 +679,57 @@ def psi_oral(
         with jax.enable_x64(False):
             return call()
     return call()
+
+
+def extract_linear_out(out_fn, support, n_states: int, n_out: int, cov,
+                       dtype, ts=(0.0, 17.31)):
+    """Extract per-support linear output coefficients from an out closure.
+
+    Evaluates ``out_fn(e_i, p, t, cov)`` on the state basis per support row
+    (vmapped — support-only work) to recover ``y = C(p) x + b(p)``; verifies
+    linearity on a fixed pseudo-random state and time-invariance at a second
+    t. Returns (C [S, n_out, n_states], b [S, n_out]) as numpy, or raises
+    ValueError when the output is not linear/time-invariant (callers fall
+    back to the general engine or surface the error).
+    """
+    support = jnp.asarray(support, dtype)
+
+    def eval_all(t):
+        def one(p):
+            zero = jnp.asarray(
+                out_fn(jnp.zeros(n_states, dtype), p, t, cov), dtype
+            ).reshape(n_out)
+            cols = []
+            for i in range(n_states):
+                e = jnp.zeros(n_states, dtype).at[i].set(1.0)
+                cols.append(
+                    jnp.asarray(out_fn(e, p, t, cov), dtype).reshape(n_out) - zero
+                )
+            return jnp.stack(cols, axis=1), zero  # [n_out, n_states], [n_out]
+
+        return jax.vmap(one)(support)
+
+    C, b = eval_all(ts[0])
+    C2, b2 = eval_all(ts[1])
+    Cn, bn = np.asarray(C, np.float64), np.asarray(b, np.float64)
+    scale = np.maximum(np.abs(Cn).max(), 1e-12)
+    if (np.abs(np.asarray(C2, np.float64) - Cn).max() > 1e-5 * scale
+            or np.abs(np.asarray(b2, np.float64) - bn).max() > 1e-5 * scale):
+        raise ValueError("output equation depends on t")
+    # linearity probe at a fixed non-trivial state
+    x_probe = jnp.asarray(
+        1.0 + np.linspace(0.3, 1.7, n_states), dtype
+    )
+    direct = np.asarray(
+        jax.vmap(lambda p: jnp.asarray(
+            out_fn(x_probe, p, ts[0], cov), dtype).reshape(n_out))(support),
+        np.float64,
+    )
+    lin = np.einsum("ski,i->sk", Cn, np.asarray(x_probe, np.float64)) + bn
+    denom = np.maximum(np.abs(direct).max(), 1e-12)
+    if np.abs(direct - lin).max() > 1e-4 * denom:
+        raise ValueError("output equation is not linear in the state")
+    return Cn, bn
 
 
 def segment_stream_from_schedule(obs_times, obs_values, obs_sigmas, dose: float):
@@ -703,16 +767,18 @@ def streams_from_grid(rows, lowered_em):
 
     Requirements of the fused kernel's model shape: a single bolus route into
     the structure's dose compartment (depot for *_with_absorption, central
-    for IV structures), infusions into central only, single output central/v,
-    no covariates/lag/fa/seq, additive or proportional assay error.
+    for IV structures), infusions into central only, outputs linear in the
+    state, no covariates/lag/fa/seq, additive or proportional assay error.
     BLOQ/ALOQ-censored observations contribute log CDF/CCDF terms.
     Multi-dose schedules like the reference's "Repeat" workload
     (benches/common/mod.rs:7) and mixed bolus+infusion regimens are
     supported; the per-segment infusion rate uses the same midpoint
-    containment as the general engine (grid.build_segments).
+    containment as the general engine (grid.build_segments). Observation
+    sigmas use each observation's own outeq error model
+    (loglik.observation_sigmas parity), so multi-output models work.
 
     Returns (seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma,
-    obs_cens), each [R, M].
+    obs_cens, obs_outeq), each [R, M].
     """
     from ..config import BIG_TIME
 
@@ -787,12 +853,13 @@ def streams_from_grid(rows, lowered_em):
         seg_rateiv = np.zeros_like(seg_dt)
     valid = valid_rows
     obs_value_u = np.asarray(rows.obs_value, dtype=np.float64)
-    # observation-based sigma from the lowered error model (single outeq 0);
+    # observation-based sigma from each observation's outeq error model;
     # per-observation errorpoly overrides replace the poly, keeping
     # kind/factor (loglik.observation_sigmas parity)
-    kind = int(lowered_em.kind[0])
-    factor = float(lowered_em.factor[0])
-    shared_poly = np.asarray(lowered_em.poly[0], dtype=np.float64)
+    outeq_u = np.asarray(rows.obs_outeq, dtype=np.int64)
+    kind = np.asarray(lowered_em.kind)[outeq_u]          # [R, NO]
+    factor = np.asarray(lowered_em.factor, dtype=np.float64)[outeq_u]
+    shared_poly = np.asarray(lowered_em.poly, dtype=np.float64)[outeq_u]
     poly = np.where(
         np.asarray(rows.obs_has_poly)[:, :, None],
         np.asarray(rows.obs_poly, dtype=np.float64),
@@ -800,7 +867,9 @@ def streams_from_grid(rows, lowered_em):
     )
     alpha = (poly[..., 0] + poly[..., 1] * obs_value_u
              + poly[..., 2] * obs_value_u**2 + poly[..., 3] * obs_value_u**3)
-    sigma_u = np.sqrt(alpha**2 + factor**2) if kind == 1 else factor * alpha
+    sigma_u = np.where(
+        kind == 1, np.sqrt(alpha**2 + factor**2), factor * alpha
+    )
     seg_mask = scatter(with_zero_pads(valid.astype(np.float64), np.zeros_like(bolus_t)))
     seg_value = scatter(with_zero_pads(obs_value_u, np.zeros_like(bolus_t)))
     seg_sigma = scatter(with_zero_pads(sigma_u, np.zeros_like(bolus_t)))
@@ -810,5 +879,8 @@ def streams_from_grid(rows, lowered_em):
     cens_sign = np.where(cens_code == 1, 1.0, np.where(cens_code == 2, -1.0, 0.0))
     cens_sign = np.where(valid_rows, cens_sign, 0.0)
     seg_cens = scatter(with_zero_pads(cens_sign, np.zeros_like(bolus_t)))
+    seg_outeq = scatter(
+        with_zero_pads(outeq_u.astype(np.float64), np.zeros_like(bolus_t))
+    )
     return (seg_dt, seg_bolus, seg_rateiv, seg_mask, seg_value, seg_sigma,
-            seg_cens)
+            seg_cens, seg_outeq)
