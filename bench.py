@@ -160,7 +160,12 @@ def main() -> int:
         from pharmsol_tpu.ops.pallas_psi import SP_TILE, SUB_TILE, psi_2cmt_oral, streams_from_grid
 
         if n_subjects % SUB_TILE == 0 and n_supports % SP_TILE == 0 and not on_cpu:
-            streams = [jnp.asarray(a, dtype=fd) for a in streams_from_grid(rows, lowered)]
+            # first 7 streams: dt/bolus/rateiv/mask/value/sigma/cens (the
+            # outeq stream is single-output here)
+            streams = [
+                jnp.asarray(a, dtype=fd)
+                for a in streams_from_grid(rows, lowered)[:7]
+            ]
 
             def make_pallas(K):
                 @jax.jit

@@ -94,7 +94,7 @@ def _pallas_structure_name(equation) -> str:
     raise PharmsolError(
         "engine='pallas' requires an Analytical equation built on a named "
         "built-in kernel (one_compartment, two_compartments, "
-        "*_with_absorption, ...)"
+        "*_with_absorption, *_cl, ...)"
     )
 
 
@@ -103,18 +103,28 @@ class _PallasPsiPlan:
 
     Shared by the unsharded driver here and the shard_map driver in
     parallel/mesh.py so validation and stream layout cannot diverge.
+
+    Covers every structure in engine.analytical.KERNELS (CL variants via the
+    XLA-side support remap) and any output equations linear in the state —
+    the coefficients are extracted from the model's ``out`` closure by basis
+    evaluation per support point (see pallas_psi.extract_linear_out), so
+    multi-output models stream per-observation outeq indices into the kernel.
     """
 
     def __init__(self, equation, grid, sp, lowered, row_multiple: int):
-        from ..engine.analytical import KERNELS
-        from ..ops.pallas_psi import SP_TILE, streams_from_grid
+        from ..engine.grid import CovView
+        from ..ops.pallas_psi import (
+            SP_TILE, STRUCTURES, extract_linear_out, streams_from_grid,
+        )
 
         self.structure = _pallas_structure_name(equation)
-        _, _, n_kernel_params = KERNELS[self.structure]
-        if sp.shape[1] != n_kernel_params + 1:
+        sdef = STRUCTURES[self.structure]
+        n_kernel_params = sdef["n_params"]
+        if sp.shape[1] < n_kernel_params:
             raise PharmsolError(
                 f"engine='pallas' with `{self.structure}` needs support columns "
-                f"[{n_kernel_params} kernel params..., v], got {sp.shape[1]} columns"
+                f"[{n_kernel_params} kernel params..., out params...], got "
+                f"{sp.shape[1]} columns"
             )
         if equation._seq is not None or equation._lag is not None \
                 or equation._fa is not None or equation._init is not None:
@@ -123,9 +133,13 @@ class _PallasPsiPlan:
             )
         if grid.cov_names:
             raise PharmsolError("engine='pallas' does not support covariates")
-        valid = np.asarray(grid.rows.obs_valid) & np.asarray(grid.rows.obs_has_value)
-        if np.any(np.asarray(grid.rows.obs_outeq)[valid] != 0):
-            raise PharmsolError("engine='pallas' supports a single output equation")
+        self.n_out = int(equation.nouteqs())
+        n_states = sdef["n_states"]
+        if int(equation.nstates()) != n_states:
+            raise PharmsolError(
+                f"engine='pallas' with `{self.structure}` expects nstates="
+                f"{n_states}, got {equation.nstates()}"
+            )
 
         streams = streams_from_grid(grid.rows, lowered)
         self.R = streams[0].shape[0]
@@ -150,28 +164,85 @@ class _PallasPsiPlan:
             )
 
         self.padded = [jnp.asarray(pad_rows(a), dtype=fd) for a in streams]
-        self.sp_dev = jnp.asarray(
-            sp if self.Sp == self.S else np.concatenate(
-                [sp, np.repeat(sp[-1:], self.Sp - self.S, axis=0)], axis=0
-            ),
-            dtype=fd,
+        sp_padded = sp if self.Sp == self.S else np.concatenate(
+            [sp, np.repeat(sp[-1:], self.Sp - self.S, axis=0)], axis=0
         )
+        self.sp_dev = jnp.asarray(sp_padded, dtype=fd)
+        # output coefficients: y_k = C_k(p) . x + b_k(p), per support point
+        out_fn = equation._out or (lambda x, p, t, cov: x[: self.n_out])
+        occ0 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a)[0]), grid.rows
+        )
+        cov = CovView(
+            occ0.cov_t.astype(fd), occ0.cov_v.astype(fd), occ0.cov_fixed, ()
+        )
+        try:
+            C, b = extract_linear_out(
+                out_fn, sp_padded, n_states, self.n_out, cov, fd
+            )
+        except PharmsolError:
+            raise
+        except Exception as e:
+            raise PharmsolError(
+                f"engine='pallas' could not extract linear output "
+                f"coefficients for `{self.structure}` (support columns "
+                f"mismatch or non-linear output): {e}"
+            ) from e
+        # [n_out, n_states, Sp] rows for the kernel
+        self.out_coef = jnp.asarray(np.transpose(C, (1, 2, 0)), dtype=fd)
+        self.out_bias = jnp.asarray(b.T, dtype=fd) if np.any(b) else None
         # all-zero optional streams are passed as None so psi_oral's static
         # has_inf/has_cens flags survive jit tracing and the lean kernel
         # variants compile
         self.pass_inf = bool(np.any(streams[2]))
         self.pass_cens = bool(np.any(streams[6]))
+        self.pass_outeq = self.n_out > 1
 
     def cache_key(self, *extra):
         return ("pallas", self.structure, self.Rp, self.Sp, self.M,
-                self.pass_inf, self.pass_cens, str(self.fd)) + extra
+                self.pass_inf, self.pass_cens, self.pass_outeq, self.n_out,
+                self.out_bias is not None, str(self.fd)) + extra
 
-    def call_args(self):
-        """Streams with dropped optionals replaced by None, plus support."""
+    def stream_args(self):
+        """The included [Rp, M] segment streams, in kernel order."""
         p = self.padded
-        return (p[0], p[1], p[2] if self.pass_inf else None,
-                p[3], p[4], p[5], p[6] if self.pass_cens else None,
-                self.sp_dev)
+        include = [True, True, self.pass_inf, True, True, True,
+                   self.pass_cens, self.pass_outeq]
+        return tuple(a for a, inc in zip(p, include) if inc)
+
+    def rep_args(self):
+        """Support-axis arrays (replicated under sharding): support, coef[, bias]."""
+        out = [self.sp_dev, self.out_coef]
+        if self.out_bias is not None:
+            out.append(self.out_bias)
+        return tuple(out)
+
+    def runner(self):
+        """A (streams..., rep...) -> psi rows function around psi_oral."""
+        from ..ops.pallas_psi import psi_oral
+
+        structure = self.structure
+        pass_inf, pass_cens = self.pass_inf, self.pass_cens
+        pass_outeq = self.pass_outeq
+        has_bias = self.out_bias is not None
+        n_streams = 5 + int(pass_inf) + int(pass_cens) + int(pass_outeq)
+
+        def run(*args):
+            it = iter(args[:n_streams])
+            dt, bol = next(it), next(it)
+            inf = next(it) if pass_inf else None
+            mask, val, sig = next(it), next(it), next(it)
+            cens = next(it) if pass_cens else None
+            outeq = next(it) if pass_outeq else None
+            rep = args[n_streams:]
+            sp_dev, coef = rep[0], rep[1]
+            bias = rep[2] if has_bias else None
+            return psi_oral(dt, bol, inf, mask, val, sig, cens, sp_dev,
+                            structure=structure, obs_outeq=outeq,
+                            out_coef=coef, out_bias=bias)
+
+        run.n_streams = n_streams
+        return run
 
     def finalize(self, psi_rows, grid) -> np.ndarray:
         """Unpad and aggregate occasion rows -> subjects."""
@@ -191,21 +262,15 @@ def _pallas_psi_matrix(equation, grid, sp, lowered) -> np.ndarray:
     seq/lag/fa/init equations and covariates are not supported — the
     general engine handles those.
     """
-    from ..ops.pallas_psi import SUB_TILE, psi_oral
+    from ..ops.pallas_psi import SUB_TILE
 
     plan = _PallasPsiPlan(equation, grid, sp, lowered, row_multiple=SUB_TILE)
     cache = equation.__dict__.setdefault("_jit_psi", {})
     key = plan.cache_key()
     fn = cache.get(key)
     if fn is None:
-        structure = plan.structure
-
-        def run(dt, bol, inf, mask, val, sig, cens, sp_dev):
-            return psi_oral(dt, bol, inf, mask, val, sig, cens, sp_dev,
-                            structure=structure)
-
-        fn = cache[key] = jax.jit(run)
-    return plan.finalize(fn(*plan.call_args()), grid)
+        fn = cache[key] = jax.jit(plan.runner())
+    return plan.finalize(fn(*plan.stream_args(), *plan.rep_args()), grid)
 
 
 def log_likelihood_matrix(

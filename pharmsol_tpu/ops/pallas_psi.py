@@ -681,6 +681,37 @@ def psi_oral(
     return call()
 
 
+class _CheckedParams:
+    """Bounds-checking support-row proxy for output-coefficient extraction.
+
+    JAX clamps out-of-bounds gather indices silently, so an out closure
+    reading a support column that doesn't exist would produce wrong values
+    instead of an error. This proxy raises IndexError for static integer
+    indices past the row width; everything else delegates to the array.
+    """
+
+    def __init__(self, p):
+        self._p = p
+
+    def __getitem__(self, idx):
+        n = self._p.shape[0]
+        if isinstance(idx, (int, np.integer)):
+            if not (-n <= idx < n):
+                raise IndexError(
+                    f"support column {idx} out of range ({n} support columns)"
+                )
+        return self._p[idx]
+
+    def __len__(self):
+        return self._p.shape[0]
+
+    def __iter__(self):
+        return iter(self._p)
+
+    def __getattr__(self, name):
+        return getattr(self._p, name)
+
+
 def extract_linear_out(out_fn, support, n_states: int, n_out: int, cov,
                        dtype, ts=(0.0, 17.31)):
     """Extract per-support linear output coefficients from an out closure.
@@ -696,14 +727,15 @@ def extract_linear_out(out_fn, support, n_states: int, n_out: int, cov,
 
     def eval_all(t):
         def one(p):
+            pc = _CheckedParams(p)
             zero = jnp.asarray(
-                out_fn(jnp.zeros(n_states, dtype), p, t, cov), dtype
+                out_fn(jnp.zeros(n_states, dtype), pc, t, cov), dtype
             ).reshape(n_out)
             cols = []
             for i in range(n_states):
                 e = jnp.zeros(n_states, dtype).at[i].set(1.0)
                 cols.append(
-                    jnp.asarray(out_fn(e, p, t, cov), dtype).reshape(n_out) - zero
+                    jnp.asarray(out_fn(e, pc, t, cov), dtype).reshape(n_out) - zero
                 )
             return jnp.stack(cols, axis=1), zero  # [n_out, n_states], [n_out]
 

@@ -185,7 +185,7 @@ def _pallas_psi_sharded(equation, grid, sp, lowered, mesh) -> np.ndarray:
         from jax.experimental.shard_map import shard_map
 
     from ..likelihood.matrix import _PallasPsiPlan
-    from ..ops.pallas_psi import SUB_TILE, psi_oral
+    from ..ops.pallas_psi import SUB_TILE
 
     n_shards = mesh.shape["subjects"]
     plan = _PallasPsiPlan(
@@ -195,23 +195,12 @@ def _pallas_psi_sharded(equation, grid, sp, lowered, mesh) -> np.ndarray:
     key = plan.cache_key("sharded", mesh.shape_tuple)
     fn = cache.get(key)
     if fn is None:
-        structure = plan.structure
-        pass_inf, pass_cens = plan.pass_inf, plan.pass_cens
-        n_arrays = 5 + int(pass_inf) + int(pass_cens)
-
-        def run(*args):
-            it = iter(args[:-1])
-            dt, bol = next(it), next(it)
-            inf = next(it) if pass_inf else None
-            mask, val, sig = next(it), next(it), next(it)
-            cens = next(it) if pass_cens else None
-            return psi_oral(dt, bol, inf, mask, val, sig, cens, args[-1],
-                            structure=structure)
-
+        run = plan.runner()
         stream_spec = P("subjects", None)
         sm_kwargs = dict(
             mesh=mesh,
-            in_specs=(stream_spec,) * n_arrays + (P(None, None),),
+            in_specs=(stream_spec,) * run.n_streams
+            + tuple(P(*([None] * a.ndim)) for a in plan.rep_args()),
             out_specs=stream_spec,
         )
         try:  # jax >= 0.8 uses check_vma; the experimental API used check_rep
@@ -220,6 +209,5 @@ def _pallas_psi_sharded(equation, grid, sp, lowered, mesh) -> np.ndarray:
             sharded = shard_map(run, check_rep=False, **sm_kwargs)
         fn = cache[key] = jax.jit(sharded)
 
-    args = [a for a in plan.call_args()[:-1] if a is not None]
-    psi = plan.finalize(fn(*args, plan.sp_dev), grid)
+    psi = plan.finalize(fn(*plan.stream_args(), *plan.rep_args()), grid)
     return np.where(np.isfinite(psi), psi, -np.inf)

@@ -201,13 +201,21 @@ def test_pallas_engine_rejections():
     with pytest.raises(PharmsolError, match="support columns"):
         log_likelihood_matrix(model, Data([s]), support_bad, ems, engine="pallas")
 
-    # kernel without a pallas structure
-    model_cl = Analytical(
-        pst.two_compartments_cl, out=lambda x, p, t, cov: x[0:1] / p[2],
+    # non-linear output equation
+    model_nl = Analytical(
+        pst.two_compartments, out=lambda x, p, t, cov: (x[0:1] / p[3]) ** 2,
         nstates=2, ndrugs=1, nout=1,
     )
-    with pytest.raises(PharmsolError, match="no pallas psi structure"):
-        log_likelihood_matrix(model_cl, Data([s]), np.ones((4, 5)), ems, engine="pallas")
+    with pytest.raises(PharmsolError, match="linear output"):
+        log_likelihood_matrix(model_nl, Data([s]), np.ones((4, 4)), ems, engine="pallas")
+
+    # time-dependent output equation
+    model_t = Analytical(
+        pst.two_compartments, out=lambda x, p, t, cov: x[0:1] / p[3] * (1.0 + t),
+        nstates=2, ndrugs=1, nout=1,
+    )
+    with pytest.raises(PharmsolError, match="linear output"):
+        log_likelihood_matrix(model_t, Data([s]), np.ones((4, 4)), ems, engine="pallas")
 
     model1 = Analytical(
         pst.one_compartment, out=lambda x, p, t, cov: x[0:1] / p[1],
@@ -477,4 +485,116 @@ def test_pallas_pure_infusion_no_bolus():
     )
     want = log_likelihood_matrix(model, Data(subjects), support, ems)
     got = log_likelihood_matrix(model, Data(subjects), support, ems, engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=5e-9, atol=1e-9)
+
+
+def test_pallas_engine_all_structures_parity():
+    """engine='pallas' matches the XLA engine for ALL 12 analytical
+    structures (micro-constant + CL parameterizations), mixed
+    bolus+infusion regimen."""
+    from pharmsol_tpu.engine.analytical import KERNELS
+
+    rng = np.random.RandomState(31)
+    obs_times = [1.0, 2.5, 6.0, 12.0, 24.0, 47.0]
+    subjects = []
+    for i in range(SUB_TILE):
+        b = Subject.builder(f"a{i}").bolus(0.0, 100.0, 0)
+        b = b.infusion(10.0, 150.0, 0, 1.5)
+        for t in obs_times:
+            b = b.observation(float(t), float(np.abs(3 + rng.randn())), 0)
+        subjects.append(b.build())
+    ems = AssayErrorModels().add(
+        0, AssayErrorModel.additive(ErrorPoly(0.4, 0.1), 1.0)
+    )
+
+    # per structure: nominal support row (kernel params + v for the output)
+    nominal = {
+        "one_compartment": [0.2],
+        "one_compartment_with_absorption": [1.1, 0.2],
+        "one_compartment_cl": [2.0, 10.0],
+        "one_compartment_cl_with_absorption": [1.1, 2.0, 10.0],
+        "two_compartments": [0.2, 0.3, 0.25],
+        "two_compartments_with_absorption": [0.2, 1.1, 0.3, 0.25],
+        "two_compartments_cl": [2.0, 3.0, 10.0, 14.0],
+        "two_compartments_cl_with_absorption": [1.1, 2.0, 3.0, 10.0, 14.0],
+        "three_compartments": [0.2, 0.3, 0.05, 0.25, 0.07],
+        "three_compartments_with_absorption": [1.1, 0.2, 0.3, 0.05, 0.25, 0.07],
+        "three_compartments_cl": [2.0, 3.0, 0.6, 10.0, 14.0, 9.0],
+        "three_compartments_cl_with_absorption": [1.1, 2.0, 3.0, 0.6, 10.0, 14.0, 9.0],
+    }
+    central = {name: (1 if name.endswith("_with_absorption") else 0)
+               for name in nominal}
+
+    for name, row in nominal.items():
+        fn, nstates, nparams = KERNELS[name]
+        assert len(row) == nparams
+        c = central[name]
+        vcol = nparams  # v appended after the kernel params
+        model = Analytical(
+            fn,
+            out=lambda x, p, t, cov, c=c, vcol=vcol: x[c:c + 1] / p[vcol],
+            nstates=nstates, ndrugs=1, nout=1,
+        )
+        sp = np.abs(
+            np.array(row + [11.0])[None, :]
+            * (1.0 + 0.15 * rng.randn(12, nparams + 1))
+        )
+        want = log_likelihood_matrix(model, Data(subjects), sp, ems)
+        got = log_likelihood_matrix(model, Data(subjects), sp, ems, engine="pallas")
+        np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-8, err_msg=name)
+
+
+def test_pallas_engine_multi_output():
+    """Two output equations (central/v and peripheral amount) with distinct
+    error models match the XLA engine."""
+    rng = np.random.RandomState(7)
+    subjects = []
+    for i in range(SUB_TILE):
+        b = Subject.builder(f"m{i}").bolus(0.0, 100.0, 0)
+        for t in (0.5, 1.0, 2.0, 4.0, 8.0, 16.0):
+            b = b.observation(float(t), float(np.abs(4 + rng.randn())), 0)
+            b = b.observation(float(t) + 0.1, float(np.abs(9 + rng.randn())), 1)
+        subjects.append(b.build())
+    ems = (
+        AssayErrorModels()
+        .add(0, AssayErrorModel.additive(ErrorPoly(0.4, 0.1), 1.0))
+        .add(1, AssayErrorModel.proportional(ErrorPoly(0.2, 0.15), 1.5))
+    )
+    model = Analytical(
+        pst.two_compartments_with_absorption,
+        out=lambda x, p, t, cov: jnp.stack([x[1] / p[4], x[2] * 0.5]),
+        nstates=3, ndrugs=1, nout=2,
+    )
+    support = np.abs(
+        np.array([0.15, 1.2, 0.3, 0.2, 10.0])[None, :]
+        * (1.0 + 0.2 * rng.randn(24, 5))
+    )
+    want = log_likelihood_matrix(model, Data(subjects), support, ems)
+    got = log_likelihood_matrix(model, Data(subjects), support, ems, engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=5e-9, atol=1e-9)
+
+
+def test_pallas_engine_affine_output_bias():
+    """Outputs with a support-dependent constant term (baseline endogenous
+    level) use the kernel bias rows."""
+    rng = np.random.RandomState(13)
+    subjects = []
+    for i in range(SUB_TILE):
+        b = Subject.builder(f"b{i}").bolus(0.0, 100.0, 0)
+        for t in (1.0, 3.0, 9.0, 24.0):
+            b = b.observation(float(t), float(np.abs(5 + rng.randn())), 0)
+        subjects.append(b.build())
+    ems = AssayErrorModels().add(
+        0, AssayErrorModel.additive(ErrorPoly(0.4, 0.1), 1.0)
+    )
+    model = Analytical(
+        pst.one_compartment,
+        out=lambda x, p, t, cov: x[0:1] / p[1] + p[2],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    sp = np.abs(
+        np.array([0.2, 10.0, 1.5])[None, :] * (1.0 + 0.2 * rng.randn(10, 3))
+    )
+    want = log_likelihood_matrix(model, Data(subjects), sp, ems)
+    got = log_likelihood_matrix(model, Data(subjects), sp, ems, engine="pallas")
     np.testing.assert_allclose(got, want, rtol=5e-9, atol=1e-9)
