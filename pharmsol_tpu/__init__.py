@@ -31,6 +31,7 @@ from .data.event import (  # noqa: F401
     Route as AdminRoute,
 )
 from .data.residual_error import ResidualErrorModel, ResidualErrorModels  # noqa: F401
+from .data.serde import from_json, load_json, save_json, to_json  # noqa: F401
 from .data.structs import Data, Occasion, Subject  # noqa: F401
 from .errors import PharmsolError  # noqa: F401
 from .metadata import (  # noqa: F401
