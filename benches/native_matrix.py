@@ -154,7 +154,16 @@ def main() -> int:
     parser.add_argument("--json", type=str, default=None)
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument("--cpu", action="store_true",
+                        help="run on CPU (stable timings for the committed "
+                             "regression baseline; TPU timings drift and pay "
+                             "tunnel compile latency)")
     args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from pharmsol_tpu import AssayErrorModel, AssayErrorModels, Data, ErrorPoly
     from pharmsol_tpu.likelihood.matrix import log_likelihood_matrix
