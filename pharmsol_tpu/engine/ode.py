@@ -7,14 +7,17 @@ the timeline at every discontinuity, so the RHS is *smooth within a segment*
 (constant rateiv, piecewise-linear covariates) and the entire boundary
 machinery dissolves: each segment is one clean initial-value problem.
 
-Steppers:
+Steppers (name-faithful to ode/mod.rs:59-84):
 
-- ``dopri5``: Dormand–Prince 5(4) embedded pair, adaptive PI step control —
-  the non-stiff workhorse (reference ``Tsit45``-class accuracy).
-- ``kvaerno3`` / ``kvaerno5``: ESDIRK L-stable implicit methods with Newton
-  iterations on the nstate×nstate system — the stiff path standing in for
-  the reference's BDF default. Jacobians come from ``jax.jacfwd`` (exact,
-  not the reference's linear-model directional approximation).
+- ``dopri5`` / ``tsit5``: explicit embedded 5(4) pairs (Dormand–Prince and
+  Tsitouras 2011), adaptive step control, FSAL — the non-stiff workhorses.
+- ``bdf``: genuine variable-order (1–5) fixed-leading-coefficient BDF in
+  backward-difference form with quasi-constant step size — the same method
+  family as the reference's diffsol BDF default (and scipy/ode15s). Newton
+  iterations use an exact ``jax.jacfwd`` Jacobian frozen per step.
+- ``trbdf2``: the 3-stage TR-BDF2 ESDIRK 2(3) pair (Hosea & Shampine).
+- ``kvaerno3`` / ``kvaerno5`` / ``esdirk34``: L-stable ESDIRK methods
+  (``esdirk34`` maps to the 4-stage order-3 Kvaerno scheme).
 
 All loops are ``lax.while_loop`` with a hard ``max_steps`` bound so they
 vmap/shard cleanly. Default tolerances follow ode/mod.rs:40-41
@@ -28,6 +31,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 DEFAULT_RTOL = 1e-4
 DEFAULT_ATOL = 1e-4
@@ -57,12 +61,40 @@ _DP_B4 = (
 )
 
 
+# Tsitouras 5(4) tableau (Tsitouras 2011), FSAL like DP5.
+_TS_C = (0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0)
+_TS_A = (
+    (),
+    (0.161,),
+    (-0.008480655492356989, 0.335480655492357),
+    (2.8971530571054935, -6.359448489975075, 4.3622954328695815),
+    (5.325864828439257, -11.748883564062828, 7.4955393428898365,
+     -0.09249506636175525),
+    (5.86145544294642, -12.92096931784711, 8.159367898576159,
+     -0.071584973281401, -0.028269050394068383),
+    (0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
+     -3.290069515436081, 2.324710524099774),
+)
+_TS_B = _TS_A[6] + (0.0,)
+# error weights (b - bhat): err = h * sum(e_i k_i)
+_TS_E = (
+    -0.00178001105222577714,
+    -0.0008164344596567469,
+    0.007880878010261995,
+    -0.1447110071732629,
+    0.5823571654525552,
+    -0.45808210592918697,
+    0.015151515151515152,
+)
+_DP_E = tuple(b5 - b4 for b5, b4 in zip(_DP_B5, _DP_B4))
+
+
 class ODEOptions(NamedTuple):
     rtol: float = DEFAULT_RTOL
     atol: float = DEFAULT_ATOL
     h0: float = DEFAULT_H0
     max_steps: int = DEFAULT_MAX_STEPS
-    solver: str = "dopri5"  # 'dopri5' | 'kvaerno3' | 'kvaerno5'
+    solver: str = "dopri5"  # see _SEGMENT_SOLVERS for the full menu
     newton_iters: int = 6
 
 
@@ -71,25 +103,43 @@ def _error_ratio(err, x0, x1, rtol, atol):
     return jnp.sqrt(jnp.mean((err / scale) ** 2))
 
 
-def dopri5_segment(f: Callable, x0, t0, t1, opts: ODEOptions):
-    """Integrate dx/dt = f(x, t) from t0 to t1 (t1 >= t0), adaptive DP5(4)."""
+def _poison_if_unfinished(x, t_end, t1):
+    """NaN the state when the step budget ran out before reaching t1.
+
+    The reference surfaces a solver error (diffsol max-steps) which the
+    population layer degrades to -inf per subject; silently returning a
+    half-integrated state would instead produce a plausible-looking wrong
+    answer. NaN propagates to the same -inf degradation (matrix.py
+    on_error='neg_inf') and is loud on the prediction path.
+    """
+    done = t_end >= t1 - 1e-14 * jnp.maximum(jnp.abs(t1), 1.0)
+    return jnp.where(done, x, jnp.nan)
+
+
+def _erk_segment(f: Callable, x0, t0, t1, opts: ODEOptions, A, B, E, C):
+    """Adaptive explicit embedded RK with FSAL (last stage = f at accept)."""
     span = t1 - t0
+    n_stages = len(C)
 
     def one_step(x, t, h, k1):
-        # FSAL: stage 1 is the previous step's stage 7 (f at the accepted
-        # point), so each trial step costs 6 fresh RHS evaluations, not 7
+        # FSAL: stage 1 is the previous step's last stage (f at the accepted
+        # point), so each trial step costs n_stages-1 fresh RHS evaluations
         ks = [k1]
-        for i in range(1, 7):
+        for i in range(1, n_stages):
             xi = x
-            for j, aij in enumerate(_DP_A[i]):
-                xi = xi + h * aij * ks[j]
-            ks.append(f(xi, t + _DP_C[i] * h))
-        x5 = x
-        x4 = x
-        for bi5, bi4, k in zip(_DP_B5, _DP_B4, ks):
-            x5 = x5 + h * bi5 * k
-            x4 = x4 + h * bi4 * k
-        return x5, x5 - x4, ks[6]
+            for j, aij in enumerate(A[i]):
+                if aij != 0.0:
+                    xi = xi + h * aij * ks[j]
+            ks.append(f(xi, t + C[i] * h))
+        x_new = x
+        for bi, k in zip(B, ks):
+            if bi != 0.0:
+                x_new = x_new + h * bi * k
+        err = jnp.zeros_like(x)
+        for ei, k in zip(E, ks):
+            if ei != 0.0:
+                err = err + h * ei * k
+        return x_new, err, ks[-1]
 
     def cond(carry):
         t, x, h, k1, steps = carry
@@ -122,7 +172,17 @@ def dopri5_segment(f: Callable, x0, t0, t1, opts: ODEOptions):
     t_end, x_end, _, _, _ = jax.lax.while_loop(
         cond, body, (t0, x0, h_init, k1_init, 0)
     )
-    return x_end
+    return _poison_if_unfinished(x_end, t_end, t1)
+
+
+def dopri5_segment(f: Callable, x0, t0, t1, opts: ODEOptions):
+    """Integrate dx/dt = f(x, t) from t0 to t1 (t1 >= t0), adaptive DP5(4)."""
+    return _erk_segment(f, x0, t0, t1, opts, _DP_A, _DP_B5, _DP_E, _DP_C)
+
+
+def tsit5_segment(f: Callable, x0, t0, t1, opts: ODEOptions):
+    """Tsitouras 5(4): the reference's Tsit45 (ode/mod.rs:59-84)."""
+    return _erk_segment(f, x0, t0, t1, opts, _TS_A, _TS_B, _TS_E, _TS_C)
 
 
 # -- ESDIRK (Kvaerno) implicit methods -------------------------------------------
@@ -199,28 +259,39 @@ def _dense_solve(A, b):
 
 
 def _newton_stage(f, x_base, t_stage, h, gamma, x_guess, newton_iters):
-    """Solve z = x_base + h*gamma*f(z, t_stage) by Newton iteration."""
+    """Solve z = x_base + h*gamma*f(z, t_stage) by Newton iteration.
+
+    Returns (z, last_residual): the residual lets the step controller reject
+    steps whose Newton iteration failed to converge (a fixed-iteration loop
+    can silently diverge on very stiff stages otherwise).
+    """
 
     def F(z):
         return z - x_base - h * gamma * f(z, t_stage)
 
     J = jax.jacfwd(F)
 
-    def body(_, z):
+    def body(_, carry):
+        z, _ = carry
         resid = F(z)
         jac = J(z)
         delta = _dense_solve(jac, resid)
-        return z - delta
+        return (z - delta, resid)
 
-    return jax.lax.fori_loop(0, newton_iters, body, x_guess)
+    z, resid = jax.lax.fori_loop(
+        0, newton_iters, body, (x_guess, jnp.zeros_like(x_guess))
+    )
+    return z, F(z)
 
 
-def _esdirk_segment(f, x0, t0, t1, opts: ODEOptions, A, B, BHAT, C, gamma):
+def _esdirk_segment(f, x0, t0, t1, opts: ODEOptions, A, B, BHAT, C, gamma,
+                    order=None, max_growth=5.0):
     n_stages = len(C)
     span = t1 - t0
 
     def one_step(x, t, h):
         ks = []
+        resid_max = jnp.zeros((), x.dtype)
         for i in range(n_stages):
             if i == 0:
                 ks.append(f(x, t))
@@ -229,8 +300,12 @@ def _esdirk_segment(f, x0, t0, t1, opts: ODEOptions, A, B, BHAT, C, gamma):
             for j in range(i):
                 x_base = x_base + h * A[i][j] * ks[j]
             t_stage = t + C[i] * h
-            z = _newton_stage(
+            z, resid = _newton_stage(
                 f, x_base, t_stage, h, gamma, x_base + h * gamma * ks[i - 1], opts.newton_iters
+            )
+            scale = opts.atol + opts.rtol * jnp.abs(z)
+            resid_max = jnp.maximum(
+                resid_max, jnp.sqrt(jnp.mean((resid / scale) ** 2))
             )
             ks.append(f(z, t_stage))
         x_new = x
@@ -238,9 +313,10 @@ def _esdirk_segment(f, x0, t0, t1, opts: ODEOptions, A, B, BHAT, C, gamma):
         for bi, bhi, k in zip(B, BHAT, ks):
             x_new = x_new + h * bi * k
             x_hat = x_hat + h * bhi * k
-        return x_new, x_new - x_hat
+        return x_new, x_new - x_hat, resid_max
 
-    order = 3.0 if n_stages == 4 else 5.0
+    if order is None:
+        order = 3.0 if n_stages == 4 else 5.0
 
     def cond(carry):
         t, x, h, steps = carry
@@ -249,13 +325,27 @@ def _esdirk_segment(f, x0, t0, t1, opts: ODEOptions, A, B, BHAT, C, gamma):
     def body(carry):
         t, x, h, steps = carry
         h = jnp.minimum(h, t1 - t)
-        x_new, err = one_step(x, t, h)
+        x_new, err, resid_max = one_step(x, t, h)
         ratio = _error_ratio(err, x, x_new, opts.rtol, opts.atol)
-        finite = jnp.all(jnp.isfinite(x_new))
+        # a non-converged Newton stage invalidates the step even when the
+        # (equally unconverged) embedded error estimate looks small
+        finite = jnp.all(jnp.isfinite(x_new)) & jnp.isfinite(resid_max) \
+            & (resid_max <= 0.1)
+        # growth guard: at large h a nonlinear stage equation can grow
+        # spurious roots far from the solution branch — Newton lands on one
+        # with a genuinely tiny residual and a self-consistent (useless)
+        # embedded error. A 10x state jump in one step is never a resolved
+        # trajectory at these tolerances; reject and let the controller
+        # shrink h (a genuine fast transient just gets re-stepped smaller).
+        growth_ok = jnp.max(jnp.abs(x_new - x)) <= 10.0 * (1.0 + jnp.max(jnp.abs(x)))
+        finite = finite & growth_ok
         accept = (ratio <= 1.0) & finite
         factor = jnp.where(
             finite,
-            jnp.clip(0.9 * jnp.power(jnp.maximum(ratio, 1e-10), -1.0 / (order + 1.0)), 0.2, 5.0),
+            jnp.clip(
+                0.9 * jnp.power(jnp.maximum(ratio, 1e-10), -1.0 / (order + 1.0)),
+                0.2, max_growth,
+            ),
             0.25,
         )
         t = jnp.where(accept, t + h, t)
@@ -265,7 +355,7 @@ def _esdirk_segment(f, x0, t0, t1, opts: ODEOptions, A, B, BHAT, C, gamma):
 
     h_init = jnp.minimum(jnp.asarray(opts.h0, x0.dtype), jnp.maximum(span, 1e-14))
     t_end, x_end, _, _ = jax.lax.while_loop(cond, body, (t0, x0, h_init, 0))
-    return x_end
+    return _poison_if_unfinished(x_end, t_end, t1)
 
 
 def kvaerno3_segment(f, x0, t0, t1, opts: ODEOptions):
@@ -273,17 +363,204 @@ def kvaerno3_segment(f, x0, t0, t1, opts: ODEOptions):
 
 
 def kvaerno5_segment(f, x0, t0, t1, opts: ODEOptions):
-    return _esdirk_segment(f, x0, t0, t1, opts, _KV5_A, _KV5_B, _KV5_BHAT, _KV5_C, _KV5_GAMMA)
+    # max_growth 1.5: the order-5 embedded estimator is optimistic across
+    # sharp nonlinear transitions (TMDD target depletion) — aggressive step
+    # growth lets it leap the kink onto a wrong solution branch with a
+    # self-consistently small error estimate. Conservative growth keeps the
+    # transition sampled; the lower-order schemes tolerate 5.0.
+    return _esdirk_segment(f, x0, t0, t1, opts, _KV5_A, _KV5_B, _KV5_BHAT,
+                           _KV5_C, _KV5_GAMMA, max_growth=1.5)
+
+
+# TR-BDF2 as a 3-stage ESDIRK 2(3) (Hosea & Shampine 1996): one trapezoidal
+# half-step to t + gamma*h, one BDF2 step to t + h; L-stable, first stage
+# explicit, uniform implicit diagonal d = (2-sqrt(2))/2.
+_TRBDF2_D = (2.0 - np.sqrt(2.0)) / 2.0
+_TRBDF2_W = np.sqrt(2.0) / 4.0
+_TRBDF2_A = (
+    (0.0,),
+    (_TRBDF2_D, _TRBDF2_D),
+    (_TRBDF2_W, _TRBDF2_W, _TRBDF2_D),
+)
+_TRBDF2_C = (0.0, 2.0 * _TRBDF2_D, 1.0)
+_TRBDF2_B = (_TRBDF2_W, _TRBDF2_W, _TRBDF2_D)
+_TRBDF2_BHAT = (
+    (1.0 - _TRBDF2_W) / 3.0,
+    (3.0 * _TRBDF2_W + 1.0) / 3.0,
+    _TRBDF2_D / 3.0,
+)
+
+
+def trbdf2_segment(f, x0, t0, t1, opts: ODEOptions):
+    """TR-BDF2 (ode/mod.rs:59-84 `tr_bdf2`) as an embedded 2(3) pair."""
+    return _esdirk_segment(
+        f, x0, t0, t1, opts, _TRBDF2_A, _TRBDF2_B, _TRBDF2_BHAT, _TRBDF2_C,
+        _TRBDF2_D, order=2.0,
+    )
+
+
+# -- BDF (variable order 1-5, fixed leading coefficient) -----------------------
+#
+# The reference's default solver is diffsol's BDF (ode/mod.rs:59-63), the
+# SUNDIALS/ode15s family: quasi-constant step size, backward-difference
+# history, and a kappa-stabilized fixed leading coefficient. This is that
+# method under `lax.while_loop` with a static-shape difference array
+# D[MAX_ORDER+3, n] and order/step adaptation by masked selects, so it jits,
+# vmaps, and shards like every other stepper here.
+
+_BDF_MAX_ORDER = 5
+_BDF_KAPPA = np.array([0.0, -0.1850, -1.0 / 9.0, -0.0823, -0.0415, 0.0])
+_BDF_GAMMA = np.hstack(([0.0], np.cumsum(1.0 / np.arange(1, _BDF_MAX_ORDER + 1))))
+_BDF_ALPHA = (1.0 - _BDF_KAPPA) * _BDF_GAMMA
+_BDF_ERROR_CONST = _BDF_KAPPA * _BDF_GAMMA + 1.0 / np.arange(1, _BDF_MAX_ORDER + 2)
+_BDF_MIN_FACTOR = 0.2
+_BDF_MAX_FACTOR = 10.0
+
+
+def bdf_segment(f, x0, t0, t1, opts: ODEOptions):
+    """Variable-order (1-5) BDF with quasi-constant steps, t0 -> t1 >= t0."""
+    dtype = x0.dtype
+    n = x0.shape[0]
+    span = t1 - t0
+    kappa = jnp.asarray(_BDF_KAPPA, dtype)
+    gamma = jnp.asarray(_BDF_GAMMA, dtype)
+    alpha = jnp.asarray(_BDF_ALPHA, dtype)
+    error_const = jnp.asarray(_BDF_ERROR_CONST, dtype)
+    jac = jax.jacfwd(lambda xx, tt: f(xx, tt))
+    eye = jnp.eye(n, dtype=dtype)
+    idx6 = jnp.arange(_BDF_MAX_ORDER + 1)
+
+    # difference-array rescaling operator for a step-size change by `factor`:
+    # D[:k+1] <- (R(k, factor) @ R(k, 1)).T @ D[:k+1]; R(k, 1) is involutory,
+    # so factor == 1 is the identity. Rows/cols beyond the active order are
+    # masked to the identity so one static 6x6 matmul serves every order.
+    def _compute_R(factor):
+        i = jnp.arange(1, _BDF_MAX_ORDER + 1, dtype=dtype)[:, None]
+        j = jnp.arange(1, _BDF_MAX_ORDER + 1, dtype=dtype)[None, :]
+        M = jnp.zeros((_BDF_MAX_ORDER + 1, _BDF_MAX_ORDER + 1), dtype=dtype)
+        M = M.at[1:, 1:].set((i - 1.0 - factor * j) / i)
+        M = M.at[0].set(1.0)
+        return jnp.cumprod(M, axis=0)
+
+    _U = _compute_R(jnp.asarray(1.0, dtype))
+
+    def change_D(D, order, factor):
+        act = (idx6[:, None] <= order) & (idx6[None, :] <= order)
+        eye6 = jnp.eye(_BDF_MAX_ORDER + 1, dtype=dtype)
+        Rm = jnp.where(act, _compute_R(factor), eye6)
+        Um = jnp.where(act, _U, eye6)
+        RU = Rm @ Um
+        D6 = RU.T @ D[: _BDF_MAX_ORDER + 1]
+        return D.at[: _BDF_MAX_ORDER + 1].set(D6)
+
+    def rms(v, scale):
+        return jnp.sqrt(jnp.mean((v / scale) ** 2))
+
+    def cond(carry):
+        t, D, h, order, neq, steps = carry
+        return (t < t1 - 1e-14 * jnp.maximum(jnp.abs(t1), 1.0)) & (steps < opts.max_steps)
+
+    def body(carry):
+        t, D, h, order, neq, steps = carry
+        # clip the step to the remaining span (rescale history to match)
+        h_req = jnp.minimum(h, t1 - t)
+        clip_factor = h_req / h
+        D = jnp.where(clip_factor < 1.0, change_D(D, order, clip_factor), D)
+        neq = jnp.where(clip_factor < 1.0, 0, neq)
+        h = h_req
+
+        alpha_k = alpha[order]
+        c = h / alpha_k
+        row_mask = (idx6 <= order)[:, None]
+        x_pred = jnp.sum(jnp.where(row_mask, D[: _BDF_MAX_ORDER + 1], 0.0), axis=0)
+        scale = opts.atol + opts.rtol * jnp.abs(x_pred)
+        gmask = jnp.where((idx6 >= 1) & (idx6 <= order), gamma, 0.0)
+        psi = (gmask @ D[: _BDF_MAX_ORDER + 1]) / alpha_k
+        t_new = t + h
+
+        # Newton on g(d) = d - c f(x_pred + d, t_new) + psi with the Jacobian
+        # frozen at the predicted point (scipy BDF strategy)
+        A = eye - c * jac(x_pred, t_new)
+
+        def newton_body(_, dy):
+            d, y = dy
+            res = c * f(y, t_new) - psi - d
+            step = _dense_solve(A, res)
+            return (d + step, y + step)
+
+        d, y = jax.lax.fori_loop(
+            0, opts.newton_iters, newton_body, (jnp.zeros_like(x_pred), x_pred)
+        )
+        resid = c * f(y, t_new) - psi - d
+
+        err_norm = rms(error_const[order] * d, scale)
+        res_norm = rms(resid, scale)
+        finite = jnp.all(jnp.isfinite(y)) & jnp.isfinite(err_norm)
+        converged = res_norm <= 0.1
+        accept = (err_norm <= 1.0) & converged & finite
+
+        # accepted-path difference update: D[k+2] = d - D[k+1]; D[k+1] = d;
+        # D[i] += D[i+1] downward — afterwards D[0] is the new solution
+        D_acc = D.at[order + 2].set(d - D[order + 1])
+        D_acc = D_acc.at[order + 1].set(d)
+        for i in range(_BDF_MAX_ORDER, -1, -1):
+            D_acc = D_acc.at[i].add(jnp.where(i <= order, D_acc[i + 1], 0.0))
+
+        neq_acc = neq + 1
+        do_adapt = accept & (neq_acc > order)
+
+        # order adaptation: error norms at order-1 / order / order+1
+        err_m = rms(error_const[order - 1] * D_acc[order], scale)
+        err_p = rms(error_const[order + 1] * D_acc[order + 2], scale)
+        err_m = jnp.where(order > 1, err_m, jnp.inf)
+        err_p = jnp.where(order < _BDF_MAX_ORDER, err_p, jnp.inf)
+        norms = jnp.stack([err_m, jnp.maximum(err_norm, 1e-16), err_p])
+        exps = -1.0 / (order.astype(dtype) + jnp.asarray([0.0, 1.0, 2.0], dtype))
+        facs = jnp.power(jnp.maximum(norms, 1e-16), exps)
+        best = jnp.argmax(facs).astype(jnp.int32)
+        order_adapted = jnp.clip(order + best - 1, 1, _BDF_MAX_ORDER).astype(jnp.int32)
+        factor_adapt = jnp.clip(0.9 * facs[best], _BDF_MIN_FACTOR, _BDF_MAX_FACTOR)
+
+        # rejected-path step shrink (hard shrink on Newton failure)
+        factor_rej = jnp.where(
+            finite & converged,
+            jnp.clip(
+                0.9 * jnp.power(jnp.maximum(err_norm, 1e-16),
+                                -1.0 / (order.astype(dtype) + 1.0)),
+                _BDF_MIN_FACTOR, 1.0,
+            ),
+            jnp.asarray(0.25, dtype),
+        )
+
+        factor = jnp.where(accept, jnp.where(do_adapt, factor_adapt, 1.0), factor_rej)
+        order_new = jnp.where(do_adapt, order_adapted, order)
+        neq_new = jnp.where(accept & ~do_adapt, neq_acc, 0)
+        D_new = jnp.where(accept, D_acc, D)
+        D_final = jnp.where(factor == 1.0, D_new, change_D(D_new, order_new, factor))
+        h_new = jnp.maximum(h * factor, 1e-14)
+        t_out = jnp.where(accept, t_new, t)
+        return (t_out, D_final, h_new, order_new, neq_new, steps + 1)
+
+    h_init = jnp.minimum(jnp.asarray(opts.h0, dtype), jnp.maximum(span, 1e-14))
+    D0 = jnp.zeros((_BDF_MAX_ORDER + 3, n), dtype=dtype)
+    D0 = D0.at[0].set(x0)
+    D0 = D0.at[1].set(h_init * f(x0, t0))
+    order0 = jnp.asarray(1, jnp.int32)
+    zero = jnp.asarray(0, jnp.int32)
+    t_end, D_end, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (t0 + jnp.zeros((), dtype), D0, h_init, order0, zero, zero)
+    )
+    return _poison_if_unfinished(D_end[0], t_end, t1)
 
 
 _SEGMENT_SOLVERS = {
     "dopri5": dopri5_segment,
-    "tsit5": dopri5_segment,  # same accuracy class; alias for API parity
+    "tsit5": tsit5_segment,
     "kvaerno3": kvaerno3_segment,
     "kvaerno5": kvaerno5_segment,
-    "bdf": kvaerno5_segment,  # stiff default alias (reference default is BDF)
-    "esdirk34": kvaerno3_segment,
-    "trbdf2": kvaerno3_segment,
+    "bdf": bdf_segment,
+    "esdirk34": kvaerno3_segment,  # the Kvaerno 3/2 scheme IS a 4-stage ESDIRK of order 3
+    "trbdf2": trbdf2_segment,
 }
 
 
