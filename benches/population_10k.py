@@ -33,6 +33,8 @@ def main() -> int:
     parser.add_argument("--supports", type=int, default=1_000)
     parser.add_argument("--nca-subjects", type=int, default=None,
                         help="cap NCA post-processing (default: all)")
+    parser.add_argument("--host-nca", action="store_true",
+                        help="use the host-numpy batch NCA instead of the device path")
     args = parser.parse_args()
 
     import jax
@@ -134,12 +136,19 @@ def main() -> int:
     sep = float(np.mean(ke_map[fast] > 0.2) * 0.5 + np.mean(ke_map[~fast] <= 0.2) * 0.5)
 
     # -- dense predictions at MAP + NCA post-processing ----------------------------
+    # NCA runs on device (jitted suffix-sum lambda-z; VERDICT item 4) with the
+    # host-numpy batch path as fallback for comparison via --host-nca.
+    from pharmsol_tpu.nca.batch_device import batch_nca_device
+
     dense_t = np.linspace(0.25, 24.0, 32)
-    t0 = time.perf_counter()
     ka_m, ke_m, v_m = sp[best_idx, 0], sp[best_idx, 1], sp[best_idx, 2]
     profiles = conc(ka_m[:, None], ke_m[:, None], v_m[:, None], dense_t[None, :])
     n_nca = args.nca_subjects or N
-    nca = batch_nca(dense_t, np.abs(profiles[:n_nca]) + 1e-12, dose=dose)
+    prof = np.abs(profiles[:n_nca]) + 1e-12
+    nca_fn = batch_nca if args.host_nca else batch_nca_device
+    nca = nca_fn(dense_t, prof, dose=dose)  # warm (compile)
+    t0 = time.perf_counter()
+    nca = nca_fn(dense_t, prof, dose=dose)
     t_nca = time.perf_counter() - t0
     half_lives = nca["half_life"][np.isfinite(nca["half_life"])]
 

@@ -27,6 +27,8 @@ from .bioavailability import (  # noqa: F401
     compare,
     metabolite_parent_ratio,
 )
+from .batch import batch_nca  # noqa: F401
+from .batch_device import batch_nca_device  # noqa: F401
 from .calc import lambda_z, lambda_z_candidates, tlag_from_raw  # noqa: F401
 from .metrics import MetricsError  # noqa: F401
 from .observation import NCAError, ObservationProfile  # noqa: F401

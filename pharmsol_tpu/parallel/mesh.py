@@ -171,6 +171,62 @@ def log_likelihood_matrix_sharded(
     return np.where(np.isfinite(psi), psi, -np.inf)
 
 
+def log_likelihood_batch_sharded(
+    equation,
+    subjects,
+    parameters,
+    residual_error_models,
+    mesh: Optional[Mesh] = None,
+    subjects_axis: str = "subjects",
+) -> np.ndarray:
+    """Mesh-sharded per-subject batch LL (the SAEM/FOCE surface).
+
+    Occasion rows shard over the subjects axis; the [n_subjects, n_params]
+    matrix is replicated (it is tiny — the row->params gather then stays
+    local) and XLA reduces the row->subject segment_sum across devices.
+    Numerically identical to ``likelihood.matrix.log_likelihood_batch``.
+    """
+    from ..data.structs import Data
+    from ..errors import PharmsolError
+    from ..likelihood.matrix import _batch_fn
+
+    data = subjects if isinstance(subjects, Data) else Data(list(subjects))
+    if mesh is None:
+        mesh = population_mesh()
+    p = np.asarray(parameters, dtype=np.float64)
+    if p.ndim != 2 or p.shape[0] != len(data):
+        raise PharmsolError(
+            f"parameters has {p.shape[0] if p.ndim == 2 else '?'} rows but "
+            f"there are {len(data)} subjects"
+        )
+    grid = equation.lower(data.subjects())
+    lowered = residual_error_models.lower(
+        equation.resolve_output_label, equation.nouteqs()
+    )
+
+    rows, row_subject, _ = shard_population(grid, mesh, subjects_axis)
+
+    key = ("sharded-batch", tuple(grid.cov_names), grid.n_subjects, mesh.shape_tuple)
+    cache = equation.__dict__.setdefault("_jit_batch", {})
+    fn = cache.get(key)
+    if fn is None:
+        fn = jax.jit(_batch_fn(equation, grid.cov_names, grid.n_subjects))
+        cache[key] = fn
+
+    fd = float_dtype()
+    replicated = NamedSharding(mesh, P(*([None] * 2)))
+    out = fn(
+        rows,
+        row_subject,
+        jax.device_put(jnp.asarray(p, dtype=fd), replicated),
+        jnp.asarray(lowered.kind),
+        jnp.asarray(lowered.a, dtype=fd),
+        jnp.asarray(lowered.b, dtype=fd),
+    )
+    out = np.asarray(out, dtype=np.float64)
+    return np.where(np.isfinite(out) | np.isneginf(out), out, -np.inf)
+
+
 def _pallas_psi_sharded(equation, grid, sp, lowered, mesh) -> np.ndarray:
     """shard_map(pallas psi) over the subjects axis; support replicated.
 

@@ -70,3 +70,64 @@ def test_batch_nca_throughput():
     print(f"batch NCA: {rate:,.0f} subjects/s")
     assert rate > 20_000  # scalar path is ~400/s
     assert np.all(np.isfinite(batch["lambda_z"]) | np.isnan(batch["lambda_z"]))
+
+
+class TestBatchNCADevice:
+    """Device (jitted) batch NCA == host batch NCA == scalar path."""
+
+    def test_device_matches_host_batch(self):
+        from pharmsol_tpu.nca.batch_device import batch_nca_device
+
+        t, c = make_profiles(n=60, T=24, seed=2)
+        host = batch_nca(t, c, dose=100.0)
+        dev = batch_nca_device(t, c, dose=100.0)
+        assert set(dev) == set(host)
+        for key in host:
+            h, d = host[key], dev[key]
+            nan_h, nan_d = np.isnan(h), np.isnan(d)
+            np.testing.assert_array_equal(nan_h, nan_d, err_msg=key)
+            np.testing.assert_allclose(
+                d[~nan_d], h[~nan_h], rtol=1e-8, err_msg=key
+            )
+
+    def test_device_matches_host_linear_method(self):
+        from pharmsol_tpu.data.event import AUCMethod
+        from pharmsol_tpu.nca.batch_device import batch_nca_device
+
+        t, c = make_profiles(n=20, T=16, seed=3)
+        opts = NCAOptions(auc_method=AUCMethod.LINEAR)
+        host = batch_nca(t, c, options=opts)
+        dev = batch_nca_device(t, c, options=opts)
+        np.testing.assert_allclose(dev["auc_last"], host["auc_last"], rtol=1e-10)
+        np.testing.assert_allclose(dev["aumc_last"], host["aumc_last"], rtol=1e-10)
+
+    def test_device_no_dose(self):
+        from pharmsol_tpu.nca.batch_device import batch_nca_device
+
+        t, c = make_profiles(n=8, T=12, seed=4)
+        dev = batch_nca_device(t, c)
+        assert "cl_f" not in dev
+        assert np.all(dev["cmax"] > 0)
+
+    def test_device_runs_sharded(self):
+        """The jitted program runs SPMD over a subjects-sharded mesh axis."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from pharmsol_tpu.nca.batch_device import batch_nca_device
+
+        devs = jax.devices()
+        if len(devs) < 2:
+            import pytest
+
+            pytest.skip("needs a multi-device mesh")
+        n_dev = min(len(devs), 8)
+        mesh = Mesh(np.array(devs[:n_dev]), ("subjects",))
+        t, c = make_profiles(n=8 * n_dev, T=24, seed=5)
+        c_sh = jax.device_put(c, NamedSharding(mesh, P("subjects", None)))
+        got = batch_nca_device(t, c_sh, dose=100.0)
+        want = batch_nca(t, c, dose=100.0)
+        for key in ("cmax", "auc_last", "lambda_z", "cl_f"):
+            h, d = want[key], got[key]
+            nan = np.isnan(h)
+            np.testing.assert_allclose(d[~nan], h[~nan], rtol=1e-8, err_msg=key)

@@ -125,3 +125,25 @@ def test_sharded_psi_matches_unsharded():
         model, Data(subjects), support, ems, mesh=mesh
     )
     np.testing.assert_allclose(psi_sharded, psi_ref, rtol=1e-10)
+
+
+def test_sharded_batch_ll_matches_unsharded():
+    import jax
+
+    from pharmsol_tpu.parallel.mesh import (
+        log_likelihood_batch_sharded,
+        population_mesh,
+    )
+
+    assert len(jax.devices()) == 8, "conftest should give 8 virtual devices"
+    subjects = build_population(5)
+    model = one_cmt_model()
+    params = np.array([[0.1 + 0.02 * i, 1.0 + 0.1 * i] for i in range(5)])
+    rems = ResidualErrorModels().add(0, ResidualErrorModel.combined(0.2, 0.1))
+
+    ref = log_likelihood_batch(model, Data(subjects), params, rems)
+    mesh = population_mesh(shape=(8, 1))
+    got = log_likelihood_batch_sharded(
+        model, Data(subjects), params, rems, mesh=mesh
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-10)
