@@ -371,7 +371,11 @@ def analyze_model(model: DslModel) -> AnalyzedModel:
                     else:
                         outputs.append(a)
 
-    # duplicate / cross-domain name checks (metadata NameDomain parity)
+    # duplicate / cross-domain name checks: the full NameDomain matrix
+    # (metadata.rs:79-109 + validate_unique_names at :560-564). Within-domain
+    # repeats are DSL2040; collisions across value namespaces are DSL2011.
+    # Outputs live in their own namespace (out(...) targets), so they are
+    # checked for internal duplicates but may coincide with, e.g., a state.
     seen: Dict[str, str] = {}
     for domain, names in (
         ("parameter", params),
@@ -382,9 +386,17 @@ def analyze_model(model: DslModel) -> AnalyzedModel:
     ):
         for n in names:
             if n in seen:
-                c.err("DSL2011", f"`{n}` declared as both {seen[n]} and {domain}")
+                if seen[n] == domain:
+                    c.err("DSL2040", f"duplicate {domain} name `{n}`")
+                else:
+                    c.err("DSL2011", f"`{n}` declared as both {seen[n]} and {domain}")
             else:
                 seen[n] = domain
+    out_seen: Set[str] = set()
+    for n in outputs:
+        if n in out_seen:
+            c.err("DSL2040", f"duplicate output name `{n}`")
+        out_seen.add(n)
 
     # routes
     route_lag: Dict[str, Stmt] = {}
@@ -508,17 +520,25 @@ def analyze_model(model: DslModel) -> AnalyzedModel:
             for req in required:
                 in_p = req in params
                 in_d = req in derived
+                in_c = req in cov_names
                 if in_p and in_d:
                     c.err("DSL2029", f"`{req}` is declared in both `params` and `derived`")
                 elif in_p:
                     bindings.append(("primary", params.index(req)))
                 elif in_d:
                     bindings.append(("derived", derived.index(req)))
+                elif in_c:
+                    # covariate-sourced kernel input (superset of the
+                    # reference plan, which requires routing covariates
+                    # through a derive statement — analysis.rs:345-375)
+                    bindings.append(("covariate", cov_names.index(req)))
                 else:
                     c.err(
                         "DSL2030",
                         f"structure `{kname}` requires parameter `{req}`",
-                        suggestion=best_suggestion(req, set(params) | set(derived)),
+                        suggestion=best_suggestion(
+                            req, set(params) | set(derived) | set(cov_names)
+                        ),
                     )
             if not c.diagnostics:
                 kernel_plan = KernelPlan(kernel=kname, bindings=bindings)

@@ -571,7 +571,8 @@ def parse_shorthand(src: str) -> DslModule:
             raise DslError(
                 Diagnostic.error("DSL0110", f"unexpected `{head.text}`", head.span)
             )
-        # route lines: bolus(x) -> state / infusion(x) -> state
+        # route lines: bolus(x) -> state / infusion(x) -> state, with
+        # optional canonical-style properties `{ lag = ..., fa = ... }`
         if head.text in ("bolus", "infusion") and second.is_punct("("):
             ts.next()
             ts.expect_punct("(")
@@ -582,8 +583,27 @@ def parse_shorthand(src: str) -> DslModule:
             dest_name = dest.text
             if ts.peek().is_punct("["):
                 dest_name = f"{dest.text}[{_expect_array_size_index(ts)}]"
+            props: List[Tuple[str, Expr]] = []
+            if ts.peek().is_punct("{"):
+                ts.next()
+                while not ts.peek().is_punct("}"):
+                    pname = ts.expect_ident()
+                    ts.expect_op("=")
+                    props.append((pname.text, parse_expr(ts)))
+                    while ts.peek().is_punct(",", ";"):
+                        ts.next()
+                ts.expect_punct("}")
+            if ts.peek().kind != "eof":
+                raise DslError(
+                    Diagnostic.error(
+                        "DSL0117",
+                        f"unexpected `{ts.peek().text}` after route declaration",
+                        ts.peek().span,
+                    )
+                )
             model.routes.append(
-                RouteDeclAst(input_tok.text, dest_name, DslRouteKind(head.text), [], head.span)
+                RouteDeclAst(input_tok.text, dest_name, DslRouteKind(head.text),
+                             props, head.span)
             )
             continue
         if second.is_op("=") and head.text in (
@@ -702,12 +722,25 @@ def _split_shorthand_blocks(model: DslModel) -> None:
 
 def parse_module(src: str) -> DslModule:
     """Auto-detect canonical vs shorthand (pharmsol-dsl lib.rs:119-135)."""
+    import sys
+
     stripped = "\n".join(
         line for line in src.splitlines() if line.strip() and not line.strip().startswith("#")
     ).strip()
-    if stripped.startswith("model"):
-        return parse_canonical(src)
-    return parse_shorthand(src)
+    # The recursive-descent parser needs ~10 Python frames per DSL nesting
+    # level; make sure the DSL's own MAX_NESTING_DEPTH guard (DSL0103) fires
+    # before Python's recursion limit does.
+    limit = sys.getrecursionlimit()
+    need = MAX_NESTING_DEPTH * 16 + 1000
+    if limit < need:
+        sys.setrecursionlimit(need)
+    try:
+        if stripped.startswith("model"):
+            return parse_canonical(src)
+        return parse_shorthand(src)
+    finally:
+        if limit < need:
+            sys.setrecursionlimit(limit)
 
 
 def parse_model(src: str) -> DslModel:

@@ -225,6 +225,8 @@ class _RoleBuilder:
             for source, index in plan.bindings:
                 if source == "primary":
                     inputs.append(p[index])
+                elif source == "covariate":
+                    inputs.append(cov(am.covariates[index][0], t0 + dt))
                 else:
                     inputs.append(env[am.derived[index]])
             kp = jnp.stack([jnp.asarray(v, dtype=x.dtype) for v in inputs])
