@@ -98,6 +98,143 @@ def _pallas_structure_name(equation) -> str:
     )
 
 
+def _constant_covariate_values(grid) -> dict:
+    """Per-row covariate values, requiring time-constant covariates.
+
+    The pallas path folds covariates into per-row parameter multipliers, so
+    each covariate must hold one value for the whole occasion row (a single
+    knot, or identical knot values — padding repeats the last knot).
+    """
+    cov_v = np.asarray(grid.rows.cov_v, dtype=np.float64)  # [R, ncov, K]
+    if cov_v.ndim != 3 or not grid.cov_names:
+        return {}
+    if not np.all(cov_v == cov_v[..., :1]):
+        raise PharmsolError(
+            "engine='pallas' supports time-constant covariates only "
+            "(a covariate changes value within an occasion; use the "
+            "default XLA engine)"
+        )
+    return {name: cov_v[:, c, 0] for c, name in enumerate(grid.cov_names)}
+
+
+class _RowCov:
+    """Covariate shim handing per-row constants to a seq probe."""
+
+    def __init__(self, vals: dict):
+        self.vals = vals
+
+    def __call__(self, name, t):
+        try:
+            return self.vals[str(name)]
+        except KeyError:
+            raise PharmsolError(
+                f"seq equation reads unknown covariate `{name}`"
+            )
+
+    def value(self, name, t):
+        return self(name, t)
+
+
+def _decompose_seq(seq, sp, cov_values: dict, n_kernel_params: int,
+                   n_rows_total: int = 1) -> np.ndarray:
+    """Validate + decompose a seq equation into per-row multipliers.
+
+    Probes (all numeric, evaluated once on the host):
+    - time-independence: seq(p, t, cov) must not depend on t;
+    - multiplicative separability: seq(p, 0, cov)[i] / p[i] must not depend
+      on p (two distinct parameter probes must give the same ratios).
+
+    Returns mult [R, n_kernel_params]; raises PharmsolError when the seq
+    equation does not fit the decomposition (fall back to engine='xla').
+    """
+    from ..config import float_dtype
+
+    fd = float_dtype()
+    # probe tolerance tracks the working precision (f32 on TPU)
+    tol = 1e-9 if np.dtype(fd) == np.float64 else 1e-5
+    n_rows = len(next(iter(cov_values.values()))) if cov_values else n_rows_total
+    p_ref = np.where(np.abs(sp[0]) > 1e-30, sp[0], 1.0)
+    p_alt = p_ref * 1.37 + 0.011
+
+    def eval_rows(p, t):
+        p = jnp.asarray(p, dtype=fd)
+        t = jnp.asarray(t, dtype=fd)
+        if cov_values:
+            stacked = jnp.stack(
+                [jnp.asarray(v, dtype=fd) for v in cov_values.values()],
+                axis=1,
+            )  # [R, C]
+            names = list(cov_values.keys())
+
+            def one(row):
+                shim = _RowCov({n: row[i] for i, n in enumerate(names)})
+                return jnp.asarray(seq(p, t, shim), dtype=fd)
+
+            return np.asarray(jax.vmap(one)(stacked), dtype=np.float64)
+        out = np.asarray(seq(p, t, _RowCov({})), dtype=np.float64)
+        return np.broadcast_to(out[None, :], (n_rows, out.shape[0])).copy()
+
+    try:
+        out_ref = eval_rows(p_ref, 0.0)
+        out_t = eval_rows(p_ref, 123.456)
+        out_alt = eval_rows(p_alt, 0.0)
+    except PharmsolError:
+        raise
+    except Exception as e:
+        raise PharmsolError(
+            f"engine='pallas' could not probe the seq equation: {e}"
+        ) from e
+    if not np.allclose(out_ref, out_t, rtol=tol, atol=tol):
+        raise PharmsolError(
+            "engine='pallas' requires a time-independent seq equation "
+            "(this one changes with t; use the default XLA engine)"
+        )
+    k = n_kernel_params
+    g_ref = out_ref[:, :k] / p_ref[None, :k]
+    g_alt = out_alt[:, :k] / p_alt[None, :k]
+    if not (np.allclose(g_ref, g_alt, rtol=tol * 100)
+            and np.all(np.isfinite(g_ref))):
+        raise PharmsolError(
+            "engine='pallas' requires multiplicative covariate effects "
+            "(seq[i] = p[i] * g_i(cov)); this seq equation is not "
+            "separable — use the default XLA engine"
+        )
+    return np.ascontiguousarray(g_ref)
+
+
+def _check_out_covariate_free(equation, sp, cov_values, n_states, CovView):
+    """Reject out() closures whose value depends on a covariate."""
+    from ..config import float_dtype
+    from ..ops.pallas_psi import extract_linear_out
+
+    fd = float_dtype()
+    n_out = int(equation.nouteqs())
+    out_fn = equation._out
+
+    def cov_view(scale, shift):
+        names = list(cov_values.keys())
+        vals = np.stack([np.asarray(cov_values[n])[:1] for n in names])  # [C,1]
+        return CovView(
+            jnp.zeros((len(names), 1), dtype=fd),
+            jnp.asarray(vals * scale + shift, dtype=fd),
+            jnp.zeros((len(names),), dtype=bool),
+            names,
+        )
+
+    try:
+        C1, b1 = extract_linear_out(out_fn, sp, n_states, n_out, cov_view(1.0, 0.0), fd)
+        C2, b2 = extract_linear_out(out_fn, sp, n_states, n_out, cov_view(1.31, 0.17), fd)
+    except Exception:
+        return  # extraction problems are diagnosed later by the plan itself
+    if not (np.allclose(C1, C2, rtol=1e-9, atol=1e-12)
+            and np.allclose(b1, b2, rtol=1e-9, atol=1e-12)):
+        raise PharmsolError(
+            "engine='pallas' requires covariate effects to act through the "
+            "seq equation; this model's out() reads a covariate — use the "
+            "default XLA engine"
+        )
+
+
 class _PallasPsiPlan:
     """Validated, padded inputs for a fused pallas psi evaluation.
 
@@ -109,6 +246,15 @@ class _PallasPsiPlan:
     the coefficients are extracted from the model's ``out`` closure by basis
     evaluation per support point (see pallas_psi.extract_linear_out), so
     multi-output models stream per-observation outeq indices into the kernel.
+
+    Covariates & seq: time-constant covariates acting through a
+    *multiplicative, time-independent* seq equation (the standard PK
+    covariate-scaling form: allometric/exponential effects on kernel
+    parameters) decompose into per-row multiplier streams — validated by
+    numeric probes (see _decompose_seq) — and ride the kernel for the
+    1/2-compartment structures. Anything else (time-varying covariates,
+    additive/time-dependent seq, covariate-dependent outputs, 3-cmt eigen
+    structures) falls back to the general XLA engine with a clear error.
     """
 
     def __init__(self, equation, grid, sp, lowered, row_multiple: int):
@@ -126,13 +272,29 @@ class _PallasPsiPlan:
                 f"[{n_kernel_params} kernel params..., out params...], got "
                 f"{sp.shape[1]} columns"
             )
-        if equation._seq is not None or equation._lag is not None \
-                or equation._fa is not None or equation._init is not None:
+        if equation._lag is not None or equation._fa is not None \
+                or equation._init is not None:
             raise PharmsolError(
-                "engine='pallas' does not support seq/lag/fa/init equations"
+                "engine='pallas' does not support lag/fa/init equations"
             )
-        if grid.cov_names:
-            raise PharmsolError("engine='pallas' does not support covariates")
+        cov_values = _constant_covariate_values(grid) if grid.cov_names else {}
+        self.mult = None
+        if equation._seq is not None:
+            if sdef["prep_xla"] is not None:
+                raise PharmsolError(
+                    f"engine='pallas' does not support seq equations with "
+                    f"`{self.structure}` (3-cmt eigen prep is per-support)"
+                )
+            self.mult = _decompose_seq(
+                equation._seq, sp, cov_values, n_kernel_params,
+                n_rows_total=grid.n_rows,
+            )
+        if grid.cov_names and equation._out is not None:
+            # covariates may only act through seq; the out() closure must be
+            # support-only for the per-support linear extraction to hold
+            _check_out_covariate_free(
+                equation, sp, cov_values, sdef["n_states"], CovView
+            )
         self.n_out = int(equation.nouteqs())
         n_states = sdef["n_states"]
         if int(equation.nstates()) != n_states:
@@ -164,6 +326,15 @@ class _PallasPsiPlan:
             )
 
         self.padded = [jnp.asarray(pad_rows(a), dtype=fd) for a in streams]
+        if self.mult is not None:
+            m = np.asarray(self.mult, dtype=np.float64)
+            if self.Rp != self.R:  # padded rows get identity multipliers
+                m = np.concatenate(
+                    [m, np.ones((self.Rp - self.R, m.shape[1]))], axis=0
+                )
+            self.mult_dev = jnp.asarray(m, dtype=fd)
+        else:
+            self.mult_dev = None
         sp_padded = sp if self.Sp == self.S else np.concatenate(
             [sp, np.repeat(sp[-1:], self.Sp - self.S, axis=0)], axis=0
         )
@@ -201,14 +372,18 @@ class _PallasPsiPlan:
     def cache_key(self, *extra):
         return ("pallas", self.structure, self.Rp, self.Sp, self.M,
                 self.pass_inf, self.pass_cens, self.pass_outeq, self.n_out,
-                self.out_bias is not None, str(self.fd)) + extra
+                self.out_bias is not None, self.mult_dev is not None,
+                str(self.fd)) + extra
 
     def stream_args(self):
-        """The included [Rp, M] segment streams, in kernel order."""
+        """The included row-axis streams ([Rp, M] segments + [Rp, P] mult)."""
         p = self.padded
         include = [True, True, self.pass_inf, True, True, True,
                    self.pass_cens, self.pass_outeq]
-        return tuple(a for a, inc in zip(p, include) if inc)
+        out = tuple(a for a, inc in zip(p, include) if inc)
+        if self.mult_dev is not None:
+            out = out + (self.mult_dev,)
+        return out
 
     def rep_args(self):
         """Support-axis arrays (replicated under sharding): support, coef[, bias]."""
@@ -224,8 +399,10 @@ class _PallasPsiPlan:
         structure = self.structure
         pass_inf, pass_cens = self.pass_inf, self.pass_cens
         pass_outeq = self.pass_outeq
+        pass_mult = self.mult_dev is not None
         has_bias = self.out_bias is not None
-        n_streams = 5 + int(pass_inf) + int(pass_cens) + int(pass_outeq)
+        n_streams = (5 + int(pass_inf) + int(pass_cens) + int(pass_outeq)
+                     + int(pass_mult))
 
         def run(*args):
             it = iter(args[:n_streams])
@@ -234,12 +411,13 @@ class _PallasPsiPlan:
             mask, val, sig = next(it), next(it), next(it)
             cens = next(it) if pass_cens else None
             outeq = next(it) if pass_outeq else None
+            mult = next(it) if pass_mult else None
             rep = args[n_streams:]
             sp_dev, coef = rep[0], rep[1]
             bias = rep[2] if has_bias else None
             return psi_oral(dt, bol, inf, mask, val, sig, cens, sp_dev,
                             structure=structure, obs_outeq=outeq,
-                            out_coef=coef, out_bias=bias)
+                            out_coef=coef, out_bias=bias, param_mult=mult)
 
         run.n_streams = n_streams
         return run

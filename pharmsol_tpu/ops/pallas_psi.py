@@ -29,9 +29,15 @@ one-hot lane reductions), support parameter quantities are [1, sp_block]
 lane vectors that broadcast against [row_block, sp_block] states, and
 segment streams are lane-padded to 128.
 
-Optional features (infusion rates, censoring, multi-output) ride extra
-streams that are statically compiled out when absent. Infusion segments
-propagate via the steady-state offset ``x(dt) = ss + expm(A dt)(x - ss)``.
+Optional features (infusion rates, censoring, multi-output, covariate
+multipliers) ride extra streams that are statically compiled out when
+absent. Time-constant covariates acting through a multiplicative seq
+equation decompose into per-row parameter multipliers (built and validated
+by likelihood/matrix._decompose_seq) streamed as one extra row input; the
+kernel forms effective per-row parameter tiles and runs the CL remap
+in-kernel, so covariate populations keep the fused path for the 1/2-cmt
+families. Infusion segments propagate via the steady-state offset
+``x(dt) = ss + expm(A dt)(x - ss)``.
 Mosaic lowers neither ``acos`` nor ``erf``: the 3-cmt eigenvalue cubic is
 prepared in XLA before the pallas_call and the kernel carries its own
 log_ndtr. Compiled kernels are float32-only; off-TPU the kernels run in
@@ -424,14 +430,22 @@ STRUCTURES = {
 
 
 def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
-                 n_out: int, has_bias: bool, n_param_rows: int):
+                 n_out: int, has_bias: bool, n_param_rows: int,
+                 has_mult: bool = False):
     """Build the psi tile kernel for one structure + feature combination.
 
     Ref layout (in order): segment streams (dt, bolus, [rateiv], mask, value,
-    sigma, [cens], [outeq]) each [row_block, SEG_PAD]; parameter rows
-    (base params + XLA-prepared extras) each [1, sp_block]; output coefficient
-    rows (n_out * n_states) and optional bias rows (n_out); then out_ref
-    [row_block, sp_block].
+    sigma, [cens], [outeq], [param-mult]) each [row_block, SEG_PAD];
+    parameter rows (base params + XLA-prepared extras) each [1, sp_block];
+    output coefficient rows (n_out * n_states) and optional bias rows
+    (n_out); then out_ref [row_block, sp_block].
+
+    ``has_mult``: per-row multiplicative covariate effects. The param-mult
+    stream carries one multiplier per RAW support column in its leading
+    lanes; effective parameter tiles become [row_block, sp_block] (raw row x
+    per-row multiplier), the CL remap runs in-kernel on those tiles, and
+    ``prepare`` broadcasts over both axes — this is how time-constant
+    covariates ride the fused kernel without a [R, S, P] blowup.
 
     Mosaic note: per-segment scalars are extracted with one-hot lane
     reductions instead of strided slices (sub-tile slicing fails to legalize
@@ -441,6 +455,7 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
     propagate = sdef["propagate"]
     n_states = sdef["n_states"]
     dose_state = sdef["dose_state"]
+    remap = sdef["remap"]
     has_outeq = n_out > 1
 
     def kernel(*refs):
@@ -453,12 +468,24 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
         sigs = next(it)[:, :]
         censs = next(it)[:, :] if has_cens else None
         outeqs = next(it)[:, :] if has_outeq else None
+        mults = next(it)[:, :] if has_mult else None
         params = [next(it)[:, :] for _ in range(n_param_rows)]
         coefs = [[next(it)[:, :] for _ in range(n_states)] for _ in range(n_out)]
         biases = [next(it)[:, :] for _ in range(n_out)] if has_bias else None
         out_ref = next(it)
 
-        aux = prepare(params)
+        if has_mult:
+            mlane = jax.lax.broadcasted_iota(jnp.int32, mults.shape, 1)
+            eff = []
+            for i in range(n_param_rows):
+                m_i = jnp.sum(
+                    mults * (mlane == np.int32(i)).astype(mults.dtype),
+                    axis=1, keepdims=True,
+                )  # [rows, 1]
+                eff.append(params[i] * m_i)  # [rows, sp_block]
+            aux = prepare(remap(eff) if remap else eff)
+        else:
+            aux = prepare(params)
         shape = (out_ref.shape[0], out_ref.shape[1])
         zeros = jnp.zeros(shape, dtype=out_ref.dtype)
         xs = [zeros] * n_states
@@ -532,6 +559,7 @@ def psi_oral(
     obs_outeq=None,
     out_coef=None,
     out_bias=None,
+    param_mult=None,
 ):
     """Fused psi for the closed-form analytical structures.
 
@@ -550,8 +578,14 @@ def psi_oral(
     the classic convention applies: one extra support column (v, last) and
     the single output is central/v.
 
+    ``param_mult`` [R, n_params] carries per-row multiplicative covariate
+    effects on the RAW support columns (the seq-eq decomposition built by
+    likelihood/matrix._PallasPsiPlan); requires a structure without XLA-side
+    eigen preparation (1/2-cmt families).
+
     Returns psi [R, S]. R must be a multiple of SUB_TILE and S a multiple of
-    SP_TILE (pad rows with dt=0/mask=0 and supports by repetition).
+    SP_TILE (pad rows with dt=0/mask=0 and supports by repetition; pad
+    param_mult rows with ones).
     """
     from jax.experimental import pallas as pl
 
@@ -635,28 +669,50 @@ def psi_oral(
     # zero out sigma where masked; the kernel re-adds 1.0 on masked lanes so
     # log() stays finite
     full[5] = full[5] * full[3]
-    # base parameter rows: remap CL columns, then XLA-prepare eigen extras
+    has_mult = param_mult is not None
+    if has_mult:
+        if sdef["prep_xla"] is not None:
+            raise ValueError(
+                f"param_mult is not supported for `{structure}` (its eigen "
+                "preparation runs in XLA per support point, not per row)"
+            )
+        pm = jnp.asarray(param_mult, dtype)
+        if pm.shape != (R, n_params):
+            raise ValueError(
+                f"param_mult must be [{R}, {n_params}], got {pm.shape}"
+            )
+        full.append(_pad_lanes(pm, SEG_PAD))
+    # base parameter rows: with per-row multipliers the CL remap moves into
+    # the kernel (it must act on the effective per-row params); otherwise
+    # remap CL columns and XLA-prepare eigen extras here
     raw_rows = [sp[:, i].reshape(1, S) for i in range(n_params)]
-    base_rows = sdef["remap"](raw_rows) if sdef["remap"] else raw_rows
-    if sdef["prep_xla"] is not None:
-        base_rows = base_rows + [
-            jnp.asarray(r, dtype) for r in sdef["prep_xla"](base_rows)
-        ]
+    if has_mult:
+        base_rows = raw_rows
+    else:
+        base_rows = sdef["remap"](raw_rows) if sdef["remap"] else raw_rows
+        if sdef["prep_xla"] is not None:
+            base_rows = base_rows + [
+                jnp.asarray(r, dtype) for r in sdef["prep_xla"](base_rows)
+            ]
     p_rows = base_rows + coef_rows + bias_rows
 
     kernel = _make_kernel(
         sdef, n_seg=M, has_inf=has_inf, has_cens=has_cens, n_out=n_out,
-        has_bias=has_bias, n_param_rows=len(base_rows),
+        has_bias=has_bias, n_param_rows=len(base_rows), has_mult=has_mult,
     )
     # all-zero optional streams are dropped from the pipeline entirely
     # (no DMA, no VMEM block); the kernel never reads those refs
-    include = [True, True, has_inf, True, True, True, has_cens, has_outeq]
+    include = [True, True, has_inf, True, True, True, has_cens, has_outeq,
+               has_mult]
     streams = [a for a, inc in zip(full, include) if inc]
     n_streams = len(streams)
 
     row_block = next(b for b in ROW_BLOCKS if R % b == 0)
     sp_block = next(b for b in SP_BLOCKS if S % b == 0)
-    while row_block * sp_block > TILE_BUDGET and row_block > 8:
+    # per-row effective params make prepare()'s aux [rows, sp] instead of
+    # [1, sp]; shrink the tile budget to keep those intermediates in VMEM
+    budget = TILE_BUDGET // 4 if has_mult else TILE_BUDGET
+    while row_block * sp_block > budget and row_block > 8:
         row_block //= 2
     row_spec = pl.BlockSpec((row_block, SEG_PAD), lambda i, j: (i, 0))
     p_spec = pl.BlockSpec((1, sp_block), lambda i, j: (0, j))

@@ -415,7 +415,7 @@ def test_pallas_sharded_validates_like_unsharded():
         lag=lambda p, t, cov: {0: p[0]},
         nstates=2, ndrugs=1, nout=1,
     )
-    with pytest.raises(PharmsolError, match="seq/lag/fa/init"):
+    with pytest.raises(PharmsolError, match="lag/fa/init"):
         log_likelihood_matrix_sharded(
             model, Data([s]), np.ones((4, 4)), ems, engine="pallas"
         )
@@ -598,3 +598,192 @@ def test_pallas_engine_affine_output_bias():
     want = log_likelihood_matrix(model, Data(subjects), sp, ems)
     got = log_likelihood_matrix(model, Data(subjects), sp, ems, engine="pallas")
     np.testing.assert_allclose(got, want, rtol=5e-9, atol=1e-9)
+
+
+def test_pallas_engine_covariate_seq_multiplicative():
+    """Time-constant covariates through a multiplicative seq equation ride
+    the fused kernel (VERDICT item 2): pallas == XLA engine."""
+    rng = np.random.RandomState(7)
+    obs_times = [0.5, 1.0, 2.0, 4.0, 8.0, 12.0]
+    subjects = []
+    for i in range(SUB_TILE):
+        b = Subject.builder(f"s{i}").bolus(0.0, 100.0, 0)
+        b = b.covariate("wt", 0.0, 55.0 + 5.0 * i)
+        for t in obs_times:
+            b = b.observation(float(t), float(np.abs(5 + rng.randn())), 0)
+        subjects.append(b.build())
+
+    def seq(p, t, cov):
+        scale = (cov("wt", t) / 70.0) ** 0.75
+        return jnp.stack([p[0] * scale, p[1], p[2] * scale, p[3] * scale, p[4]])
+
+    model = Analytical(
+        pst.two_compartments_with_absorption,
+        seq_eq=seq,
+        out=lambda x, p, t, cov: x[1:2] / p[4],
+        nstates=3, ndrugs=1, nout=1,
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    center = np.array([0.15, 1.2, 0.3, 0.2, 10.0])
+    support = np.abs(center[None, :] * (1.0 + 0.2 * rng.randn(SP_TILE, 5)))
+
+    want = log_likelihood_matrix(model, Data(subjects), support, ems)
+    got = log_likelihood_matrix(model, Data(subjects), support, ems, engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=5e-8, atol=1e-8)
+
+
+def test_pallas_engine_covariate_seq_cl_structure():
+    """Covariate multipliers compose with the in-kernel CL remap."""
+    rng = np.random.RandomState(8)
+    subjects = []
+    for i in range(SUB_TILE):
+        b = Subject.builder(f"s{i}").bolus(0.0, 100.0, 0)
+        b = b.covariate("wt", 0.0, 60.0 + 4.0 * i)
+        for t in (1.0, 4.0, 12.0):
+            b = b.observation(float(t), float(np.abs(4 + rng.randn())), 0)
+        subjects.append(b.build())
+
+    def seq(p, t, cov):
+        w = cov("wt", t) / 70.0
+        return jnp.stack([p[0] * w ** 0.75, p[1] * w ** 0.75, p[2] * w, p[3] * w, p[4]])
+
+    model = Analytical(
+        pst.two_compartments_cl,
+        seq_eq=seq,
+        out=lambda x, p, t, cov: x[0:1] / p[4],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    center = np.array([5.0, 2.0, 30.0, 40.0, 30.0])  # cl q vc vp v
+    support = np.abs(center[None, :] * (1.0 + 0.15 * rng.randn(SP_TILE, 5)))
+
+    want = log_likelihood_matrix(model, Data(subjects), support, ems)
+    got = log_likelihood_matrix(model, Data(subjects), support, ems, engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=5e-8, atol=1e-8)
+
+
+def test_pallas_engine_covariate_rejections():
+    import pytest
+    from pharmsol_tpu.errors import PharmsolError
+
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+
+    def subj(tv=False):
+        b = Subject.builder("s").bolus(0.0, 100.0, 0).covariate("wt", 0.0, 70.0)
+        if tv:
+            b = b.covariate("wt", 6.0, 80.0)  # time-varying
+        return b.observation(1.0, 5.0, 0).observation(12.0, 2.0, 0).build()
+
+    def seq_mult(p, t, cov):
+        return jnp.stack([p[0] * cov("wt", t) / 70.0, p[1]])
+
+    model = Analytical(
+        pst.one_compartment, seq_eq=seq_mult,
+        out=lambda x, p, t, cov: x[0:1] / p[1], nstates=1, ndrugs=1, nout=1,
+    )
+    sp = np.abs(np.random.RandomState(0).randn(4, 2)) + 0.1
+
+    # time-varying covariate -> clear rejection
+    with pytest.raises(PharmsolError, match="time-constant"):
+        log_likelihood_matrix(model, Data([subj(tv=True)]), sp, ems, engine="pallas")
+
+    # additive (non-separable) seq -> rejection
+    model_add = Analytical(
+        pst.one_compartment,
+        seq_eq=lambda p, t, cov: jnp.stack([p[0] + cov("wt", t) / 700.0, p[1]]),
+        out=lambda x, p, t, cov: x[0:1] / p[1], nstates=1, ndrugs=1, nout=1,
+    )
+    with pytest.raises(PharmsolError, match="separable|multiplicative"):
+        log_likelihood_matrix(model_add, Data([subj()]), sp, ems, engine="pallas")
+
+    # time-dependent seq -> rejection
+    model_t = Analytical(
+        pst.one_compartment,
+        seq_eq=lambda p, t, cov: jnp.stack([p[0] * (1.0 + 0.01 * t), p[1]]),
+        out=lambda x, p, t, cov: x[0:1] / p[1], nstates=1, ndrugs=1, nout=1,
+    )
+    with pytest.raises(PharmsolError, match="time-independent"):
+        log_likelihood_matrix(model_t, Data([subj()]), sp, ems, engine="pallas")
+
+    # covariate read in out() -> rejection
+    model_out = Analytical(
+        pst.one_compartment,
+        out=lambda x, p, t, cov: x[0:1] / (p[1] * cov("wt", t) / 70.0),
+        nstates=1, ndrugs=1, nout=1,
+    )
+    with pytest.raises(PharmsolError, match="out\\(\\) reads a covariate"):
+        log_likelihood_matrix(model_out, Data([subj()]), sp, ems, engine="pallas")
+
+    # 3-cmt + seq -> rejection (eigen prep is per-support in XLA)
+    model_3 = Analytical(
+        pst.three_compartments,
+        seq_eq=lambda p, t, cov: p,
+        out=lambda x, p, t, cov: x[0:1] / p[5],
+        nstates=3, ndrugs=1, nout=1,
+    )
+    sp6 = np.abs(np.random.RandomState(1).randn(4, 6)) + 0.1
+    with pytest.raises(PharmsolError, match="3-cmt|eigen"):
+        log_likelihood_matrix(model_3, Data([subj()]), sp6, ems, engine="pallas")
+
+
+def test_pallas_engine_seq_without_covariates():
+    """A parameter-only multiplicative seq also rides the kernel."""
+    rng = np.random.RandomState(9)
+    subjects = []
+    for i in range(SUB_TILE):
+        b = Subject.builder(f"s{i}").bolus(0.0, 100.0, 0)
+        for t in (1.0, 4.0, 12.0):
+            b = b.observation(float(t), float(np.abs(4 + rng.randn())), 0)
+        subjects.append(b.build())
+
+    model = Analytical(
+        pst.one_compartment_with_absorption,
+        seq_eq=lambda p, t, cov: jnp.stack([p[0] * 1.5, p[1], p[2]]),
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    support = np.abs(np.array([[1.2, 0.15, 10.0]]) * (1.0 + 0.2 * rng.randn(SP_TILE, 3)))
+    want = log_likelihood_matrix(model, Data(subjects), support, ems)
+    got = log_likelihood_matrix(model, Data(subjects), support, ems, engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=5e-8, atol=1e-8)
+
+
+def test_pallas_sharded_covariate_mult_stream():
+    """The per-row multiplier stream shards over the subjects axis."""
+    import jax
+
+    from pharmsol_tpu.parallel.mesh import (
+        log_likelihood_matrix_sharded, population_mesh,
+    )
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs a multi-device mesh")
+    rng = np.random.RandomState(11)
+    subjects = []
+    for i in range(8):
+        b = Subject.builder(f"s{i}").bolus(0.0, 100.0, 0)
+        b = b.covariate("wt", 0.0, 55.0 + 3.0 * i)
+        for t in (1.0, 4.0, 12.0):
+            b = b.observation(float(t), float(np.abs(4 + rng.randn())), 0)
+        subjects.append(b.build())
+
+    def seq(p, t, cov):
+        scale = (cov("wt", t) / 70.0) ** 0.75
+        return jnp.stack([p[0] * scale, p[1]])
+
+    model = Analytical(
+        pst.one_compartment, seq_eq=seq,
+        out=lambda x, p, t, cov: x[0:1] / p[1], nstates=1, ndrugs=1, nout=1,
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    support = np.abs(np.array([[0.15, 10.0]]) * (1.0 + 0.2 * rng.randn(SP_TILE, 2)))
+
+    want = log_likelihood_matrix(model, Data(subjects), support, ems, engine="pallas")
+    mesh = population_mesh(shape=(4, 2))
+    got = log_likelihood_matrix_sharded(
+        model, Data(subjects), support, ems, mesh=mesh, engine="pallas"
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-10)
