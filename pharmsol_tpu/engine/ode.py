@@ -27,7 +27,7 @@ vmap/shard cleanly. Default tolerances follow ode/mod.rs:40-41
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -96,6 +96,12 @@ class ODEOptions(NamedTuple):
     max_steps: int = DEFAULT_MAX_STEPS
     solver: str = "dopri5"  # see _SEGMENT_SOLVERS for the full menu
     newton_iters: int = 6
+    # trial steps per while_loop iteration (explicit methods). The tiny
+    # nstates RHS makes each loop iteration overhead-dominated on TPU;
+    # unrolling amortizes that overhead over several masked steps (steps
+    # past t1 are where'd out, costing only redundant flops — a win on TPU,
+    # pure waste on CPU). None = 4 on TPU, 1 elsewhere, resolved lazily.
+    unroll: Optional[int] = None
 
 
 def _error_ratio(err, x0, x1, rtol, atol):
@@ -145,13 +151,14 @@ def _erk_segment(f: Callable, x0, t0, t1, opts: ODEOptions, A, B, E, C):
         t, x, h, k1, steps = carry
         return (t < t1 - 1e-14 * jnp.maximum(jnp.abs(t1), 1.0)) & (steps < opts.max_steps)
 
-    def body(carry):
+    def one_trial(carry):
         t, x, h, k1, steps = carry
-        h = jnp.minimum(h, t1 - t)
-        x_new, err, k_last = one_step(x, t, h, k1)
+        done = t >= t1 - 1e-14 * jnp.maximum(jnp.abs(t1), 1.0)
+        h_try = jnp.minimum(h, jnp.maximum(t1 - t, 1e-14))
+        x_new, err, k_last = one_step(x, t, h_try, k1)
         ratio = _error_ratio(err, x, x_new, opts.rtol, opts.atol)
         finite = jnp.all(jnp.isfinite(x_new)) & jnp.isfinite(ratio)
-        accept = (ratio <= 1.0) & finite
+        accept = (ratio <= 1.0) & finite & ~done
         # controller with safety factor and clamped growth; a non-finite
         # trial step shrinks hard instead of poisoning h with NaN
         factor = jnp.where(
@@ -159,18 +166,28 @@ def _erk_segment(f: Callable, x0, t0, t1, opts: ODEOptions, A, B, E, C):
             jnp.clip(0.9 * jnp.power(jnp.maximum(ratio, 1e-10), -0.2), 0.2, 5.0),
             0.25,
         )
-        t = jnp.where(accept, t + h, t)
+        t = jnp.where(accept, t + h_try, t)
         x = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), x, x_new)
         # on reject, (x, t) are unchanged so the cached k1 stays valid; a
         # non-finite trial could still poison k_last, so guard it too
         k1 = jnp.where(accept & jnp.all(jnp.isfinite(k_last)), k_last, k1)
-        h = jnp.maximum(h * factor, 1e-14)
-        return (t, x, h, k1, steps + 1)
+        h = jnp.where(done, h, jnp.maximum(h_try * factor, 1e-14))
+        return (t, x, h, k1, steps + jnp.where(done, 0, 1))
+
+    unroll = opts.unroll
+    if unroll is None:
+        unroll = 4 if jax.default_backend() == "tpu" else 1
+
+    def body(carry):
+        for _ in range(max(1, int(unroll))):
+            carry = one_trial(carry)
+        return carry
 
     h_init = jnp.minimum(jnp.asarray(opts.h0, x0.dtype), jnp.maximum(span, 1e-14))
     k1_init = f(x0, t0)
+    zero = jnp.asarray(0, jnp.int32)
     t_end, x_end, _, _, _ = jax.lax.while_loop(
-        cond, body, (t0, x0, h_init, k1_init, 0)
+        cond, body, (t0 + jnp.zeros((), x0.dtype), x0, h_init, k1_init, zero)
     )
     return _poison_if_unfinished(x_end, t_end, t1)
 
@@ -375,8 +392,10 @@ def kvaerno5_segment(f, x0, t0, t1, opts: ODEOptions):
 # TR-BDF2 as a 3-stage ESDIRK 2(3) (Hosea & Shampine 1996): one trapezoidal
 # half-step to t + gamma*h, one BDF2 step to t + h; L-stable, first stage
 # explicit, uniform implicit diagonal d = (2-sqrt(2))/2.
-_TRBDF2_D = (2.0 - np.sqrt(2.0)) / 2.0
-_TRBDF2_W = np.sqrt(2.0) / 4.0
+# plain Python floats: np.float64 scalars in the tableau would promote the
+# f32 while_loop carry to f64 under the TPU dtype policy
+_TRBDF2_D = float((2.0 - np.sqrt(2.0)) / 2.0)
+_TRBDF2_W = float(np.sqrt(2.0) / 4.0)
 _TRBDF2_A = (
     (0.0,),
     (_TRBDF2_D, _TRBDF2_D),
