@@ -313,8 +313,12 @@ def analytical_model(
     class _DeclarativeAnalytical(Analytical):
         def _build_spec(self):
             def propagate(x, p, dt, rateiv, t0, cov):
+                # derived kernel inputs advance to the segment END, matching
+                # the engine seq path, the DSL runtime, and the reference
+                # (analytical/mod.rs:360 seq_eq(parameters, next_t))
                 kp = jnp.stack(
-                    [jnp.asarray(v, dtype=x.dtype) for v in kernel_inputs(p, t0, cov)]
+                    [jnp.asarray(v, dtype=x.dtype)
+                     for v in kernel_inputs(p, t0 + dt, cov)]
                 )
                 return jnp.asarray(kernel_fn(x, kp, dt, rateiv, cov), dtype=x.dtype)
 
