@@ -139,6 +139,39 @@ out(cp) = central / v
     pv = am.estimate_predictions(sq, Parameters.with_model(am, [("ka", 1.2), ("ke0", 0.08), ("v", 194.0)]))
     checks.append(("declarative/covariates", np.isfinite(pv.flat_predictions()[0])))
 
+    # 6. pallas covariate-multiplier path + genuine BDF + device NCA
+    csubs = []
+    for i in range(16):
+        b = Subject.builder(f"c{i}").bolus(0.0, 100.0, 0)
+        b = b.covariate("wt", 0.0, 55.0 + 2.0 * i)
+        for t in (0.5, 2.0, 8.0):
+            b = b.observation(float(t), float(abs(4 + rng.randn())), 0)
+        csubs.append(b.build())
+
+    def seq(p, t, cov):
+        sc = (cov("wt", t) / 70.0) ** 0.75
+        return jnp.stack([p[0] * sc, p[1], p[2] * sc, p[3] * sc, p[4]])
+
+    anac = Analytical(pst.two_compartments_with_absorption, seq_eq=seq,
+                      out=lambda x, p, t, cov: x[1:2] / p[4],
+                      nstates=3, ndrugs=1, nout=1)
+    wantc = log_likelihood_matrix(anac, Data(csubs), support, ems)
+    gotc = log_likelihood_matrix(anac, Data(csubs), support, ems, engine="pallas")
+    relc = np.max(np.abs(gotc - wantc) / np.maximum(np.abs(wantc), 1.0))
+    checks.append(("pallas/covariate-mult", relc < 1e-3))
+
+    mb = ODE(eq, out=lambda x, p, t, cov: x[1:2] / p[4],
+             nstates=3, ndrugs=1, nout=1).with_solver("bdf")
+    gotb = np.asarray(mb.estimate_predictions(s, [0.15, 1.2, 0.3, 0.2, 10.0]).flat_predictions())
+    relb = np.max(np.abs(gotb - ref) / np.maximum(np.abs(ref), 1e-12))
+    checks.append(("ode/bdf", relb < 1e-3))
+
+    from pharmsol_tpu.nca.batch_device import batch_nca_device
+    resd = batch_nca_device(t, prof, dose=100.0)
+    dev_host = np.abs(np.nanmedian(resd["half_life"]) - np.nanmedian(res["half_life"]))
+    checks.append(("nca/batch-device", np.isfinite(np.nanmedian(resd["half_life"]))
+                   and dev_host < 0.05))
+
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
         print(f"  {'OK  ' if ok else 'FAIL'} {name}")
