@@ -23,7 +23,11 @@ jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402  (after the config update)
 
-_FLOAT_DTYPE = jnp.float64 if os.environ.get("PHARMSOL_TPU_F32", "0") != "1" else jnp.float32
+# None = not yet resolved: the default is backend-aware (f32 on TPU where
+# f64 is emulated ~30x slower in two-float arithmetic with non-IEEE corner
+# cases, f64 elsewhere) and resolving it eagerly would force backend init at
+# import time. PHARMSOL_TPU_F32=1 forces f32 everywhere.
+_FLOAT_DTYPE = jnp.float32 if os.environ.get("PHARMSOL_TPU_F32", "0") == "1" else None
 
 # Sentinel used for padded event times: sorts after any real time but stays
 # finite so arithmetic on padded rows never produces NaN/Inf.
@@ -40,7 +44,19 @@ def set_float_dtype(dtype) -> None:
 
 
 def float_dtype():
-    """The working float dtype for engine arrays."""
+    """The working float dtype for engine arrays.
+
+    Defaults (unless overridden by :func:`set_float_dtype` or
+    ``PHARMSOL_TPU_F32=1``): float32 when the default backend is a TPU —
+    the MXU/VPU native rate, and the TPU's emulated f64 has non-IEEE
+    corner cases (e.g. ``inf ** -n -> nan``) — float64 on CPU, matching
+    the reference's precision for parity work.
+    """
+    global _FLOAT_DTYPE
+    if _FLOAT_DTYPE is None:
+        _FLOAT_DTYPE = (
+            jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+        )
     return _FLOAT_DTYPE
 
 

@@ -26,6 +26,7 @@ and rateiv; analytical/mod.rs:62-90).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -203,7 +204,9 @@ def _three_cmt_core(x3, k10, k12, k13, k21, k31, t, rate):
             jnp.stack([c19 * e1 + c20 * e2 + c21 * e3, c22 * e1 + c23 * e2 + c24 * e3, c25 * e1 + c26 * e2 + c27 * e3]),
         ]
     )
-    hom = m @ x3
+    # full-precision: TPU matmuls default to bf16 passes, which would cost
+    # ~3 decimal digits on the spectral-projector propagation
+    hom = jnp.matmul(m, x3, precision=jax.lax.Precision.HIGHEST)
     inf = jnp.stack(
         [
             (1.0 - e1) * c1 / l1 + (1.0 - e2) * c2 / l2 + (1.0 - e3) * c3 / l3,

@@ -566,7 +566,8 @@ def build_segments(
         & inf_valid[:, None]
     )  # [NI, M]
     one_hot = jax.nn.one_hot(occ.inf_input, ninput, dtype=fd)  # [NI, ninput]
-    rateiv = jnp.einsum("im,ik->mk", active.astype(fd) * rate[:, None], one_hot)
+    rateiv = jnp.einsum("im,ik->mk", active.astype(fd) * rate[:, None], one_hot,
+                        precision=jax.lax.Precision.HIGHEST)
 
     inv = jnp.zeros((M,), dtype=jnp.int32).at[order].set(jnp.arange(M, dtype=jnp.int32))
     obs_pos = inv[:NO]

@@ -463,13 +463,18 @@ def bdf_segment(f, x0, t0, t1, opts: ODEOptions):
 
     _U = _compute_R(jnp.asarray(1.0, dtype))
 
+    # the 6x6 difference-array transforms MUST run at full f32: TPU matmuls
+    # default to bf16 passes, which shreds the small high-order differences
+    # D carries (measured: 2x trajectory errors at rtol=1e-4)
+    _PREC = jax.lax.Precision.HIGHEST
+
     def change_D(D, order, factor):
         act = (idx6[:, None] <= order) & (idx6[None, :] <= order)
         eye6 = jnp.eye(_BDF_MAX_ORDER + 1, dtype=dtype)
         Rm = jnp.where(act, _compute_R(factor), eye6)
         Um = jnp.where(act, _U, eye6)
-        RU = Rm @ Um
-        D6 = RU.T @ D[: _BDF_MAX_ORDER + 1]
+        RU = jnp.matmul(Rm, Um, precision=_PREC)
+        D6 = jnp.matmul(RU.T, D[: _BDF_MAX_ORDER + 1], precision=_PREC)
         return D.at[: _BDF_MAX_ORDER + 1].set(D6)
 
     def rms(v, scale):
@@ -494,7 +499,9 @@ def bdf_segment(f, x0, t0, t1, opts: ODEOptions):
         x_pred = jnp.sum(jnp.where(row_mask, D[: _BDF_MAX_ORDER + 1], 0.0), axis=0)
         scale = opts.atol + opts.rtol * jnp.abs(x_pred)
         gmask = jnp.where((idx6 >= 1) & (idx6 <= order), gamma, 0.0)
-        psi = (gmask @ D[: _BDF_MAX_ORDER + 1]) / alpha_k
+        psi = jnp.matmul(
+            gmask, D[: _BDF_MAX_ORDER + 1], precision=_PREC
+        ) / alpha_k
         t_new = t + h
 
         # Newton on g(d) = d - c f(x_pred + d, t_new) + psi with the Jacobian
@@ -528,14 +535,21 @@ def bdf_segment(f, x0, t0, t1, opts: ODEOptions):
         neq_acc = neq + 1
         do_adapt = accept & (neq_acc > order)
 
-        # order adaptation: error norms at order-1 / order / order+1
+        # order adaptation: error norms at order-1 / order / order+1.
+        # Invalid candidates are masked AFTER the power, not via inf
+        # sentinels: the TPU's emulated-f64 pow returns NaN for
+        # inf**negative (and argmax then prefers the NaN), which silently
+        # poisoned the whole trajectory. -1.0 loses every argmax against
+        # the always-valid middle candidate (facs >= 0).
         err_m = rms(error_const[order - 1] * D_acc[order], scale)
         err_p = rms(error_const[order + 1] * D_acc[order + 2], scale)
-        err_m = jnp.where(order > 1, err_m, jnp.inf)
-        err_p = jnp.where(order < _BDF_MAX_ORDER, err_p, jnp.inf)
         norms = jnp.stack([err_m, jnp.maximum(err_norm, 1e-16), err_p])
         exps = -1.0 / (order.astype(dtype) + jnp.asarray([0.0, 1.0, 2.0], dtype))
         facs = jnp.power(jnp.maximum(norms, 1e-16), exps)
+        valid = jnp.stack(
+            [order > 1, jnp.asarray(True), order < _BDF_MAX_ORDER]
+        ) & jnp.isfinite(facs)
+        facs = jnp.where(valid, facs, -1.0)
         best = jnp.argmax(facs).astype(jnp.int32)
         order_adapted = jnp.clip(order + best - 1, 1, _BDF_MAX_ORDER).astype(jnp.int32)
         factor_adapt = jnp.clip(0.9 * facs[best], _BDF_MIN_FACTOR, _BDF_MAX_FACTOR)

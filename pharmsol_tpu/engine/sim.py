@@ -247,7 +247,7 @@ def simulate_occasion_assoc(
         M = cols.T
         has_span = dt > 0.0
         A = jnp.where(has_span, M, eye)
-        b = jnp.where(has_span, M @ d + c, d)
+        b = jnp.where(has_span, jnp.matmul(M, d, precision=jax.lax.Precision.HIGHEST) + c, d)
         return A, b
 
     A, b = jax.vmap(seg_affine)(
@@ -259,12 +259,15 @@ def simulate_occasion_assoc(
         Af, bf = f
         Ag, bg = g
         return (
-            jnp.einsum("...ij,...jk->...ik", Ag, Af),
-            jnp.einsum("...ij,...j->...i", Ag, bf) + bg,
+            jnp.einsum("...ij,...jk->...ik", Ag, Af,
+                       precision=jax.lax.Precision.HIGHEST),
+            jnp.einsum("...ij,...j->...i", Ag, bf,
+                       precision=jax.lax.Precision.HIGHEST) + bg,
         )
 
     Ap, bp = jax.lax.associative_scan(combine, (A, b))
-    x_after = jnp.einsum("mij,j->mi", Ap, x0) + bp
+    x_after = jnp.einsum("mij,j->mi", Ap, x0,
+                         precision=jax.lax.Precision.HIGHEST) + bp
     x_pre_all = jnp.concatenate([x0[None, :], x_after[:-1]], axis=0)
 
     x_obs = x_pre_all[segs.obs_pos]

@@ -144,8 +144,8 @@ out(cp) = central / v
     for i in range(16):
         b = Subject.builder(f"c{i}").bolus(0.0, 100.0, 0)
         b = b.covariate("wt", 0.0, 55.0 + 2.0 * i)
-        for t in (0.5, 2.0, 8.0):
-            b = b.observation(float(t), float(abs(4 + rng.randn())), 0)
+        for tt in (0.5, 2.0, 8.0):  # NOT `t`: section 4's time grid is reused below
+            b = b.observation(float(tt), float(abs(4 + rng.randn())), 0)
         csubs.append(b.build())
 
     def seq(p, t, cov):
@@ -171,6 +171,27 @@ out(cp) = central / v
     dev_host = np.abs(np.nanmedian(resd["half_life"]) - np.nanmedian(res["half_life"]))
     checks.append(("nca/batch-device", np.isfinite(np.nanmedian(resd["half_life"]))
                    and dev_host < 0.05))
+
+    # 7. emulated-f64 stepper sanity. The default TPU dtype is f32, but users
+    # can opt into f64 (emulated two-float arithmetic), whose non-IEEE corner
+    # cases have bitten before: inf ** -n -> nan poisoned the BDF order
+    # adaptation. Keep one explicit f64 integration per stepper family.
+    from pharmsol_tpu.engine.ode import ODEOptions, _SEGMENT_SOLVERS
+    p64 = jnp.asarray([0.15, 1.2, 0.3, 0.2], jnp.float64)
+
+    def f64rhs(x, t):
+        return jnp.stack([
+            -p64[1] * x[0],
+            p64[1] * x[0] - (p64[0] + p64[2]) * x[1] + p64[3] * x[2],
+            p64[2] * x[1] - p64[3] * x[2],
+        ])
+
+    x64 = jnp.asarray([100.0, 0.0, 0.0], jnp.float64)
+    for name in ("dopri5", "bdf", "kvaerno3"):
+        seg = _SEGMENT_SOLVERS[name]
+        out64 = np.asarray(seg(f64rhs, x64, jnp.float64(0.0), jnp.float64(2.0),
+                               ODEOptions(solver=name)))
+        checks.append((f"f64-emulated/{name}", bool(np.all(np.isfinite(out64)))))
 
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
