@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..config import float_dtype
 from ..engine.analytical import KERNELS
-from ..engine.ode import ODEOptions, make_ode_propagate
+from ..engine.ode import ODEOptions
 from ..engine.sim import ModelSpec, rhs_difference_apply_bolus
 from ..metadata import (
     AnalyticalKernel,

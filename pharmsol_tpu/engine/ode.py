@@ -122,8 +122,44 @@ def _poison_if_unfinished(x, t_end, t1):
     return jnp.where(done, x, jnp.nan)
 
 
-def _erk_segment(f: Callable, x0, t0, t1, opts: ODEOptions, A, B, E, C):
-    """Adaptive explicit embedded RK with FSAL (last stage = f at accept)."""
+def _h_stalled(h, t):
+    """True when the step size can no longer advance the clock.
+
+    When a lane's dynamics go non-finite (a bad support draw overflowing
+    f32), the controller shrinks h geometrically forever; once
+    ``h < ulp(t)``, ``t + h == t`` and the loop would spin to ``max_steps``
+    with zero progress. Under vmap that single lane stalls the WHOLE batch
+    for 10k masked iterations — at population scale (32k lanes) that is
+    minutes of device time and trips the TPU watchdog. The exact
+    no-progress test (not an eps heuristic, so it can never misfire on a
+    legitimately small step) bails out within ~25 shrink iterations; the
+    lane is then poisoned by ``_poison_if_unfinished``.
+    """
+    return (t + h) <= t
+
+
+def _resolve_h_start(h_start, span, opts, dtype):
+    """Initial step: warm-start ``h_start`` (carried from the previous
+    segment by the engine scan) when it is a positive finite value, else the
+    configured ``h0``; always clipped to the segment span."""
+    h_default = jnp.asarray(opts.h0, dtype)
+    if h_start is not None:
+        h_start = jnp.asarray(h_start, dtype)
+        h_default = jnp.where(
+            jnp.isfinite(h_start) & (h_start > 0.0), h_start, h_default
+        )
+    return jnp.minimum(h_default, jnp.maximum(span, 1e-14))
+
+
+def _erk_segment(f: Callable, x0, t0, t1, opts: ODEOptions, A, B, E, C,
+                 h_start=None):
+    """Adaptive explicit embedded RK with FSAL (last stage = f at accept).
+
+    Returns ``(x_end, h_cruise)``: the state at ``t1`` (NaN-poisoned if the
+    step budget ran out) and the largest accepted step over the segment.
+    ``h_cruise`` — not the final controller ``h`` — is the right warm-start
+    for the next segment: end-of-segment steps are clipped to the remaining
+    span, so the final ``h`` is biased arbitrarily small."""
     span = t1 - t0
     n_stages = len(C)
 
@@ -148,11 +184,15 @@ def _erk_segment(f: Callable, x0, t0, t1, opts: ODEOptions, A, B, E, C):
         return x_new, err, ks[-1]
 
     def cond(carry):
-        t, x, h, k1, steps = carry
-        return (t < t1 - 1e-14 * jnp.maximum(jnp.abs(t1), 1.0)) & (steps < opts.max_steps)
+        t, x, h, k1, steps, hmax = carry
+        return (
+            (t < t1 - 1e-14 * jnp.maximum(jnp.abs(t1), 1.0))
+            & (steps < opts.max_steps)
+            & ~_h_stalled(h, t)
+        )
 
     def one_trial(carry):
-        t, x, h, k1, steps = carry
+        t, x, h, k1, steps, hmax = carry
         done = t >= t1 - 1e-14 * jnp.maximum(jnp.abs(t1), 1.0)
         h_try = jnp.minimum(h, jnp.maximum(t1 - t, 1e-14))
         x_new, err, k_last = one_step(x, t, h_try, k1)
@@ -172,7 +212,8 @@ def _erk_segment(f: Callable, x0, t0, t1, opts: ODEOptions, A, B, E, C):
         # non-finite trial could still poison k_last, so guard it too
         k1 = jnp.where(accept & jnp.all(jnp.isfinite(k_last)), k_last, k1)
         h = jnp.where(done, h, jnp.maximum(h_try * factor, 1e-14))
-        return (t, x, h, k1, steps + jnp.where(done, 0, 1))
+        hmax = jnp.where(accept, jnp.maximum(hmax, h_try), hmax)
+        return (t, x, h, k1, steps + jnp.where(done, 0, 1), hmax)
 
     unroll = opts.unroll
     if unroll is None:
@@ -183,23 +224,25 @@ def _erk_segment(f: Callable, x0, t0, t1, opts: ODEOptions, A, B, E, C):
             carry = one_trial(carry)
         return carry
 
-    h_init = jnp.minimum(jnp.asarray(opts.h0, x0.dtype), jnp.maximum(span, 1e-14))
+    h_init = _resolve_h_start(h_start, span, opts, x0.dtype)
     k1_init = f(x0, t0)
     zero = jnp.asarray(0, jnp.int32)
-    t_end, x_end, _, _, _ = jax.lax.while_loop(
-        cond, body, (t0 + jnp.zeros((), x0.dtype), x0, h_init, k1_init, zero)
+    t_end, x_end, _, _, _, hmax = jax.lax.while_loop(
+        cond, body, (t0 + jnp.zeros((), x0.dtype), x0, h_init, k1_init, zero, h_init)
     )
-    return _poison_if_unfinished(x_end, t_end, t1)
+    return _poison_if_unfinished(x_end, t_end, t1), hmax
 
 
-def dopri5_segment(f: Callable, x0, t0, t1, opts: ODEOptions):
+def dopri5_segment(f: Callable, x0, t0, t1, opts: ODEOptions, h_start=None):
     """Integrate dx/dt = f(x, t) from t0 to t1 (t1 >= t0), adaptive DP5(4)."""
-    return _erk_segment(f, x0, t0, t1, opts, _DP_A, _DP_B5, _DP_E, _DP_C)
+    return _erk_segment(f, x0, t0, t1, opts, _DP_A, _DP_B5, _DP_E, _DP_C,
+                        h_start=h_start)[0]
 
 
-def tsit5_segment(f: Callable, x0, t0, t1, opts: ODEOptions):
+def tsit5_segment(f: Callable, x0, t0, t1, opts: ODEOptions, h_start=None):
     """Tsitouras 5(4): the reference's Tsit45 (ode/mod.rs:59-84)."""
-    return _erk_segment(f, x0, t0, t1, opts, _TS_A, _TS_B, _TS_E, _TS_C)
+    return _erk_segment(f, x0, t0, t1, opts, _TS_A, _TS_B, _TS_E, _TS_C,
+                        h_start=h_start)[0]
 
 
 # -- ESDIRK (Kvaerno) implicit methods -------------------------------------------
@@ -302,7 +345,8 @@ def _newton_stage(f, x_base, t_stage, h, gamma, x_guess, newton_iters):
 
 
 def _esdirk_segment(f, x0, t0, t1, opts: ODEOptions, A, B, BHAT, C, gamma,
-                    order=None, max_growth=5.0):
+                    order=None, max_growth=5.0, h_start=None):
+    """Returns ``(x_end, h_cruise)`` — see ``_erk_segment``."""
     n_stages = len(C)
     span = t1 - t0
 
@@ -336,11 +380,15 @@ def _esdirk_segment(f, x0, t0, t1, opts: ODEOptions, A, B, BHAT, C, gamma,
         order = 3.0 if n_stages == 4 else 5.0
 
     def cond(carry):
-        t, x, h, steps = carry
-        return (t < t1 - 1e-14 * jnp.maximum(jnp.abs(t1), 1.0)) & (steps < opts.max_steps)
+        t, x, h, steps, hmax = carry
+        return (
+            (t < t1 - 1e-14 * jnp.maximum(jnp.abs(t1), 1.0))
+            & (steps < opts.max_steps)
+            & ~_h_stalled(h, t)
+        )
 
     def body(carry):
-        t, x, h, steps = carry
+        t, x, h, steps, hmax = carry
         h = jnp.minimum(h, t1 - t)
         x_new, err, resid_max = one_step(x, t, h)
         ratio = _error_ratio(err, x, x_new, opts.rtol, opts.atol)
@@ -365,28 +413,33 @@ def _esdirk_segment(f, x0, t0, t1, opts: ODEOptions, A, B, BHAT, C, gamma,
             ),
             0.25,
         )
+        hmax = jnp.where(accept, jnp.maximum(hmax, h), hmax)
         t = jnp.where(accept, t + h, t)
         x = jnp.where(accept, x_new, x)
         h = jnp.maximum(h * factor, 1e-14)
-        return (t, x, h, steps + 1)
+        return (t, x, h, steps + 1, hmax)
 
-    h_init = jnp.minimum(jnp.asarray(opts.h0, x0.dtype), jnp.maximum(span, 1e-14))
-    t_end, x_end, _, _ = jax.lax.while_loop(cond, body, (t0, x0, h_init, 0))
-    return _poison_if_unfinished(x_end, t_end, t1)
-
-
-def kvaerno3_segment(f, x0, t0, t1, opts: ODEOptions):
-    return _esdirk_segment(f, x0, t0, t1, opts, _KV3_A, _KV3_B, _KV3_BHAT, _KV3_C, _KV3_GAMMA)
+    h_init = _resolve_h_start(h_start, span, opts, x0.dtype)
+    t_end, x_end, _, _, hmax = jax.lax.while_loop(
+        cond, body, (t0, x0, h_init, 0, h_init)
+    )
+    return _poison_if_unfinished(x_end, t_end, t1), hmax
 
 
-def kvaerno5_segment(f, x0, t0, t1, opts: ODEOptions):
+def kvaerno3_segment(f, x0, t0, t1, opts: ODEOptions, h_start=None):
+    return _esdirk_segment(f, x0, t0, t1, opts, _KV3_A, _KV3_B, _KV3_BHAT,
+                           _KV3_C, _KV3_GAMMA, h_start=h_start)[0]
+
+
+def kvaerno5_segment(f, x0, t0, t1, opts: ODEOptions, h_start=None):
     # max_growth 1.5: the order-5 embedded estimator is optimistic across
     # sharp nonlinear transitions (TMDD target depletion) — aggressive step
     # growth lets it leap the kink onto a wrong solution branch with a
     # self-consistently small error estimate. Conservative growth keeps the
     # transition sampled; the lower-order schemes tolerate 5.0.
     return _esdirk_segment(f, x0, t0, t1, opts, _KV5_A, _KV5_B, _KV5_BHAT,
-                           _KV5_C, _KV5_GAMMA, max_growth=1.5)
+                           _KV5_C, _KV5_GAMMA, max_growth=1.5,
+                           h_start=h_start)[0]
 
 
 # TR-BDF2 as a 3-stage ESDIRK 2(3) (Hosea & Shampine 1996): one trapezoidal
@@ -410,12 +463,12 @@ _TRBDF2_BHAT = (
 )
 
 
-def trbdf2_segment(f, x0, t0, t1, opts: ODEOptions):
+def trbdf2_segment(f, x0, t0, t1, opts: ODEOptions, h_start=None):
     """TR-BDF2 (ode/mod.rs:59-84 `tr_bdf2`) as an embedded 2(3) pair."""
     return _esdirk_segment(
         f, x0, t0, t1, opts, _TRBDF2_A, _TRBDF2_B, _TRBDF2_BHAT, _TRBDF2_C,
-        _TRBDF2_D, order=2.0,
-    )
+        _TRBDF2_D, order=2.0, h_start=h_start,
+    )[0]
 
 
 # -- BDF (variable order 1-5, fixed leading coefficient) -----------------------
@@ -436,8 +489,13 @@ _BDF_MIN_FACTOR = 0.2
 _BDF_MAX_FACTOR = 10.0
 
 
-def bdf_segment(f, x0, t0, t1, opts: ODEOptions):
+def bdf_segment(f, x0, t0, t1, opts: ODEOptions, h_start=None):
     """Variable-order (1-5) BDF with quasi-constant steps, t0 -> t1 >= t0."""
+    return _bdf_segment(f, x0, t0, t1, opts, h_start=h_start)[0]
+
+
+def _bdf_segment(f, x0, t0, t1, opts: ODEOptions, h_start=None):
+    """Returns ``(x_end, h_cruise)`` — see ``_erk_segment``."""
     dtype = x0.dtype
     n = x0.shape[0]
     span = t1 - t0
@@ -481,11 +539,15 @@ def bdf_segment(f, x0, t0, t1, opts: ODEOptions):
         return jnp.sqrt(jnp.mean((v / scale) ** 2))
 
     def cond(carry):
-        t, D, h, order, neq, steps = carry
-        return (t < t1 - 1e-14 * jnp.maximum(jnp.abs(t1), 1.0)) & (steps < opts.max_steps)
+        t, D, h, order, neq, steps, hmax = carry
+        return (
+            (t < t1 - 1e-14 * jnp.maximum(jnp.abs(t1), 1.0))
+            & (steps < opts.max_steps)
+            & ~_h_stalled(h, t)
+        )
 
     def body(carry):
-        t, D, h, order, neq, steps = carry
+        t, D, h, order, neq, steps, hmax = carry
         # clip the step to the remaining span (rescale history to match)
         h_req = jnp.minimum(h, t1 - t)
         clip_factor = h_req / h
@@ -572,18 +634,19 @@ def bdf_segment(f, x0, t0, t1, opts: ODEOptions):
         D_final = jnp.where(factor == 1.0, D_new, change_D(D_new, order_new, factor))
         h_new = jnp.maximum(h * factor, 1e-14)
         t_out = jnp.where(accept, t_new, t)
-        return (t_out, D_final, h_new, order_new, neq_new, steps + 1)
+        hmax = jnp.where(accept, jnp.maximum(hmax, h), hmax)
+        return (t_out, D_final, h_new, order_new, neq_new, steps + 1, hmax)
 
-    h_init = jnp.minimum(jnp.asarray(opts.h0, dtype), jnp.maximum(span, 1e-14))
+    h_init = _resolve_h_start(h_start, span, opts, dtype)
     D0 = jnp.zeros((_BDF_MAX_ORDER + 3, n), dtype=dtype)
     D0 = D0.at[0].set(x0)
     D0 = D0.at[1].set(h_init * f(x0, t0))
     order0 = jnp.asarray(1, jnp.int32)
     zero = jnp.asarray(0, jnp.int32)
-    t_end, D_end, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (t0 + jnp.zeros((), dtype), D0, h_init, order0, zero, zero)
+    t_end, D_end, _, _, _, _, hmax = jax.lax.while_loop(
+        cond, body, (t0 + jnp.zeros((), dtype), D0, h_init, order0, zero, zero, h_init)
     )
-    return _poison_if_unfinished(D_end[0], t_end, t1)
+    return _poison_if_unfinished(D_end[0], t_end, t1), hmax
 
 
 _SEGMENT_SOLVERS = {
@@ -594,6 +657,23 @@ _SEGMENT_SOLVERS = {
     "bdf": bdf_segment,
     "esdirk34": kvaerno3_segment,  # the Kvaerno 3/2 scheme IS a 4-stage ESDIRK of order 3
     "trbdf2": trbdf2_segment,
+}
+
+# (x, h_cruise)-returning variants for the engine's cross-segment step-size
+# warm start. Same integration math as _SEGMENT_SOLVERS.
+_SEGMENT_SOLVERS_H = {
+    "dopri5": partial(_erk_segment, A=_DP_A, B=_DP_B5, E=_DP_E, C=_DP_C),
+    "tsit5": partial(_erk_segment, A=_TS_A, B=_TS_B, E=_TS_E, C=_TS_C),
+    "kvaerno3": partial(_esdirk_segment, A=_KV3_A, B=_KV3_B, BHAT=_KV3_BHAT,
+                        C=_KV3_C, gamma=_KV3_GAMMA),
+    "kvaerno5": partial(_esdirk_segment, A=_KV5_A, B=_KV5_B, BHAT=_KV5_BHAT,
+                        C=_KV5_C, gamma=_KV5_GAMMA, max_growth=1.5),
+    "bdf": _bdf_segment,
+    "esdirk34": partial(_esdirk_segment, A=_KV3_A, B=_KV3_B, BHAT=_KV3_BHAT,
+                        C=_KV3_C, gamma=_KV3_GAMMA),
+    "trbdf2": partial(_esdirk_segment, A=_TRBDF2_A, B=_TRBDF2_B,
+                      BHAT=_TRBDF2_BHAT, C=_TRBDF2_C, gamma=_TRBDF2_D,
+                      order=2.0),
 }
 
 
@@ -621,3 +701,42 @@ def make_ode_propagate(diffeq: Callable, opts: ODEOptions):
         return solver(f, x, t0, t1, opts)
 
     return propagate
+
+
+def make_ode_propagate_carry(diffeq: Callable, opts: ODEOptions):
+    """Like :func:`make_ode_propagate`, but threads a solver carry.
+
+    ``propagate_carry(x, p, dt, rateiv, t0, cov, h) -> (x_next, h_next)``
+    where ``h`` is the cruise step size carried across segments by the
+    engine scan (0.0 = no history yet -> use ``opts.h0``). Warm-starting h
+    skips the per-segment ramp-up from h0: with ~8 segments per occasion
+    and growth capped at 5x/step, restarting each segment at h0=1e-3 costs
+    several wasted accepts per segment; the carried cruise step starts the
+    controller at the trajectory's natural scale. A sharp post-boundary
+    transient simply rejects back down (shrink 0.2-0.25x per reject), which
+    the adaptive controller handles by construction.
+    """
+    try:
+        solver_h = _SEGMENT_SOLVERS_H[opts.solver]
+    except KeyError:
+        raise ValueError(
+            f"unknown ODE solver `{opts.solver}` (have {sorted(_SEGMENT_SOLVERS_H)})"
+        )
+
+    def propagate_carry(x, p, dt, rateiv, t0, cov, h):
+        bzero = jnp.zeros_like(rateiv)
+
+        def f(xx, tt):
+            return jnp.asarray(diffeq(xx, p, tt, bzero, rateiv, cov), dtype=x.dtype)
+
+        t1 = t0 + jnp.maximum(dt, 0.0)
+        x_next, h_next = solver_h(f, x, t0, t1, opts, h_start=h)
+        # a failed segment poisons x (NaN) but must not poison the carried
+        # step size — downstream segments still run and -inf degradation
+        # happens at the likelihood layer
+        h_next = jnp.where(
+            jnp.isfinite(h_next) & (h_next > 0.0), h_next, jnp.zeros_like(h_next)
+        )
+        return x_next, h_next
+
+    return propagate_carry

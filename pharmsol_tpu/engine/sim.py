@@ -73,6 +73,11 @@ class ModelSpec(NamedTuple):
     # runs per segment with only the dt-dependent work (exponentials).
     prepare: Optional[Callable] = None
     propagate_prepared: Optional[Callable] = None
+    # Optional carry-threading propagate (ODE): (x, p, dt, rateiv, t0, cov,
+    # carry) -> (x_next, carry_next). The engine scans thread the carry (the
+    # solver's cruise step size) across segments, warm-starting each
+    # segment's adaptive controller; 0.0 = no history.
+    propagate_carry: Optional[Callable] = None
 
 
 class OccasionSim(NamedTuple):
@@ -141,8 +146,10 @@ def simulate_occasion(
     use_prepared = spec.prepare is not None and seq is None
     aux = spec.prepare(p, cov) if use_prepared else None
 
+    use_carry = spec.propagate_carry is not None and not use_prepared
+
     def step(carry, seg):
-        x, p_cur = carry
+        x, p_cur, sc = carry
         t, dt, b_amt, b_input, rateiv, is_event = seg
         x_pre = x
         bvec = jnp.zeros((spec.ninput,), dtype=fd).at[b_input].add(b_amt)
@@ -159,14 +166,18 @@ def simulate_occasion(
             p_seg = p_base
         if use_prepared:
             x_prop = spec.propagate_prepared(aux, x, dt, rateiv, t, cov)
+        elif use_carry:
+            x_prop, sc_new = spec.propagate_carry(x, p_seg, dt, rateiv, t, cov, sc)
+            sc = jnp.where(has_span, sc_new, sc)
         else:
             x_prop = spec.propagate(x, p_seg, dt, rateiv, t, cov)
         x = jnp.where(has_span, x_prop, x)
-        return (x, p_seg), x_pre
+        return (x, p_seg, sc), x_pre
 
     xs = (segs.t, segs.dt, segs.b_amt, segs.b_input, segs.rateiv, segs.is_event)
-    (_, _), x_pre_all = jax.lax.scan(
-        step, (x0, p), xs, unroll=_segment_unroll(spec, segs.t.shape[0])
+    (_, _, _), x_pre_all = jax.lax.scan(
+        step, (x0, p, jnp.asarray(0.0, fd)), xs,
+        unroll=_segment_unroll(spec, segs.t.shape[0]),
     )
 
     x_obs = x_pre_all[segs.obs_pos]  # [NO, nstates]
@@ -328,8 +339,10 @@ def simulate_occasion_ll(
         occ.obs_outeq.astype(jnp.int32)
     )
 
+    use_carry = spec.propagate_carry is not None and not use_prepared
+
     def step(carry, seg):
-        x, p_cur, ll = carry
+        x, p_cur, ll, sc = carry
         (t, dt, b_amt, b_input, rateiv, is_event,
          sigma, active, value, cens_code, outeq) = seg
 
@@ -356,17 +369,20 @@ def simulate_occasion_ll(
             p_seg = p_base
         if use_prepared:
             x_prop = spec.propagate_prepared(aux, x, dt, rateiv, t, cov)
+        elif use_carry:
+            x_prop, sc_new = spec.propagate_carry(x, p_seg, dt, rateiv, t, cov, sc)
+            sc = jnp.where(has_span, sc_new, sc)
         else:
             x_prop = spec.propagate(x, p_seg, dt, rateiv, t, cov)
         x = jnp.where(has_span, x_prop, x)
-        return (x, p_seg, ll), None
+        return (x, p_seg, ll, sc), None
 
     xs = (
         segs.t, segs.dt, segs.b_amt, segs.b_input, segs.rateiv, segs.is_event,
         seg_sigma, seg_active, seg_value, seg_cens, seg_outeq,
     )
-    (_, _, ll), _ = jax.lax.scan(
-        step, (x0, p, jnp.asarray(0.0, fd)), xs,
+    (_, _, ll, _), _ = jax.lax.scan(
+        step, (x0, p, jnp.asarray(0.0, fd), jnp.asarray(0.0, fd)), xs,
         unroll=_segment_unroll(spec, segs.t.shape[0]),
     )
     return ll

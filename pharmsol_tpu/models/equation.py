@@ -37,7 +37,7 @@ from ..data.error_model import AssayErrorModels
 from ..data.event import Censor
 from ..data.structs import Data, Subject
 from ..engine.grid import PopulationGrid, lower_population
-from ..engine.ode import ODEOptions, make_ode_propagate
+from ..engine.ode import ODEOptions, make_ode_propagate, make_ode_propagate_carry
 from ..engine.sim import (
     ModelSpec,
     default_apply_bolus,
@@ -603,4 +603,5 @@ class ODE(EquationBase):
             fa=self._fa,
             seq=None,
             apply_bolus=rhs_difference_apply_bolus(diffeq),
+            propagate_carry=make_ode_propagate_carry(diffeq, self._opts),
         )

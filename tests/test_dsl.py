@@ -272,7 +272,7 @@ model cond {
     )
     got = runtime.estimate_predictions(subject, [0.2, 100.0]).flat_predictions()
     # switch never triggers -> plain decay
-    np.testing.assert_allclose(got, [100 * math.exp(-0.2), 100 * math.exp(-0.6)], rtol=1e-7)
+    np.testing.assert_allclose(got, [100 * math.exp(-0.2), 100 * math.exp(-0.6)], rtol=1e-5)
 
 
 def test_artifact_roundtrip(tmp_path):

@@ -2,6 +2,7 @@
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -70,3 +71,26 @@ def test_unknown_solver_rejected():
     with pytest.raises(ValueError) as exc:
         ode.estimate_predictions(subject, [0.1])
     assert "unknown ODE solver" in str(exc.value)
+
+
+@pytest.mark.parametrize("solver", ["dopri5", "bdf", "kvaerno3"])
+def test_f32_runaway_lane_poisons_fast(solver):
+    """A lane whose dynamics overflow f32 must poison (NaN), not spin.
+
+    Without the no-progress stall guard the controller shrinks h below
+    ulp(t), t + h == t, and the while loop runs all 10k max_steps doing
+    nothing — under vmap at population scale that stalls the whole batch
+    and trips the TPU watchdog (observed as a worker crash).
+    """
+    from pharmsol_tpu.engine.ode import _SEGMENT_SOLVERS, ODEOptions
+
+    seg = _SEGMENT_SOLVERS[solver]
+
+    def f(x, t):
+        return x * x  # finite-time blow-up, overflows f32 immediately
+
+    x0 = jnp.asarray([1e20], jnp.float32)
+    out = np.asarray(
+        jax.jit(lambda x: seg(f, x, jnp.float32(0.0), jnp.float32(10.0), ODEOptions()))(x0)
+    )
+    assert np.all(np.isnan(out))
