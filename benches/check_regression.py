@@ -10,12 +10,13 @@ gate:
 
 exits 1 if any matching cell regressed by more than the threshold.
 
-Chip-drift discipline (CLAUDE.md: throughput drifts ±25-30% between hours):
-cross-run comparisons use a *relative* normalization — every cell is divided
-by the run's median hot analytical cell before comparing — so a uniform
-chip-speed shift cancels and only genuine per-cell regressions trip the gate.
-For absolute A/B of a code change, run both sides in the same session
-(`git stash` protocol) and compare with --absolute.
+Committed baselines are CPU-recorded (no chip drift), so absolute seconds
+are the default compare. For TPU-vs-TPU runs taken hours apart (±25-30%
+chip drift, CLAUDE.md) pass --normalized: every cell is divided by the
+run's median hot analytical cell so a uniform chip-speed shift cancels.
+Normalization mis-fires whenever a code change moves the normalizer cell
+itself, so for absolute A/B of a code change on TPU run both sides in the
+same session (`git stash` protocol) and keep the default absolute mode.
 """
 
 from __future__ import annotations
@@ -49,8 +50,16 @@ def main() -> int:
     ap.add_argument("--current", required=True)
     ap.add_argument("--threshold", type=float, default=0.20,
                     help="max allowed fractional slowdown (default 0.20)")
+    # Absolute is the default: the committed baselines are CPU-recorded,
+    # where there is no chip drift and raw seconds are the honest compare.
+    # --normalized (divide every cell by the run's median hot analytical
+    # cell) is for TPU-vs-TPU runs across hours, and mis-fires whenever a
+    # code change moves the normalizer cell itself — a uniform genuine
+    # improvement is indistinguishable from chip drift under normalization.
+    ap.add_argument("--normalized", action="store_true",
+                    help="drift-normalize before comparing (TPU runs only)")
     ap.add_argument("--absolute", action="store_true",
-                    help="compare raw seconds (same-session A/B only)")
+                    help="(default) compare raw seconds")
     ap.add_argument("--cold-threshold", type=float, default=None,
                     help="threshold for /cold cells (default: 2x threshold; "
                          "cold cells include one-shot jit dispatch noise)")
@@ -58,7 +67,7 @@ def main() -> int:
 
     base = load_cells(args.baseline)
     cur = load_cells(args.current)
-    if not args.absolute:
+    if args.normalized:
         nb, nc = normalizer(base), normalizer(cur)
         base = {k: v / nb for k, v in base.items()}
         cur = {k: v / nc for k, v in cur.items()}
