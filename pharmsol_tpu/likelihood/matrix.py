@@ -82,6 +82,14 @@ def _pallas_structure_name(equation) -> str:
     from ..engine.analytical import KERNELS
     from ..ops.pallas_psi import STRUCTURES
 
+    declared = getattr(equation, "_pallas_structure", None)
+    if declared is not None:  # declarative authoring surface names it directly
+        if declared not in STRUCTURES:
+            raise PharmsolError(
+                f"analytical structure `{declared}` has no pallas psi "
+                f"structure (available: {', '.join(sorted(STRUCTURES))})"
+            )
+        return declared
     eq_fn = getattr(equation, "_eq", None)
     for name, (fn, _, _) in KERNELS.items():
         if fn is eq_fn:
@@ -202,6 +210,281 @@ def _decompose_seq(seq, sp, cov_values: dict, n_kernel_params: int,
     return np.ascontiguousarray(g_ref)
 
 
+def _host_cov_values(grid, te: np.ndarray) -> dict:
+    """Covariate values per row at per-row times ``te`` [R] (host numpy).
+
+    Replicates CovView.value semantics (engine/grid.py): clamp into the knot
+    range (first value carried backward, last forward), linear interpolation
+    between knots, carry-forward for `!`-fixed covariates.
+    """
+    names = list(grid.cov_names)
+    if not names:
+        return {}
+    cov_t = np.asarray(grid.rows.cov_t, dtype=np.float64)  # [R, C, K]
+    cov_v = np.asarray(grid.rows.cov_v, dtype=np.float64)
+    fixed = np.asarray(grid.rows.cov_fixed)
+    if fixed.ndim == 2:
+        fixed = fixed[0]
+    R, C, K = cov_t.shape
+    out = {}
+    for c, name in enumerate(names):
+        ts, vs = cov_t[:, c, :], cov_v[:, c, :]  # [R, K]
+        tc = np.clip(te, ts[:, 0], ts[:, -1])
+        idx = np.clip(
+            np.sum(ts <= tc[:, None], axis=1) - 1, 0, K - 1
+        )  # rightmost knot <= tc (searchsorted 'right' - 1)
+        nxt = np.minimum(idx + 1, K - 1)
+        r = np.arange(R)
+        t0, t1 = ts[r, idx], ts[r, nxt]
+        v0, v1 = vs[r, idx], vs[r, nxt]
+        denom = np.where(t1 > t0, t1 - t0, 1.0)
+        lin = np.where(t1 > t0, v0 + (v1 - v0) * (tc - t0) / denom, v0)
+        out[name] = v0 if bool(fixed[c]) else lin
+    return out
+
+
+def _decompose_seq_tv(seq, sp, grid, n_kernel_params: int) -> np.ndarray:
+    """Per-row, per-SEGMENT multiplicative seq decomposition.
+
+    Generalizes :func:`_decompose_seq` two ways, both required for engine
+    parity (sim.step, engine/sim.py):
+
+    - the multiplier is evaluated at each segment's END time (the engine
+      evaluates seq at ``t + dt``) with the row's covariates interpolated
+      at that time — this carries time-VARYING covariates;
+    - the engine's reset/carry chain is baked in: seq parameters reset to
+      the raw support point at real events but compound across
+      infusion-end sub-splits (grid.build_segments is_event semantics,
+      analytical/mod.rs:331,360) — applying a single per-row multiplier to
+      rows containing infusions was measurably wrong (0.17 in log-lik).
+
+    Probes multiplicative separability (seq(q, t, cov)[i] / q[i] must not
+    depend on q) at sample segments. Returns mult_seg [R, P, M].
+    """
+    from ..config import float_dtype
+    from ..ops.pallas_psi import segment_schedule
+
+    fd = float_dtype()
+    tol = 1e-9 if np.dtype(fd) == np.float64 else 1e-5
+    order, t_sorted, seg_dt, is_event = segment_schedule(grid.rows)
+    R, M = t_sorted.shape
+    k = n_kernel_params
+    p_ref = np.where(np.abs(sp[0]) > 1e-30, sp[0], 1.0)
+    p_alt = p_ref * 1.37 + 0.011
+
+    # padded breakpoints sit at BIG_TIME; clamp their evaluation time to the
+    # row's last real breakpoint so seq closures reading t stay finite
+    from ..config import BIG_TIME
+
+    real = t_sorted < BIG_TIME / 2
+    t_real_max = np.max(np.where(real, t_sorted, -np.inf), axis=1)
+    t_real_max = np.where(np.isfinite(t_real_max), t_real_max, 0.0)
+    te = np.minimum(t_sorted + seg_dt, t_real_max[:, None])  # [R, M]
+
+    names = list(grid.cov_names)
+
+    def ratios_at(p, m):
+        vals = _host_cov_values(grid, te[:, m])
+        p_j = jnp.asarray(p, dtype=fd)
+        t_j = jnp.asarray(te[:, m], dtype=fd)
+        if vals:
+            stacked = jnp.stack(
+                [jnp.asarray(vals[n], dtype=fd) for n in names], axis=1
+            )  # [R, C]
+
+            def one(row, t_r):
+                shim = _RowCov({n: row[i] for i, n in enumerate(names)})
+                return jnp.asarray(seq(p_j, t_r, shim), dtype=fd)
+
+            out = np.asarray(jax.vmap(one)(stacked, t_j), dtype=np.float64)
+        else:
+            out = np.asarray(
+                jax.vmap(lambda t_r: jnp.asarray(seq(p_j, t_r, _RowCov({})), dtype=fd))(t_j),
+                dtype=np.float64,
+            )
+        return out[:, :k] / np.asarray(p)[None, :k]
+
+    try:
+        g = np.stack([ratios_at(p_ref, m) for m in range(M)], axis=2)  # [R,k,M]
+        # separability probe on a segment sample
+        for m in {0, M // 2, M - 1}:
+            g_alt = ratios_at(p_alt, m)
+            if not (np.allclose(g[:, :, m], g_alt, rtol=tol * 100)
+                    and np.all(np.isfinite(g_alt))):
+                raise PharmsolError(
+                    "engine='pallas' requires multiplicative covariate "
+                    "effects (seq[i] = p[i] * g_i(t, cov)); this seq "
+                    "equation is not separable — use the default XLA engine"
+                )
+    except PharmsolError:
+        raise
+    except Exception as e:
+        raise PharmsolError(
+            f"engine='pallas' could not probe the seq equation: {e}"
+        ) from e
+    if not np.all(np.isfinite(g)):
+        raise PharmsolError(
+            "engine='pallas' seq decomposition produced non-finite "
+            "multipliers — use the default XLA engine"
+        )
+
+    # engine reset/carry chain: p_base = raw at events else carried;
+    # p_seg = p_base * g on spanned segments, p_base otherwise
+    mult = np.empty_like(g)
+    prev = np.ones((R, k))
+    for m in range(M):
+        base = np.where(is_event[:, m][:, None], 1.0, prev)
+        cur = np.where(seg_dt[:, m][:, None] > 0, base * g[:, :, m], base)
+        mult[:, :, m] = cur
+        prev = cur
+    return np.ascontiguousarray(mult)
+
+
+def _decompose_kernel_inputs(kernel_inputs, sp, grid, n_kernel_params: int,
+                             allow_mult: bool):
+    """Anchored decomposition of a declarative kernel-input mapping.
+
+    Declarative analytical models (models/declarative.py analytical_model)
+    compute kernel parameters as ``kp(p, t, cov)`` from DECLARED parameters
+    (arbitrary reordering + derive closures), so the support matrix is not
+    in kernel order. Writing ``kp_i(p, t, cov) = b_i(p) * g_i(t, cov)``
+    (the standard covariate-scaling form), everything the kernel needs
+    factors exactly through an arbitrary anchor A = (t=0, first-row first
+    -knot covariates):
+
+        kernel support  sp_k[s, i]   = kp_i(sp_s, A)        [per support]
+        multipliers     m[r, i, seg] = kp_i(p_ref, t_seg, cov_r) / kp_i(p_ref, A)
+
+    since sp_k * m = b_i(p_s) g_i(A) * g_i(t, cov)/g_i(A). Separability is
+    validated by a second parameter probe. No reset/carry chain applies:
+    the declarative propagate re-derives from the RAW parameters at every
+    segment end (engine parity: declarative.py propagate).
+
+    Returns (sp_kernel [S, P], mult_row [R, P] | None, mult_seg [R, P, M] |
+    None) — time-constant effects collapse to the cheaper row mode.
+    """
+    from ..config import BIG_TIME, float_dtype
+    from ..engine.grid import CovView
+    from ..ops.pallas_psi import segment_schedule
+
+    fd = float_dtype()
+    tol = 1e-9 if np.dtype(fd) == np.float64 else 1e-5
+    names = list(grid.cov_names)
+    cov_t = np.asarray(grid.rows.cov_t, dtype=np.float64)
+    cov_v = np.asarray(grid.rows.cov_v, dtype=np.float64)
+    fixed = np.asarray(grid.rows.cov_fixed)
+    if fixed.ndim == 1 and cov_t.ndim == 3:
+        fixed = np.broadcast_to(fixed[None, :], cov_t.shape[:2])
+
+    if names:
+        anchor_view = CovView(
+            jnp.zeros((len(names), 1), dtype=fd),
+            jnp.asarray(cov_v[0, :, :1], dtype=fd),
+            jnp.zeros((len(names),), dtype=bool),
+            names,
+        )
+    else:
+        anchor_view = CovView(
+            jnp.zeros((0, 1), dtype=fd), jnp.zeros((0, 1), dtype=fd),
+            jnp.zeros((0,), dtype=bool), [],
+        )
+
+    def kp_at_anchor(p_rows, t=0.0):
+        def one(p):
+            vals = kernel_inputs(jnp.asarray(p, dtype=fd),
+                                 jnp.asarray(t, dtype=fd), anchor_view)
+            return jnp.stack([jnp.asarray(v, dtype=fd) for v in vals])
+        return np.asarray(
+            jax.vmap(one)(jnp.asarray(p_rows, dtype=fd)), dtype=np.float64
+        )
+
+    p_ref = np.where(np.abs(sp[0]) > 1e-30, sp[0], 1.0)
+    p_alt = p_ref * 1.37 + 0.011
+    try:
+        sp_kernel = kp_at_anchor(sp)
+        kp_ref = kp_at_anchor(p_ref[None, :])[0]  # [P]
+        kp_ref_t = kp_at_anchor(p_ref[None, :], t=123.456)[0]
+    except PharmsolError:
+        raise
+    except Exception as e:
+        raise PharmsolError(
+            f"engine='pallas' could not probe the declarative kernel-input "
+            f"mapping: {e}"
+        ) from e
+    if not (np.all(np.isfinite(sp_kernel)) and np.all(np.isfinite(kp_ref))):
+        raise PharmsolError(
+            "engine='pallas' declarative kernel inputs are non-finite at "
+            "the probe points — use the default XLA engine"
+        )
+
+    time_dependent = not np.allclose(kp_ref, kp_ref_t, rtol=tol, atol=tol)
+    cov_varying = bool(names) and cov_t.ndim == 3
+    if cov_varying:
+        same_everywhere = np.all(cov_v == cov_v[0:1, :, 0:1])
+        cov_varying = not bool(same_everywhere)
+    if not time_dependent and not cov_varying:
+        return sp_kernel, None, None  # pure reindex/derive over parameters
+
+    if not allow_mult:
+        raise PharmsolError(
+            "engine='pallas' does not support covariate/time-dependent "
+            "derive with 3-compartment structures (eigen prep is "
+            "per-support) — use the default XLA engine"
+        )
+
+    order, t_sorted, seg_dt, _ = segment_schedule(grid.rows)
+    R, M = t_sorted.shape
+    real = t_sorted < BIG_TIME / 2
+    t_real_max = np.max(np.where(real, t_sorted, -np.inf), axis=1)
+    t_real_max = np.where(np.isfinite(t_real_max), t_real_max, 0.0)
+    te = np.minimum(t_sorted + seg_dt, t_real_max[:, None])
+
+    ct_j = jnp.asarray(cov_t, dtype=fd)
+    cv_j = jnp.asarray(cov_v, dtype=fd)
+    cf_j = jnp.asarray(np.asarray(fixed, dtype=bool))
+
+    def kp_rows(p, m):
+        t_j = jnp.asarray(te[:, m], dtype=fd)
+        p_j = jnp.asarray(p, dtype=fd)
+
+        def one(ct, cv, cf, t_r):
+            view = CovView(ct, cv, cf, names)
+            vals = kernel_inputs(p_j, t_r, view)
+            return jnp.stack([jnp.asarray(v, dtype=fd) for v in vals])
+
+        return np.asarray(jax.vmap(one)(ct_j, cv_j, cf_j, t_j),
+                          dtype=np.float64)
+
+    try:
+        g = np.stack(
+            [kp_rows(p_ref, m) / kp_ref[None, :] for m in range(M)], axis=2
+        )  # [R, P, M]
+        for m in {0, M // 2, M - 1}:
+            g_alt = kp_rows(p_alt, m) / kp_at_anchor(p_alt[None, :])[0][None, :]
+            if not (np.allclose(g[:, :, m], g_alt, rtol=tol * 100)
+                    and np.all(np.isfinite(g_alt))):
+                raise PharmsolError(
+                    "engine='pallas' requires multiplicatively separable "
+                    "derive closures (kp_i = b_i(p) * g_i(t, cov)); this "
+                    "one is not — use the default XLA engine"
+                )
+    except PharmsolError:
+        raise
+    except Exception as e:
+        raise PharmsolError(
+            f"engine='pallas' could not probe the declarative kernel-input "
+            f"mapping: {e}"
+        ) from e
+    if not np.all(np.isfinite(g)):
+        raise PharmsolError(
+            "engine='pallas' declarative derive produced non-finite "
+            "multipliers — use the default XLA engine"
+        )
+    if np.allclose(g, g[:, :, :1], rtol=1e-12, atol=1e-12):
+        return sp_kernel, np.ascontiguousarray(g[:, :, 0]), None
+    return sp_kernel, None, np.ascontiguousarray(g)
+
+
 def _check_out_covariate_free(equation, sp, cov_values, n_states, CovView):
     """Reject out() closures whose value depends on a covariate."""
     from ..config import float_dtype
@@ -266,32 +549,89 @@ class _PallasPsiPlan:
         self.structure = _pallas_structure_name(equation)
         sdef = STRUCTURES[self.structure]
         n_kernel_params = sdef["n_params"]
-        if sp.shape[1] < n_kernel_params:
+        kernel_inputs = getattr(equation, "_kernel_inputs", None)
+        if kernel_inputs is None and sp.shape[1] < n_kernel_params:
+            # declarative models map declared columns onto kernel params, so
+            # the width constraint applies only to raw kernel-order supports
             raise PharmsolError(
                 f"engine='pallas' with `{self.structure}` needs support columns "
                 f"[{n_kernel_params} kernel params..., out params...], got "
                 f"{sp.shape[1]} columns"
             )
+        if kernel_inputs is not None:
+            dest = getattr(equation, "_bolus_dest", None)
+            if dest and int(dest[0]) != int(sdef["dose_state"]):
+                raise PharmsolError(
+                    f"engine='pallas' with `{self.structure}` expects the "
+                    f"bolus route to target state {sdef['dose_state']}, "
+                    f"this model doses state {dest[0]} — use the default "
+                    "XLA engine"
+                )
         if equation._lag is not None or equation._fa is not None \
                 or equation._init is not None:
             raise PharmsolError(
                 "engine='pallas' does not support lag/fa/init equations"
             )
-        cov_values = _constant_covariate_values(grid) if grid.cov_names else {}
         self.mult = None
-        if equation._seq is not None:
+        self.mult_seg = None
+        self.sp_kernel = None
+        cov_values = {}
+        if kernel_inputs is not None:
+            self.sp_kernel, self.mult, self.mult_seg = _decompose_kernel_inputs(
+                kernel_inputs, sp, grid, n_kernel_params,
+                allow_mult=sdef["prep_xla"] is None,
+            )
+        elif equation._seq is not None:
             if sdef["prep_xla"] is not None:
                 raise PharmsolError(
                     f"engine='pallas' does not support seq equations with "
                     f"`{self.structure}` (3-cmt eigen prep is per-support)"
                 )
-            self.mult = _decompose_seq(
-                equation._seq, sp, cov_values, n_kernel_params,
-                n_rows_total=grid.n_rows,
+            from ..config import BIG_TIME
+
+            has_real_inf = bool(
+                np.any(np.asarray(grid.rows.inf_t) < BIG_TIME / 2)
             )
+            cov_v = np.asarray(grid.rows.cov_v, dtype=np.float64)
+            time_varying = bool(
+                grid.cov_names and cov_v.ndim == 3
+                and not np.all(cov_v == cov_v[..., :1])
+            )
+            if time_varying or has_real_inf:
+                # per-segment multipliers: time-varying covariates, and/or
+                # the engine's seq compounding across infusion-end
+                # sub-splits (a single per-row multiplier is wrong there)
+                self.mult_seg = _decompose_seq_tv(
+                    equation._seq, sp, grid, n_kernel_params
+                )
+            else:
+                cov_values = (
+                    _constant_covariate_values(grid) if grid.cov_names else {}
+                )
+                try:
+                    self.mult = _decompose_seq(
+                        equation._seq, sp, cov_values, n_kernel_params,
+                        n_rows_total=grid.n_rows,
+                    )
+                except PharmsolError as e:
+                    if "time-independent" not in str(e):
+                        raise
+                    # time-dependent but (potentially) multiplicative:
+                    # per-segment multipliers evaluate g at each segment end
+                    self.mult_seg = _decompose_seq_tv(
+                        equation._seq, sp, grid, n_kernel_params
+                    )
         if grid.cov_names and equation._out is not None:
             # covariates may only act through seq; the out() closure must be
-            # support-only for the per-support linear extraction to hold
+            # support-only for the per-support linear extraction to hold.
+            # For time-varying covariates probe with first-knot values.
+            if not cov_values:
+                cov_v3 = np.asarray(grid.rows.cov_v, dtype=np.float64)
+                if cov_v3.ndim == 3:
+                    cov_values = {
+                        n: cov_v3[:, c, 0]
+                        for c, n in enumerate(grid.cov_names)
+                    }
             _check_out_covariate_free(
                 equation, sp, cov_values, sdef["n_states"], CovView
             )
@@ -335,17 +675,39 @@ class _PallasPsiPlan:
             self.mult_dev = jnp.asarray(m, dtype=fd)
         else:
             self.mult_dev = None
-        sp_padded = sp if self.Sp == self.S else np.concatenate(
-            [sp, np.repeat(sp[-1:], self.Sp - self.S, axis=0)], axis=0
+        if self.mult_seg is not None:
+            ms = np.asarray(self.mult_seg, dtype=np.float64)  # [R, P, M]
+            if self.Rp != self.R:
+                ms = np.concatenate(
+                    [ms, np.ones((self.Rp - self.R,) + ms.shape[1:])], axis=0
+                )
+            self.mult_seg_dev = jnp.asarray(ms, dtype=fd)
+        else:
+            self.mult_seg_dev = None
+        def pad_support(a):
+            if self.Sp == self.S:
+                return a
+            return np.concatenate(
+                [a, np.repeat(a[-1:], self.Sp - self.S, axis=0)], axis=0
+            )
+
+        sp_padded = pad_support(sp)
+        # declarative models: the kernel consumes the anchored kernel-order
+        # support; the out-coefficient extraction below keeps the DECLARED
+        # support (out closures index declared parameters)
+        self.sp_dev = jnp.asarray(
+            pad_support(self.sp_kernel) if self.sp_kernel is not None
+            else sp_padded,
+            dtype=fd,
         )
-        self.sp_dev = jnp.asarray(sp_padded, dtype=fd)
         # output coefficients: y_k = C_k(p) . x + b_k(p), per support point
         out_fn = equation._out or (lambda x, p, t, cov: x[: self.n_out])
         occ0 = jax.tree_util.tree_map(
             lambda a: jnp.asarray(np.asarray(a)[0]), grid.rows
         )
         cov = CovView(
-            occ0.cov_t.astype(fd), occ0.cov_v.astype(fd), occ0.cov_fixed, ()
+            occ0.cov_t.astype(fd), occ0.cov_v.astype(fd), occ0.cov_fixed,
+            tuple(grid.cov_names),
         )
         try:
             C, b = extract_linear_out(
@@ -373,16 +735,18 @@ class _PallasPsiPlan:
         return ("pallas", self.structure, self.Rp, self.Sp, self.M,
                 self.pass_inf, self.pass_cens, self.pass_outeq, self.n_out,
                 self.out_bias is not None, self.mult_dev is not None,
-                str(self.fd)) + extra
+                self.mult_seg_dev is not None, str(self.fd)) + extra
 
     def stream_args(self):
-        """The included row-axis streams ([Rp, M] segments + [Rp, P] mult)."""
+        """The row-axis streams ([Rp, M] segments + [Rp, ...] multipliers)."""
         p = self.padded
         include = [True, True, self.pass_inf, True, True, True,
                    self.pass_cens, self.pass_outeq]
         out = tuple(a for a, inc in zip(p, include) if inc)
         if self.mult_dev is not None:
             out = out + (self.mult_dev,)
+        if self.mult_seg_dev is not None:
+            out = out + (self.mult_seg_dev,)
         return out
 
     def rep_args(self):
@@ -400,9 +764,10 @@ class _PallasPsiPlan:
         pass_inf, pass_cens = self.pass_inf, self.pass_cens
         pass_outeq = self.pass_outeq
         pass_mult = self.mult_dev is not None
+        pass_mult_seg = self.mult_seg_dev is not None
         has_bias = self.out_bias is not None
         n_streams = (5 + int(pass_inf) + int(pass_cens) + int(pass_outeq)
-                     + int(pass_mult))
+                     + int(pass_mult) + int(pass_mult_seg))
 
         def run(*args):
             it = iter(args[:n_streams])
@@ -412,12 +777,14 @@ class _PallasPsiPlan:
             cens = next(it) if pass_cens else None
             outeq = next(it) if pass_outeq else None
             mult = next(it) if pass_mult else None
+            mult_seg = next(it) if pass_mult_seg else None
             rep = args[n_streams:]
             sp_dev, coef = rep[0], rep[1]
             bias = rep[2] if has_bias else None
             return psi_oral(dt, bol, inf, mask, val, sig, cens, sp_dev,
                             structure=structure, obs_outeq=outeq,
-                            out_coef=coef, out_bias=bias, param_mult=mult)
+                            out_coef=coef, out_bias=bias, param_mult=mult,
+                            param_mult_seg=mult_seg)
 
         run.n_streams = n_streams
         return run

@@ -431,21 +431,28 @@ STRUCTURES = {
 
 def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
                  n_out: int, has_bias: bool, n_param_rows: int,
-                 has_mult: bool = False):
+                 mult_mode: Optional[str] = None):
     """Build the psi tile kernel for one structure + feature combination.
 
     Ref layout (in order): segment streams (dt, bolus, [rateiv], mask, value,
-    sigma, [cens], [outeq], [param-mult]) each [row_block, SEG_PAD];
-    parameter rows (base params + XLA-prepared extras) each [1, sp_block];
-    output coefficient rows (n_out * n_states) and optional bias rows
-    (n_out); then out_ref [row_block, sp_block].
+    sigma, [cens], [outeq], [param-mult | per-param seg-mult streams]) each
+    [row_block, SEG_PAD]; parameter rows (base params + XLA-prepared extras)
+    each [1, sp_block]; output coefficient rows (n_out * n_states) and
+    optional bias rows (n_out); then out_ref [row_block, sp_block].
 
-    ``has_mult``: per-row multiplicative covariate effects. The param-mult
-    stream carries one multiplier per RAW support column in its leading
-    lanes; effective parameter tiles become [row_block, sp_block] (raw row x
-    per-row multiplier), the CL remap runs in-kernel on those tiles, and
-    ``prepare`` broadcasts over both axes — this is how time-constant
-    covariates ride the fused kernel without a [R, S, P] blowup.
+    ``mult_mode``:
+    - ``'row'``: per-row multiplicative covariate effects. One param-mult
+      stream carries one multiplier per RAW support column in its leading
+      lanes; effective parameter tiles become [row_block, sp_block] (raw row
+      x per-row multiplier), the CL remap runs in-kernel on those tiles, and
+      ``prepare`` broadcasts over both axes — this is how time-constant
+      covariates ride the fused kernel without a [R, S, P] blowup.
+    - ``'segment'``: per-row per-SEGMENT multipliers, one stream per raw
+      support column, each [row_block, SEG_PAD] like the dt stream. The
+      effective parameters and ``prepare`` are re-evaluated inside the
+      segment loop — this carries time-VARYING covariates and the engine's
+      seq carry-across-infusion-end compounding (the plan bakes that chain
+      into the streams host-side).
 
     Mosaic note: per-segment scalars are extracted with one-hot lane
     reductions instead of strided slices (sub-tile slicing fails to legalize
@@ -468,13 +475,17 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
         sigs = next(it)[:, :]
         censs = next(it)[:, :] if has_cens else None
         outeqs = next(it)[:, :] if has_outeq else None
-        mults = next(it)[:, :] if has_mult else None
+        mults = next(it)[:, :] if mult_mode == "row" else None
+        seg_mults = (
+            [next(it)[:, :] for _ in range(n_param_rows)]
+            if mult_mode == "segment" else None
+        )
         params = [next(it)[:, :] for _ in range(n_param_rows)]
         coefs = [[next(it)[:, :] for _ in range(n_states)] for _ in range(n_out)]
         biases = [next(it)[:, :] for _ in range(n_out)] if has_bias else None
         out_ref = next(it)
 
-        if has_mult:
+        if mult_mode == "row":
             mlane = jax.lax.broadcasted_iota(jnp.int32, mults.shape, 1)
             eff = []
             for i in range(n_param_rows):
@@ -484,6 +495,8 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
                 )  # [rows, 1]
                 eff.append(params[i] * m_i)  # [rows, sp_block]
             aux = prepare(remap(eff) if remap else eff)
+        elif mult_mode == "segment":
+            aux = None  # rebuilt per segment from the multiplier streams
         else:
             aux = prepare(params)
         shape = (out_ref.shape[0], out_ref.shape[1])
@@ -526,7 +539,12 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
 
             xs[dose_state] = xs[dose_state] + bol
             rate = col(rates) if has_inf else None
-            nxs = propagate(aux, xs, dt, rate)
+            if mult_mode == "segment":
+                eff = [params[i] * col(seg_mults[i]) for i in range(n_param_rows)]
+                aux_m = prepare(remap(eff) if remap else eff)
+            else:
+                aux_m = aux
+            nxs = propagate(aux_m, xs, dt, rate)
             live = dt > 0.0
             xs = [jnp.where(live, nx, x) for nx, x in zip(nxs, xs)]
 
@@ -560,6 +578,7 @@ def psi_oral(
     out_coef=None,
     out_bias=None,
     param_mult=None,
+    param_mult_seg=None,
 ):
     """Fused psi for the closed-form analytical structures.
 
@@ -581,7 +600,10 @@ def psi_oral(
     ``param_mult`` [R, n_params] carries per-row multiplicative covariate
     effects on the RAW support columns (the seq-eq decomposition built by
     likelihood/matrix._PallasPsiPlan); requires a structure without XLA-side
-    eigen preparation (1/2-cmt families).
+    eigen preparation (1/2-cmt families). ``param_mult_seg``
+    [R, n_params, M] carries per-SEGMENT multipliers instead (time-varying
+    covariates / seq compounding across infusion-end sub-splits); mutually
+    exclusive with ``param_mult``.
 
     Returns psi [R, S]. R must be a multiple of SUB_TILE and S a multiple of
     SP_TILE (pad rows with dt=0/mask=0 and supports by repetition; pad
@@ -669,24 +691,35 @@ def psi_oral(
     # zero out sigma where masked; the kernel re-adds 1.0 on masked lanes so
     # log() stays finite
     full[5] = full[5] * full[3]
-    has_mult = param_mult is not None
-    if has_mult:
-        if sdef["prep_xla"] is not None:
-            raise ValueError(
-                f"param_mult is not supported for `{structure}` (its eigen "
-                "preparation runs in XLA per support point, not per row)"
-            )
+    if param_mult is not None and param_mult_seg is not None:
+        raise ValueError("param_mult and param_mult_seg are mutually exclusive")
+    mult_mode = ("row" if param_mult is not None
+                 else "segment" if param_mult_seg is not None else None)
+    if mult_mode is not None and sdef["prep_xla"] is not None:
+        raise ValueError(
+            f"param multipliers are not supported for `{structure}` (its "
+            "eigen preparation runs in XLA per support point, not per row)"
+        )
+    if mult_mode == "row":
         pm = jnp.asarray(param_mult, dtype)
         if pm.shape != (R, n_params):
             raise ValueError(
                 f"param_mult must be [{R}, {n_params}], got {pm.shape}"
             )
         full.append(_pad_lanes(pm, SEG_PAD))
+    elif mult_mode == "segment":
+        pms = jnp.asarray(param_mult_seg, dtype)
+        if pms.shape != (R, n_params, M):
+            raise ValueError(
+                f"param_mult_seg must be [{R}, {n_params}, {M}], got {pms.shape}"
+            )
+        for i in range(n_params):
+            full.append(_pad_lanes(pms[:, i, :], SEG_PAD))
     # base parameter rows: with per-row multipliers the CL remap moves into
     # the kernel (it must act on the effective per-row params); otherwise
     # remap CL columns and XLA-prepare eigen extras here
     raw_rows = [sp[:, i].reshape(1, S) for i in range(n_params)]
-    if has_mult:
+    if mult_mode is not None:
         base_rows = raw_rows
     else:
         base_rows = sdef["remap"](raw_rows) if sdef["remap"] else raw_rows
@@ -698,12 +731,12 @@ def psi_oral(
 
     kernel = _make_kernel(
         sdef, n_seg=M, has_inf=has_inf, has_cens=has_cens, n_out=n_out,
-        has_bias=has_bias, n_param_rows=len(base_rows), has_mult=has_mult,
+        has_bias=has_bias, n_param_rows=len(base_rows), mult_mode=mult_mode,
     )
     # all-zero optional streams are dropped from the pipeline entirely
     # (no DMA, no VMEM block); the kernel never reads those refs
-    include = [True, True, has_inf, True, True, True, has_cens, has_outeq,
-               has_mult]
+    include = ([True, True, has_inf, True, True, True, has_cens, has_outeq]
+               + [True] * (len(full) - 8))
     streams = [a for a, inc in zip(full, include) if inc]
     n_streams = len(streams)
 
@@ -711,7 +744,7 @@ def psi_oral(
     sp_block = next(b for b in SP_BLOCKS if S % b == 0)
     # per-row effective params make prepare()'s aux [rows, sp] instead of
     # [1, sp]; shrink the tile budget to keep those intermediates in VMEM
-    budget = TILE_BUDGET // 4 if has_mult else TILE_BUDGET
+    budget = TILE_BUDGET // 4 if mult_mode is not None else TILE_BUDGET
     while row_block * sp_block > budget and row_block > 8:
         row_block //= 2
     row_spec = pl.BlockSpec((row_block, SEG_PAD), lambda i, j: (i, 0))
@@ -850,6 +883,44 @@ def psi_2cmt_oral(seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma,
                     interpret=interpret)
 
 
+def segment_schedule(rows):
+    """Host-side replica of the engine's breakpoint sort (grid.build_segments).
+
+    Valid because the pallas path rejects lag/fa (the only
+    parameter-dependent time shifts). Returns ``(order, t_sorted, seg_dt,
+    is_event)`` each [R, M]: the lexsort permutation, sorted breakpoint
+    times, segment spans, and the engine's seq-reset flag (real events reset
+    seq parameters; infusion-end sub-splits carry them —
+    grid.build_segments is_event = rank >= RANK_OBSERVATION).
+    """
+    from ..config import BIG_TIME
+
+    bolus_t = np.asarray(rows.bolus_t, dtype=np.float64)
+    inf_t = np.asarray(rows.inf_t, dtype=np.float64)
+    obs_t = np.asarray(rows.obs_t, dtype=np.float64)
+    inf_dur = np.asarray(rows.inf_dur, dtype=np.float64)
+    inf_end = np.where(inf_t < BIG_TIME / 2, inf_t + inf_dur, inf_t)
+    # breakpoints: [obs..., bolus..., inf-start..., inf-end...]; sort by
+    # (time, rank) with engine ranks inf-end 0 < obs 1 < bolus 2 < inf-start 3
+    times = np.concatenate([obs_t, bolus_t, inf_t, inf_end], axis=1)
+    ranks = np.concatenate(
+        [
+            np.ones_like(obs_t),
+            2.0 * np.ones_like(bolus_t),
+            3.0 * np.ones_like(inf_t),
+            np.zeros_like(inf_end),
+        ],
+        axis=1,
+    )
+    order = np.lexsort((ranks, times), axis=1)
+    t_sorted = np.take_along_axis(times, order, axis=1)
+    rank_sorted = np.take_along_axis(ranks, order, axis=1)
+    t_next = np.concatenate([t_sorted[:, 1:], t_sorted[:, -1:]], axis=1)
+    live = t_next < BIG_TIME / 2
+    seg_dt = np.where(live, np.maximum(t_next - t_sorted, 0.0), 0.0)
+    return order, t_sorted, seg_dt, rank_sorted >= 1.0
+
+
 def streams_from_grid(rows, lowered_em):
     """Convert stacked OccasionArrays rows into kernel segment streams.
 
@@ -890,24 +961,8 @@ def streams_from_grid(rows, lowered_em):
     R, NO = obs_t.shape
     inf_dur = np.asarray(rows.inf_dur, dtype=np.float64)
     inf_end = np.where(inf_t < BIG_TIME / 2, inf_t + inf_dur, inf_t)
-    # breakpoints: [obs..., bolus..., inf-start..., inf-end...]; sort by
-    # (time, rank) with engine ranks inf-end 0 < obs 1 < bolus 2 < inf-start 3
-    times = np.concatenate([obs_t, bolus_t, inf_t, inf_end], axis=1)
-    ranks = np.concatenate(
-        [
-            np.ones_like(obs_t),
-            2.0 * np.ones_like(bolus_t),
-            3.0 * np.ones_like(inf_t),
-            np.zeros_like(inf_end),
-        ],
-        axis=1,
-    )
-    order = np.lexsort((ranks, times), axis=1)
-    t_sorted = np.take_along_axis(times, order, axis=1)
+    order, t_sorted, seg_dt, _ = segment_schedule(rows)
     M = t_sorted.shape[1]
-    t_next = np.concatenate([t_sorted[:, 1:], t_sorted[:, -1:]], axis=1)
-    live = t_next < BIG_TIME / 2
-    seg_dt = np.where(live, np.maximum(t_next - t_sorted, 0.0), 0.0)
 
     def scatter(unsorted):
         return np.take_along_axis(unsorted, order, axis=1)

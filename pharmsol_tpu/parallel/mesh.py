@@ -252,12 +252,15 @@ def _pallas_psi_sharded(equation, grid, sp, lowered, mesh) -> np.ndarray:
     fn = cache.get(key)
     if fn is None:
         run = plan.runner()
-        stream_spec = P("subjects", None)
+        # streams are row-leading but not all 2D (mult_seg is [Rp, P, M])
+        stream_specs = tuple(
+            P("subjects", *([None] * (a.ndim - 1))) for a in plan.stream_args()
+        )
         sm_kwargs = dict(
             mesh=mesh,
-            in_specs=(stream_spec,) * run.n_streams
+            in_specs=stream_specs
             + tuple(P(*([None] * a.ndim)) for a in plan.rep_args()),
-            out_specs=stream_spec,
+            out_specs=P("subjects", None),
         )
         try:  # jax >= 0.8 uses check_vma; the experimental API used check_rep
             sharded = shard_map(run, check_vma=False, **sm_kwargs)

@@ -160,6 +160,22 @@ out(cp) = central / v
     relc = np.max(np.abs(gotc - wantc) / np.maximum(np.abs(wantc), 1.0))
     checks.append(("pallas/covariate-mult", relc < 1e-3))
 
+    # time-varying covariates + infusion: per-segment multiplier streams
+    # (seq compounding across infusion-end sub-splits baked in host-side)
+    tsubs = []
+    for i in range(16):
+        b = (Subject.builder(f"t{i}").bolus(0.0, 100.0, 0)
+             .infusion(2.0, 50.0, 0, 1.5)
+             .covariate("wt", 0.0, 80.0 - 0.5 * i)
+             .covariate("wt", 12.0, 60.0 + 0.5 * i))
+        for tt in (0.5, 1.0, 3.0, 6.0, 12.0):
+            b = b.observation(float(tt), float(abs(5 + rng.randn())), 0)
+        tsubs.append(b.build())
+    wantt = log_likelihood_matrix(anac, Data(tsubs), support, ems)
+    gott = log_likelihood_matrix(anac, Data(tsubs), support, ems, engine="pallas")
+    relt = np.max(np.abs(gott - wantt) / np.maximum(np.abs(wantt), 1.0))
+    checks.append(("pallas/covariate-tv-seg", relt < 1e-3))
+
     mb = ODE(eq, out=lambda x, p, t, cov: x[1:2] / p[4],
              nstates=3, ndrugs=1, nout=1).with_solver("bdf")
     gotb = np.asarray(mb.estimate_predictions(s, [0.15, 1.2, 0.3, 0.2, 10.0]).flat_predictions())

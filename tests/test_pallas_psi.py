@@ -4,7 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 
 import pharmsol_tpu as pst
-from pharmsol_tpu import Analytical, AssayErrorModel, AssayErrorModels, Data, ErrorPoly, Subject
+from pharmsol_tpu import Analytical, AssayErrorModel, AssayErrorModels, Censor, Data, ErrorPoly, Subject
 from pharmsol_tpu.likelihood.matrix import log_likelihood_matrix
 from pharmsol_tpu.ops.pallas_psi import (
     SP_TILE,
@@ -683,9 +683,12 @@ def test_pallas_engine_covariate_rejections():
     )
     sp = np.abs(np.random.RandomState(0).randn(4, 2)) + 0.1
 
-    # time-varying covariate -> clear rejection
-    with pytest.raises(PharmsolError, match="time-constant"):
-        log_likelihood_matrix(model, Data([subj(tv=True)]), sp, ems, engine="pallas")
+    # time-varying covariate: rides the per-segment multiplier streams
+    got_tv = log_likelihood_matrix(
+        model, Data([subj(tv=True)]), sp, ems, engine="pallas"
+    )
+    want_tv = log_likelihood_matrix(model, Data([subj(tv=True)]), sp, ems)
+    np.testing.assert_allclose(got_tv, want_tv, rtol=1e-6, atol=1e-6)
 
     # additive (non-separable) seq -> rejection
     model_add = Analytical(
@@ -696,14 +699,24 @@ def test_pallas_engine_covariate_rejections():
     with pytest.raises(PharmsolError, match="separable|multiplicative"):
         log_likelihood_matrix(model_add, Data([subj()]), sp, ems, engine="pallas")
 
-    # time-dependent seq -> rejection
+    # time-dependent multiplicative seq: per-segment streams carry it too
     model_t = Analytical(
         pst.one_compartment,
         seq_eq=lambda p, t, cov: jnp.stack([p[0] * (1.0 + 0.01 * t), p[1]]),
         out=lambda x, p, t, cov: x[0:1] / p[1], nstates=1, ndrugs=1, nout=1,
     )
-    with pytest.raises(PharmsolError, match="time-independent"):
-        log_likelihood_matrix(model_t, Data([subj()]), sp, ems, engine="pallas")
+    got_t = log_likelihood_matrix(model_t, Data([subj()]), sp, ems, engine="pallas")
+    want_t = log_likelihood_matrix(model_t, Data([subj()]), sp, ems)
+    np.testing.assert_allclose(got_t, want_t, rtol=1e-6, atol=1e-6)
+
+    # time-dependent AND non-separable -> rejection through the tv path
+    model_t_add = Analytical(
+        pst.one_compartment,
+        seq_eq=lambda p, t, cov: jnp.stack([p[0] + 0.001 * t, p[1]]),
+        out=lambda x, p, t, cov: x[0:1] / p[1], nstates=1, ndrugs=1, nout=1,
+    )
+    with pytest.raises(PharmsolError, match="separable|multiplicative"):
+        log_likelihood_matrix(model_t_add, Data([subj()]), sp, ems, engine="pallas")
 
     # covariate read in out() -> rejection
     model_out = Analytical(
@@ -787,3 +800,170 @@ def test_pallas_sharded_covariate_mult_stream():
         model, Data(subjects), support, ems, mesh=mesh, engine="pallas"
     )
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_pallas_engine_seq_infusion_compounding_parity():
+    """Seq carry across infusion-end sub-splits must match the engine.
+
+    Regression: the per-row multiplier path applied g once per occasion,
+    but the engine (reference parity: analytical/mod.rs:331,360) compounds
+    the seq across infusion-end sub-splits — a 0.17 log-lik discrepancy on
+    infusion regimens. Per-segment multiplier streams bake the reset/carry
+    chain in host-side.
+    """
+    from pharmsol_tpu.likelihood.matrix import log_likelihood_matrix
+
+    rng = np.random.RandomState(3)
+    subs = []
+    for i in range(4):
+        b = (Subject.builder(f"s{i}")
+             .infusion(0.0, 100.0, 0, 2.0)
+             .covariate("wt", 0.0, 60.0 + 5 * i))
+        for t in (1.0, 3.0, 8.0):
+            b = b.observation(float(t), float(abs(4 + rng.randn())), 0)
+        subs.append(b.build())
+
+    def seq(p, t, cov):
+        sc = (cov("wt", t) / 70.0) ** 0.75
+        return jnp.stack([p[0] * sc, p[1]])
+
+    m = Analytical(pst.one_compartment, seq_eq=seq,
+                   out=lambda x, p, t, cov: x[:1] / p[1],
+                   nstates=1, ndrugs=1, nout=1)
+    sp = np.abs(np.array([[0.15, 10.0], [0.2, 12.0]]))
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    want = log_likelihood_matrix(m, Data(subs), sp, ems)
+    got = log_likelihood_matrix(m, Data(subs), sp, ems, engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_pallas_engine_time_varying_covariates_parity():
+    """Time-varying covariates ride per-segment multiplier streams."""
+    from pharmsol_tpu.likelihood.matrix import log_likelihood_matrix
+
+    rng = np.random.RandomState(4)
+    subs = []
+    for i in range(6):
+        b = (Subject.builder(f"s{i}").bolus(0.0, 100.0, 0)
+             .infusion(2.0, 50.0, 0, 1.5)
+             .covariate("wt", 0.0, 80.0 - 2 * i)
+             .covariate("wt", 12.0, 60.0 + i)
+             .covariate("crcl", 0.0, 90.0 + 3 * i))
+        for t in (0.5, 1.0, 3.0, 6.0, 12.0):
+            b = b.observation(float(t), float(abs(5 + rng.randn())), 0)
+        b = b.censored_observation(24.0, 0.5, 0, Censor.BLOQ)
+        subs.append(b.build())
+
+    def seq(p, t, cov):
+        sc = (cov("wt", t) / 70.0) ** 0.75
+        rc = cov("crcl", t) / 100.0
+        return jnp.stack([p[0] * sc * rc, p[1], p[2] * sc, p[3] * sc, p[4]])
+
+    m = Analytical(pst.two_compartments_with_absorption, seq_eq=seq,
+                   out=lambda x, p, t, cov: x[1:2] / p[4],
+                   nstates=3, ndrugs=1, nout=1)
+    sp = np.abs(np.array([0.15, 1.2, 0.3, 0.2, 10.0])[None, :]
+                * (1.0 + 0.2 * rng.randn(8, 5)))
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    want = log_likelihood_matrix(m, Data(subs), sp, ems)
+    got = log_likelihood_matrix(m, Data(subs), sp, ems, engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    # CL-variant: the in-kernel remap must act on per-segment effective params
+    def seq_cl(p, t, cov):
+        sc = (cov("wt", t) / 70.0) ** 0.75
+        return jnp.stack([p[0] * sc, p[1] * sc, p[2]])
+
+    mcl = Analytical(pst.one_compartment_cl, seq_eq=seq_cl,
+                     out=lambda x, p, t, cov: x[:1] / p[2],
+                     nstates=1, ndrugs=1, nout=1)
+    sp3 = np.abs(np.array([3.0, 25.0, 25.0])[None, :]
+                 * (1.0 + 0.2 * rng.randn(8, 3)))
+    want = log_likelihood_matrix(mcl, Data(subs), sp3, ems)
+    got = log_likelihood_matrix(mcl, Data(subs), sp3, ems, engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_engine_declarative_model():
+    """Declarative analytical models ride the kernel via anchored kernel
+    support + multiplier streams (derive reorders/scales declared params)."""
+    from pharmsol_tpu import Route, analytical_model
+    from pharmsol_tpu.likelihood.matrix import log_likelihood_matrix
+
+    am = analytical_model(
+        structure="one_compartment_with_absorption",
+        parameters=["ka", "ke0", "v"], covariates=["wt"],
+        states=["gut", "central"], outputs=["cp"],
+        routes=[Route.bolus("oral").to_state("gut")],
+        derive=lambda p, t, cov: {"ke": p.ke0 * (cov.wt / 70.0) ** 0.75},
+        out=lambda s, p, t, cov: {"cp": s.central / p.v},
+    )
+    rng = np.random.RandomState(5)
+    subs = []
+    for i in range(4):
+        b = (Subject.builder(f"q{i}").bolus(0.0, 500.0, "oral")
+             .covariate("wt", 0.0, 70.0 + 2 * i)
+             .covariate("wt", 12.0, 60.0 + i))  # time-varying
+        for t in (1.0, 2.0, 6.0, 12.0):
+            b = b.observation(float(t), float(abs(2 + rng.randn())), "cp")
+        subs.append(b.build())
+    sp = np.abs(np.array([1.2, 0.08, 190.0])[None, :] * (1 + 0.2 * rng.randn(6, 3)))
+    ems = AssayErrorModels().add("cp", AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    want = log_likelihood_matrix(am, Data(subs), sp, ems)
+    got = log_likelihood_matrix(am, Data(subs), sp, ems, engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_pallas_engine_dsl_model():
+    """DSL-compiled analytical models ride the kernel the same way, and a
+    covariate-reading out() is still rejected."""
+    import pytest
+    from pharmsol_tpu.dsl import compile_model
+    from pharmsol_tpu.errors import PharmsolError
+    from pharmsol_tpu.likelihood.matrix import log_likelihood_matrix
+
+    rt = compile_model("""
+name = m
+kind = analytical
+params = ka, ke0, v
+covariates = wt
+states = gut, central
+derived = ke
+outputs = cp
+bolus(oral) -> gut
+ke = ke0 * (wt / 70.0) ^ 0.75
+structure = one_compartment_with_absorption
+out(cp) = central / v
+""")
+    m = rt.model if hasattr(rt, "model") else rt
+    rng = np.random.RandomState(6)
+    subs = []
+    for i in range(4):
+        b = (Subject.builder(f"q{i}").bolus(0.0, 500.0, "oral")
+             .covariate("wt", 0.0, 70.0 + 2 * i)
+             .covariate("wt", 12.0, 60.0 + i))
+        for t in (1.0, 2.0, 6.0, 12.0):
+            b = b.observation(float(t), float(abs(2 + rng.randn())), "cp")
+        subs.append(b.build())
+    sp = np.abs(np.array([1.2, 0.08, 190.0])[None, :] * (1 + 0.2 * rng.randn(6, 3)))
+    ems = AssayErrorModels().add("cp", AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    want = log_likelihood_matrix(m, Data(subs), sp, ems)
+    got = log_likelihood_matrix(m, Data(subs), sp, ems, engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+    rt_bad = compile_model("""
+name = m2
+kind = analytical
+params = ka, ke0, v
+covariates = wt
+states = gut, central
+derived = ke
+outputs = cp
+bolus(oral) -> gut
+ke = ke0
+structure = one_compartment_with_absorption
+out(cp) = central / (v * wt / 70.0)
+""")
+    m_bad = rt_bad.model if hasattr(rt_bad, "model") else rt_bad
+    with pytest.raises(PharmsolError, match="out\\(\\) reads a covariate"):
+        log_likelihood_matrix(m_bad, Data(subs), sp, ems, engine="pallas")
