@@ -36,9 +36,11 @@ def _segment_unroll(spec: "ModelSpec", n_segments: int):
     only fuses across scan iterations when the loop is unrolled — measured
     1.6x on the psi hot path (v5e, 16384x512, 7 segments: 770 -> 1254 M
     cells/s). ODE/SDE bodies embed adaptive steppers; unrolling those
-    multiplies compile time for no fusion win, so they keep the rolled scan.
+    multiplies compile time for no fusion win, so they keep the rolled scan
+    — except loop-free propagators (expm), which opt in via
+    ``ModelSpec.loop_free``.
     """
-    if spec.kind != "analytical":
+    if spec.kind != "analytical" and not spec.loop_free:
         return 1
     return True if n_segments <= 64 else 8
 
@@ -78,6 +80,9 @@ class ModelSpec(NamedTuple):
     # solver's cruise step size) across segments, warm-starting each
     # segment's adaptive controller; 0.0 = no history.
     propagate_carry: Optional[Callable] = None
+    # True when propagate contains no data-dependent loops (expm): the
+    # segment scan may unroll for cross-segment fusion.
+    loop_free: bool = False
 
 
 class OccasionSim(NamedTuple):

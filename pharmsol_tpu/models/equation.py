@@ -604,4 +604,5 @@ class ODE(EquationBase):
             seq=None,
             apply_bolus=rhs_difference_apply_bolus(diffeq),
             propagate_carry=make_ode_propagate_carry(diffeq, self._opts),
+            loop_free=self._opts.solver == "expm",
         )

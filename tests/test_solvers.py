@@ -94,3 +94,77 @@ def test_f32_runaway_lane_poisons_fast(solver):
         jax.jit(lambda x: seg(f, x, jnp.float32(0.0), jnp.float32(10.0), ODEOptions()))(x0)
     )
     assert np.all(np.isnan(out))
+
+
+def test_expm_exact_on_linear_models():
+    """expm propagates affine systems exactly (machine precision vs the
+    closed-form kernel), including infusion forcing."""
+    s = Subject.builder("a").bolus(0.0, 100.0, 0).infusion(3.0, 50.0, 0, 2.0)
+    for t in (0.5, 2.0, 4.0, 8.0):
+        s = s.missing_observation(t, 0)
+    s = s.build()
+    ana = Analytical(pst.two_compartments_with_absorption,
+                     out=lambda x, p, t, cov: x[1:2] / p[4],
+                     nstates=3, ndrugs=1, nout=1)
+    ref = np.asarray(
+        ana.estimate_predictions(s, [0.15, 1.2, 0.3, 0.2, 10.0]).flat_predictions()
+    )
+
+    def eq(x, p, t, b, rateiv, cov):
+        ke, ka, kcp, kpc = p[0], p[1], p[2], p[3]
+        return jnp.stack([
+            -ka * x[0] + b[0],
+            ka * x[0] - (ke + kcp) * x[1] + kpc * x[2] + rateiv[0],
+            kcp * x[1] - kpc * x[2],
+        ])
+
+    m = ODE(eq, out=lambda x, p, t, cov: x[1:2] / p[4],
+            nstates=3, ndrugs=1, nout=1).with_solver("expm")
+    got = np.asarray(
+        m.estimate_predictions(s, [0.15, 1.2, 0.3, 0.2, 10.0]).flat_predictions()
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_expm_guards_reject_invalid_models():
+    """Nonlinear or segment-time-dependent RHS poisons to SolverError."""
+    from pharmsol_tpu.errors import SolverError
+
+    sn = Subject.builder("n").bolus(0.0, 10.0, 0).missing_observation(1.0, 0).build()
+
+    # Michaelis-Menten elimination: nonlinear in x
+    mn = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([-p[0] * x[0] / (1.0 + x[0]) + b[0]]),
+        out=lambda x, p, t, cov: x[:1], nstates=1, ndrugs=1, nout=1,
+    ).with_solver("expm")
+    with pytest.raises(SolverError):
+        mn.estimate_predictions(sn, [0.5])
+
+    # explicit time dependence inside a segment
+    mt = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([-p[0] * (1.0 + 0.3 * t) * x[0] + b[0]]),
+        out=lambda x, p, t, cov: x[:1], nstates=1, ndrugs=1, nout=1,
+    ).with_solver("expm")
+    with pytest.raises(SolverError):
+        mt.estimate_predictions(sn, [0.5])
+
+
+def test_expm_carry_forward_covariates_ok():
+    """LOCF covariates with knots AT event times are constant within every
+    segment -> expm stays exact. (A knot strictly inside a segment makes
+    the RHS non-autonomous there, and the runtime guard rightly poisons —
+    covered by test_expm_guards_reject_invalid_models' time probe.)"""
+    def eq(x, p, t, b, rateiv, cov):
+        ke = p[0] * (cov("wt", t) / 70.0)
+        return jnp.stack([-ke * x[0] + b[0]])
+
+    s = (Subject.builder("c").bolus(0.0, 100.0, 0)
+         .covariate("wt!", 0.0, 60.0).covariate("wt!", 2.0, 80.0)
+         .missing_observation(2.0, 0).missing_observation(8.0, 0).build())
+    m_ref = ODE(eq, out=lambda x, p, t, cov: x[:1], nstates=1, ndrugs=1,
+                nout=1).with_solver("dopri5").with_tolerances(1e-10, 1e-10)
+    m = ODE(eq, out=lambda x, p, t, cov: x[:1], nstates=1, ndrugs=1,
+            nout=1).with_solver("expm")
+    want = np.asarray(m_ref.estimate_predictions(s, [0.3]).flat_predictions())
+    got = np.asarray(m.estimate_predictions(s, [0.3]).flat_predictions())
+    np.testing.assert_allclose(got, want, rtol=1e-7)
