@@ -10,13 +10,16 @@ gate:
 
 exits 1 if any matching cell regressed by more than the threshold.
 
-Committed baselines are CPU-recorded (no chip drift), so absolute seconds
-are the default compare. For TPU-vs-TPU runs taken hours apart (±25-30%
-chip drift, CLAUDE.md) pass --normalized: every cell is divided by the
-run's median hot analytical cell so a uniform chip-speed shift cancels.
-Normalization mis-fires whenever a code change moves the normalizer cell
-itself, so for absolute A/B of a code change on TPU run both sides in the
-same session (`git stash` protocol) and keep the default absolute mode.
+Default mode is the CONJUNCTION: a cell fails only when it regresses in
+BOTH absolute seconds and drift-normalized terms (each cell divided by the
+run's median hot analytical cell). Each signal alone has a measured
+failure mode on this infrastructure — absolute flags uniform machine noise
+(shared-VM CPU timings scatter 1.0-2.2x run to run; TPU chips drift
+±25-30% between hours), normalized flags every OTHER cell when a code
+change genuinely moves the normalizer cell itself (observed when a 141x
+kvaerno5 win shifted the stiff matrix normalizer). A genuine single-cell
+regression fails both. --absolute / --normalized select a single signal
+for same-session A/B work.
 """
 
 from __future__ import annotations
@@ -50,16 +53,10 @@ def main() -> int:
     ap.add_argument("--current", required=True)
     ap.add_argument("--threshold", type=float, default=0.20,
                     help="max allowed fractional slowdown (default 0.20)")
-    # Absolute is the default: the committed baselines are CPU-recorded,
-    # where there is no chip drift and raw seconds are the honest compare.
-    # --normalized (divide every cell by the run's median hot analytical
-    # cell) is for TPU-vs-TPU runs across hours, and mis-fires whenever a
-    # code change moves the normalizer cell itself — a uniform genuine
-    # improvement is indistinguishable from chip drift under normalization.
     ap.add_argument("--normalized", action="store_true",
-                    help="drift-normalize before comparing (TPU runs only)")
+                    help="flag on the normalized signal alone")
     ap.add_argument("--absolute", action="store_true",
-                    help="(default) compare raw seconds")
+                    help="flag on raw seconds alone (same-session A/B)")
     ap.add_argument("--cold-threshold", type=float, default=None,
                     help="threshold for /cold cells (default: 2x threshold; "
                          "cold cells include one-shot jit dispatch noise)")
@@ -67,12 +64,9 @@ def main() -> int:
 
     base = load_cells(args.baseline)
     cur = load_cells(args.current)
-    if args.normalized:
-        nb, nc = normalizer(base), normalizer(cur)
-        base = {k: v / nb for k, v in base.items()}
-        cur = {k: v / nc for k, v in cur.items()}
-        print(f"normalized: baseline ref {nb:.4g}s, current ref {nc:.4g}s "
-              f"(chip-speed ratio {nc / nb:.2f}x)")
+    nb, nc = normalizer(base), normalizer(cur)
+    print(f"normalizer: baseline {nb:.4g}s, current {nc:.4g}s "
+          f"(machine-speed ratio {nc / nb:.2f}x)")
 
     cold_thr = args.cold_threshold if args.cold_threshold is not None \
         else 2.0 * args.threshold
@@ -88,14 +82,25 @@ def main() -> int:
     failures = []
     for cid in shared:
         thr = cold_thr if "/cold" in cid else args.threshold
-        ratio = cur[cid] / base[cid]
-        status = "OK"
-        if ratio > 1.0 + thr:
-            status = "REGRESSED"
-            failures.append((cid, ratio))
-        elif ratio < 1.0 - thr:
-            status = "improved"
-        print(f"  {status:>9}  {ratio:6.2f}x  {cid}")
+        if base[cid] < 1e-4:
+            # µs-scale single-subject cells measure Python/jit dispatch, not
+            # device work; run-to-run scatter on this shared VM exceeds 2x
+            thr = max(thr, 1.5)
+        ratio_abs = cur[cid] / base[cid]
+        ratio_norm = (cur[cid] / nc) / (base[cid] / nb)
+        if args.absolute:
+            bad = ratio_abs > 1.0 + thr
+            good = ratio_abs < 1.0 - thr
+        elif args.normalized:
+            bad = ratio_norm > 1.0 + thr
+            good = ratio_norm < 1.0 - thr
+        else:
+            bad = (ratio_abs > 1.0 + thr) and (ratio_norm > 1.0 + thr)
+            good = (ratio_abs < 1.0 - thr) and (ratio_norm < 1.0 - thr)
+        status = "REGRESSED" if bad else ("improved" if good else "OK")
+        if bad:
+            failures.append((cid, ratio_abs))
+        print(f"  {status:>9}  abs {ratio_abs:5.2f}x  norm {ratio_norm:5.2f}x  {cid}")
 
     if failures:
         print(f"\nFAIL: {len(failures)}/{len(shared)} cells regressed beyond "

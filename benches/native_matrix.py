@@ -8,7 +8,7 @@ support points, the reference's matrix size).
 Usage:
     python benches/native_matrix.py [--json out.json] [--quick]
 
-Each cell reports median wall time over reps. "cold" clears the equation's
+Each cell reports min wall time over reps. "cold" clears the equation's
 caches before every call (per-call jit dispatch + device compute); "hot"
 reuses them.
 """
@@ -51,6 +51,9 @@ def build_models():
 
         return ODE(diffeq, out=lambda x, p, t, cov: x[1:2] / p[4],
                    nstates=3, ndrugs=1, nout=1)
+
+    def hand_ode_expm():
+        return hand_ode().with_solver("expm")
 
     def hand_sde():
         return SDE(
@@ -109,6 +112,7 @@ def build_models():
         ("analytical", "handwritten"): hand_analytical,
         ("analytical", "declarative"): decl_analytical,
         ("ode", "handwritten"): hand_ode,
+        ("ode-expm", "handwritten"): hand_ode_expm,
         ("ode", "declarative"): decl_ode,
         ("sde", "handwritten"): hand_sde,
         ("sde", "declarative"): decl_sde,
@@ -141,19 +145,22 @@ def workloads():
 
 
 def bench_cell(fn, reps: int):
+    # min, not median: on a shared VM the distribution is true-cost plus a
+    # heavy right tail of scheduler noise; median-of-5 scattered 1.5-2x
+    # between idle runs, min-of-N approaches the true cost monotonically
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return float(np.min(times))
 
 
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--json", type=str, default=None)
     parser.add_argument("--quick", action="store_true")
-    parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument("--reps", type=int, default=9)
     parser.add_argument("--cpu", action="store_true",
                         help="run on CPU (stable timings for the committed "
                              "regression baseline; TPU timings drift and pay "
