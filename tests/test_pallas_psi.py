@@ -967,3 +967,45 @@ out(cp) = central / (v * wt / 70.0)
     m_bad = rt_bad.model if hasattr(rt_bad, "model") else rt_bad
     with pytest.raises(PharmsolError, match="out\\(\\) reads a covariate"):
         log_likelihood_matrix(m_bad, Data(subs), sp, ems, engine="pallas")
+
+
+def test_pallas_sharded_covariate_mult_seg_stream():
+    """The 3D per-SEGMENT multiplier stream shards over subjects too."""
+    import jax
+
+    from pharmsol_tpu.parallel.mesh import (
+        log_likelihood_matrix_sharded, population_mesh,
+    )
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs a multi-device mesh")
+    rng = np.random.RandomState(12)
+    subjects = []
+    for i in range(8):
+        b = (Subject.builder(f"s{i}").bolus(0.0, 100.0, 0)
+             .infusion(2.0, 40.0, 0, 1.0)
+             .covariate("wt", 0.0, 55.0 + 3.0 * i)
+             .covariate("wt", 12.0, 60.0 + i))
+        for t in (1.0, 4.0, 12.0):
+            b = b.observation(float(t), float(np.abs(4 + rng.randn())), 0)
+        subjects.append(b.build())
+
+    def seq(p, t, cov):
+        scale = (cov("wt", t) / 70.0) ** 0.75
+        return jnp.stack([p[0] * scale, p[1]])
+
+    model = Analytical(
+        pst.one_compartment, seq_eq=seq,
+        out=lambda x, p, t, cov: x[0:1] / p[1], nstates=1, ndrugs=1, nout=1,
+    )
+    ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    support = np.abs(np.array([[0.15, 10.0]]) * (1.0 + 0.2 * rng.randn(SP_TILE, 2)))
+
+    want = log_likelihood_matrix(model, Data(subjects), support, ems, engine="pallas")
+    mesh = population_mesh(shape=(4, 2))
+    got = log_likelihood_matrix_sharded(
+        model, Data(subjects), support, ems, mesh=mesh, engine="pallas"
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-10)
