@@ -42,6 +42,12 @@ def _segment_unroll(spec: "ModelSpec", n_segments: int):
     """
     if spec.kind != "analytical" and not spec.loop_free:
         return 1
+    if spec.kind != "analytical":
+        # loop-free ODE (expm): the body is ~30 unrolled matrix products,
+        # so full unrolling over long multi-dose schedules explodes compile
+        # time (measured 2m+ on the 48-segment repeat workload); a bounded
+        # unroll keeps the fusion win with a flat compile cost
+        return True if n_segments <= 12 else 4
     return True if n_segments <= 64 else 8
 
 
