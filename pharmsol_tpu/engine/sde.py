@@ -82,7 +82,11 @@ def _em_segment(drift_fn, diffusion_fn, X, t0, t1, key):
 
     def cond(carry):
         t, X, dt, key, iters = carry
-        return (t < t1 - 1e-14) & (iters < EM_MAX_ITERS)
+        # (t + dt) <= t: the exact no-progress test — in f32 a min-step of
+        # 1e-6 drops below ulp(t) once t > ~16 and the loop would spin all
+        # 100k masked iterations with zero progress (the same
+        # batch-stalling runaway fixed in the ODE steppers)
+        return (t < t1 - 1e-14) & (iters < EM_MAX_ITERS) & ((t + dt) > t)
 
     def body(carry):
         t, X, dt, key, iters = carry
@@ -106,7 +110,11 @@ def _em_segment(drift_fn, diffusion_fn, X, t0, t1, key):
     t_end, X_end, _, _, _ = jax.lax.while_loop(
         cond, body, (t0, X, jnp.asarray(EM_MAX_STEP, X.dtype), key, 0)
     )
-    return X_end
+    # budget exhausted / stalled before t1: poison instead of silently
+    # returning a half-integrated cloud (ode._poison_if_unfinished parity;
+    # the particle weights then vanish and the LL degrades)
+    done = t_end >= t1 - 1e-14 * jnp.maximum(jnp.abs(t1), 1.0)
+    return jnp.where(done, X_end, jnp.nan)
 
 
 def _stratified_resample(weights, key):

@@ -229,3 +229,34 @@ def test_independent_noise_distinguishes_sub_f32_params():
     # them independent draws (values still close: same likelihood estimated)
     assert psi[0, 0] != psi[0, 1]
     assert abs(psi[0, 0] - psi[0, 1]) < 0.5
+
+
+def test_em_runaway_lane_poisons_fast():
+    """An exploding/stalling EM lane must poison, not spin 100k iterations.
+
+    f32: the 1e-6 min step drops below ulp(t) once t > ~16; without the
+    no-progress guard a rejected lane runs all EM_MAX_ITERS masked
+    iterations (3 cloud evaluations each) — the batch-stalling runaway
+    class fixed in the ODE steppers.
+    """
+    import time
+
+    import jax
+
+    from pharmsol_tpu.engine.sde import _em_segment
+
+    def drift(x, t):
+        return x * x  # finite-time blow-up
+
+    def diffusion(t):
+        return jnp.ones((1,), jnp.float32)
+
+    X = jnp.full((16, 1), 1e18, jnp.float32)
+    t0 = time.perf_counter()
+    out = np.asarray(jax.jit(
+        lambda X: _em_segment(drift, diffusion, X, jnp.float32(0.0),
+                              jnp.float32(10.0), jax.random.PRNGKey(0))
+    )(X))
+    took = time.perf_counter() - t0
+    assert np.all(np.isnan(out))
+    assert took < 60.0  # guard exit, not a 100k-iteration crawl
