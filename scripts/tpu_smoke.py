@@ -182,6 +182,12 @@ out(cp) = central / v
     relb = np.max(np.abs(gotb - ref) / np.maximum(np.abs(ref), 1e-12))
     checks.append(("ode/bdf", relb < 1e-3))
 
+    mx = ODE(eq, out=lambda x, p, t, cov: x[1:2] / p[4],
+             nstates=3, ndrugs=1, nout=1).with_solver("expm")
+    gotx = np.asarray(mx.estimate_predictions(s, [0.15, 1.2, 0.3, 0.2, 10.0]).flat_predictions())
+    relx = np.max(np.abs(gotx - ref) / np.maximum(np.abs(ref), 1e-12))
+    checks.append(("ode/expm-exact", relx < 1e-4))  # f32 roundoff only
+
     from pharmsol_tpu.nca.batch_device import batch_nca_device
     resd = batch_nca_device(t, prof, dose=100.0)
     dev_host = np.abs(np.nanmedian(resd["half_life"]) - np.nanmedian(res["half_life"]))
