@@ -183,9 +183,10 @@ def _decompose_seq(seq, sp, cov_values: dict, n_kernel_params: int,
         return np.broadcast_to(out[None, :], (n_rows, out.shape[0])).copy()
 
     try:
-        out_ref = eval_rows(p_ref, 0.0)
-        out_t = eval_rows(p_ref, 123.456)
-        out_alt = eval_rows(p_alt, 0.0)
+        with _host_cpu_device():
+            out_ref = eval_rows(p_ref, 0.0)
+            out_t = eval_rows(p_ref, 123.456)
+            out_alt = eval_rows(p_alt, 0.0)
     except PharmsolError:
         raise
     except Exception as e:
@@ -208,6 +209,24 @@ def _decompose_seq(seq, sp, cov_values: dict, n_kernel_params: int,
             "separable — use the default XLA engine"
         )
     return np.ascontiguousarray(g_ref)
+
+
+def _host_cpu_device():
+    """Context manager pinning tiny probe evaluations to the host CPU.
+
+    The pallas-plan decompositions evaluate the seq/derive closures a
+    handful of times on scalar-sized inputs; on the default backend those
+    would be device round trips (through the axon tunnel: ~40 ms each,
+    M+3 of them per plan build). The CPU backend coexists with the TPU, so
+    the probes run locally; results feed numpy and later transfer with the
+    real streams.
+    """
+    import contextlib
+
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except Exception:
+        return contextlib.nullcontext()
 
 
 def _host_cov_values(grid, te: np.ndarray) -> dict:
@@ -305,10 +324,14 @@ def _decompose_seq_tv(seq, sp, grid, n_kernel_params: int) -> np.ndarray:
         return out[:, :k] / np.asarray(p)[None, :k]
 
     try:
-        g = np.stack([ratios_at(p_ref, m) for m in range(M)], axis=2)  # [R,k,M]
-        # separability probe on a segment sample
+        with _host_cpu_device():
+            g = np.stack(
+                [ratios_at(p_ref, m) for m in range(M)], axis=2
+            )  # [R,k,M]
+            # separability probe on a segment sample
+            g_alts = {m: ratios_at(p_alt, m) for m in {0, M // 2, M - 1}}
         for m in {0, M // 2, M - 1}:
-            g_alt = ratios_at(p_alt, m)
+            g_alt = g_alts[m]
             if not (np.allclose(g[:, :, m], g_alt, rtol=tol * 100)
                     and np.all(np.isfinite(g_alt))):
                 raise PharmsolError(
@@ -401,9 +424,10 @@ def _decompose_kernel_inputs(kernel_inputs, sp, grid, n_kernel_params: int,
     p_ref = np.where(np.abs(sp[0]) > 1e-30, sp[0], 1.0)
     p_alt = p_ref * 1.37 + 0.011
     try:
-        sp_kernel = kp_at_anchor(sp)
-        kp_ref = kp_at_anchor(p_ref[None, :])[0]  # [P]
-        kp_ref_t = kp_at_anchor(p_ref[None, :], t=123.456)[0]
+        with _host_cpu_device():
+            sp_kernel = kp_at_anchor(sp)
+            kp_ref = kp_at_anchor(p_ref[None, :])[0]  # [P]
+            kp_ref_t = kp_at_anchor(p_ref[None, :], t=123.456)[0]
     except PharmsolError:
         raise
     except Exception as e:
@@ -456,11 +480,15 @@ def _decompose_kernel_inputs(kernel_inputs, sp, grid, n_kernel_params: int,
                           dtype=np.float64)
 
     try:
-        g = np.stack(
-            [kp_rows(p_ref, m) / kp_ref[None, :] for m in range(M)], axis=2
-        )  # [R, P, M]
+        with _host_cpu_device():
+            g = np.stack(
+                [kp_rows(p_ref, m) / kp_ref[None, :] for m in range(M)], axis=2
+            )  # [R, P, M]
+            kp_alt = kp_at_anchor(p_alt[None, :])[0]
+            g_alts = {m: kp_rows(p_alt, m) / kp_alt[None, :]
+                      for m in {0, M // 2, M - 1}}
         for m in {0, M // 2, M - 1}:
-            g_alt = kp_rows(p_alt, m) / kp_at_anchor(p_alt[None, :])[0][None, :]
+            g_alt = g_alts[m]
             if not (np.allclose(g[:, :, m], g_alt, rtol=tol * 100)
                     and np.all(np.isfinite(g_alt))):
                 raise PharmsolError(
