@@ -62,3 +62,38 @@ def float_dtype():
 
 def int_dtype():
     return jnp.int32
+
+
+_COMPILATION_CACHE_DIR = None
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    """Enable JAX's persistent compilation cache for this process.
+
+    Implicit-solver psi programs cost ~8-12 min per remote TPU compile
+    through the tunnel; the persistent cache reloads a previously compiled
+    executable in seconds across processes (the rebuild's analogue of the
+    reference's cache story, cache.rs, applied to compile artifacts).
+
+    ``path`` defaults to ``$PHARMSOL_TPU_CACHE_DIR`` or
+    ``~/.cache/pharmsol_tpu/xla``. Returns the cache directory in use.
+    Idempotent; safe to call before or after backend initialization.
+    """
+    global _COMPILATION_CACHE_DIR
+    if path is None:
+        path = os.environ.get(
+            "PHARMSOL_TPU_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "pharmsol_tpu", "xla"),
+        )
+    path = os.path.abspath(os.path.expanduser(path))
+    if _COMPILATION_CACHE_DIR == path:
+        return path
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache every program (the default only caches compiles >1s); the psi
+    # programs that matter here are all past that, but benches/tests reuse
+    # small ones too and disk is cheap
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _COMPILATION_CACHE_DIR = path
+    return path

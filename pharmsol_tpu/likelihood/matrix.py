@@ -513,6 +513,120 @@ def _decompose_kernel_inputs(kernel_inputs, sp, grid, n_kernel_params: int,
     return sp_kernel, None, np.ascontiguousarray(g)
 
 
+def _decompose_input_plane(fn, sp, grid, ninput: int, fill: float,
+                           what: str) -> np.ndarray:
+    """Evaluate a lag/fa closure into a per-(row, support) plane for input 0.
+
+    Probes (host CPU): time-independence at two t values (the engine
+    evaluates lag at each bolus's own time, structs.rs:629 — a
+    time-dependent closure would need per-bolus planes). Covariate reads
+    require time-constant covariates; cov-independent closures collapse to
+    one support row broadcast over rows. Returns [R, S] float64.
+    """
+    from ..engine.grid import _as_input_vector
+
+    cov_values = _constant_covariate_values(grid) if grid.cov_names else {}
+    names = list(cov_values.keys())
+    R = grid.n_rows
+    S = sp.shape[0]
+
+    def at(p, t, covd):
+        v = _as_input_vector(
+            fn(jnp.asarray(p, jnp.float64), jnp.asarray(t, jnp.float64),
+               _RowCov(covd)),
+            ninput, fill=fill,
+        )
+        return v[0]
+
+    cov0 = {n: float(np.asarray(v)[0]) for n, v in cov_values.items()}
+    cov1 = {n: v * 1.31 + 0.17 for n, v in cov0.items()}
+    try:
+        with _host_cpu_device():
+            sp_j = jnp.asarray(sp, jnp.float64)
+            v_ref = np.asarray(jax.vmap(lambda p: at(p, 0.0, cov0))(sp_j),
+                               np.float64)
+            v_t = np.asarray(jax.vmap(lambda p: at(p, 123.456, cov0))(sp_j),
+                             np.float64)
+            v_cov = np.asarray(jax.vmap(lambda p: at(p, 0.0, cov1))(sp_j),
+                               np.float64)
+    except PharmsolError:
+        raise
+    except Exception as e:
+        raise PharmsolError(
+            f"engine='pallas' could not probe the {what} equation: {e}"
+        ) from e
+    scale = np.maximum(np.abs(v_ref).max(), 1e-12)
+    if np.abs(v_t - v_ref).max() > 1e-9 * scale:
+        raise PharmsolError(
+            f"engine='pallas' requires a time-independent {what} equation "
+            "(the engine evaluates it at each bolus's own time) — use the "
+            "default XLA engine"
+        )
+    if not np.all(np.isfinite(v_ref)):
+        raise PharmsolError(
+            f"engine='pallas' {what} probe produced non-finite values"
+        )
+    if names and np.abs(v_cov - v_ref).max() > 1e-9 * scale:
+        # covariate-dependent: evaluate per (row, support)
+        stacked = np.stack([np.asarray(cov_values[n]) for n in names],
+                           axis=1)  # [R, C]
+        try:
+            with _host_cpu_device():
+                def one_row(row):
+                    covd = {n: row[i] for i, n in enumerate(names)}
+                    return jax.vmap(lambda p: at(p, 0.0, covd))(sp_j)
+
+                plane = np.asarray(
+                    jax.vmap(one_row)(jnp.asarray(stacked, jnp.float64)),
+                    np.float64,
+                )  # [R, S]
+        except PharmsolError:
+            raise
+        except Exception as e:
+            raise PharmsolError(
+                f"engine='pallas' could not probe the {what} equation "
+                f"per row: {e}"
+            ) from e
+        if not np.all(np.isfinite(plane)):
+            raise PharmsolError(
+                f"engine='pallas' {what} probe produced non-finite values"
+            )
+        return plane
+    return np.broadcast_to(v_ref[None, :], (R, S)).copy()
+
+
+def _validate_lag_no_overlap(lag_plane: np.ndarray, grid) -> None:
+    """Reject lag plans where two doses of one row could pend at once.
+
+    The kernel holds ONE pending dose per lane; dose k must fire (its lag
+    elapse) strictly before dose k+1 arrives: max_support lag(row) must not
+    exceed the row's minimum inter-bolus gap. Negative lags (doses shifted
+    before their record time) have no reference semantics worth chasing —
+    rejected too.
+    """
+    from ..config import BIG_TIME
+
+    if np.any(lag_plane < 0.0):
+        raise PharmsolError(
+            "engine='pallas' does not support negative lag times — use the "
+            "default XLA engine"
+        )
+    bolus_t = np.asarray(grid.rows.bolus_t, dtype=np.float64)
+    real = bolus_t < BIG_TIME / 2
+    lag_max = lag_plane.max(axis=1)  # [R]
+    for r in range(bolus_t.shape[0]):
+        ts = np.sort(bolus_t[r][real[r]])
+        if ts.shape[0] >= 2:
+            min_gap = np.min(np.diff(ts))
+            if lag_max[r] > min_gap:
+                raise PharmsolError(
+                    f"engine='pallas' lag support requires each dose's lag "
+                    f"to elapse before the next dose (row {r}: max lag "
+                    f"{lag_max[r]:.4g} > min inter-dose gap {min_gap:.4g})"
+                    " — use the default XLA engine"
+                )
+
+
 def _check_out_covariate_free(equation, sp, cov_values, n_states, CovView):
     """Reject out() closures whose value depends on a covariate."""
     from ..config import float_dtype
@@ -595,10 +709,9 @@ class _PallasPsiPlan:
                     f"this model doses state {dest[0]} — use the default "
                     "XLA engine"
                 )
-        if equation._lag is not None or equation._fa is not None \
-                or equation._init is not None:
+        if equation._init is not None:
             raise PharmsolError(
-                "engine='pallas' does not support lag/fa/init equations"
+                "engine='pallas' does not support init equations"
             )
         self.mult = None
         self.mult_seg = None
@@ -649,6 +762,31 @@ class _PallasPsiPlan:
                     self.mult_seg = _decompose_seq_tv(
                         equation._seq, sp, grid, n_kernel_params
                     )
+        # lag/fa: per-(row, support) planes via the kernel's pending-dose /
+        # amount-scale mechanism (structs.rs:611-666)
+        self.lag_plane = None
+        self.fa_plane = None
+        ninput = int(equation.ndrugs())
+        if equation._lag is not None:
+            if self.mult_seg is not None:
+                raise PharmsolError(
+                    "engine='pallas' does not support lag together with "
+                    "per-segment seq/covariate multipliers (a lag-shifted "
+                    "dose adds a seq-reset breakpoint the segment streams "
+                    "cannot express) — use the default XLA engine"
+                )
+            lp = _decompose_input_plane(
+                equation._lag, sp, grid, ninput, 0.0, "lag"
+            )
+            if np.any(lp != 0.0):
+                _validate_lag_no_overlap(lp, grid)
+                self.lag_plane = lp
+        if equation._fa is not None:
+            fp = _decompose_input_plane(
+                equation._fa, sp, grid, ninput, 1.0, "fa"
+            )
+            if np.any(fp != 1.0):
+                self.fa_plane = fp
         if grid.cov_names and equation._out is not None:
             # covariates may only act through seq; the out() closure must be
             # support-only for the per-support linear extraction to hold.
@@ -712,6 +850,27 @@ class _PallasPsiPlan:
             self.mult_seg_dev = jnp.asarray(ms, dtype=fd)
         else:
             self.mult_seg_dev = None
+
+        def pad_plane(a, fill):
+            a = np.asarray(a, dtype=np.float64)
+            if self.Rp != self.R:
+                a = np.concatenate(
+                    [a, np.full((self.Rp - self.R, a.shape[1]), fill)], axis=0
+                )
+            if self.Sp != self.S:
+                a = np.concatenate(
+                    [a, np.repeat(a[:, -1:], self.Sp - self.S, axis=1)], axis=1
+                )
+            return jnp.asarray(a, dtype=fd)
+
+        self.lag_plane_dev = (
+            pad_plane(self.lag_plane, 0.0) if self.lag_plane is not None
+            else None
+        )
+        self.fa_plane_dev = (
+            pad_plane(self.fa_plane, 1.0) if self.fa_plane is not None
+            else None
+        )
         def pad_support(a):
             if self.Sp == self.S:
                 return a
@@ -763,10 +922,13 @@ class _PallasPsiPlan:
         return ("pallas", self.structure, self.Rp, self.Sp, self.M,
                 self.pass_inf, self.pass_cens, self.pass_outeq, self.n_out,
                 self.out_bias is not None, self.mult_dev is not None,
-                self.mult_seg_dev is not None, str(self.fd)) + extra
+                self.mult_seg_dev is not None,
+                self.lag_plane_dev is not None,
+                self.fa_plane_dev is not None, str(self.fd)) + extra
 
     def stream_args(self):
-        """The row-axis streams ([Rp, M] segments + [Rp, ...] multipliers)."""
+        """The row-axis streams ([Rp, M] segments + [Rp, ...] multipliers
+        and [Rp, Sp] lag/fa planes)."""
         p = self.padded
         include = [True, True, self.pass_inf, True, True, True,
                    self.pass_cens, self.pass_outeq]
@@ -775,6 +937,10 @@ class _PallasPsiPlan:
             out = out + (self.mult_dev,)
         if self.mult_seg_dev is not None:
             out = out + (self.mult_seg_dev,)
+        if self.lag_plane_dev is not None:
+            out = out + (self.lag_plane_dev,)
+        if self.fa_plane_dev is not None:
+            out = out + (self.fa_plane_dev,)
         return out
 
     def rep_args(self):
@@ -793,9 +959,12 @@ class _PallasPsiPlan:
         pass_outeq = self.pass_outeq
         pass_mult = self.mult_dev is not None
         pass_mult_seg = self.mult_seg_dev is not None
+        pass_lag = self.lag_plane_dev is not None
+        pass_fa = self.fa_plane_dev is not None
         has_bias = self.out_bias is not None
         n_streams = (5 + int(pass_inf) + int(pass_cens) + int(pass_outeq)
-                     + int(pass_mult) + int(pass_mult_seg))
+                     + int(pass_mult) + int(pass_mult_seg) + int(pass_lag)
+                     + int(pass_fa))
 
         def run(*args):
             it = iter(args[:n_streams])
@@ -806,13 +975,16 @@ class _PallasPsiPlan:
             outeq = next(it) if pass_outeq else None
             mult = next(it) if pass_mult else None
             mult_seg = next(it) if pass_mult_seg else None
+            lagp = next(it) if pass_lag else None
+            fap = next(it) if pass_fa else None
             rep = args[n_streams:]
             sp_dev, coef = rep[0], rep[1]
             bias = rep[2] if has_bias else None
             return psi_oral(dt, bol, inf, mask, val, sig, cens, sp_dev,
                             structure=structure, obs_outeq=outeq,
                             out_coef=coef, out_bias=bias, param_mult=mult,
-                            param_mult_seg=mult_seg)
+                            param_mult_seg=mult_seg, lag_plane=lagp,
+                            fa_plane=fap)
 
         run.n_streams = n_streams
         return run
@@ -823,6 +995,384 @@ class _PallasPsiPlan:
         psi = np.zeros((grid.n_subjects, self.S), dtype=np.float64)
         np.add.at(psi, np.asarray(grid.row_subject), psi_rows)
         return psi
+
+
+class _PallasOdePsiPlan:
+    """Validated, padded inputs for a fused pallas ODE psi evaluation.
+
+    The ODE companion of :class:`_PallasPsiPlan` (same contract: cache_key /
+    stream_args / rep_args / runner / finalize, so the driver below and any
+    sharded driver treat both uniformly). Everything the kernel cannot probe
+    per-step is extracted here by host-side numeric probes on the CPU
+    backend (support-only work):
+
+    - bolus map: the engine applies boluses by RHS difference
+      (ode/mod.rs:644-687); the probe verifies the difference is
+      state-independent, amount-linear, time- and covariate-independent,
+      and extracts the per-support per-unit-dose state increment;
+    - init rows: ``init(p, 0, cov)`` per support (occasion-0 rows only,
+      via the init-mask stream); covariate-dependent init falls back;
+    - linear output coefficients: pallas_psi.extract_linear_out;
+    - lane-RHS compatibility: the user RHS is traced once with 2-D lane
+      shims; styles the shim cannot carry (dynamic indexing, ``.at`` on a
+      dense state vector) fall back to the XLA engine;
+    - covariates must be time-constant per occasion (per-row lanes).
+    """
+
+    def __init__(self, equation, grid, sp, lowered, row_multiple: int):
+        from ..config import BIG_TIME
+        from ..engine.grid import CovView
+        from ..ops.pallas_ode import _TABLEAUS, make_lane_rhs
+        from ..ops.pallas_psi import (
+            SP_TILE, extract_linear_out, segment_schedule, streams_from_grid,
+        )
+
+        opts = equation._opts
+        if opts.solver not in _TABLEAUS:
+            raise PharmsolError(
+                f"engine='pallas' ODE psi supports explicit solvers "
+                f"{sorted(_TABLEAUS)} (model uses `{opts.solver}`; "
+                "use the default XLA engine)"
+            )
+        if equation._lag is not None or equation._fa is not None:
+            raise PharmsolError(
+                "engine='pallas' ODE psi does not support lag/fa equations"
+            )
+        self.opts = opts
+        self.diffeq = equation._diffeq
+        self.n_states = int(equation.nstates())
+        self.n_out = int(equation.nouteqs())
+        n_states = self.n_states
+        ninput = int(equation.ndrugs())
+        self.ninput = ninput
+        n_params = sp.shape[1]
+        self.n_params = n_params
+        fd_probe = np.float64
+        cov_values = _constant_covariate_values(grid) if grid.cov_names else {}
+        self.cov_names = tuple(grid.cov_names)
+
+        # --- host probes (CPU backend, tiny shapes) -----------------------
+        p_ref = np.where(np.abs(sp[0]) > 1e-30, sp[0], 1.0)
+        x_a = np.linspace(0.7, 1.9, n_states)
+        x_b = np.flip(x_a) * 1.31 + 0.23
+        cov0 = {n: float(np.asarray(v)[0]) for n, v in cov_values.items()}
+        cov1 = {n: v * 1.31 + 0.17 for n, v in cov0.items()}
+        diffeq = self.diffeq
+
+        def delta(p, x, amt, t, covd):
+            b = jnp.zeros((ninput,), jnp.float64).at[0].set(amt)
+            z = jnp.zeros((ninput,), jnp.float64)
+            shim = _RowCov(covd)
+            xj = jnp.asarray(x, jnp.float64)
+            tj = jnp.asarray(t, jnp.float64)
+            with_b = jnp.asarray(diffeq(xj, p, tj, b, z, shim), jnp.float64)
+            no_b = jnp.asarray(diffeq(xj, p, tj, z, z, shim), jnp.float64)
+            return with_b - no_b
+
+        try:
+            with _host_cpu_device():
+                d_ref = np.asarray(jax.vmap(
+                    lambda p: delta(p, x_a, 1.0, 0.0, cov0))(
+                        jnp.asarray(sp, jnp.float64)), np.float64)
+                d_x = np.asarray(jax.vmap(
+                    lambda p: delta(p, x_b, 1.0, 0.0, cov0))(
+                        jnp.asarray(sp, jnp.float64)), np.float64)
+                d_amt = np.asarray(jax.vmap(
+                    lambda p: delta(p, x_a, 2.37, 0.0, cov0))(
+                        jnp.asarray(sp, jnp.float64)), np.float64)
+                d_t = np.asarray(jax.vmap(
+                    lambda p: delta(p, x_a, 1.0, 17.31, cov0))(
+                        jnp.asarray(sp, jnp.float64)), np.float64)
+                d_cov = np.asarray(jax.vmap(
+                    lambda p: delta(p, x_a, 1.0, 0.0, cov1))(
+                        jnp.asarray(sp, jnp.float64)), np.float64)
+        except PharmsolError:
+            raise
+        except Exception as e:
+            raise PharmsolError(
+                f"engine='pallas' could not probe the ODE bolus mapping: {e}"
+            ) from e
+        scale = np.maximum(np.abs(d_ref).max(), 1e-12)
+        tol = 1e-6 * scale
+        if (np.abs(d_x - d_ref).max() > tol
+                or np.abs(d_amt / 2.37 - d_ref).max() > tol
+                or np.abs(d_t - d_ref).max() > tol
+                or np.abs(d_cov - d_ref).max() > tol):
+            raise PharmsolError(
+                "engine='pallas' ODE psi requires a state-independent, "
+                "amount-linear, time/covariate-independent bolus mapping "
+                "(dx[i] += c(p) * b[0]); this RHS's bolus term is not — "
+                "use the default XLA engine"
+            )
+        if not np.all(np.isfinite(d_ref)):
+            raise PharmsolError(
+                "engine='pallas' ODE bolus probe produced non-finite values"
+            )
+        bolus_map = d_ref.T  # [n_states, S]
+
+        init_rows = None
+        if equation._init is not None:
+            init_fn = equation._init
+
+            def init_at(p, covd):
+                return jnp.asarray(
+                    init_fn(p, jnp.asarray(0.0, jnp.float64), _RowCov(covd)),
+                    jnp.float64,
+                )
+
+            try:
+                with _host_cpu_device():
+                    i_ref = np.asarray(jax.vmap(
+                        lambda p: init_at(p, cov0))(
+                            jnp.asarray(sp, jnp.float64)), np.float64)
+                    i_cov = np.asarray(jax.vmap(
+                        lambda p: init_at(p, cov1))(
+                            jnp.asarray(sp, jnp.float64)), np.float64)
+            except PharmsolError:
+                raise
+            except Exception as e:
+                raise PharmsolError(
+                    f"engine='pallas' could not probe the ODE init "
+                    f"equation: {e}"
+                ) from e
+            iscale = np.maximum(np.abs(i_ref).max(), 1e-12)
+            if np.abs(i_cov - i_ref).max() > 1e-6 * iscale:
+                raise PharmsolError(
+                    "engine='pallas' ODE psi requires a covariate-"
+                    "independent init equation — use the default XLA engine"
+                )
+            init_rows = i_ref.T  # [n_states, S]
+
+        # lane-RHS compatibility: trace once with 2-D lane shapes
+        rhs = make_lane_rhs(diffeq, n_states, n_params, ninput)
+
+        def lane_probe():
+            shape = (2, 2)
+            xs = [jnp.zeros(shape, jnp.float64) for _ in range(n_states)]
+            p_lanes = [jnp.zeros((1, 2), jnp.float64) for _ in range(n_params)]
+            covd = {n: jnp.zeros((2, 1), jnp.float64) for n in self.cov_names}
+            return rhs(xs, p_lanes, jnp.zeros(shape, jnp.float64),
+                       jnp.zeros((2, 1), jnp.float64), covd, shape,
+                       jnp.float64)
+
+        try:
+            jax.eval_shape(lane_probe)
+        except PharmsolError:
+            raise
+        except Exception as e:
+            raise PharmsolError(
+                f"engine='pallas' ODE psi could not trace the RHS with lane "
+                f"shims (index x/p with static integers and build dx via "
+                f"jnp.stack/list): {e}"
+            ) from e
+
+        if grid.cov_names and equation._out is not None:
+            _check_out_covariate_free(
+                equation, sp, cov_values, n_states, CovView
+            )
+
+        # --- streams ------------------------------------------------------
+        try:
+            streams = streams_from_grid(grid.rows, lowered)
+        except ValueError as e:
+            raise PharmsolError(f"engine='pallas' ODE psi: {e}") from e
+        _, t_sorted, _, _ = segment_schedule(grid.rows)
+        real = t_sorted < BIG_TIME / 2
+        t_real_max = np.max(np.where(real, t_sorted, -np.inf), axis=1)
+        t_real_max = np.where(np.isfinite(t_real_max), t_real_max, 0.0)
+        seg_t0 = np.minimum(t_sorted, t_real_max[:, None])
+
+        self.R = streams[0].shape[0]
+        self.S = sp.shape[0]
+        self.M = streams[0].shape[1]
+        self.Rp = ((self.R + row_multiple - 1) // row_multiple) * row_multiple
+        self.Sp = ((self.S + SP_TILE - 1) // SP_TILE) * SP_TILE
+        fd = float_dtype()
+        if jax.devices()[0].platform == "tpu":
+            fd = jnp.float32
+        self.fd = fd
+
+        def pad_rows(a):
+            a = np.asarray(a, dtype=np.float64)
+            if self.Rp == self.R:
+                return a
+            return np.concatenate(
+                [a, np.zeros((self.Rp - self.R, a.shape[1]), dtype=a.dtype)],
+                axis=0,
+            )
+
+        self.padded = [jnp.asarray(pad_rows(a), dtype=fd) for a in streams]
+        self.seg_t0 = jnp.asarray(pad_rows(seg_t0), dtype=fd)
+        im = np.asarray(grid.rows.init_mask, np.float64).reshape(-1)
+        init_mask_rm = np.zeros((self.R, self.M))
+        init_mask_rm[:, 0] = im
+        self.init_mask = (
+            jnp.asarray(pad_rows(init_mask_rm), dtype=fd)
+            if init_rows is not None else None
+        )
+        self.cov_streams = {}
+        for name in self.cov_names:
+            vs = np.zeros((self.R, self.M))
+            vs[:, 0] = np.asarray(cov_values[name], np.float64)
+            self.cov_streams[name] = jnp.asarray(pad_rows(vs), dtype=fd)
+
+        def pad_support(a):
+            if self.Sp == self.S:
+                return a
+            return np.concatenate(
+                [a, np.repeat(a[..., -1:], self.Sp - self.S, axis=-1)],
+                axis=-1,
+            )
+
+        sp_padded = (
+            np.concatenate(
+                [sp, np.repeat(sp[-1:], self.Sp - self.S, axis=0)], axis=0
+            ) if self.Sp != self.S else sp
+        )
+        self.sp_dev = jnp.asarray(sp_padded, dtype=fd)
+        self.bolus_map = jnp.asarray(pad_support(bolus_map), dtype=fd)
+        self.init_rows = (
+            jnp.asarray(pad_support(init_rows), dtype=fd)
+            if init_rows is not None else None
+        )
+        out_fn = equation._out or (lambda x, p, t, cov: x[: self.n_out])
+        occ0 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a)[0]), grid.rows
+        )
+        cov = CovView(
+            occ0.cov_t.astype(fd), occ0.cov_v.astype(fd), occ0.cov_fixed,
+            tuple(grid.cov_names),
+        )
+        try:
+            C, b = extract_linear_out(
+                out_fn, sp_padded, n_states, self.n_out, cov, fd
+            )
+        except PharmsolError:
+            raise
+        except Exception as e:
+            raise PharmsolError(
+                f"engine='pallas' ODE psi could not extract linear output "
+                f"coefficients (non-linear output?): {e}"
+            ) from e
+        self.out_coef = jnp.asarray(np.transpose(C, (1, 2, 0)), dtype=fd)
+        self.out_bias = jnp.asarray(b.T, dtype=fd) if np.any(b) else None
+        self.pass_inf = bool(np.any(streams[2]))
+        self.pass_cens = bool(np.any(streams[6]))
+        self.pass_outeq = self.n_out > 1
+
+    def cache_key(self, *extra):
+        o = self.opts
+        return ("pallas_ode", self.n_states, self.n_params, self.ninput,
+                self.Rp,
+                self.Sp, self.M, self.pass_inf, self.pass_cens,
+                self.pass_outeq, self.n_out, self.out_bias is not None,
+                self.init_rows is not None, self.cov_names, o.solver,
+                o.rtol, o.atol, o.h0, o.max_steps, str(self.fd)) + extra
+
+    def stream_args(self):
+        p = self.padded
+        include = [True, True, self.pass_inf, True, True, True,
+                   self.pass_cens, self.pass_outeq]
+        out = tuple(a for a, inc in zip(p, include) if inc)
+        out = out + (self.seg_t0,)
+        if self.init_mask is not None:
+            out = out + (self.init_mask,)
+        out = out + tuple(self.cov_streams[n] for n in self.cov_names)
+        return out
+
+    def rep_args(self):
+        out = [self.sp_dev, self.bolus_map]
+        if self.init_rows is not None:
+            out.append(self.init_rows)
+        out.append(self.out_coef)
+        if self.out_bias is not None:
+            out.append(self.out_bias)
+        return tuple(out)
+
+    def runner(self):
+        from ..ops.pallas_ode import psi_ode
+
+        o = self.opts
+        n_states = self.n_states
+        ninput = self.ninput
+        diffeq = self.diffeq
+        pass_inf, pass_cens = self.pass_inf, self.pass_cens
+        pass_outeq = self.pass_outeq
+        has_init = self.init_rows is not None
+        has_bias = self.out_bias is not None
+        cov_names = self.cov_names
+        n_streams = (6 + int(pass_inf) + int(pass_cens) + int(pass_outeq)
+                     + int(has_init) + len(cov_names))
+        unroll = o.unroll
+        if unroll is None:
+            unroll = 4 if jax.default_backend() == "tpu" else 1
+
+        def run(*args):
+            it = iter(args[:n_streams])
+            dt, bol = next(it), next(it)
+            inf = next(it) if pass_inf else None
+            mask, val, sig = next(it), next(it), next(it)
+            cens = next(it) if pass_cens else None
+            outeq = next(it) if pass_outeq else None
+            t0 = next(it)
+            imask = next(it) if has_init else None
+            covs = {n: next(it) for n in cov_names}
+            rep = iter(args[n_streams:])
+            sp_dev = next(rep)
+            bmap = next(rep)
+            irows = next(rep) if has_init else None
+            coef = next(rep)
+            bias = next(rep) if has_bias else None
+            return psi_ode(
+                dt, bol, inf, mask, val, sig, cens, t0, sp_dev, diffeq,
+                n_states=n_states, ninput=ninput, solver=o.solver,
+                rtol=o.rtol, atol=o.atol,
+                h0=o.h0, max_iters=o.max_steps, unroll=unroll,
+                obs_outeq=outeq, out_coef=coef, out_bias=bias,
+                bolus_map=bmap, init_rows=irows, init_mask=imask,
+                cov_streams=covs, cov_names=cov_names,
+            )
+
+        run.n_streams = n_streams
+        return run
+
+    def finalize(self, psi_rows, grid) -> np.ndarray:
+        psi_rows = np.asarray(psi_rows, dtype=np.float64)[: self.R, : self.S]
+        psi = np.zeros((grid.n_subjects, self.S), dtype=np.float64)
+        np.add.at(psi, np.asarray(grid.row_subject), psi_rows)
+        return psi
+
+
+# engine='auto' crossover: the pallas tier pays a fixed plan/padding +
+# dispatch overhead (~30 ms measured round-2: a 128-cell psi was 0.0359 s
+# via pallas vs 0.00106 s via XLA) but wins ~10x at scale (16384x512).
+# Below this many psi cells the XLA engine is used; at or above it the
+# pallas plan is attempted and any validation failure falls back to XLA
+# with the reason retrievable via last_engine_decision().
+AUTO_PALLAS_MIN_CELLS = 262_144  # 2048 subjects x 128 supports
+
+
+def last_engine_decision(equation) -> Optional[dict]:
+    """The engine choice made by the last ``engine='auto'`` psi call.
+
+    Returns ``{"engine": "pallas"|"xla", "reason": str}`` or None when the
+    equation has not been through an auto-engined
+    :func:`log_likelihood_matrix` yet.
+    """
+    return getattr(equation, "_last_engine_decision", None)
+
+
+def _auto_engine(equation, grid, sp) -> tuple:
+    """Pick the psi engine for ``engine='auto'``: (engine, reason)."""
+    cells = grid.n_rows * sp.shape[0]
+    if jax.devices()[0].platform != "tpu":
+        return "xla", "pallas kernels compile on TPU only (interpret mode is for parity tests)"
+    if cells < AUTO_PALLAS_MIN_CELLS:
+        return "xla", (
+            f"matrix too small for the pallas tier ({cells} cells < "
+            f"{AUTO_PALLAS_MIN_CELLS} crossover)"
+        )
+    return "pallas", f"{cells} cells >= {AUTO_PALLAS_MIN_CELLS} crossover"
 
 
 def _pallas_psi_matrix(equation, grid, sp, lowered) -> np.ndarray:
@@ -837,7 +1387,14 @@ def _pallas_psi_matrix(equation, grid, sp, lowered) -> np.ndarray:
     """
     from ..ops.pallas_psi import SUB_TILE
 
-    plan = _PallasPsiPlan(equation, grid, sp, lowered, row_multiple=SUB_TILE)
+    if getattr(equation, "kind", None) == "ode":
+        plan = _PallasOdePsiPlan(
+            equation, grid, sp, lowered, row_multiple=SUB_TILE
+        )
+    else:
+        plan = _PallasPsiPlan(
+            equation, grid, sp, lowered, row_multiple=SUB_TILE
+        )
     cache = equation.__dict__.setdefault("_jit_psi", {})
     key = plan.cache_key()
     fn = cache.get(key)
@@ -853,12 +1410,19 @@ def log_likelihood_matrix(
     error_models: AssayErrorModels,
     progress: bool = False,
     on_error: str = "neg_inf",
-    engine: str = "xla",
+    engine: str = "auto",
 ) -> np.ndarray:
     """Log-likelihood of every subject at every support point.
 
     ``support_points``: [n_support, n_params] dense in model order (use
     ParameterOrder.matrix to reorder external columns first).
+
+    ``engine='auto'`` (the default) picks the fused pallas tier on TPU when
+    the matrix is large enough to amortize its fixed plan/dispatch overhead
+    (AUTO_PALLAS_MIN_CELLS) and the model validates for it, silently
+    falling back to the XLA engine otherwise — the choice and its reason
+    are retrievable via :func:`last_engine_decision`. Single entry parity:
+    matrix.rs:52.
 
     ``engine='pallas'`` opts into the fused TPU psi kernels for supported
     analytical structures (single output central/v, support columns =
@@ -880,13 +1444,29 @@ def log_likelihood_matrix(
     lowered = error_models.lower(equation.resolve_output_label, equation.nouteqs())
     check_error_model_coverage(grid, lowered)
 
-    if engine == "pallas":
+    if engine == "auto":
+        engine, reason = _auto_engine(equation, grid, sp)
+        if engine == "pallas":
+            try:
+                psi = _pallas_psi_matrix(equation, grid, sp, lowered)
+                equation._last_engine_decision = {
+                    "engine": "pallas", "reason": reason,
+                }
+                if on_error == "neg_inf":
+                    psi = np.where(np.isfinite(psi), psi, -np.inf)
+                return psi
+            except PharmsolError as e:
+                engine, reason = "xla", f"pallas plan rejected the model: {e}"
+        equation._last_engine_decision = {"engine": "xla", "reason": reason}
+    elif engine == "pallas":
         psi = _pallas_psi_matrix(equation, grid, sp, lowered)
         if on_error == "neg_inf":
             psi = np.where(np.isfinite(psi), psi, -np.inf)
         return psi
-    if engine != "xla":
-        raise PharmsolError(f"unknown psi engine `{engine}` (xla or pallas)")
+    elif engine != "xla":
+        raise PharmsolError(
+            f"unknown psi engine `{engine}` (auto, xla or pallas)"
+        )
 
     t0 = time.perf_counter()
     if progress:

@@ -1,0 +1,568 @@
+"""Pallas TPU kernel: fused psi for numerically-integrated ODE models.
+
+The analytical structures got hand-scheduled psi kernels (ops/pallas_psi.py,
+8-26 B sims/s); this module gives the *general nonlinear ODE* family the
+same treatment — the path every model outside the closed forms and the
+linear-``expm`` class must take, and the reference's own perf identity
+("analytical 20-33x over ODE", README.md:127) says it should sit roughly
+one order of magnitude below the analytical tier, not two.
+
+Design
+------
+The XLA engine evaluates ODE psi as ``vmap(support) x vmap(row) x
+scan(segments) x while_loop(adaptive steps)``: every while iteration is a
+separate fused-kernel dispatch whose carry round-trips HBM, and the masked
+convergence loop is lockstep across the WHOLE batch — the slowest lane of
+all R x S stalls everyone. Here the entire occasion — segment loop,
+embedded Dormand-Prince 5(4) stepper, observation log-likelihood — runs
+inside ONE pallas kernel per [row_block x sp_block] tile:
+
+- states, step sizes and the FSAL stage live as [row_block, sp_block] VMEM
+  lanes; nothing touches HBM between the stream DMA in and the psi tile out;
+- the adaptive while_loop is per-TILE: a tile retires as soon as its own
+  lanes finish, so one stiff subject no longer stalls the full batch;
+- the user RHS closure is traced straight into the kernel body through an
+  indexable lane shim (states/params as 2-D lanes, broadcasting does the
+  rest) — no interpreter, no callback, the same jnp ops the XLA path sees;
+- per-support quantities that the RHS does NOT need per-step (bolus state
+  increments via the RHS-difference probe, init states, linear output
+  coefficients) are extracted OUTSIDE the kernel by host-side probing and
+  streamed in as [1, sp_block] parameter rows.
+
+Semantics parity with the XLA engine (engine/sim.py + engine/ode.py):
+observation-before-bolus ordering, RHS-difference bolus application
+(probed to be state-independent and amount-linear, ode/mod.rs:644-687),
+constant-rate infusion forcing through the RHS, cross-segment step-size
+warm start, stall-guarded controller with NaN poisoning on step-budget
+exhaustion (-> -inf cells downstream). Tolerances/h0/max_steps come from
+the model's ODEOptions (defaults rtol=atol=1e-4, ode/mod.rs:40-41).
+
+Scope (validated by likelihood/matrix._PallasOdePsiPlan; anything else
+falls back to the general XLA engine): explicit solvers (dopri5/tsit5),
+boluses into input 0, infusions into input 0, time-constant covariates,
+outputs linear in the state, no lag/fa/init-covariate coupling.
+Compiled kernels are float32-only; off-TPU the kernel runs in interpret
+mode (which is also how the CPU/f64 parity tests exercise it).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pallas_psi import SEG_PAD, SP_TILE, SUB_TILE, _obs_ll, _pad_lanes, _static_any
+
+# Dormand-Prince 5(4) tableau (same constants as engine/ode.py — published
+# coefficients, Dormand & Prince 1980).
+_DP_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
+_DP_A = (
+    (),
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+)
+_DP_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+_DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+          187 / 2100, 1 / 40)
+_DP_E = tuple(b5 - b4 for b5, b4 in zip(_DP_B5, _DP_B4))
+
+# Tsitouras 5(4) (Tsitouras 2011), FSAL.
+_TS_C = (0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0)
+_TS_A = (
+    (),
+    (0.161,),
+    (-0.008480655492356989, 0.335480655492357),
+    (2.8971530571054935, -6.359448489975075, 4.3622954328695815),
+    (5.325864828439257, -11.748883564062828, 7.4955393428898365,
+     -0.09249506636175525),
+    (5.86145544294642, -12.92096931784711, 8.159367898576159,
+     -0.071584973281401, -0.028269050394068383),
+    (0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
+     -3.290069515436081, 2.324710524099774),
+)
+_TS_B = _TS_A[6] + (0.0,)
+_TS_E = (
+    -0.00178001105222577714, -0.0008164344596567469, 0.007880878010261995,
+    -0.1447110071732629, 0.5823571654525552, -0.45808210592918697,
+    0.015151515151515152,
+)
+
+_TABLEAUS = {
+    "dopri5": (_DP_A, _DP_B5, _DP_E, _DP_C),
+    "tsit5": (_TS_A, _TS_B, _TS_E, _TS_C),
+}
+
+# ODE tiles are smaller than the analytical ones: the stepper holds
+# ~(7 stages + 2) * n_states live [rows, sp] lanes in VMEM.
+ODE_ROW_BLOCKS = (256, 128, 64, 32, 16, 8)
+ODE_SP_BLOCKS = (128,)
+ODE_TILE_BUDGET = 256 * 128
+
+
+class LaneVec:
+    """Indexable shim presenting per-state 2-D lanes as the RHS's ``x``.
+
+    User RHS code indexes ``x[i]`` / slices ``x[:k]``; each entry is a
+    [rows, sp] (or broadcastable) lane array. Also serves for ``b`` (zeros
+    inside segments), ``rateiv`` (the segment rate in slot 0) and ``p``
+    (support-column rows).
+    """
+
+    def __init__(self, lanes):
+        self._lanes = list(lanes)
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            return LaneVec(self._lanes[idx])
+        if isinstance(idx, (int, np.integer)):
+            n = len(self._lanes)
+            if not (-n <= idx < n):
+                raise IndexError(
+                    f"index {idx} out of range ({n} lanes)"
+                )
+            return self._lanes[idx]
+        raise TypeError(
+            f"pallas ODE lane vectors support static integer indexing only "
+            f"(got {type(idx).__name__})"
+        )
+
+    def __len__(self):
+        return len(self._lanes)
+
+    def __iter__(self):
+        return iter(self._lanes)
+
+    @property
+    def shape(self):
+        return (len(self._lanes),)
+
+
+class LaneCov:
+    """Covariate shim for the kernel RHS: per-row constant lanes.
+
+    The plan validates covariates are time-constant per occasion, so the
+    value is independent of the query time.
+    """
+
+    def __init__(self, values: dict):
+        self._values = values
+
+    def __call__(self, name, t):
+        try:
+            return self._values[str(name)]
+        except KeyError:
+            raise KeyError(
+                f"RHS reads unknown covariate `{name}`"
+            )
+
+    def value(self, name, t):
+        return self(name, t)
+
+
+def make_lane_rhs(diffeq, n_states: int, n_params: int, ninput: int = None):
+    """Wrap a user ``diffeq(x, p, t, b, rateiv, cov)`` for lane evaluation.
+
+    Returns ``rhs(xs, p_lanes, t, rate, cov_lanes) -> [n_states lanes]``
+    where every lane is a broadcastable 2-D array. ``rate`` may be None
+    (no infusions — slot 0 forcing compiled out). ``b`` and ``rateiv``
+    are ``ninput`` wide (boluses apply at breakpoints, so ``b`` is always
+    zero inside segments; infusions are restricted to input 0).
+    """
+    if ninput is None:
+        ninput = n_states
+
+    def rhs(xs, p_lanes, t, rate, cov_lanes, shape, dtype):
+        zero = jnp.zeros((), dtype)
+        b = LaneVec([zero] * max(ninput, 1))
+        r0 = rate if rate is not None else zero
+        rateiv = LaneVec([r0] + [zero] * max(ninput - 1, 0))
+        out = diffeq(LaneVec(xs), LaneVec(p_lanes), t, b, rateiv,
+                     LaneCov(cov_lanes))
+        if isinstance(out, LaneVec):
+            comps = list(out)
+        elif isinstance(out, (list, tuple)):
+            comps = list(out)
+        else:
+            comps = [out[i] for i in range(n_states)]
+        if len(comps) != n_states:
+            raise ValueError(
+                f"RHS returned {len(comps)} components, expected {n_states}"
+            )
+        return [jnp.broadcast_to(jnp.asarray(c, dtype), shape) for c in comps]
+
+    return rhs
+
+
+def _make_ode_kernel(
+    rhs, *, n_states: int, n_params: int, n_seg: int, has_inf: bool,
+    has_cens: bool, n_out: int, has_bias: bool, has_init: bool,
+    cov_names: tuple, A, B, E, C, rtol: float, atol: float, h0: float,
+    max_iters: int, unroll: int,
+):
+    """Build the fused ODE psi tile kernel.
+
+    Ref layout (in order): segment streams (dt, bolus, [rateiv], mask,
+    value, sigma, [cens], [outeq], t0, [init_mask], cov...) each
+    [row_block, SEG_PAD]; parameter rows (p columns, bolus-map rows,
+    [init rows], coef rows, [bias rows]) each [1, sp_block]; out_ref
+    [row_block, sp_block].
+    """
+    n_stages = len(C)
+    has_outeq = n_out > 1
+    n_cov = len(cov_names)
+
+    def kernel(*refs):
+        it = iter(refs)
+        dts = next(it)[:, :]
+        bols = next(it)[:, :]
+        rates = next(it)[:, :] if has_inf else None
+        masks = next(it)[:, :]
+        vals = next(it)[:, :]
+        sigs = next(it)[:, :]
+        censs = next(it)[:, :] if has_cens else None
+        outeqs = next(it)[:, :] if has_outeq else None
+        t0s = next(it)[:, :]
+        initm = next(it)[:, :] if has_init else None
+        cov_streams = [next(it)[:, :] for _ in range(n_cov)]
+        params = [next(it)[:, :] for _ in range(n_params)]
+        bmap = [next(it)[:, :] for _ in range(n_states)]
+        init_rows = [next(it)[:, :] for _ in range(n_states)] if has_init else None
+        coefs = [[next(it)[:, :] for _ in range(n_states)] for _ in range(n_out)]
+        biases = [next(it)[:, :] for _ in range(n_out)] if has_bias else None
+        out_ref = next(it)
+
+        dtype = out_ref.dtype
+        shape = (out_ref.shape[0], out_ref.shape[1])
+        zeros = jnp.zeros(shape, dtype)
+        lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
+
+        def col(a, m):
+            sel = (lane == np.int32(m)).astype(a.dtype)
+            return jnp.sum(a * sel, axis=1, keepdims=True)  # [rows, 1]
+
+        # time-constant covariate lanes, one value per row
+        cov_lanes = {
+            name: col(cs, 0) for name, cs in zip(cov_names, cov_streams)
+        }
+
+        def f(xs, t, rate):
+            return rhs(xs, params, t, rate, cov_lanes, shape, dtype)
+
+        def integrate(xs, h, dt_col, rate, t0_col):
+            """Adaptive embedded-RK march over one segment, all lanes.
+
+            ``tau`` is segment-relative time; the RHS sees ``t0 + tau``.
+            Returns (xs_end, h_cruise): lanes that exhaust the iteration
+            budget or stall are NaN-poisoned (engine parity: -inf cells).
+            """
+            target = jnp.broadcast_to(dt_col, shape)
+            live0 = target > 0.0
+            k1_0 = f(xs, t0_col, rate)
+
+            def one_trial(carry):
+                # the live mask rides the carry as 0/1 float lanes: Mosaic
+                # cannot legalize i1 vectors in scf.while yields
+                tau, xs_c, h_c, k1_c, live_f, it_ = carry
+                live = live_f > 0.5
+                rem = target - tau
+                h_try = jnp.minimum(h_c, jnp.maximum(rem, 1e-14))
+                ks = [k1_c]
+                for i in range(1, n_stages):
+                    xi = [
+                        xs_c[s] + h_try * _wsum(
+                            [ks[j][s] for j in range(i)], A[i]
+                        )
+                        for s in range(n_states)
+                    ]
+                    ks.append(f(xi, t0_col + tau + C[i] * h_try, rate))
+                xs_new = [
+                    x + h_try * _wsum([k[s] for k in ks], B)
+                    for s, x in enumerate(xs_c)
+                ]
+                err2 = zeros
+                for s in range(n_states):
+                    e = h_try * _wsum([k[s] for k in ks], E)
+                    scale = atol + rtol * jnp.maximum(
+                        jnp.abs(xs_c[s]), jnp.abs(xs_new[s])
+                    )
+                    err2 = err2 + (e / scale) ** 2
+                ratio = jnp.sqrt(err2 / float(n_states))
+                finite = jnp.isfinite(ratio)
+                for s in range(n_states):
+                    finite = finite & jnp.isfinite(xs_new[s])
+                accept = live & (ratio <= 1.0) & finite
+                factor = jnp.where(
+                    finite,
+                    jnp.clip(
+                        0.9 * jnp.power(jnp.maximum(ratio, 1e-10), -0.2),
+                        0.2, 5.0,
+                    ),
+                    0.25,
+                )
+                tau_n = jnp.where(accept, tau + h_try, tau)
+                xs_n = [
+                    jnp.where(accept, xn, x) for xn, x in zip(xs_new, xs_c)
+                ]
+                k_last_ok = finite
+                for s in range(n_states):
+                    k_last_ok = k_last_ok & jnp.isfinite(ks[-1][s])
+                k1_n = [
+                    jnp.where(accept & k_last_ok, kl, k)
+                    for kl, k in zip(ks[-1], k1_c)
+                ]
+                h_n = jnp.where(
+                    live, jnp.maximum(h_try * factor, 1e-14), h_c
+                )
+                done_n = tau_n >= target - 1e-6 * jnp.maximum(target, 1e-30)
+                # stall guard (engine/ode.py:_h_stalled): a lane whose h
+                # underflows ulp(tau) can never advance — kill it now, the
+                # poison below turns it into -inf
+                stalled = live & ((tau_n + h_n) <= tau_n) & ~done_n
+                live_n = live & ~done_n & ~stalled
+                return (tau_n, xs_n, h_n, k1_n,
+                        live_n.astype(live_f.dtype), it_ + 1)
+
+            def body(carry):
+                for _ in range(max(1, unroll)):
+                    carry = one_trial(carry)
+                return carry
+
+            def cond(carry):
+                tau, _, _, _, live_f, it_ = carry
+                return (it_ < max_iters) & (jnp.max(live_f) > 0.5)
+
+            h_start = jnp.minimum(h, jnp.maximum(target, 1e-14))
+            init = (zeros, list(xs), h_start, k1_0,
+                    live0.astype(dtype), jnp.zeros((), jnp.int32))
+            tau_f, xs_f, h_f, _, _, _ = jax.lax.while_loop(
+                cond, body, init
+            )
+            incomplete = tau_f < target - 1e-6 * jnp.maximum(target, 1e-30)
+            nan = jnp.full(shape, jnp.nan, dtype)
+            xs_out = [jnp.where(incomplete, nan, x) for x in xs_f]
+            # warm start for the next segment; lanes that never integrated
+            # (dt == 0) keep their carried h
+            h_out = jnp.where(live0, h_f, h)
+            return xs_out, h_out
+
+        if has_init:
+            im = col(initm, 0)
+            xs = [im * init_rows[s] + zeros for s in range(n_states)]
+        else:
+            xs = [zeros] * n_states
+        ll = zeros
+        h = jnp.full(shape, h0, dtype)
+
+        for m in range(n_seg):
+            dt = col(dts, m)
+            bol = col(bols, m)
+            mask = col(masks, m)
+            val = col(vals, m)
+            sig = col(sigs, m) + (1.0 - mask)
+
+            def pred_out(k):
+                p = coefs[k][0] * xs[0]
+                for i in range(1, n_states):
+                    p = p + coefs[k][i] * xs[i]
+                if has_bias:
+                    p = p + biases[k]
+                return p
+
+            if n_out == 1:
+                pred = pred_out(0)
+            else:
+                oe = col(outeqs, m)
+                pred = jnp.zeros_like(ll)
+                for k in range(n_out):
+                    pred = pred + (oe == float(k)).astype(ll.dtype) * pred_out(k)
+
+            s_c = col(censs, m) if has_cens else None
+            ll = ll + _obs_ll(val, pred, sig, mask, s_c, has_cens)
+
+            xs = [x + bol * bmap[s] for s, x in enumerate(xs)]
+            rate = col(rates, m) if has_inf else None
+            t0_col = col(t0s, m)
+            xs, h = integrate(xs, h, dt, rate, t0_col)
+
+        out_ref[:, :] = ll
+
+    return kernel
+
+
+def _wsum(terms, weights):
+    """Weighted sum of lane arrays, skipping zero coefficients."""
+    acc = None
+    for t, w in zip(terms, weights):
+        if w == 0.0:
+            continue
+        acc = t * w if acc is None else acc + t * w
+    if acc is None:
+        return jnp.zeros_like(terms[0])
+    return acc
+
+
+def psi_ode(
+    seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma, obs_cens,
+    seg_t0, support, diffeq,
+    *,
+    n_states: int,
+    ninput: int = None,
+    solver: str = "dopri5",
+    rtol: float = 1e-4,
+    atol: float = 1e-4,
+    h0: float = 1e-3,
+    max_iters: int = 10_000,
+    unroll: int = 4,
+    obs_outeq=None,
+    out_coef=None,
+    out_bias=None,
+    bolus_map=None,
+    init_rows=None,
+    init_mask=None,
+    cov_streams=None,
+    cov_names=(),
+    interpret: Optional[bool] = None,
+):
+    """Fused psi for ODE models: one pallas kernel per tile.
+
+    Segment streams are [R, M] exactly as :func:`pallas_psi.psi_oral`, plus
+    ``seg_t0`` [R, M] (segment start times — the RHS may read t) and the
+    per-support probe products:
+
+    - ``bolus_map`` [n_states, S]: state increment per unit dose into
+      input 0 (the RHS-difference probe result; ode/mod.rs:644-687);
+    - ``out_coef`` [n_out, n_states, S] / ``out_bias`` [n_out, S]: linear
+      output extraction (pallas_psi.extract_linear_out);
+    - ``init_rows`` [n_states, S] + ``init_mask`` [R, M] (lane 0): initial
+      state on occasion-0 rows;
+    - ``cov_streams`` {name: [R, M]} (lane 0 = the row's constant value).
+
+    Returns psi [R, S]. R must be a multiple of SUB_TILE, S of SP_TILE.
+    """
+    from jax.experimental import pallas as pl
+
+    if solver not in _TABLEAUS:
+        raise ValueError(
+            f"pallas ODE psi supports explicit solvers {sorted(_TABLEAUS)} "
+            f"(got `{solver}`)"
+        )
+    A, B, E, C = _TABLEAUS[solver]
+    R, M = seg_dt.shape
+    S = support.shape[0]
+    n_params = support.shape[1]
+    if R % SUB_TILE or S % SP_TILE:
+        raise ValueError(
+            f"R ({R}) must be a multiple of {SUB_TILE} and S ({S}) of {SP_TILE}"
+        )
+    if M > SEG_PAD:
+        raise ValueError(f"segment stream too long ({M} > {SEG_PAD})")
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    dtype = seg_dt.dtype
+    if not interpret and dtype != jnp.float32:
+        raise ValueError(
+            f"compiled pallas ODE kernels are float32-only (got {dtype}); "
+            "cast the streams/support to float32 or pass interpret=True"
+        )
+    if bolus_map is None:
+        raise ValueError("bolus_map [n_states, S] is required")
+    if out_coef is None:
+        raise ValueError("out_coef [n_out, n_states, S] is required")
+
+    has_inf = _static_any(seg_rateiv)
+    has_cens = _static_any(obs_cens)
+    has_init = init_rows is not None
+    zeros_rm = jnp.zeros_like(jnp.asarray(seg_dt, dtype))
+    if seg_rateiv is None:
+        seg_rateiv = zeros_rm
+    if obs_cens is None:
+        obs_cens = zeros_rm
+    out_coef = jnp.asarray(out_coef, dtype)
+    n_out = out_coef.shape[0]
+    if out_coef.shape != (n_out, n_states, S):
+        raise ValueError(
+            f"out_coef must be [n_out, {n_states}, {S}], got {out_coef.shape}"
+        )
+    has_outeq = n_out > 1
+    if has_outeq and obs_outeq is None:
+        raise ValueError("obs_outeq stream required for multi-output psi")
+    if obs_outeq is None:
+        obs_outeq = zeros_rm
+    has_bias = _static_any(out_bias)
+
+    cov_names = tuple(cov_names)
+    cov_list = [
+        jnp.asarray((cov_streams or {})[name], dtype) for name in cov_names
+    ]
+
+    full = [
+        _pad_lanes(jnp.asarray(a, dtype), SEG_PAD)
+        for a in (seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value,
+                  obs_sigma, obs_cens, obs_outeq, seg_t0)
+    ]
+    full[5] = full[5] * full[3]  # masked sigma lanes -> 0 (kernel re-adds 1)
+    if has_init:
+        full.append(_pad_lanes(jnp.asarray(init_mask, dtype), SEG_PAD))
+    full.extend(_pad_lanes(cs, SEG_PAD) for cs in cov_list)
+    include = ([True, True, has_inf, True, True, True, has_cens, has_outeq,
+                True]
+               + [True] * (len(full) - 9))
+    streams = [a for a, inc in zip(full, include) if inc]
+
+    sp = jnp.asarray(support, dtype)
+    p_rows = [sp[:, i].reshape(1, S) for i in range(n_params)]
+    bm = jnp.asarray(bolus_map, dtype)
+    p_rows += [bm[s].reshape(1, S) for s in range(n_states)]
+    if has_init:
+        ir = jnp.asarray(init_rows, dtype)
+        p_rows += [ir[s].reshape(1, S) for s in range(n_states)]
+    p_rows += [
+        out_coef[k, i].reshape(1, S)
+        for k in range(n_out) for i in range(n_states)
+    ]
+    if has_bias:
+        ob = jnp.asarray(out_bias, dtype)
+        p_rows += [ob[k].reshape(1, S) for k in range(n_out)]
+
+    rhs = make_lane_rhs(diffeq, n_states, n_params, ninput)
+    kernel = _make_ode_kernel(
+        rhs, n_states=n_states, n_params=n_params, n_seg=M, has_inf=has_inf,
+        has_cens=has_cens, n_out=n_out, has_bias=has_bias, has_init=has_init,
+        cov_names=cov_names, A=A, B=B, E=E, C=C, rtol=float(rtol),
+        atol=float(atol), h0=float(h0), max_iters=int(max_iters),
+        unroll=int(unroll),
+    )
+
+    row_block = next(b for b in ODE_ROW_BLOCKS if R % b == 0)
+    sp_block = next(b for b in ODE_SP_BLOCKS if S % b == 0)
+    # the stepper holds ~(stages+2) * n_states lanes live; shrink tiles as
+    # the state count grows so the working set stays inside VMEM
+    budget = max(ODE_TILE_BUDGET // max(1, (n_states + 1) // 2), 8 * 128)
+    while row_block * sp_block > budget and row_block > 8:
+        row_block //= 2
+    row_spec = pl.BlockSpec((row_block, SEG_PAD), lambda i, j: (i, 0))
+    p_spec = pl.BlockSpec((1, sp_block), lambda i, j: (0, j))
+
+    def call():
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((R, S), dtype),
+            grid=(R // row_block, S // sp_block),
+            in_specs=[row_spec] * len(streams) + [p_spec] * len(p_rows),
+            out_specs=pl.BlockSpec((row_block, sp_block), lambda i, j: (i, j)),
+            interpret=interpret,
+        )(*streams, *p_rows)
+
+    if dtype == jnp.float32:
+        # see pallas_psi.psi_oral: trace with x64 disabled so the grid
+        # pipeline never picks up an i64 scalar Mosaic cannot legalize
+        with jax.enable_x64(False):
+            return call()
+    return call()

@@ -431,7 +431,8 @@ STRUCTURES = {
 
 def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
                  n_out: int, has_bias: bool, n_param_rows: int,
-                 mult_mode: Optional[str] = None):
+                 mult_mode: Optional[str] = None, has_lag: bool = False,
+                 has_fa: bool = False):
     """Build the psi tile kernel for one structure + feature combination.
 
     Ref layout (in order): segment streams (dt, bolus, [rateiv], mask, value,
@@ -457,6 +458,21 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
     Mosaic note: per-segment scalars are extracted with one-hot lane
     reductions instead of strided slices (sub-tile slicing fails to legalize
     on some Mosaic versions).
+
+    ``has_lag`` / ``has_fa``: per-(row, support) lag shift / bioavailability
+    scale planes ride as [row_block, sp_block] tile inputs (after the
+    segment streams, before the parameter rows). fa scales the bolus amount
+    at its breakpoint (structs.rs:611-666 add_fa). lag is implemented as a
+    PENDING dose: the bolus parks in (pend_amt, pend_rem) lanes at its
+    original breakpoint and materializes once its remaining lag elapses
+    inside a segment — the partial-segment propagation
+    ``x += propagate(dt - rem)(D e_dose)`` is exact for these linear
+    kernels by superposition, and an observation at a breakpoint before
+    the (per-support!) shifted dose time correctly reads the pre-dose
+    state. Fires use strict ``rem < dt`` so a dose landing exactly ON a
+    breakpoint is applied after that breakpoint's observation
+    (observation-before-dose parity). The plan validates that no two doses
+    of a row are ever pending simultaneously.
     """
     prepare = sdef["prepare"]
     propagate = sdef["propagate"]
@@ -480,6 +496,8 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
             [next(it)[:, :] for _ in range(n_param_rows)]
             if mult_mode == "segment" else None
         )
+        lag_plane = next(it)[:, :] if has_lag else None
+        fa_plane = next(it)[:, :] if has_fa else None
         params = [next(it)[:, :] for _ in range(n_param_rows)]
         coefs = [[next(it)[:, :] for _ in range(n_states)] for _ in range(n_out)]
         biases = [next(it)[:, :] for _ in range(n_out)] if has_bias else None
@@ -503,6 +521,8 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
         zeros = jnp.zeros(shape, dtype=out_ref.dtype)
         xs = [zeros] * n_states
         ll = zeros
+        pend_amt = zeros if has_lag else None
+        pend_rem = zeros if has_lag else None
         lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
 
         for m in range(n_seg):
@@ -537,16 +557,43 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
             s_c = col(censs) if has_cens else None
             ll = ll + _obs_ll(val, pred, sig, mask, s_c, has_cens)
 
-            xs[dose_state] = xs[dose_state] + bol
+            bol_eff = bol * fa_plane if has_fa else bol
+            if has_lag:
+                has_new = bol != 0.0
+                pend_amt = jnp.where(has_new, bol_eff, pend_amt)
+                pend_rem = jnp.where(has_new, lag_plane, pend_rem)
+            else:
+                xs[dose_state] = xs[dose_state] + bol_eff
             rate = col(rates) if has_inf else None
             if mult_mode == "segment":
                 eff = [params[i] * col(seg_mults[i]) for i in range(n_param_rows)]
                 aux_m = prepare(remap(eff) if remap else eff)
             else:
                 aux_m = aux
-            nxs = propagate(aux_m, xs, dt, rate)
             live = dt > 0.0
+            nxs = propagate(aux_m, xs, dt, rate)
             xs = [jnp.where(live, nx, x) for nx, x in zip(nxs, xs)]
+            if has_lag:
+                # the pending dose materializes once its remaining lag
+                # elapses within this segment: homogeneous propagation over
+                # the residual span dt - rem (superposition; infusion
+                # forcing is already in the main propagate above)
+                fire = (pend_amt != 0.0) & (pend_rem < dt)
+                dose_xs = [
+                    pend_amt if s == dose_state else zeros
+                    for s in range(n_states)
+                ]
+                contrib = propagate(
+                    aux_m, dose_xs, jnp.maximum(dt - pend_rem, 0.0), None
+                )
+                xs = [
+                    jnp.where(fire, x + c, x) for x, c in zip(xs, contrib)
+                ]
+                pend_amt = jnp.where(fire, zeros, pend_amt)
+                pend_rem = jnp.where(
+                    fire, zeros,
+                    jnp.where(live, jnp.maximum(pend_rem - dt, 0.0), pend_rem),
+                )
 
         out_ref[:, :] = ll
 
@@ -579,6 +626,8 @@ def psi_oral(
     out_bias=None,
     param_mult=None,
     param_mult_seg=None,
+    lag_plane=None,
+    fa_plane=None,
 ):
     """Fused psi for the closed-form analytical structures.
 
@@ -596,6 +645,12 @@ def psi_oral(
     observation segment (required when n_out > 1). When ``out_coef`` is None
     the classic convention applies: one extra support column (v, last) and
     the single output is central/v.
+
+    ``lag_plane`` / ``fa_plane`` [R, S] carry per-(row, support) bolus lag
+    shifts / bioavailability scales (structs.rs:611-666); boluses with lag
+    ride the kernel's pending-dose mechanism (see _make_kernel). The
+    caller must guarantee no two doses of a row are pending simultaneously
+    (max lag < the row's minimum inter-bolus gap).
 
     ``param_mult`` [R, n_params] carries per-row multiplicative covariate
     effects on the RAW support columns (the seq-eq decomposition built by
@@ -729,9 +784,22 @@ def psi_oral(
             ]
     p_rows = base_rows + coef_rows + bias_rows
 
+    has_lag = lag_plane is not None
+    has_fa = _static_any(fa_plane)
+    planes = []
+    for pname, plane, present in (("lag_plane", lag_plane, has_lag),
+                                  ("fa_plane", fa_plane, has_fa)):
+        if not present:
+            continue
+        pa = jnp.asarray(plane, dtype)
+        if pa.shape != (R, S):
+            raise ValueError(f"{pname} must be [{R}, {S}], got {pa.shape}")
+        planes.append(pa)
+
     kernel = _make_kernel(
         sdef, n_seg=M, has_inf=has_inf, has_cens=has_cens, n_out=n_out,
         has_bias=has_bias, n_param_rows=len(base_rows), mult_mode=mult_mode,
+        has_lag=has_lag, has_fa=has_fa,
     )
     # all-zero optional streams are dropped from the pipeline entirely
     # (no DMA, no VMEM block); the kernel never reads those refs
@@ -745,20 +813,24 @@ def psi_oral(
     # per-row effective params make prepare()'s aux [rows, sp] instead of
     # [1, sp]; shrink the tile budget to keep those intermediates in VMEM
     budget = TILE_BUDGET // 4 if mult_mode is not None else TILE_BUDGET
+    if has_lag:  # pending-dose lanes + a second propagate's intermediates
+        budget = min(budget, TILE_BUDGET // 4)
     while row_block * sp_block > budget and row_block > 8:
         row_block //= 2
     row_spec = pl.BlockSpec((row_block, SEG_PAD), lambda i, j: (i, 0))
     p_spec = pl.BlockSpec((1, sp_block), lambda i, j: (0, j))
+    tile_spec = pl.BlockSpec((row_block, sp_block), lambda i, j: (i, j))
 
     def call():
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((R, S), dtype),
             grid=(R // row_block, S // sp_block),
-            in_specs=[row_spec] * n_streams + [p_spec] * len(p_rows),
-            out_specs=pl.BlockSpec((row_block, sp_block), lambda i, j: (i, j)),
+            in_specs=([row_spec] * n_streams + [tile_spec] * len(planes)
+                      + [p_spec] * len(p_rows)),
+            out_specs=tile_spec,
             interpret=interpret,
-        )(*streams, *p_rows)
+        )(*streams, *planes, *p_rows)
 
     if dtype == jnp.float32:
         # Trace with x64 disabled: under jax_enable_x64 the grid pipeline

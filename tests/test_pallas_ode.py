@@ -1,0 +1,208 @@
+"""Parity tests for the fused pallas ODE psi tier (interpret mode, f64).
+
+The pallas ODE kernel (ops/pallas_ode.py) must match the general XLA
+engine at adaptive-solver tolerance: both run the same embedded
+Dormand-Prince 5(4) controller, so agreement is far tighter than the
+rtol=1e-4 integration tolerance — differences come only from warm-start
+bookkeeping across segments.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pharmsol_tpu import (
+    ODE,
+    AssayErrorModel,
+    AssayErrorModels,
+    Data,
+    ErrorPoly,
+    SubjectBuilder,
+)
+from pharmsol_tpu.errors import PharmsolError
+from pharmsol_tpu.likelihood.matrix import (
+    last_engine_decision,
+    log_likelihood_matrix,
+)
+
+
+def _ems():
+    return AssayErrorModels().add(
+        0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0)
+    )
+
+
+def _subjects(n=10, infusion_every=3, obs_times=(0.5, 1.0, 2.0, 4.0, 8.0)):
+    subjects = []
+    for i in range(n):
+        sb = SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+        if infusion_every and i % infusion_every == 0:
+            sb = sb.infusion(2.0, 50.0, 0, 1.0)
+        for t in obs_times:
+            sb = sb.observation(t, float(5 * np.exp(-0.3 * t) + 0.1 * i), 0)
+        subjects.append(sb.build())
+    return Data(subjects)
+
+
+def _two_cmt_ode():
+    return ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+            p[0] * x[0] - p[1] * x[1] + rateiv[0],
+        ]),
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    )
+
+
+def _support(S=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.column_stack([
+        rng.uniform(0.5, 2.0, S), rng.uniform(0.05, 0.5, S),
+        rng.uniform(30, 90, S),
+    ])
+
+
+def _rel_err(a, b):
+    return np.max(np.abs(a - b) / np.maximum(np.abs(b), 1.0))
+
+
+def test_ode_pallas_matches_xla_bolus_and_infusion():
+    data = _subjects()
+    sp = _support()
+    model = _two_cmt_ode()
+    psi_x = log_likelihood_matrix(model, data, sp, _ems(), engine="xla")
+    psi_p = log_likelihood_matrix(model, data, sp, _ems(), engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 2e-5
+
+
+def test_ode_pallas_nonlinear_rhs():
+    # Michaelis-Menten elimination: genuinely nonlinear, no expm shortcut
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] / (p[1] + x[0]) + b[0] + rateiv[0],
+        ]),
+        out=lambda x, p, t, cov: x[0:1] / p[2],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    rng = np.random.default_rng(3)
+    sp = np.column_stack([
+        rng.uniform(5.0, 20.0, 12), rng.uniform(5.0, 30.0, 12),
+        rng.uniform(20, 60, 12),
+    ])
+    data = _subjects(n=8)
+    psi_x = log_likelihood_matrix(model, data, sp, _ems(), engine="xla")
+    psi_p = log_likelihood_matrix(model, data, sp, _ems(), engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 2e-5
+
+
+def test_ode_pallas_init_equation():
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+        ]),
+        init=lambda p, t, cov: jnp.stack([p[2]]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    rng = np.random.default_rng(5)
+    sp = np.column_stack([
+        rng.uniform(0.1, 0.6, 12), rng.uniform(10, 40, 12),
+        rng.uniform(0.0, 30.0, 12),
+    ])
+    data = _subjects(n=6, infusion_every=0)
+    psi_x = log_likelihood_matrix(model, data, sp, _ems(), engine="xla")
+    psi_p = log_likelihood_matrix(model, data, sp, _ems(), engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 2e-5
+
+
+def test_ode_pallas_time_constant_covariates():
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * (cov("wt", t) / 70.0) * x[0] + b[0],
+        ]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    subjects = []
+    for i in range(8):
+        sb = (SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+              .covariate("wt", 0.0, 55.0 + 5.0 * i))
+        for t in (1.0, 2.0, 4.0, 8.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.25 * t)), 0)
+        subjects.append(sb.build())
+    rng = np.random.default_rng(7)
+    sp = np.column_stack([
+        rng.uniform(0.1, 0.6, 12), rng.uniform(10, 40, 12),
+    ])
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 2e-5
+
+
+def test_ode_pallas_multi_output_and_censoring():
+    from pharmsol_tpu import Censor
+
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+            p[0] * x[0] - p[1] * x[1],
+        ]),
+        out=lambda x, p, t, cov: jnp.stack([x[0] / p[2], x[1] / p[2]]),
+        nstates=2, ndrugs=1, nout=2,
+    )
+    subjects = []
+    for i in range(6):
+        sb = SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+        for k, t in enumerate((0.5, 1.5, 3.0, 6.0)):
+            sb = sb.observation(t, float(3 * np.exp(-0.3 * t)), k % 2)
+        sb = sb.censored_observation(8.0, 0.1, 0, Censor.BLOQ)
+        subjects.append(sb.build())
+    ems = (AssayErrorModels()
+           .add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+           .add(1, AssayErrorModel.additive(ErrorPoly(0.3, 0.15), 1.0)))
+    sp = _support(12, seed=9)
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, ems,
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, ems,
+                                  engine="pallas")
+    # censored cells carry the kernel's ~6e-5-abs log-CDF approximation
+    assert _rel_err(psi_p, psi_x) < 1e-4
+
+
+def test_ode_pallas_rejects_implicit_solver():
+    model = _two_cmt_ode().with_solver("bdf")
+    with pytest.raises(PharmsolError, match="explicit solvers"):
+        log_likelihood_matrix(
+            model, _subjects(n=2), _support(4), _ems(), engine="pallas"
+        )
+
+
+def test_ode_pallas_rejects_lag():
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([-p[0] * x[0] + b[0]]),
+        lag=lambda p, t, cov: {0: p[1]},
+        out=lambda x, p, t, cov: x[0:1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    with pytest.raises(PharmsolError, match="lag"):
+        log_likelihood_matrix(
+            model, _subjects(n=2, infusion_every=0),
+            np.column_stack([np.full(4, 0.3), np.full(4, 0.5)]),
+            _ems(), engine="pallas",
+        )
+
+
+def test_ode_auto_engine_falls_back_on_cpu():
+    model = _two_cmt_ode()
+    data = _subjects(n=4)
+    sp = _support(8)
+    psi_auto = log_likelihood_matrix(model, data, sp, _ems(), engine="auto")
+    psi_x = log_likelihood_matrix(model, data, sp, _ems(), engine="xla")
+    np.testing.assert_allclose(psi_auto, psi_x, rtol=1e-12)
+    decision = last_engine_decision(model)
+    assert decision["engine"] == "xla"
+    assert "TPU" in decision["reason"] or "crossover" in decision["reason"]
