@@ -15,15 +15,28 @@ rebuild's portable story has two tiers:
 
 Covers: derive / outputs / init / dynamics (drift) statement roles, lag/fa
 route tables, constants, covariate carry/linear interpolation, and a
-fixed-step RK4 ``simulate`` for ODE-kind models (demonstration-grade; the
-production path is the jitted engine). Analytical-kind artifacts load for
-metadata, derive, and output evaluation.
+``simulate`` for EVERY model kind — so a `.pkm` produced from any
+authoring surface runs identically in all three tiers (jit engine,
+.pkm-reload, pure):
+
+- **ode**: fixed-step RK4 over the event timeline;
+- **analytical**: EXACT closed-form segment propagation — the kernel's
+  compartment matrix is built from the artifact's kernel plan and
+  propagated with a stdlib matrix exponential (scaling-and-squaring
+  Taylor on the affine augmented system), re-deriving kernel inputs at
+  each segment end exactly like the jitted engine;
+- **sde**: fixed-step Euler-Maruyama particle cloud with
+  ``random.Random`` draws (mean predictions; zero-diffusion artifacts
+  reproduce the deterministic tiers).
+
+Demonstration-grade throughput; the production path is the jitted engine.
 """
 
 from __future__ import annotations
 
 import json
 import math
+import random
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 from .ast import Expr, Stmt
@@ -148,6 +161,119 @@ class PureCovariate:
         return ks[-1][1]
 
 
+# Compartment matrices of the closed-form kernels in MICRO-CONSTANT
+# parameterization (engine/analytical.py conventions: depot first for
+# *_with_absorption, infusions into central). Each entry:
+# (n_micro_params, builder(kp) -> (A rows, central index)).
+def _A_1cmt(kp):
+    (ke,) = kp
+    return [[-ke]], 0
+
+
+def _A_1cmt_oral(kp):
+    ka, ke = kp
+    return [[-ka, 0.0], [ka, -ke]], 1
+
+
+def _A_2cmt(kp):
+    ke, kcp, kpc = kp
+    return [[-(ke + kcp), kpc], [kcp, -kpc]], 0
+
+
+def _A_2cmt_oral(kp):
+    ke, ka, kcp, kpc = kp
+    return [
+        [-ka, 0.0, 0.0],
+        [ka, -(ke + kcp), kpc],
+        [0.0, kcp, -kpc],
+    ], 1
+
+
+def _A_3cmt(kp):
+    k10, k12, k13, k21, k31 = kp
+    return [
+        [-(k10 + k12 + k13), k21, k31],
+        [k12, -k21, 0.0],
+        [k13, 0.0, -k31],
+    ], 0
+
+
+def _A_3cmt_oral(kp):
+    ka, k10, k12, k13, k21, k31 = kp
+    return [
+        [-ka, 0.0, 0.0, 0.0],
+        [ka, -(k10 + k12 + k13), k21, k31],
+        [0.0, k12, -k21, 0.0],
+        [0.0, k13, 0.0, -k31],
+    ], 1
+
+
+# CL -> micro remaps (engine/analytical.py *_cl kernels).
+_PURE_KERNELS = {
+    "one_compartment": (lambda kp: kp, _A_1cmt),
+    "one_compartment_with_absorption": (lambda kp: kp, _A_1cmt_oral),
+    "one_compartment_cl": (lambda kp: [kp[0] / kp[1]], _A_1cmt),
+    "one_compartment_cl_with_absorption": (
+        lambda kp: [kp[0], kp[1] / kp[2]], _A_1cmt_oral),
+    "two_compartments": (lambda kp: kp, _A_2cmt),
+    "two_compartments_with_absorption": (lambda kp: kp, _A_2cmt_oral),
+    "two_compartments_cl": (
+        lambda kp: [kp[0] / kp[2], kp[1] / kp[2], kp[1] / kp[3]], _A_2cmt),
+    "two_compartments_cl_with_absorption": (
+        lambda kp: [kp[1] / kp[3], kp[0], kp[2] / kp[3], kp[2] / kp[4]],
+        _A_2cmt_oral),
+    "three_compartments": (lambda kp: kp, _A_3cmt),
+    "three_compartments_with_absorption": (lambda kp: kp, _A_3cmt_oral),
+    "three_compartments_cl": (
+        lambda kp: [kp[0] / kp[3], kp[1] / kp[3], kp[2] / kp[3],
+                    kp[1] / kp[4], kp[2] / kp[5]], _A_3cmt),
+    "three_compartments_cl_with_absorption": (
+        lambda kp: [kp[0], kp[1] / kp[4], kp[2] / kp[4], kp[3] / kp[4],
+                    kp[2] / kp[5], kp[3] / kp[6]], _A_3cmt_oral),
+}
+
+
+def _expm_affine_py(A: List[List[float]], u: List[float], dt: float):
+    """(P, q) with exp([[A*dt, u*dt], [0, 0]]) = [[P, q], [0, 1]].
+
+    Stdlib scaling-and-squaring with a 13-term Taylor-Horner chain on the
+    affine block form (the pure twin of engine/ode._expm_affine).
+    """
+    n = len(A)
+    Adt = [[A[i][j] * dt for j in range(n)] for i in range(n)]
+    udt = [u[i] * dt for i in range(n)]
+    norm = max(
+        (sum(abs(Adt[i][j]) for j in range(n)) + abs(udt[i]))
+        for i in range(n)
+    ) if n else 0.0
+    s = max(0, math.ceil(math.log2(norm))) if norm > 1.0 else 0
+    scale = 0.5 ** s
+    As = [[Adt[i][j] * scale for j in range(n)] for i in range(n)]
+    us = [udt[i] * scale for i in range(n)]
+
+    def mm(X, Y):
+        return [
+            [sum(X[i][l] * Y[l][j] for l in range(n)) for j in range(n)]
+            for i in range(n)
+        ]
+
+    def mv(X, y):
+        return [sum(X[i][l] * y[l] for l in range(n)) for i in range(n)]
+
+    eye = [[1.0 if i == j else 0.0 for j in range(n)] for i in range(n)]
+    P = [[eye[i][j] + As[i][j] / 13.0 for j in range(n)] for i in range(n)]
+    q = [us[i] / 13.0 for i in range(n)]
+    for d in range(12, 0, -1):
+        AP = mm(As, P)
+        P = [[eye[i][j] + AP[i][j] / d for j in range(n)] for i in range(n)]
+        Aq = mv(As, q)
+        q = [(Aq[i] + us[i]) / d for i in range(n)]
+    for _ in range(s):
+        q = [a + b for a, b in zip(mv(P, q), q)]
+        P = mm(P, P)
+    return P, q
+
+
 class PureModel:
     """A `.pkm` artifact evaluated with the Python standard library only."""
 
@@ -164,10 +290,17 @@ class PureModel:
         self.outputs: List[str] = list(model["outputs"])
         self.constants: Dict[str, float] = dict(model["constants"])
         self.routes = list(model["routes"])
+        self.derived: List[str] = list(model.get("derived", []))
+        self.analytical_kernel: Optional[str] = model.get("analytical")
+        self.kernel_plan: Optional[dict] = model.get("kernel_plan")
+        self.particles: Optional[int] = model.get("particles")
         self._derive = [Stmt.from_json(s) for s in model["derive"]]
         self._dynamics = [Stmt.from_json(s) for s in model["dynamics"]]
         self._outputs = [Stmt.from_json(s) for s in model["outputs_stmts"]]
         self._init = [Stmt.from_json(s) for s in model["init"]]
+        self._diffusion = [
+            Stmt.from_json(s) for s in model.get("diffusion", [])
+        ]
         self._state_slots = self._expand_state_slots()
 
     @staticmethod
@@ -225,15 +358,59 @@ class PureModel:
         eval_stmts_py(self._outputs, env)
         return [env.get(f"out:{o}", 0.0) for o in self.outputs]
 
-    def simulate(self, params, boluses, obs_times, cov=None, dt=0.01):
-        """Fixed-step RK4 over an event timeline (ODE-kind artifacts).
+    def diffusion(self, params, t: float, cov=None) -> List[float]:
+        """Per-state diffusion coefficients g[nstates] (SDE artifacts)."""
+        env = self._env(params, t, cov)
+        eval_stmts_py(self._diffusion, env)
+        # runtime parity: noise targets are keyed per STATE name
+        return [env.get(f"noise:{s}", 0.0) for s in self.states]
 
-        ``boluses``: list of (time, amount, state_index). Demonstration-grade
-        portable execution — the production path is the jitted engine.
+    def kernel_inputs(self, params, t: float, cov=None) -> List[float]:
+        """Kernel parameter vector via the artifact's kernel plan bindings.
+
+        Mirrors dsl/runtime.make_analytical_propagate: primary -> declared
+        parameter column, derived -> the derive env, covariate -> the
+        covariate value at t.
         """
+        if not self.kernel_plan:
+            raise DslError(Diagnostic.error(
+                "DSL3005", "artifact has no analytical kernel plan",
+                Span.empty()))
+        env = self._env(params, t, cov)
+        out = []
+        for source, index in self.kernel_plan["bindings"]:
+            if source == "primary":
+                out.append(float(params[index]))
+            elif source == "covariate":
+                name = self.covariates[index]
+                out.append(cov[name](t) if cov and name in cov else 0.0)
+            else:
+                out.append(float(env[self.derived[index]]))
+        return out
+
+    def simulate(self, params, boluses, obs_times, cov=None, dt=0.01,
+                 nparticles=None, seed=0):
+        """Event-timeline simulation for EVERY artifact kind.
+
+        ``boluses``: list of (time, amount, state_index). ODE-kind runs
+        fixed-step RK4; analytical-kind propagates segments EXACTLY via the
+        kernel compartment matrix and a stdlib matrix exponential
+        (kernel inputs re-derived at each segment end, engine parity);
+        sde-kind advances a fixed-step Euler-Maruyama particle cloud and
+        reports mean outputs. Demonstration-grade portable execution — the
+        production path is the jitted engine.
+        """
+        if self.kind == "analytical":
+            return self._simulate_analytical(params, boluses, obs_times, cov)
+        if self.kind == "sde":
+            return self._simulate_sde(
+                params, boluses, obs_times, cov, dt=dt,
+                nparticles=nparticles, seed=seed,
+            )
         if self.kind != "ode":
             raise DslError(Diagnostic.error(
-                "DSL3004", f"pure simulate supports ode models, not {self.kind}", Span.empty()))
+                "DSL3004", f"pure simulate supports ode/analytical/sde "
+                f"models, not {self.kind}", Span.empty()))
         x = self.init(params, cov)
         t = 0.0
         events = sorted(
@@ -266,4 +443,78 @@ class PureModel:
                 results.append(self.out(x, params, t, cov))
             else:
                 x[idx] += amount
+        return results
+
+    def _simulate_analytical(self, params, boluses, obs_times, cov=None):
+        kname = self.analytical_kernel
+        if kname not in _PURE_KERNELS:
+            raise DslError(Diagnostic.error(
+                "DSL3006", f"unknown analytical kernel `{kname}`",
+                Span.empty()))
+        remap, build_A = _PURE_KERNELS[kname]
+        x = self.init(params, cov)
+        n = len(x)
+        t = 0.0
+        events = sorted(
+            [(bt, "bolus", amt, idx) for bt, amt, idx in boluses]
+            + [(ot, "obs", 0.0, 0) for ot in obs_times]
+        )
+        results = []
+        for et, kind, amount, idx in events:
+            if et > t:
+                # kernel inputs at the segment END (engine parity:
+                # dsl/runtime.make_analytical_propagate derives at t0+dt)
+                kp = remap(self.kernel_inputs(params, et, cov))
+                A, _central = build_A(kp)
+                P, q = _expm_affine_py(A, [0.0] * n, et - t)
+                x = [
+                    sum(P[i][j] * x[j] for j in range(n)) + q[i]
+                    for i in range(n)
+                ]
+                t = et
+            if kind == "obs":
+                results.append(self.out(x, params, t, cov))
+            else:
+                x[idx] += amount
+        return results
+
+    def _simulate_sde(self, params, boluses, obs_times, cov=None, dt=0.01,
+                      nparticles=None, seed=0):
+        P_n = int(nparticles or self.particles or 100)
+        rng = random.Random(seed)
+        x0 = self.init(params, cov)
+        n = len(x0)
+        cloud = [list(x0) for _ in range(P_n)]
+        t = 0.0
+        events = sorted(
+            [(bt, "bolus", amt, idx) for bt, amt, idx in boluses]
+            + [(ot, "obs", 0.0, 0) for ot in obs_times]
+        )
+        results = []
+
+        def em_to(t0, t1):
+            steps = max(1, int(math.ceil((t1 - t0) / dt)))
+            h = (t1 - t0) / steps
+            sq = math.sqrt(h)
+            for i in range(steps):
+                ti = t0 + i * h
+                g = self.diffusion(params, ti, cov)
+                for part in cloud:
+                    d = self.dynamics(part, params, ti, cov)
+                    for s in range(n):
+                        part[s] += d[s] * h + g[s] * rng.gauss(0.0, 1.0) * sq
+
+        for et, kind, amount, idx in events:
+            if et > t:
+                em_to(t, et)
+                t = et
+            if kind == "obs":
+                outs = [self.out(part, params, t, cov) for part in cloud]
+                results.append([
+                    sum(o[k] for o in outs) / P_n
+                    for k in range(len(self.outputs))
+                ])
+            else:
+                for part in cloud:
+                    part[idx] += amount
         return results

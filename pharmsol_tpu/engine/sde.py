@@ -61,6 +61,8 @@ class SDESpec(NamedTuple):
     # bolus destination state per input (inject-to-destination mapping or
     # identity input->state)
     bolus_dest: Optional[tuple] = None
+    # 'stratified' (reference-exact, sde/mod.rs:747-768) | 'systematic'
+    resampling: str = "stratified"
 
 
 class SDESim(NamedTuple):
@@ -119,12 +121,39 @@ def _em_segment(drift_fn, diffusion_fn, X, t0, t1, key):
 
 def _stratified_resample(weights, key):
     """Reference resampling (sde/mod.rs:747-768): u_j = (j + U_j)/M,
-    idx_j = smallest k with cumsum(w)[k] >= u_j."""
+    idx_j = smallest k with cumsum(w)[k] >= u_j.
+
+    Note on naming: the reference calls its function ``sysresample`` but
+    draws an INDEPENDENT uniform per stratum (``rng.random()`` inside the
+    per-j map) — that is textbook *stratified* resampling, and this
+    function matches it exactly. The single-shared-offset variant usually
+    called systematic lives in :func:`_systematic_resample`.
+    """
     M = weights.shape[0]
     qc = jnp.cumsum(weights)
     u = (jnp.arange(M, dtype=weights.dtype) + jax.random.uniform(key, (M,), weights.dtype)) / M
     idx = jnp.searchsorted(qc, u, side="left")
     return jnp.clip(idx, 0, M - 1)
+
+
+def _systematic_resample(weights, key):
+    """Textbook systematic resampling: one shared offset, u_j = (j + U)/M.
+
+    Lower resampling variance than stratified (Kitagawa 1996); opt-in via
+    ``SDE.with_resampling('systematic')``.
+    """
+    M = weights.shape[0]
+    qc = jnp.cumsum(weights)
+    u = (jnp.arange(M, dtype=weights.dtype)
+         + jax.random.uniform(key, (), weights.dtype)) / M
+    idx = jnp.searchsorted(qc, u, side="left")
+    return jnp.clip(idx, 0, M - 1)
+
+
+_RESAMPLERS = {
+    "stratified": _stratified_resample,
+    "systematic": _systematic_resample,
+}
 
 
 def simulate_occasion_sde(
@@ -181,6 +210,7 @@ def simulate_occasion_sde(
     sigma_obs, active_obs = observation_sigmas(occ, em_kind, em_factor, em_poly)
     seg_sigma = jnp.ones((M,), fd).at[segs.obs_pos].set(sigma_obs)
     seg_weighted = jnp.zeros((M,), bool).at[segs.obs_pos].set(active_obs)
+    resample_fn = _RESAMPLERS[getattr(spec, "resampling", "stratified")]
 
     base_key = key
 
@@ -200,7 +230,7 @@ def simulate_occasion_sde(
             q = jnp.where(weighted, q, 1.0)
             sum_q = jnp.sum(q)
             w = q / jnp.maximum(sum_q, 1e-300)
-            idx = _stratified_resample(w, k_rs)
+            idx = resample_fn(w, k_rs)
             X = jnp.where(weighted, X[idx], X)
             ll_contrib = jnp.where(
                 weighted, jnp.log(jnp.maximum(sum_q / P, 1e-300)), 0.0

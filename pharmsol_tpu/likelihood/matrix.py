@@ -143,17 +143,38 @@ class _RowCov:
         return self(name, t)
 
 
+def _affine_solve(f_a, f_b, f_c, p_a, p_b, p_c, tol):
+    """Solve/validate the diagonal-affine decomposition from three probes.
+
+    ``f_x[..., i] = g[..., i] * p_x[i] + h[..., i]`` — g/h solved from
+    probes a/b, validated at c (catches cross-parameter mixing and genuine
+    nonlinearity). Returns (g, h) or None when the form does not hold.
+    """
+    denom = p_a - p_b  # nonzero by probe construction
+    g = (f_a - f_b) / denom
+    h = f_a - g * p_a
+    pred_c = g * p_c + h
+    scale = np.maximum(np.abs(f_c), 1.0)
+    if not (np.all(np.isfinite(g)) and np.all(np.isfinite(h))
+            and np.all(np.abs(pred_c - f_c) <= tol * 100 * scale)):
+        return None
+    return g, h
+
+
 def _decompose_seq(seq, sp, cov_values: dict, n_kernel_params: int,
-                   n_rows_total: int = 1) -> np.ndarray:
-    """Validate + decompose a seq equation into per-row multipliers.
+                   n_rows_total: int = 1):
+    """Validate + decompose a seq equation into per-row affine factors.
 
     Probes (all numeric, evaluated once on the host):
     - time-independence: seq(p, t, cov) must not depend on t;
-    - multiplicative separability: seq(p, 0, cov)[i] / p[i] must not depend
-      on p (two distinct parameter probes must give the same ratios).
+    - diagonal-affine form: ``seq[i] = p[i] * g_i(cov) + h_i(cov)`` —
+      solved from two parameter probes and validated at a third (covers
+      the multiplicative covariate-scaling standard form AND additive
+      effects; cross-parameter mixing fails the validation probe).
 
-    Returns mult [R, n_kernel_params]; raises PharmsolError when the seq
-    equation does not fit the decomposition (fall back to engine='xla').
+    Returns (mult [R, k], offset [R, k] | None — None when the offsets are
+    identically zero, i.e. purely multiplicative); raises PharmsolError
+    when the seq equation does not fit (fall back to engine='xla').
     """
     from ..config import float_dtype
 
@@ -163,6 +184,9 @@ def _decompose_seq(seq, sp, cov_values: dict, n_kernel_params: int,
     n_rows = len(next(iter(cov_values.values()))) if cov_values else n_rows_total
     p_ref = np.where(np.abs(sp[0]) > 1e-30, sp[0], 1.0)
     p_alt = p_ref * 1.37 + 0.011
+    if np.any(np.abs(p_ref - p_alt) < 1e-9):
+        p_alt = p_ref * 1.61 + 0.173
+    p_val = p_ref * 0.73 + 0.311
 
     def eval_rows(p, t):
         p = jnp.asarray(p, dtype=fd)
@@ -187,6 +211,7 @@ def _decompose_seq(seq, sp, cov_values: dict, n_kernel_params: int,
             out_ref = eval_rows(p_ref, 0.0)
             out_t = eval_rows(p_ref, 123.456)
             out_alt = eval_rows(p_alt, 0.0)
+            out_val = eval_rows(p_val, 0.0)
     except PharmsolError:
         raise
     except Exception as e:
@@ -199,16 +224,20 @@ def _decompose_seq(seq, sp, cov_values: dict, n_kernel_params: int,
             "(this one changes with t; use the default XLA engine)"
         )
     k = n_kernel_params
-    g_ref = out_ref[:, :k] / p_ref[None, :k]
-    g_alt = out_alt[:, :k] / p_alt[None, :k]
-    if not (np.allclose(g_ref, g_alt, rtol=tol * 100)
-            and np.all(np.isfinite(g_ref))):
+    solved = _affine_solve(
+        out_ref[:, :k], out_alt[:, :k], out_val[:, :k],
+        p_ref[None, :k], p_alt[None, :k], p_val[None, :k], tol,
+    )
+    if solved is None:
         raise PharmsolError(
-            "engine='pallas' requires multiplicative covariate effects "
-            "(seq[i] = p[i] * g_i(cov)); this seq equation is not "
-            "separable — use the default XLA engine"
+            "engine='pallas' requires diagonal-affine covariate effects "
+            "(seq[i] = p[i] * g_i(cov) + h_i(cov)); this seq equation "
+            "mixes parameters or is nonlinear — use the default XLA engine"
         )
-    return np.ascontiguousarray(g_ref)
+    g, h = solved
+    if np.allclose(h, 0.0, atol=tol * 10):
+        return np.ascontiguousarray(g), None
+    return np.ascontiguousarray(g), np.ascontiguousarray(h)
 
 
 def _host_cpu_device():
@@ -262,23 +291,25 @@ def _host_cov_values(grid, te: np.ndarray) -> dict:
     return out
 
 
-def _decompose_seq_tv(seq, sp, grid, n_kernel_params: int) -> np.ndarray:
-    """Per-row, per-SEGMENT multiplicative seq decomposition.
+def _decompose_seq_tv(seq, sp, grid, n_kernel_params: int):
+    """Per-row, per-SEGMENT diagonal-affine seq decomposition.
 
     Generalizes :func:`_decompose_seq` two ways, both required for engine
     parity (sim.step, engine/sim.py):
 
-    - the multiplier is evaluated at each segment's END time (the engine
-      evaluates seq at ``t + dt``) with the row's covariates interpolated
-      at that time — this carries time-VARYING covariates;
+    - the affine factors are evaluated at each segment's END time (the
+      engine evaluates seq at ``t + dt``) with the row's covariates
+      interpolated at that time — this carries time-VARYING covariates;
     - the engine's reset/carry chain is baked in: seq parameters reset to
       the raw support point at real events but compound across
       infusion-end sub-splits (grid.build_segments is_event semantics,
       analytical/mod.rs:331,360) — applying a single per-row multiplier to
       rows containing infusions was measurably wrong (0.17 in log-lik).
 
-    Probes multiplicative separability (seq(q, t, cov)[i] / q[i] must not
-    depend on q) at sample segments. Returns mult_seg [R, P, M].
+    Per segment m: ``seq[i] = p[i] * g_i(m) + h_i(m)`` solved from two
+    parameter probes, validated at a third on sample segments; the chain
+    composes affinely (``g_m*(g_prev p + h_prev) + h_m``). Returns
+    (mult_seg [R, P, M], offset_seg [R, P, M] | None).
     """
     from ..config import float_dtype
     from ..ops.pallas_psi import segment_schedule
@@ -290,6 +321,9 @@ def _decompose_seq_tv(seq, sp, grid, n_kernel_params: int) -> np.ndarray:
     k = n_kernel_params
     p_ref = np.where(np.abs(sp[0]) > 1e-30, sp[0], 1.0)
     p_alt = p_ref * 1.37 + 0.011
+    if np.any(np.abs(p_ref - p_alt) < 1e-9):
+        p_alt = p_ref * 1.61 + 0.173
+    p_val = p_ref * 0.73 + 0.311
 
     # padded breakpoints sit at BIG_TIME; clamp their evaluation time to the
     # row's last real breakpoint so seq closures reading t stay finite
@@ -302,7 +336,7 @@ def _decompose_seq_tv(seq, sp, grid, n_kernel_params: int) -> np.ndarray:
 
     names = list(grid.cov_names)
 
-    def ratios_at(p, m):
+    def values_at(p, m):
         vals = _host_cov_values(grid, te[:, m])
         p_j = jnp.asarray(p, dtype=fd)
         t_j = jnp.asarray(te[:, m], dtype=fd)
@@ -321,46 +355,174 @@ def _decompose_seq_tv(seq, sp, grid, n_kernel_params: int) -> np.ndarray:
                 jax.vmap(lambda t_r: jnp.asarray(seq(p_j, t_r, _RowCov({})), dtype=fd))(t_j),
                 dtype=np.float64,
             )
-        return out[:, :k] / np.asarray(p)[None, :k]
+        return out[:, :k]
 
+    sample = {0, M // 2, M - 1}
     try:
         with _host_cpu_device():
-            g = np.stack(
-                [ratios_at(p_ref, m) for m in range(M)], axis=2
-            )  # [R,k,M]
-            # separability probe on a segment sample
-            g_alts = {m: ratios_at(p_alt, m) for m in {0, M // 2, M - 1}}
-        for m in {0, M // 2, M - 1}:
-            g_alt = g_alts[m]
-            if not (np.allclose(g[:, :, m], g_alt, rtol=tol * 100)
-                    and np.all(np.isfinite(g_alt))):
-                raise PharmsolError(
-                    "engine='pallas' requires multiplicative covariate "
-                    "effects (seq[i] = p[i] * g_i(t, cov)); this seq "
-                    "equation is not separable — use the default XLA engine"
-                )
+            f_ref = np.stack([values_at(p_ref, m) for m in range(M)], axis=2)
+            f_alt = np.stack([values_at(p_alt, m) for m in range(M)], axis=2)
+            f_vals = {m: values_at(p_val, m) for m in sample}
     except PharmsolError:
         raise
     except Exception as e:
         raise PharmsolError(
             f"engine='pallas' could not probe the seq equation: {e}"
         ) from e
-    if not np.all(np.isfinite(g)):
+
+    denom = (p_ref - p_alt)[None, :k, None]
+    g = (f_ref - f_alt) / denom  # [R, k, M]
+    h = f_ref - g * p_ref[None, :k, None]
+    for m in sample:
+        pred = g[:, :, m] * p_val[None, :k] + h[:, :, m]
+        scale = np.maximum(np.abs(f_vals[m]), 1.0)
+        if not (np.all(np.isfinite(pred))
+                and np.all(np.abs(pred - f_vals[m]) <= tol * 100 * scale)):
+            raise PharmsolError(
+                "engine='pallas' requires diagonal-affine covariate "
+                "effects (seq[i] = p[i] * g_i(t, cov) + h_i(t, cov)); "
+                "this seq equation mixes parameters or is nonlinear — "
+                "use the default XLA engine"
+            )
+    if not (np.all(np.isfinite(g)) and np.all(np.isfinite(h))):
         raise PharmsolError(
             "engine='pallas' seq decomposition produced non-finite "
-            "multipliers — use the default XLA engine"
+            "factors — use the default XLA engine"
         )
 
     # engine reset/carry chain: p_base = raw at events else carried;
-    # p_seg = p_base * g on spanned segments, p_base otherwise
+    # p_seg = affine_m(p_base) on spanned segments, p_base otherwise
     mult = np.empty_like(g)
-    prev = np.ones((R, k))
+    off = np.empty_like(h)
+    prev_g = np.ones((R, k))
+    prev_h = np.zeros((R, k))
     for m in range(M):
-        base = np.where(is_event[:, m][:, None], 1.0, prev)
-        cur = np.where(seg_dt[:, m][:, None] > 0, base * g[:, :, m], base)
-        mult[:, :, m] = cur
-        prev = cur
-    return np.ascontiguousarray(mult)
+        ev = is_event[:, m][:, None]
+        base_g = np.where(ev, 1.0, prev_g)
+        base_h = np.where(ev, 0.0, prev_h)
+        span = seg_dt[:, m][:, None] > 0
+        cur_g = np.where(span, g[:, :, m] * base_g, base_g)
+        cur_h = np.where(span, g[:, :, m] * base_h + h[:, :, m], base_h)
+        mult[:, :, m] = cur_g
+        off[:, :, m] = cur_h
+        prev_g, prev_h = cur_g, cur_h
+    tol_h = 1e-9 if np.dtype(fd) == np.float64 else 1e-5
+    if np.allclose(off, 0.0, atol=tol_h * 10):
+        return np.ascontiguousarray(mult), None
+    return np.ascontiguousarray(mult), np.ascontiguousarray(off)
+
+
+_MAX_SEQ_LEVELS = 8
+
+
+def _decompose_seq_levels(seq, sp, grid, sdef, n_kernel_params: int):
+    """Chain-depth level tables for covariate-free, time-independent seq.
+
+    The engine evaluates ``p_seg = seq(p_base, t+dt, cov)`` per spanned
+    segment with p_base resetting to the raw support point at real events
+    and carrying across infusion-end sub-splits (analytical/mod.rs:331,360).
+    When seq reads neither t nor covariates, ``p_seg = seq^d(p)`` where the
+    chain depth d is a pure function of the ROW's event structure —
+    computable host-side. This covers seq equations of ANY form (including
+    non-separable parameter mixing) and every structure (3-cmt included:
+    eigen prep runs per level).
+
+    Returns (param_levels [L, n_base, S] in the structure's micro-constant
+    parameterization, seg_depth [R, M] with 1-based level indices, 0 on
+    dead segments).
+    """
+    from ..config import float_dtype
+    from ..ops.pallas_psi import segment_schedule
+
+    fd = float_dtype()
+    tol = 1e-9 if np.dtype(fd) == np.float64 else 1e-5
+    p_ref = np.where(np.abs(sp[0]) > 1e-30, sp[0], 1.0)
+
+    cov_values = _constant_covariate_values(grid) if grid.cov_names else {}
+    cov0 = {n: float(np.asarray(v)[0]) for n, v in cov_values.items()}
+    cov1 = {n: v * 1.31 + 0.17 for n, v in cov0.items()}
+
+    def seq_once(p_rows, t, covd):
+        def one(p):
+            return jnp.asarray(seq(jnp.asarray(p, jnp.float64),
+                                   jnp.asarray(t, jnp.float64),
+                                   _RowCov(covd)), jnp.float64)
+        return np.asarray(jax.vmap(one)(jnp.asarray(p_rows, jnp.float64)),
+                          np.float64)
+
+    try:
+        with _host_cpu_device():
+            f0 = seq_once(p_ref[None, :], 0.0, cov0)
+            ft = seq_once(p_ref[None, :], 123.456, cov0)
+            fc = seq_once(p_ref[None, :], 0.0, cov1)
+    except PharmsolError:
+        raise
+    except Exception as e:
+        raise PharmsolError(
+            f"engine='pallas' could not probe the seq equation: {e}"
+        ) from e
+    scale = np.maximum(np.abs(f0).max(), 1.0)
+    if np.abs(ft - f0).max() > tol * scale:
+        raise PharmsolError(
+            "engine='pallas' seq levels require a time-independent seq "
+            "equation — use the default XLA engine"
+        )
+    if cov0 and np.abs(fc - f0).max() > tol * scale:
+        raise PharmsolError(
+            "engine='pallas' seq levels require a covariate-free seq "
+            "equation — use the default XLA engine"
+        )
+
+    # chain depth per (row, segment) from the engine's reset/carry rule
+    _, t_sorted, seg_dt, is_event = segment_schedule(grid.rows)
+    R, M = t_sorted.shape
+    depth = np.zeros((R, M), dtype=np.float64)
+    d_cur = np.zeros(R, dtype=np.int64)
+    for m in range(M):
+        base = np.where(is_event[:, m], 0, d_cur)
+        span = seg_dt[:, m] > 0
+        d_seg = np.where(span, base + 1, base)
+        depth[:, m] = np.where(span, d_seg, 0)
+        d_cur = d_seg
+    L = int(depth.max())
+    if L == 0:
+        L = 1  # no spanned segments: one trivial level keeps shapes valid
+    if L > _MAX_SEQ_LEVELS:
+        raise PharmsolError(
+            f"engine='pallas' seq chain depth {L} exceeds "
+            f"{_MAX_SEQ_LEVELS} — use the default XLA engine"
+        )
+
+    # iterated level tables on the full declared support width
+    k = n_kernel_params
+    remap = sdef["remap"]
+    levels = []
+    cur = np.asarray(sp, np.float64)
+    try:
+        with _host_cpu_device():
+            for _ in range(L):
+                cur = seq_once(cur, 0.0, cov0)
+                if cur.shape[1] < sp.shape[1]:
+                    raise PharmsolError(
+                        "engine='pallas' seq returned fewer columns than "
+                        "the support width — use the default XLA engine"
+                    )
+                rows = [cur[:, i] for i in range(k)]
+                rows = remap(rows) if remap else rows
+                levels.append(np.stack(rows, axis=0))  # [n_base, S]
+    except PharmsolError:
+        raise
+    except Exception as e:
+        raise PharmsolError(
+            f"engine='pallas' could not iterate the seq equation: {e}"
+        ) from e
+    param_levels = np.stack(levels, axis=0)  # [L, n_base, S]
+    if not np.all(np.isfinite(param_levels)):
+        raise PharmsolError(
+            "engine='pallas' seq level tables are non-finite — use the "
+            "default XLA engine"
+        )
+    return np.ascontiguousarray(param_levels), np.ascontiguousarray(depth)
 
 
 def _decompose_kernel_inputs(kernel_inputs, sp, grid, n_kernel_params: int,
@@ -714,7 +876,11 @@ class _PallasPsiPlan:
                 "engine='pallas' does not support init equations"
             )
         self.mult = None
+        self.mult_off = None
         self.mult_seg = None
+        self.mult_seg_off = None
+        self.param_levels = None
+        self.seg_depth = None
         self.sp_kernel = None
         cov_values = {}
         if kernel_inputs is not None:
@@ -723,56 +889,68 @@ class _PallasPsiPlan:
                 allow_mult=sdef["prep_xla"] is None,
             )
         elif equation._seq is not None:
-            if sdef["prep_xla"] is not None:
-                raise PharmsolError(
-                    f"engine='pallas' does not support seq equations with "
-                    f"`{self.structure}` (3-cmt eigen prep is per-support)"
-                )
             from ..config import BIG_TIME
 
-            has_real_inf = bool(
-                np.any(np.asarray(grid.rows.inf_t) < BIG_TIME / 2)
-            )
-            cov_v = np.asarray(grid.rows.cov_v, dtype=np.float64)
-            time_varying = bool(
-                grid.cov_names and cov_v.ndim == 3
-                and not np.all(cov_v == cov_v[..., :1])
-            )
-            if time_varying or has_real_inf:
-                # per-segment multipliers: time-varying covariates, and/or
-                # the engine's seq compounding across infusion-end
-                # sub-splits (a single per-row multiplier is wrong there)
-                self.mult_seg = _decompose_seq_tv(
-                    equation._seq, sp, grid, n_kernel_params
+            affine_err = None
+            if sdef["prep_xla"] is None:
+                has_real_inf = bool(
+                    np.any(np.asarray(grid.rows.inf_t) < BIG_TIME / 2)
                 )
-            else:
-                cov_values = (
-                    _constant_covariate_values(grid) if grid.cov_names else {}
+                cov_v = np.asarray(grid.rows.cov_v, dtype=np.float64)
+                time_varying = bool(
+                    grid.cov_names and cov_v.ndim == 3
+                    and not np.all(cov_v == cov_v[..., :1])
                 )
                 try:
-                    self.mult = _decompose_seq(
-                        equation._seq, sp, cov_values, n_kernel_params,
-                        n_rows_total=grid.n_rows,
-                    )
+                    if time_varying or has_real_inf:
+                        # per-segment factors: time-varying covariates,
+                        # and/or the engine's seq compounding across
+                        # infusion-end sub-splits (a single per-row
+                        # multiplier is wrong there)
+                        self.mult_seg, self.mult_seg_off = _decompose_seq_tv(
+                            equation._seq, sp, grid, n_kernel_params
+                        )
+                    else:
+                        cov_values = (
+                            _constant_covariate_values(grid)
+                            if grid.cov_names else {}
+                        )
+                        try:
+                            self.mult, self.mult_off = _decompose_seq(
+                                equation._seq, sp, cov_values,
+                                n_kernel_params, n_rows_total=grid.n_rows,
+                            )
+                        except PharmsolError as e:
+                            if "time-independent" not in str(e):
+                                raise
+                            # time-dependent but (potentially) affine:
+                            # per-segment factors at each segment end
+                            self.mult_seg, self.mult_seg_off = \
+                                _decompose_seq_tv(
+                                    equation._seq, sp, grid, n_kernel_params
+                                )
                 except PharmsolError as e:
-                    if "time-independent" not in str(e):
-                        raise
-                    # time-dependent but (potentially) multiplicative:
-                    # per-segment multipliers evaluate g at each segment end
-                    self.mult_seg = _decompose_seq_tv(
-                        equation._seq, sp, grid, n_kernel_params
+                    affine_err = e
+            if self.mult is None and self.mult_seg is None:
+                # covariate-free time-independent seq of ANY form (incl.
+                # parameter mixing and 3-cmt structures): chain-depth levels
+                try:
+                    self.param_levels, self.seg_depth = _decompose_seq_levels(
+                        equation._seq, sp, grid, sdef, n_kernel_params
                     )
+                except PharmsolError as level_err:
+                    raise affine_err or level_err
         # lag/fa: per-(row, support) planes via the kernel's pending-dose /
         # amount-scale mechanism (structs.rs:611-666)
         self.lag_plane = None
         self.fa_plane = None
         ninput = int(equation.ndrugs())
         if equation._lag is not None:
-            if self.mult_seg is not None:
+            if self.mult_seg is not None or self.param_levels is not None:
                 raise PharmsolError(
                     "engine='pallas' does not support lag together with "
-                    "per-segment seq/covariate multipliers (a lag-shifted "
-                    "dose adds a seq-reset breakpoint the segment streams "
+                    "per-segment seq streams (a lag-shifted dose adds a "
+                    "seq-reset breakpoint the host-side segment schedule "
                     "cannot express) — use the default XLA engine"
                 )
             lp = _decompose_input_plane(
@@ -832,24 +1010,34 @@ class _PallasPsiPlan:
             )
 
         self.padded = [jnp.asarray(pad_rows(a), dtype=fd) for a in streams]
-        if self.mult is not None:
-            m = np.asarray(self.mult, dtype=np.float64)
-            if self.Rp != self.R:  # padded rows get identity multipliers
-                m = np.concatenate(
-                    [m, np.ones((self.Rp - self.R, m.shape[1]))], axis=0
-                )
-            self.mult_dev = jnp.asarray(m, dtype=fd)
-        else:
-            self.mult_dev = None
-        if self.mult_seg is not None:
-            ms = np.asarray(self.mult_seg, dtype=np.float64)  # [R, P, M]
-            if self.Rp != self.R:
-                ms = np.concatenate(
-                    [ms, np.ones((self.Rp - self.R,) + ms.shape[1:])], axis=0
-                )
-            self.mult_seg_dev = jnp.asarray(ms, dtype=fd)
-        else:
-            self.mult_seg_dev = None
+
+        def pad_rows_fill(a, fill):
+            a = np.asarray(a, dtype=np.float64)
+            if self.Rp == self.R:
+                return jnp.asarray(a, dtype=fd)
+            pad = np.full((self.Rp - self.R,) + a.shape[1:], fill)
+            return jnp.asarray(np.concatenate([a, pad], axis=0), dtype=fd)
+
+        # padded rows get identity factors: multiplier 1, offset 0
+        self.mult_dev = (
+            pad_rows_fill(self.mult, 1.0) if self.mult is not None else None
+        )
+        self.mult_off_dev = (
+            pad_rows_fill(self.mult_off, 0.0)
+            if self.mult_off is not None else None
+        )
+        self.mult_seg_dev = (
+            pad_rows_fill(self.mult_seg, 1.0)
+            if self.mult_seg is not None else None
+        )
+        self.mult_seg_off_dev = (
+            pad_rows_fill(self.mult_seg_off, 0.0)
+            if self.mult_seg_off is not None else None
+        )
+        self.seg_depth_dev = (
+            pad_rows_fill(self.seg_depth, 0.0)
+            if self.seg_depth is not None else None
+        )
 
         def pad_plane(a, fill):
             a = np.asarray(a, dtype=np.float64)
@@ -887,6 +1075,15 @@ class _PallasPsiPlan:
             else sp_padded,
             dtype=fd,
         )
+        self.param_levels_dev = None
+        if self.param_levels is not None:
+            lv = np.asarray(self.param_levels, np.float64)  # [L, n_base, S]
+            if self.Sp != self.S:
+                lv = np.concatenate(
+                    [lv, np.repeat(lv[..., -1:], self.Sp - self.S, axis=-1)],
+                    axis=-1,
+                )
+            self.param_levels_dev = jnp.asarray(lv, dtype=fd)
         # output coefficients: y_k = C_k(p) . x + b_k(p), per support point
         out_fn = equation._out or (lambda x, p, t, cov: x[: self.n_out])
         occ0 = jax.tree_util.tree_map(
@@ -919,35 +1116,39 @@ class _PallasPsiPlan:
         self.pass_outeq = self.n_out > 1
 
     def cache_key(self, *extra):
+        lv = self.param_levels_dev
         return ("pallas", self.structure, self.Rp, self.Sp, self.M,
                 self.pass_inf, self.pass_cens, self.pass_outeq, self.n_out,
                 self.out_bias is not None, self.mult_dev is not None,
+                self.mult_off_dev is not None,
                 self.mult_seg_dev is not None,
+                self.mult_seg_off_dev is not None,
+                None if lv is None else int(lv.shape[0]),
                 self.lag_plane_dev is not None,
                 self.fa_plane_dev is not None, str(self.fd)) + extra
 
     def stream_args(self):
-        """The row-axis streams ([Rp, M] segments + [Rp, ...] multipliers
+        """The row-axis streams ([Rp, M] segments + [Rp, ...] seq factors
         and [Rp, Sp] lag/fa planes)."""
         p = self.padded
         include = [True, True, self.pass_inf, True, True, True,
                    self.pass_cens, self.pass_outeq]
         out = tuple(a for a, inc in zip(p, include) if inc)
-        if self.mult_dev is not None:
-            out = out + (self.mult_dev,)
-        if self.mult_seg_dev is not None:
-            out = out + (self.mult_seg_dev,)
-        if self.lag_plane_dev is not None:
-            out = out + (self.lag_plane_dev,)
-        if self.fa_plane_dev is not None:
-            out = out + (self.fa_plane_dev,)
+        for a in (self.mult_dev, self.mult_off_dev, self.mult_seg_dev,
+                  self.mult_seg_off_dev, self.seg_depth_dev,
+                  self.lag_plane_dev, self.fa_plane_dev):
+            if a is not None:
+                out = out + (a,)
         return out
 
     def rep_args(self):
-        """Support-axis arrays (replicated under sharding): support, coef[, bias]."""
+        """Support-axis arrays (replicated under sharding): support,
+        coef[, bias][, seq level tables]."""
         out = [self.sp_dev, self.out_coef]
         if self.out_bias is not None:
             out.append(self.out_bias)
+        if self.param_levels_dev is not None:
+            out.append(self.param_levels_dev)
         return tuple(out)
 
     def runner(self):
@@ -958,13 +1159,18 @@ class _PallasPsiPlan:
         pass_inf, pass_cens = self.pass_inf, self.pass_cens
         pass_outeq = self.pass_outeq
         pass_mult = self.mult_dev is not None
+        pass_mult_off = self.mult_off_dev is not None
         pass_mult_seg = self.mult_seg_dev is not None
+        pass_mult_seg_off = self.mult_seg_off_dev is not None
+        pass_depth = self.seg_depth_dev is not None
+        pass_levels = self.param_levels_dev is not None
         pass_lag = self.lag_plane_dev is not None
         pass_fa = self.fa_plane_dev is not None
         has_bias = self.out_bias is not None
         n_streams = (5 + int(pass_inf) + int(pass_cens) + int(pass_outeq)
-                     + int(pass_mult) + int(pass_mult_seg) + int(pass_lag)
-                     + int(pass_fa))
+                     + int(pass_mult) + int(pass_mult_off)
+                     + int(pass_mult_seg) + int(pass_mult_seg_off)
+                     + int(pass_depth) + int(pass_lag) + int(pass_fa))
 
         def run(*args):
             it = iter(args[:n_streams])
@@ -974,17 +1180,23 @@ class _PallasPsiPlan:
             cens = next(it) if pass_cens else None
             outeq = next(it) if pass_outeq else None
             mult = next(it) if pass_mult else None
+            mult_off = next(it) if pass_mult_off else None
             mult_seg = next(it) if pass_mult_seg else None
+            mult_seg_off = next(it) if pass_mult_seg_off else None
+            depth = next(it) if pass_depth else None
             lagp = next(it) if pass_lag else None
             fap = next(it) if pass_fa else None
-            rep = args[n_streams:]
-            sp_dev, coef = rep[0], rep[1]
-            bias = rep[2] if has_bias else None
+            rep = iter(args[n_streams:])
+            sp_dev, coef = next(rep), next(rep)
+            bias = next(rep) if has_bias else None
+            levels = next(rep) if pass_levels else None
             return psi_oral(dt, bol, inf, mask, val, sig, cens, sp_dev,
                             structure=structure, obs_outeq=outeq,
                             out_coef=coef, out_bias=bias, param_mult=mult,
-                            param_mult_seg=mult_seg, lag_plane=lagp,
-                            fa_plane=fap)
+                            param_mult_seg=mult_seg, param_offset=mult_off,
+                            param_offset_seg=mult_seg_off,
+                            param_levels=levels, seg_depth=depth,
+                            lag_plane=lagp, fa_plane=fap)
 
         run.n_streams = n_streams
         return run
@@ -1303,9 +1515,11 @@ class _PallasOdePsiPlan:
         cov_names = self.cov_names
         n_streams = (6 + int(pass_inf) + int(pass_cens) + int(pass_outeq)
                      + int(has_init) + len(cov_names))
-        unroll = o.unroll
-        if unroll is None:
-            unroll = 4 if jax.default_backend() == "tpu" else 1
+        # ODEOptions.unroll amortizes XLA's per-while-iteration dispatch;
+        # inside the pallas kernel there is no dispatch to amortize and
+        # every extra unrolled trial is wasted work on lanes that just
+        # finished — 1 is measurably best (same-session A/B)
+        unroll = 1
 
         def run(*args):
             it = iter(args[:n_streams])

@@ -51,6 +51,7 @@ class SDE(EquationBase):
         nout: int = 5,
         seed: int = 0,
         noise: str = "common",
+        resampling: str = "stratified",
     ):
         super().__init__(nstates, ndrugs, nout)
         self._drift = drift
@@ -64,6 +65,9 @@ class SDE(EquationBase):
         if noise not in ("common", "independent"):
             raise ValueError("noise must be 'common' or 'independent'")
         self._noise = noise
+        if resampling not in ("stratified", "systematic"):
+            raise ValueError("resampling must be 'stratified' or 'systematic'")
+        self._resampling = resampling
 
     def _model_kind(self) -> ModelKind:
         return ModelKind.SDE
@@ -91,6 +95,21 @@ class SDE(EquationBase):
         if noise not in ("common", "independent"):
             raise ValueError("noise must be 'common' or 'independent'")
         self._noise = noise
+        self._invalidate()
+        return self
+
+    def with_resampling(self, resampling: str):
+        """Particle resampling scheme at weighted observations.
+
+        ``'stratified'`` (default) matches the reference's ``sysresample``
+        exactly — despite its name it draws an independent uniform per
+        stratum, ``u_j = (j + U_j)/M`` (sde/mod.rs:747-768).
+        ``'systematic'`` uses the textbook single shared offset
+        ``u_j = (j + U)/M`` (lower resampling variance, Kitagawa 1996).
+        """
+        if resampling not in ("stratified", "systematic"):
+            raise ValueError("resampling must be 'stratified' or 'systematic'")
+        self._resampling = resampling
         self._invalidate()
         return self
 
@@ -135,6 +154,7 @@ class SDE(EquationBase):
             lag=self._lag,
             fa=self._fa,
             bolus_dest=bolus_dest,
+            resampling=self._resampling,
         )
 
     @property

@@ -547,6 +547,13 @@ def psi_ode(
     budget = max(ODE_TILE_BUDGET // max(1, (n_states + 1) // 2), 8 * 128)
     while row_block * sp_block > budget and row_block > 8:
         row_block //= 2
+    import os
+
+    override = os.environ.get("PHARMSOL_ODE_ROW_BLOCK")
+    if override:  # perf-experiment hook (scripts/tpu_ode_psi_ab.py A/Bs)
+        rb = int(override)
+        if R % rb == 0:
+            row_block = rb
     row_spec = pl.BlockSpec((row_block, SEG_PAD), lambda i, j: (i, 0))
     p_spec = pl.BlockSpec((1, sp_block), lambda i, j: (0, j))
 

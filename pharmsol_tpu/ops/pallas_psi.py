@@ -432,7 +432,8 @@ STRUCTURES = {
 def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
                  n_out: int, has_bias: bool, n_param_rows: int,
                  mult_mode: Optional[str] = None, has_lag: bool = False,
-                 has_fa: bool = False):
+                 has_fa: bool = False, n_levels: int = 0,
+                 has_offsets: bool = False):
     """Build the psi tile kernel for one structure + feature combination.
 
     Ref layout (in order): segment streams (dt, bolus, [rateiv], mask, value,
@@ -458,6 +459,23 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
     Mosaic note: per-segment scalars are extracted with one-hot lane
     reductions instead of strided slices (sub-tile slicing fails to legalize
     on some Mosaic versions).
+
+    ``mult_mode == 'levels'`` (seq chain-depth scheme): a covariate-free,
+    time-independent seq equation — of ANY form, including non-separable
+    parameter mixing — evaluates to ``seq^d(p)`` where the chain depth d
+    depends only on the row's event structure (resets at real events,
+    compounds across infusion-end sub-splits, analytical/mod.rs:331,360).
+    The iterated level tables are computed host-side on the support matrix
+    and stream as ``n_levels`` sets of parameter rows (post-remap, with
+    XLA-prepared eigen extras per level — so this is the 3-cmt+seq path);
+    a depth stream [rows, SEG_PAD] selects the level per segment with
+    one-hot lane math and ``prepare`` runs per segment on the blended
+    [rows, sp] parameter tiles.
+
+    ``has_offsets`` extends 'row'/'segment' multiplier modes to the AFFINE
+    decomposition ``seq[i] = p[i] * g_i + h_i`` (additive covariate
+    effects): each multiplier stream is followed by a matching offset
+    stream and effective parameters become ``p * g + h``.
 
     ``has_lag`` / ``has_fa``: per-(row, support) lag shift / bioavailability
     scale planes ride as [row_block, sp_block] tile inputs (after the
@@ -492,13 +510,26 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
         censs = next(it)[:, :] if has_cens else None
         outeqs = next(it)[:, :] if has_outeq else None
         mults = next(it)[:, :] if mult_mode == "row" else None
+        offs = next(it)[:, :] if mult_mode == "row" and has_offsets else None
         seg_mults = (
             [next(it)[:, :] for _ in range(n_param_rows)]
             if mult_mode == "segment" else None
         )
+        seg_offs = (
+            [next(it)[:, :] for _ in range(n_param_rows)]
+            if mult_mode == "segment" and has_offsets else None
+        )
+        depths = next(it)[:, :] if mult_mode == "levels" else None
         lag_plane = next(it)[:, :] if has_lag else None
         fa_plane = next(it)[:, :] if has_fa else None
-        params = [next(it)[:, :] for _ in range(n_param_rows)]
+        if mult_mode == "levels":
+            level_params = [
+                [next(it)[:, :] for _ in range(n_param_rows)]
+                for _ in range(n_levels)
+            ]
+            params = level_params[0]  # layout reference only
+        else:
+            params = [next(it)[:, :] for _ in range(n_param_rows)]
         coefs = [[next(it)[:, :] for _ in range(n_states)] for _ in range(n_out)]
         biases = [next(it)[:, :] for _ in range(n_out)] if has_bias else None
         out_ref = next(it)
@@ -507,14 +538,15 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
             mlane = jax.lax.broadcasted_iota(jnp.int32, mults.shape, 1)
             eff = []
             for i in range(n_param_rows):
-                m_i = jnp.sum(
-                    mults * (mlane == np.int32(i)).astype(mults.dtype),
-                    axis=1, keepdims=True,
-                )  # [rows, 1]
-                eff.append(params[i] * m_i)  # [rows, sp_block]
+                sel_i = (mlane == np.int32(i)).astype(mults.dtype)
+                m_i = jnp.sum(mults * sel_i, axis=1, keepdims=True)  # [rows, 1]
+                e_i = params[i] * m_i  # [rows, sp_block]
+                if has_offsets:
+                    e_i = e_i + jnp.sum(offs * sel_i, axis=1, keepdims=True)
+                eff.append(e_i)
             aux = prepare(remap(eff) if remap else eff)
-        elif mult_mode == "segment":
-            aux = None  # rebuilt per segment from the multiplier streams
+        elif mult_mode in ("segment", "levels"):
+            aux = None  # rebuilt per segment from the streams
         else:
             aux = prepare(params)
         shape = (out_ref.shape[0], out_ref.shape[1])
@@ -567,7 +599,19 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
             rate = col(rates) if has_inf else None
             if mult_mode == "segment":
                 eff = [params[i] * col(seg_mults[i]) for i in range(n_param_rows)]
+                if has_offsets:
+                    eff = [e + col(seg_offs[i]) for i, e in enumerate(eff)]
                 aux_m = prepare(remap(eff) if remap else eff)
+            elif mult_mode == "levels":
+                d = col(depths)  # [rows, 1]
+                eff = []
+                for i in range(n_param_rows):
+                    e_i = (d == 1.0).astype(d.dtype) * level_params[0][i]
+                    for l in range(1, n_levels):
+                        e_i = e_i + (d == float(l + 1)).astype(d.dtype) \
+                            * level_params[l][i]
+                    eff.append(e_i)  # [rows, sp_block]
+                aux_m = prepare(eff)  # levels are pre-remapped host-side
             else:
                 aux_m = aux
             live = dt > 0.0
@@ -626,6 +670,10 @@ def psi_oral(
     out_bias=None,
     param_mult=None,
     param_mult_seg=None,
+    param_offset=None,
+    param_offset_seg=None,
+    param_levels=None,
+    seg_depth=None,
     lag_plane=None,
     fa_plane=None,
 ):
@@ -658,7 +706,16 @@ def psi_oral(
     eigen preparation (1/2-cmt families). ``param_mult_seg``
     [R, n_params, M] carries per-SEGMENT multipliers instead (time-varying
     covariates / seq compounding across infusion-end sub-splits); mutually
-    exclusive with ``param_mult``.
+    exclusive with ``param_mult``. ``param_offset`` / ``param_offset_seg``
+    extend either mode to the affine form ``p * g + h`` (additive
+    covariate effects); same shapes as their multiplier counterparts.
+
+    ``param_levels`` [L, n_base, S] + ``seg_depth`` [R, M]: the seq
+    chain-depth scheme for covariate-free time-independent seq equations
+    of any form (see _make_kernel). Level rows must already be in the
+    structure's MICRO-CONSTANT parameterization (remap applied host-side);
+    eigen extras for 3-cmt structures are prepared here per level. Depth
+    values are 1-based level indices (0 on dead segments).
 
     Returns psi [R, S]. R must be a multiple of SUB_TILE and S a multiple of
     SP_TILE (pad rows with dt=0/mask=0 and supports by repetition; pad
@@ -746,15 +803,24 @@ def psi_oral(
     # zero out sigma where masked; the kernel re-adds 1.0 on masked lanes so
     # log() stays finite
     full[5] = full[5] * full[3]
-    if param_mult is not None and param_mult_seg is not None:
-        raise ValueError("param_mult and param_mult_seg are mutually exclusive")
+    n_modes = sum(x is not None for x in (param_mult, param_mult_seg,
+                                          param_levels))
+    if n_modes > 1:
+        raise ValueError(
+            "param_mult, param_mult_seg and param_levels are mutually "
+            "exclusive"
+        )
     mult_mode = ("row" if param_mult is not None
-                 else "segment" if param_mult_seg is not None else None)
-    if mult_mode is not None and sdef["prep_xla"] is not None:
+                 else "segment" if param_mult_seg is not None
+                 else "levels" if param_levels is not None else None)
+    if mult_mode in ("row", "segment") and sdef["prep_xla"] is not None:
         raise ValueError(
             f"param multipliers are not supported for `{structure}` (its "
-            "eigen preparation runs in XLA per support point, not per row)"
+            "eigen preparation runs in XLA per support point, not per row; "
+            "covariate-free seq models ride param_levels instead)"
         )
+    has_offsets = False
+    n_levels = 0
     if mult_mode == "row":
         pm = jnp.asarray(param_mult, dtype)
         if pm.shape != (R, n_params):
@@ -762,6 +828,14 @@ def psi_oral(
                 f"param_mult must be [{R}, {n_params}], got {pm.shape}"
             )
         full.append(_pad_lanes(pm, SEG_PAD))
+        has_offsets = _static_any(param_offset)
+        if has_offsets:
+            po = jnp.asarray(param_offset, dtype)
+            if po.shape != (R, n_params):
+                raise ValueError(
+                    f"param_offset must be [{R}, {n_params}], got {po.shape}"
+                )
+            full.append(_pad_lanes(po, SEG_PAD))
     elif mult_mode == "segment":
         pms = jnp.asarray(param_mult_seg, dtype)
         if pms.shape != (R, n_params, M):
@@ -770,19 +844,54 @@ def psi_oral(
             )
         for i in range(n_params):
             full.append(_pad_lanes(pms[:, i, :], SEG_PAD))
+        has_offsets = _static_any(param_offset_seg)
+        if has_offsets:
+            pos = jnp.asarray(param_offset_seg, dtype)
+            if pos.shape != (R, n_params, M):
+                raise ValueError(
+                    f"param_offset_seg must be [{R}, {n_params}, {M}], "
+                    f"got {pos.shape}"
+                )
+            for i in range(n_params):
+                full.append(_pad_lanes(pos[:, i, :], SEG_PAD))
+    elif mult_mode == "levels":
+        if seg_depth is None:
+            raise ValueError("param_levels requires the seg_depth stream")
+        sd = jnp.asarray(seg_depth, dtype)
+        if sd.shape != (R, M):
+            raise ValueError(
+                f"seg_depth must be [{R}, {M}], got {sd.shape}"
+            )
+        full.append(_pad_lanes(sd, SEG_PAD))
     # base parameter rows: with per-row multipliers the CL remap moves into
     # the kernel (it must act on the effective per-row params); otherwise
     # remap CL columns and XLA-prepare eigen extras here
     raw_rows = [sp[:, i].reshape(1, S) for i in range(n_params)]
-    if mult_mode is not None:
+    if mult_mode == "levels":
+        lv = jnp.asarray(param_levels, dtype)
+        n_levels = lv.shape[0]
+        n_base_l = lv.shape[1]
+        level_rows_all = []
+        rows_l = None
+        for l in range(n_levels):
+            rows_l = [lv[l, i].reshape(1, S) for i in range(n_base_l)]
+            if sdef["prep_xla"] is not None:
+                rows_l = rows_l + [
+                    jnp.asarray(r, dtype) for r in sdef["prep_xla"](rows_l)
+                ]
+            level_rows_all.extend(rows_l)
+        base_rows = rows_l  # per-level layout; sets the kernel's row count
+        p_rows = level_rows_all + coef_rows + bias_rows
+    elif mult_mode is not None:
         base_rows = raw_rows
+        p_rows = base_rows + coef_rows + bias_rows
     else:
         base_rows = sdef["remap"](raw_rows) if sdef["remap"] else raw_rows
         if sdef["prep_xla"] is not None:
             base_rows = base_rows + [
                 jnp.asarray(r, dtype) for r in sdef["prep_xla"](base_rows)
             ]
-    p_rows = base_rows + coef_rows + bias_rows
+        p_rows = base_rows + coef_rows + bias_rows
 
     has_lag = lag_plane is not None
     has_fa = _static_any(fa_plane)
@@ -799,7 +908,8 @@ def psi_oral(
     kernel = _make_kernel(
         sdef, n_seg=M, has_inf=has_inf, has_cens=has_cens, n_out=n_out,
         has_bias=has_bias, n_param_rows=len(base_rows), mult_mode=mult_mode,
-        has_lag=has_lag, has_fa=has_fa,
+        has_lag=has_lag, has_fa=has_fa, n_levels=n_levels,
+        has_offsets=has_offsets,
     )
     # all-zero optional streams are dropped from the pipeline entirely
     # (no DMA, no VMEM block); the kernel never reads those refs

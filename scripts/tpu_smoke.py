@@ -215,6 +215,20 @@ out(cp) = central / v
                                ODEOptions(solver=name)))
         checks.append((f"f64-emulated/{name}", bool(np.all(np.isfinite(out64)))))
 
+    # 8. the committed f32 error-budget table, ON-CHIP: compiled Mosaic
+    # kernels + f32 XLA vs f64 goldens — the same table the CPU suite
+    # gates in interpret mode (tests/test_f32_budget.py)
+    from pharmsol_tpu.utils.f32_budget import budget_cases, run_case
+
+    for case in budget_cases():
+        for engine in ("pallas", "xla"):
+            res = run_case(case, engine=engine)
+            checks.append((
+                f"f32-budget/{case.name}/{engine} "
+                f"({res['rel']:.1e}<={case.budget:.0e})",
+                res["ok"],
+            ))
+
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
         print(f"  {'OK  ' if ok else 'FAIL'} {name}")

@@ -6,6 +6,7 @@ import math
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import pharmsol_tpu as pst
 from pharmsol_tpu import (
@@ -69,6 +70,7 @@ def test_multi_output_model():
     np.testing.assert_allclose(ll, total, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_parameter_dependent_lag_in_psi_matrix():
     """The segment grid depends on the support point when lag is a parameter;
     every psi cell must equal the per-subject log-likelihood."""
@@ -154,6 +156,7 @@ def test_missing_error_model_raises():
     assert ll == 0.0
 
 
+@pytest.mark.slow
 def test_censoring_and_errorpoly_override_in_psi():
     """BLOQ/ALOQ censored observations and per-observation errorpoly
     overrides must flow through the fused psi scan identically to the

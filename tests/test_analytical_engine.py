@@ -342,6 +342,7 @@ def test_covariate_modulated_elimination():
     np.testing.assert_allclose(got, [0.0, 100.0 / 70.0], rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_associative_scan_matches_serial():
     """with_scan('associative'): O(log M)-depth affine prefix composition
     must reproduce the serial segment scan exactly (SURVEY §5's

@@ -25,6 +25,8 @@ from pharmsol_tpu import (
 from pharmsol_tpu.dsl import compile_model
 from pharmsol_tpu.models.sde import SDE
 
+pytestmark = pytest.mark.slow  # heavy parity tier; quick gate runs -m 'not slow'
+
 
 def flat(model, subject, params):
     return np.asarray(model.estimate_predictions(subject, params).flat_predictions())

@@ -8,6 +8,7 @@ the declarative API, and DSL text. All three must agree at trace precision.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import pharmsol_tpu as pst
 from pharmsol_tpu import (
@@ -20,6 +21,8 @@ from pharmsol_tpu import (
     ode_model,
 )
 from pharmsol_tpu.dsl import compile_model
+
+pytestmark = pytest.mark.slow  # heavy parity tier; quick gate runs -m 'not slow'
 
 P = [1.1, 0.18, 0.07, 0.04, 35.0, 0.6, 0.85, 4.0, 18.0]
 # [ka, ke, kcp, kpc, v, tlag_oral, f_oral, base_depot, base_central]

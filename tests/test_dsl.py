@@ -201,6 +201,7 @@ out(cp) = central / vol
 """
 
 
+@pytest.mark.slow
 def test_dsl_sde_compiles_and_runs():
     runtime = compile_module_source_to_runtime(SDE_SRC, name="sde_decay")
     assert runtime.kind == "sde"
@@ -275,6 +276,7 @@ model cond {
     np.testing.assert_allclose(got, [100 * math.exp(-0.2), 100 * math.exp(-0.6)], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_artifact_roundtrip(tmp_path):
     runtime = compile_model(ODE_SRC)
     path = str(tmp_path / "model.pkm")

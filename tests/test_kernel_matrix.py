@@ -9,6 +9,8 @@ import pharmsol_tpu as pst
 from pharmsol_tpu import ODE, Analytical, Subject
 from pharmsol_tpu.engine.analytical import KERNELS, PREPARED_KERNELS
 
+pytestmark = pytest.mark.slow  # heavy parity tier; quick gate runs -m 'not slow'
+
 # plausible positive parameters per kernel (kernel order)
 KERNEL_PARAMS = {
     "one_compartment": [0.21],

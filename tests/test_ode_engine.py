@@ -89,6 +89,7 @@ def test_two_compartment_oral_matches_analytical():
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_three_compartment_matches_analytical():
     def diffeq(x, p, t, b, rateiv, cov):
         k10, k12, k13, k21, k31 = p[0], p[1], p[2], p[3], p[4]

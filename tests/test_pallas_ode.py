@@ -26,6 +26,8 @@ from pharmsol_tpu.likelihood.matrix import (
     log_likelihood_matrix,
 )
 
+pytestmark = pytest.mark.slow  # heavy parity tier; quick gate runs -m 'not slow'
+
 
 def _ems():
     return AssayErrorModels().add(

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 import pharmsol_tpu as pst
 from pharmsol_tpu import Analytical, AssayErrorModel, AssayErrorModels, Censor, Data, ErrorPoly, Subject
@@ -12,6 +13,8 @@ from pharmsol_tpu.ops.pallas_psi import (
     psi_2cmt_oral,
     segment_stream_from_schedule,
 )
+
+pytestmark = pytest.mark.slow  # heavy parity tier; quick gate runs -m 'not slow'
 
 
 def test_pallas_psi_matches_engine():
@@ -412,10 +415,10 @@ def test_pallas_sharded_validates_like_unsharded():
     model = Analytical(
         pst.two_compartments,
         out=lambda x, p, t, cov: x[0:1] / p[3],
-        lag=lambda p, t, cov: {0: p[0]},
+        init=lambda p, t, cov: jnp.stack([p[0], 0.0]),
         nstates=2, ndrugs=1, nout=1,
     )
-    with pytest.raises(PharmsolError, match="lag/fa/init"):
+    with pytest.raises(PharmsolError, match="init"):
         log_likelihood_matrix_sharded(
             model, Data([s]), np.ones((4, 4)), ems, engine="pallas"
         )
@@ -690,14 +693,29 @@ def test_pallas_engine_covariate_rejections():
     want_tv = log_likelihood_matrix(model, Data([subj(tv=True)]), sp, ems)
     np.testing.assert_allclose(got_tv, want_tv, rtol=1e-6, atol=1e-6)
 
-    # additive (non-separable) seq -> rejection
+    # additive covariate seq: round-3 affine streams carry it exactly
     model_add = Analytical(
         pst.one_compartment,
         seq_eq=lambda p, t, cov: jnp.stack([p[0] + cov("wt", t) / 700.0, p[1]]),
         out=lambda x, p, t, cov: x[0:1] / p[1], nstates=1, ndrugs=1, nout=1,
     )
-    with pytest.raises(PharmsolError, match="separable|multiplicative"):
-        log_likelihood_matrix(model_add, Data([subj()]), sp, ems, engine="pallas")
+    got_add = log_likelihood_matrix(
+        model_add, Data([subj()]), sp, ems, engine="pallas"
+    )
+    want_add = log_likelihood_matrix(model_add, Data([subj()]), sp, ems)
+    np.testing.assert_allclose(got_add, want_add, rtol=1e-6, atol=1e-6)
+
+    # covariate-dependent parameter MIXING: not diagonal-affine and not
+    # covariate-free -> genuinely outside every fast-path decomposition
+    model_mix = Analytical(
+        pst.one_compartment,
+        seq_eq=lambda p, t, cov: jnp.stack(
+            [p[0] * p[1] * cov("wt", t) / 700.0, p[1]]
+        ),
+        out=lambda x, p, t, cov: x[0:1] / p[1], nstates=1, ndrugs=1, nout=1,
+    )
+    with pytest.raises(PharmsolError, match="affine|separable|mixes"):
+        log_likelihood_matrix(model_mix, Data([subj()]), sp, ems, engine="pallas")
 
     # time-dependent multiplicative seq: per-segment streams carry it too
     model_t = Analytical(
@@ -709,14 +727,30 @@ def test_pallas_engine_covariate_rejections():
     want_t = log_likelihood_matrix(model_t, Data([subj()]), sp, ems)
     np.testing.assert_allclose(got_t, want_t, rtol=1e-6, atol=1e-6)
 
-    # time-dependent AND non-separable -> rejection through the tv path
+    # time-dependent ADDITIVE seq: round-3 affine tv streams carry it
     model_t_add = Analytical(
         pst.one_compartment,
         seq_eq=lambda p, t, cov: jnp.stack([p[0] + 0.001 * t, p[1]]),
         out=lambda x, p, t, cov: x[0:1] / p[1], nstates=1, ndrugs=1, nout=1,
     )
-    with pytest.raises(PharmsolError, match="separable|multiplicative"):
-        log_likelihood_matrix(model_t_add, Data([subj()]), sp, ems, engine="pallas")
+    got_ta = log_likelihood_matrix(
+        model_t_add, Data([subj()]), sp, ems, engine="pallas"
+    )
+    want_ta = log_likelihood_matrix(model_t_add, Data([subj()]), sp, ems)
+    np.testing.assert_allclose(got_ta, want_ta, rtol=1e-6, atol=1e-6)
+
+    # time-dependent parameter MIXING: rejected through the tv path too
+    model_t_mix = Analytical(
+        pst.one_compartment,
+        seq_eq=lambda p, t, cov: jnp.stack(
+            [p[0] * (p[1] + 0.001 * t), p[1]]
+        ),
+        out=lambda x, p, t, cov: x[0:1] / p[1], nstates=1, ndrugs=1, nout=1,
+    )
+    with pytest.raises(PharmsolError, match="affine|separable|mixes"):
+        log_likelihood_matrix(
+            model_t_mix, Data([subj()]), sp, ems, engine="pallas"
+        )
 
     # covariate read in out() -> rejection
     model_out = Analytical(
@@ -727,7 +761,7 @@ def test_pallas_engine_covariate_rejections():
     with pytest.raises(PharmsolError, match="out\\(\\) reads a covariate"):
         log_likelihood_matrix(model_out, Data([subj()]), sp, ems, engine="pallas")
 
-    # 3-cmt + seq -> rejection (eigen prep is per-support in XLA)
+    # 3-cmt + covariate-free seq: round-3 chain-depth levels carry it
     model_3 = Analytical(
         pst.three_compartments,
         seq_eq=lambda p, t, cov: p,
@@ -735,8 +769,25 @@ def test_pallas_engine_covariate_rejections():
         nstates=3, ndrugs=1, nout=1,
     )
     sp6 = np.abs(np.random.RandomState(1).randn(4, 6)) + 0.1
-    with pytest.raises(PharmsolError, match="3-cmt|eigen"):
-        log_likelihood_matrix(model_3, Data([subj()]), sp6, ems, engine="pallas")
+    got_3 = log_likelihood_matrix(
+        model_3, Data([subj()]), sp6, ems, engine="pallas"
+    )
+    want_3 = log_likelihood_matrix(model_3, Data([subj()]), sp6, ems)
+    np.testing.assert_allclose(got_3, want_3, rtol=1e-6, atol=1e-6)
+
+    # 3-cmt + covariate-READING seq: no fast-path decomposition exists
+    model_3c = Analytical(
+        pst.three_compartments,
+        seq_eq=lambda p, t, cov: jnp.stack(
+            [p[0] * cov("wt", t) / 70.0, p[1], p[2], p[3], p[4], p[5]]
+        ),
+        out=lambda x, p, t, cov: x[0:1] / p[5],
+        nstates=3, ndrugs=1, nout=1,
+    )
+    with pytest.raises(PharmsolError, match="covariate-free|eigen|affine"):
+        log_likelihood_matrix(
+            model_3c, Data([subj()]), sp6, ems, engine="pallas"
+        )
 
 
 def test_pallas_engine_seq_without_covariates():
@@ -1009,3 +1060,151 @@ def test_pallas_sharded_covariate_mult_seg_stream():
         model, Data(subjects), support, ems, mesh=mesh, engine="pallas"
     )
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def _seq_subjects(n=8, with_cov=False, with_inf=True):
+    out = []
+    for i in range(n):
+        sb = Subject.builder(f"s{i}").bolus(0.0, 100.0, 0)
+        if with_inf and i % 3 == 0:
+            sb = sb.infusion(2.0, 50.0, 0, 1.0)
+        if with_cov:
+            sb = sb.covariate("wt", 0.0, 55.0 + 4.0 * i)
+        for t in (0.5, 1.5, 3.0, 6.0, 10.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.25 * t) + 0.05 * i), 0)
+        out.append(sb.build())
+    return Data(out)
+
+
+def _seq_check(model, data, sp, tol=1e-9):
+    ems = AssayErrorModels().add(
+        0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0)
+    )
+    x = log_likelihood_matrix(model, data, sp, ems, engine="xla")
+    p = log_likelihood_matrix(model, data, sp, ems, engine="pallas")
+    err = np.max(np.abs(p - x) / np.maximum(np.abs(x), 1.0))
+    assert err < tol, err
+
+
+def test_pallas_engine_additive_cov_seq_segment_mode():
+    # additive covariate effect -> affine per-segment streams (offsets ride
+    # along the multiplier streams; infusion sub-splits compound the chain)
+    rng = np.random.RandomState(21)
+    model = Analytical(
+        pst.one_compartment_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        seq_eq=lambda p, t, cov: jnp.stack(
+            [p[0], p[1] + 0.001 * cov("wt", t), p[2]]
+        ),
+        nstates=2, ndrugs=1, nout=1,
+    )
+    sp = np.column_stack([
+        rng.uniform(0.8, 2.0, 12), rng.uniform(0.1, 0.3, 12),
+        rng.uniform(8, 15, 12),
+    ])
+    _seq_check(model, _seq_subjects(with_cov=True), sp)
+
+
+def test_pallas_engine_additive_cov_seq_row_mode():
+    # no infusions + time-constant covariates -> the cheaper per-row
+    # affine decomposition
+    rng = np.random.RandomState(22)
+    model = Analytical(
+        pst.one_compartment_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        seq_eq=lambda p, t, cov: jnp.stack(
+            [p[0], p[1] + 0.001 * cov("wt", t), p[2]]
+        ),
+        nstates=2, ndrugs=1, nout=1,
+    )
+    sp = np.column_stack([
+        rng.uniform(0.8, 2.0, 12), rng.uniform(0.1, 0.3, 12),
+        rng.uniform(8, 15, 12),
+    ])
+    _seq_check(model, _seq_subjects(with_cov=True, with_inf=False), sp)
+
+
+def test_pallas_engine_parameter_mixing_seq_levels():
+    # non-separable seq (reads other parameters): the chain-depth level
+    # scheme is exact for any covariate-free time-independent form
+    rng = np.random.RandomState(23)
+    model = Analytical(
+        pst.two_compartments,
+        out=lambda x, p, t, cov: x[0:1] / p[3],
+        seq_eq=lambda p, t, cov: jnp.stack([
+            p[0] * (1.0 + 0.1 * p[2]), p[1] + 0.02 * p[0], p[2], p[3],
+        ]),
+        nstates=2, ndrugs=1, nout=1,
+    )
+    sp = np.column_stack([
+        rng.uniform(0.1, 0.3, 12), rng.uniform(0.2, 0.4, 12),
+        rng.uniform(0.1, 0.3, 12), rng.uniform(8, 15, 12),
+    ])
+    _seq_check(model, _seq_subjects(), sp)
+
+
+def test_pallas_engine_three_cmt_seq_levels():
+    # 3-cmt + seq: level tables with per-level XLA eigen preparation
+    rng = np.random.RandomState(24)
+    model = Analytical(
+        pst.three_compartments,
+        out=lambda x, p, t, cov: x[0:1] / p[5],
+        seq_eq=lambda p, t, cov: jnp.stack([
+            p[0] * 1.1, p[1], p[2] * 0.95, p[3], p[4], p[5],
+        ]),
+        nstates=3, ndrugs=1, nout=1,
+    )
+    sp = np.column_stack([
+        rng.uniform(0.1, 0.3, 12), rng.uniform(0.15, 0.35, 12),
+        rng.uniform(0.05, 0.2, 12), rng.uniform(0.1, 0.3, 12),
+        rng.uniform(0.05, 0.15, 12), rng.uniform(8, 15, 12),
+    ])
+    _seq_check(model, _seq_subjects(), sp)
+
+
+def test_pallas_engine_lag_fa_planes():
+    # lag shifts doses across observations (pending-dose mechanism); fa
+    # scales amounts; both per (row, support)
+    rng = np.random.RandomState(25)
+    model = Analytical(
+        pst.two_compartments_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[4],
+        lag=lambda p, t, cov: {0: p[5]},
+        fa=lambda p, t, cov: {0: p[6]},
+        nstates=3, ndrugs=1, nout=1,
+    )
+    subjects = []
+    for i in range(8):
+        sb = Subject.builder(f"s{i}").bolus(0.0, 100.0, 0).bolus(12.0, 80.0, 0)
+        if i % 4 == 0:
+            sb = sb.infusion(3.0, 50.0, 0, 1.5)
+        for t in (0.3, 0.7, 1.5, 2.5, 5.0, 9.0, 12.5, 14.0, 20.0):
+            sb = sb.observation(t, float(3 * np.exp(-0.2 * t) + 0.05 * i), 0)
+        subjects.append(sb.build())
+    sp = np.column_stack([
+        rng.uniform(0.1, 0.3, 12), rng.uniform(0.8, 2.0, 12),
+        rng.uniform(0.2, 0.4, 12), rng.uniform(0.1, 0.3, 12),
+        rng.uniform(8, 15, 12), rng.uniform(0.0, 1.2, 12),
+        rng.uniform(0.5, 1.0, 12),
+    ])
+    _seq_check(model, Data(subjects), sp)
+
+
+def test_pallas_engine_lag_overlap_rejected():
+    import pytest
+
+    model = Analytical(
+        pst.one_compartment,
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        lag=lambda p, t, cov: {0: p[2]},
+        nstates=1, ndrugs=1, nout=1,
+    )
+    # doses 1.0 apart but lag up to 3.0 -> two doses pending at once
+    s = (Subject.builder("s0").bolus(0.0, 50.0, 0).bolus(1.0, 50.0, 0)
+         .observation(6.0, 1.0, 0).build())
+    sp = np.array([[0.2, 10.0, 3.0], [0.3, 12.0, 0.2]])
+    ems = AssayErrorModels().add(
+        0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0)
+    )
+    with pytest.raises(Exception, match="lag"):
+        log_likelihood_matrix(model, Data([s]), sp, ems, engine="pallas")

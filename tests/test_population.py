@@ -105,6 +105,7 @@ def test_batch_ll_missing_model_is_neg_inf():
     assert np.all(np.isneginf(lls))
 
 
+@pytest.mark.slow
 def test_sharded_psi_matches_unsharded():
     import jax
 

@@ -21,6 +21,8 @@ from pharmsol_tpu import (
 )
 from pharmsol_tpu.models.sde import SDE
 
+pytestmark = pytest.mark.slow  # heavy parity tier; quick gate runs -m 'not slow'
+
 
 def decay_sde(nparticles=16, sigma_diff=0.0, seed=0):
     return SDE(
@@ -260,3 +262,74 @@ def test_em_runaway_lane_poisons_fast():
     took = time.perf_counter() - t0
     assert np.all(np.isnan(out))
     assert took < 60.0  # guard exit, not a 100k-iteration crawl
+
+
+def test_resampler_distributions_match_weights():
+    """Both resamplers draw counts proportional to the weights.
+
+    The reference's `sysresample` (sde/mod.rs:747-768) draws an independent
+    uniform per stratum — textbook STRATIFIED resampling, which is our
+    default; 'systematic' is the single-shared-offset variant. Both are
+    unbiased: E[count_i] = M * w_i.
+    """
+    import jax
+
+    from pharmsol_tpu.engine.sde import (
+        _stratified_resample,
+        _systematic_resample,
+    )
+
+    M = 512
+    rng = np.random.RandomState(0)
+    w = rng.dirichlet(np.ones(M) * 0.3)
+    w_j = jnp.asarray(w)
+    for fn in (_stratified_resample, _systematic_resample):
+        counts = np.zeros(M)
+        reps = 200
+        for r in range(reps):
+            idx = np.asarray(fn(w_j, jax.random.PRNGKey(r)))
+            assert idx.min() >= 0 and idx.max() < M
+            counts += np.bincount(idx, minlength=M)
+        freq = counts / (reps * M)
+        # both schemes bound the count error to <1/M per stratum pass
+        assert np.max(np.abs(freq - w)) < 2.0 / M, fn.__name__
+
+
+def test_systematic_resampling_likelihood_consistent():
+    """with_resampling('systematic') yields statistically equivalent LL."""
+    from pharmsol_tpu import SDE, Subject
+
+    def make(resampling, seed):
+        return SDE(
+            drift=lambda x, p, t, rateiv, cov: jnp.stack(
+                [-x[0] * x[1], -x[1] + p[0]]
+            ),
+            diffusion=lambda p, t, cov: jnp.stack([1.0, 0.01]),
+            init=lambda p, t, cov: jnp.stack([0.0, 1.0]),
+            out=lambda x, p, t, cov: x[0:1],
+            nparticles=3000,
+            nstates=2, ndrugs=1, nout=1, seed=seed,
+            resampling=resampling,
+        )
+
+    subject = (
+        Subject.builder("id1").bolus(0.0, 20.0, 0)
+        .observation(0.2, 16.6434, 0).observation(0.4, 14.3233, 0)
+        .observation(0.6, 9.8468, 0).observation(0.8, 9.4177, 0)
+        .observation(1.0, 7.5170, 0).build()
+    )
+    ems = AssayErrorModels().add(
+        0, AssayErrorModel.additive(ErrorPoly(0.5, 0.0, 0.0, 0.0), 0.0)
+    )
+    lls = {}
+    for scheme in ("stratified", "systematic"):
+        vals = [
+            make(scheme, seed).estimate_log_likelihood(
+                subject, np.array([1.0]), ems
+            )
+            for seed in range(5)
+        ]
+        assert all(np.isfinite(v) for v in vals), (scheme, vals)
+        lls[scheme] = np.mean(vals)
+    # same filter, same model: means agree within particle-filter noise
+    assert abs(lls["stratified"] - lls["systematic"]) < 0.5, lls

@@ -10,6 +10,8 @@ import pytest
 import pharmsol_tpu as pst
 from pharmsol_tpu import ODE, Analytical, Subject
 
+pytestmark = pytest.mark.slow  # heavy parity tier; quick gate runs -m 'not slow'
+
 
 def test_kvaerno_tableaus_satisfy_order_conditions():
     from pharmsol_tpu.engine.ode import (

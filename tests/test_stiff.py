@@ -15,6 +15,8 @@ import pytest
 import pharmsol_tpu as pst
 from pharmsol_tpu import ODE, Subject
 
+pytestmark = pytest.mark.slow  # heavy parity tier; quick gate runs -m 'not slow'
+
 
 def _mm_subject():
     """IV bolus then infusion with dense observations."""
