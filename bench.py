@@ -195,6 +195,82 @@ def main() -> int:
     except Exception as e:
         print(f"pallas path unavailable: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # ODE psi tier (round 3): the same Short workload as a numerically
+    # integrated ODE through the fused pallas stepper kernel — the path
+    # every model outside the closed forms takes. Reported in detail only;
+    # the headline metric stays the analytical flagship.
+    ode_pallas_rate = None
+    try:
+        if not on_cpu:
+            from pharmsol_tpu import ODE
+            from pharmsol_tpu.likelihood.matrix import _PallasOdePsiPlan
+            from pharmsol_tpu.ops.pallas_psi import SUB_TILE
+
+            ode = ODE(
+                lambda x, p, t, b, rateiv, cov: jnp.stack([
+                    -p[1] * x[0] + b[0],
+                    p[1] * x[0] - (p[0] + p[2]) * x[1] + p[3] * x[2] + rateiv[0],
+                    p[2] * x[1] - p[3] * x[2],
+                ]),
+                out=lambda x, p, t, cov: x[1:2] / p[4],
+                nstates=3, ndrugs=1, nout=1,
+            )
+            n_ode_sub, n_ode_sp = min(n_subjects, 512), 128
+            rows_ode = jax.tree_util.tree_map(
+                lambda x: np.asarray(x)[:n_ode_sub], rows
+            )
+
+            class _G:
+                pass
+
+            g = _G()
+            g.rows = rows_ode
+            g.row_subject = row_subject[:n_ode_sub]
+            g.cov_names = ()
+            g.n_rows = n_ode_sub
+            g.n_subjects = n_ode_sub
+            sp_ode = support[:n_ode_sp] if n_supports >= n_ode_sp else np.repeat(
+                support, (n_ode_sp + n_supports - 1) // n_supports, axis=0
+            )[:n_ode_sp]
+            plan = _PallasOdePsiPlan(ode, g, sp_ode, lowered,
+                                     row_multiple=SUB_TILE)
+            run = plan.runner()
+            streams_o = plan.stream_args()
+            rep_o = plan.rep_args()
+
+            def make_ode(K):
+                @jax.jit
+                def f(sp):
+                    def body(c, i):
+                        r = (sp * (1.0 + 1e-6 * i),) + rep_o[1:]
+                        return c + jnp.sum(run(*streams_o, *r)), None
+                    total, _ = jax.lax.scan(
+                        body, jnp.asarray(0.0, fd), jnp.arange(K, dtype=fd)
+                    )
+                    return total
+                return f
+
+            fo_lo, fo_hi = make_ode(k_lo), make_ode(k_hi)
+            float(fo_lo(rep_o[0])); float(fo_hi(rep_o[0]))
+
+            def best_of_x(fn, x):
+                ts = []
+                for _ in range(args.reps):
+                    t0 = time.perf_counter()
+                    float(fn(x))
+                    ts.append(time.perf_counter() - t0)
+                return min(ts)
+
+            to_lo = best_of_x(fo_lo, rep_o[0])
+            to_hi = best_of_x(fo_hi, rep_o[0])
+            per_ode = (to_hi - to_lo) / (k_hi - k_lo)
+            if per_ode < 0.05 * to_hi / k_hi:
+                per_ode = to_hi / k_hi
+            ode_pallas_rate = n_ode_sub * n_ode_sp / per_ode
+    except Exception as e:
+        print(f"ode pallas path unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     rate = pallas_rate if pallas_rate is not None else xla_rate
     best = pallas_per_iter if pallas_per_iter is not None else per_iter
     result = {
@@ -210,6 +286,9 @@ def main() -> int:
             "engine": "pallas" if pallas_rate is not None else "xla",
             "xla_sims_per_sec": round(xla_rate, 1),
             "end_to_end_s": round(t_hi / k_hi, 4),
+            "ode_pallas_sims_per_sec": (
+                round(ode_pallas_rate, 1) if ode_pallas_rate else None
+            ),
             "reps": args.reps,
         },
     }

@@ -532,21 +532,24 @@ def _decompose_kernel_inputs(kernel_inputs, sp, grid, n_kernel_params: int,
     Declarative analytical models (models/declarative.py analytical_model)
     compute kernel parameters as ``kp(p, t, cov)`` from DECLARED parameters
     (arbitrary reordering + derive closures), so the support matrix is not
-    in kernel order. Writing ``kp_i(p, t, cov) = b_i(p) * g_i(t, cov)``
-    (the standard covariate-scaling form), everything the kernel needs
-    factors exactly through an arbitrary anchor A = (t=0, first-row first
-    -knot covariates):
+    in kernel order. Writing ``kp_i(p, t, cov) = b_i(p) * g_i(t, cov)
+    + h_i(t, cov)`` (covariate scaling AND additive effects), everything
+    the kernel needs factors through an arbitrary anchor A = (t=0,
+    first-row first-knot covariates):
 
         kernel support  sp_k[s, i]   = kp_i(sp_s, A)        [per support]
-        multipliers     m[r, i, seg] = kp_i(p_ref, t_seg, cov_r) / kp_i(p_ref, A)
+        g, h per (row, segment) solved from TWO parameter probes
+        (kp(p_ref) and kp(p_alt) at the anchor vs at (t_seg, cov_r)),
+        validated at a third probe p_val.
 
-    since sp_k * m = b_i(p_s) g_i(A) * g_i(t, cov)/g_i(A). Separability is
-    validated by a second parameter probe. No reset/carry chain applies:
-    the declarative propagate re-derives from the RAW parameters at every
-    segment end (engine parity: declarative.py propagate).
+    No reset/carry chain applies: the declarative propagate re-derives
+    from the RAW parameters at every segment end (engine parity:
+    declarative.py propagate).
 
-    Returns (sp_kernel [S, P], mult_row [R, P] | None, mult_seg [R, P, M] |
-    None) — time-constant effects collapse to the cheaper row mode.
+    Returns (sp_kernel [S, P], mult_row [R, P] | None, off_row | None,
+    mult_seg [R, P, M] | None, off_seg | None) — time-constant effects
+    collapse to the cheaper row mode; purely multiplicative effects drop
+    the offsets (None).
     """
     from ..config import BIG_TIME, float_dtype
     from ..engine.grid import CovView
@@ -585,6 +588,9 @@ def _decompose_kernel_inputs(kernel_inputs, sp, grid, n_kernel_params: int,
 
     p_ref = np.where(np.abs(sp[0]) > 1e-30, sp[0], 1.0)
     p_alt = p_ref * 1.37 + 0.011
+    if np.any(np.abs(p_ref - p_alt) < 1e-9):
+        p_alt = p_ref * 1.61 + 0.173
+    p_val = p_ref * 0.73 + 0.311
     try:
         with _host_cpu_device():
             sp_kernel = kp_at_anchor(sp)
@@ -609,7 +615,8 @@ def _decompose_kernel_inputs(kernel_inputs, sp, grid, n_kernel_params: int,
         same_everywhere = np.all(cov_v == cov_v[0:1, :, 0:1])
         cov_varying = not bool(same_everywhere)
     if not time_dependent and not cov_varying:
-        return sp_kernel, None, None  # pure reindex/derive over parameters
+        # pure reindex/derive over parameters
+        return sp_kernel, None, None, None, None
 
     if not allow_mult:
         raise PharmsolError(
@@ -641,23 +648,14 @@ def _decompose_kernel_inputs(kernel_inputs, sp, grid, n_kernel_params: int,
         return np.asarray(jax.vmap(one)(ct_j, cv_j, cf_j, t_j),
                           dtype=np.float64)
 
+    sample = {0, M // 2, M - 1}
     try:
         with _host_cpu_device():
-            g = np.stack(
-                [kp_rows(p_ref, m) / kp_ref[None, :] for m in range(M)], axis=2
-            )  # [R, P, M]
             kp_alt = kp_at_anchor(p_alt[None, :])[0]
-            g_alts = {m: kp_rows(p_alt, m) / kp_alt[None, :]
-                      for m in {0, M // 2, M - 1}}
-        for m in {0, M // 2, M - 1}:
-            g_alt = g_alts[m]
-            if not (np.allclose(g[:, :, m], g_alt, rtol=tol * 100)
-                    and np.all(np.isfinite(g_alt))):
-                raise PharmsolError(
-                    "engine='pallas' requires multiplicatively separable "
-                    "derive closures (kp_i = b_i(p) * g_i(t, cov)); this "
-                    "one is not — use the default XLA engine"
-                )
+            kp_val = kp_at_anchor(p_val[None, :])[0]
+            f_ref = np.stack([kp_rows(p_ref, m) for m in range(M)], axis=2)
+            f_alt = np.stack([kp_rows(p_alt, m) for m in range(M)], axis=2)
+            f_vals = {m: kp_rows(p_val, m) for m in sample}
     except PharmsolError:
         raise
     except Exception as e:
@@ -665,14 +663,38 @@ def _decompose_kernel_inputs(kernel_inputs, sp, grid, n_kernel_params: int,
             f"engine='pallas' could not probe the declarative kernel-input "
             f"mapping: {e}"
         ) from e
-    if not np.all(np.isfinite(g)):
+    denom = (kp_ref - kp_alt)[None, :, None]
+    if np.any(np.abs(denom) < 1e-30):
+        raise PharmsolError(
+            "engine='pallas' declarative derive is parameter-degenerate at "
+            "the probe points — use the default XLA engine"
+        )
+    g = (f_ref - f_alt) / denom  # [R, P, M]
+    h = f_ref - kp_ref[None, :, None] * g
+    for m in sample:
+        pred = kp_val[None, :] * g[:, :, m] + h[:, :, m]
+        scale = np.maximum(np.abs(f_vals[m]), 1.0)
+        if not (np.all(np.isfinite(pred))
+                and np.all(np.abs(pred - f_vals[m]) <= tol * 100 * scale)):
+            raise PharmsolError(
+                "engine='pallas' requires affinely separable derive "
+                "closures (kp_i = b_i(p) * g_i(t, cov) + h_i(t, cov)); "
+                "this one mixes anchored parameter structure with the "
+                "covariate effect — use the default XLA engine"
+            )
+    if not (np.all(np.isfinite(g)) and np.all(np.isfinite(h))):
         raise PharmsolError(
             "engine='pallas' declarative derive produced non-finite "
-            "multipliers — use the default XLA engine"
+            "factors — use the default XLA engine"
         )
-    if np.allclose(g, g[:, :, :1], rtol=1e-12, atol=1e-12):
-        return sp_kernel, np.ascontiguousarray(g[:, :, 0]), None
-    return sp_kernel, None, np.ascontiguousarray(g)
+    off_zero = np.allclose(h, 0.0, atol=tol * 10)
+    if (np.allclose(g, g[:, :, :1], rtol=1e-12, atol=1e-12)
+            and np.allclose(h, h[:, :, :1], rtol=1e-12, atol=1e-12)):
+        g_row = np.ascontiguousarray(g[:, :, 0])
+        h_row = None if off_zero else np.ascontiguousarray(h[:, :, 0])
+        return sp_kernel, g_row, h_row, None, None
+    return (sp_kernel, None, None, np.ascontiguousarray(g),
+            None if off_zero else np.ascontiguousarray(h))
 
 
 def _decompose_input_plane(fn, sp, grid, ninput: int, fill: float,
@@ -884,7 +906,8 @@ class _PallasPsiPlan:
         self.sp_kernel = None
         cov_values = {}
         if kernel_inputs is not None:
-            self.sp_kernel, self.mult, self.mult_seg = _decompose_kernel_inputs(
+            (self.sp_kernel, self.mult, self.mult_off, self.mult_seg,
+             self.mult_seg_off) = _decompose_kernel_inputs(
                 kernel_inputs, sp, grid, n_kernel_params,
                 allow_mult=sdef["prep_xla"] is None,
             )

@@ -99,11 +99,15 @@ _TABLEAUS = {
     "tsit5": (_TS_A, _TS_B, _TS_E, _TS_C),
 }
 
-# ODE tiles are smaller than the analytical ones: the stepper holds
-# ~(7 stages + 2) * n_states live [rows, sp] lanes in VMEM.
-ODE_ROW_BLOCKS = (256, 128, 64, 32, 16, 8)
+# ODE tiles are much smaller than the analytical ones: the stepper holds
+# ~(7 stages + 2) * n_states live [rows, sp] lanes, and the whole working
+# set must stay in vector registers/VMEM across while_loop iterations.
+# Measured on v5e (512x128 dopri5 2-cmt-oral psi, same-session sweep):
+# row_block 8 -> 82M, 16 -> 125M, 32 -> 565M, 64 -> 259M, 128 -> 240M
+# sims/s — 32x128 is the sweet spot by >2x.
+ODE_ROW_BLOCKS = (32, 16, 8)
 ODE_SP_BLOCKS = (128,)
-ODE_TILE_BUDGET = 256 * 128
+ODE_TILE_BUDGET = 32 * 128
 
 
 class LaneVec:
@@ -255,16 +259,55 @@ def _make_ode_kernel(
         def f(xs, t, rate):
             return rhs(xs, params, t, rate, cov_lanes, shape, dtype)
 
-        def integrate(xs, h, dt_col, rate, t0_col):
+        def integrate(xs, h, dt_col, rate, t0_col, estimate_h: bool):
             """Adaptive embedded-RK march over one segment, all lanes.
 
             ``tau`` is segment-relative time; the RHS sees ``t0 + tau``.
             Returns (xs_end, h_cruise): lanes that exhaust the iteration
             budget or stall are NaN-poisoned (engine parity: -inf cells).
+
+            ``estimate_h`` (first segment only): the classic
+            Hairer-Norsett-Wanner II.4 starting-step estimate from two RHS
+            evaluations, floored at the configured h0 — skipping the
+            5-accept geometric ramp from h0=1e-3 that every lane would
+            otherwise pay before reaching its cruise step. Later segments
+            warm-start from the carried cruise h instead.
             """
             target = jnp.broadcast_to(dt_col, shape)
             live0 = target > 0.0
             k1_0 = f(xs, t0_col, rate)
+            if estimate_h:
+                d0 = zeros
+                d1 = zeros
+                for s in range(n_states):
+                    sc = atol + rtol * jnp.abs(xs[s])
+                    d0 = d0 + (xs[s] / sc) ** 2
+                    d1 = d1 + (k1_0[s] / sc) ** 2
+                d0 = jnp.sqrt(d0 / float(n_states))
+                d1 = jnp.sqrt(d1 / float(n_states))
+                h0a = jnp.where((d0 > 1e-5) & (d1 > 1e-5),
+                                0.01 * d0 / jnp.maximum(d1, 1e-30), 1e-6)
+                x1 = [x + h0a * k for x, k in zip(xs, k1_0)]
+                f1 = f(x1, t0_col + h0a, rate)
+                d2 = zeros
+                for s in range(n_states):
+                    sc = atol + rtol * jnp.abs(xs[s])
+                    d2 = d2 + ((f1[s] - k1_0[s]) / sc) ** 2
+                d2 = jnp.sqrt(d2 / float(n_states)) / h0a
+                dmax = jnp.maximum(d1, d2)
+                h1 = jnp.where(
+                    dmax > 1e-15,
+                    jnp.power(0.01 / jnp.maximum(dmax, 1e-30), 0.2),
+                    jnp.maximum(1e-6, h0a * 1e3),
+                )
+                h_est = jnp.minimum(100.0 * h0a, h1)
+                # floor at the configured h0: a zero-dynamics lane would
+                # otherwise ramp from 1e-6; genuinely stiff lanes reject
+                # back down exactly as the reference controller does
+                h_est = jnp.where(
+                    jnp.isfinite(h_est), jnp.maximum(h_est, h0), h
+                )
+                h = h_est
 
             def one_trial(carry):
                 # the live mask rides the carry as 0/1 float lanes: Mosaic
@@ -389,7 +432,7 @@ def _make_ode_kernel(
             xs = [x + bol * bmap[s] for s, x in enumerate(xs)]
             rate = col(rates, m) if has_inf else None
             t0_col = col(t0s, m)
-            xs, h = integrate(xs, h, dt, rate, t0_col)
+            xs, h = integrate(xs, h, dt, rate, t0_col, estimate_h=(m == 0))
 
         out_ref[:, :] = ll
 
@@ -543,8 +586,9 @@ def psi_ode(
     row_block = next(b for b in ODE_ROW_BLOCKS if R % b == 0)
     sp_block = next(b for b in ODE_SP_BLOCKS if S % b == 0)
     # the stepper holds ~(stages+2) * n_states lanes live; shrink tiles as
-    # the state count grows so the working set stays inside VMEM
-    budget = max(ODE_TILE_BUDGET // max(1, (n_states + 1) // 2), 8 * 128)
+    # the state count grows so the working set stays inside VMEM (the
+    # measured 32x128 sweet spot covers the 1-4 state PK families)
+    budget = max(ODE_TILE_BUDGET // max(1, (n_states + 3) // 4), 8 * 128)
     while row_block * sp_block > budget and row_block > 8:
         row_block //= 2
     import os

@@ -240,11 +240,15 @@ def _pallas_psi_sharded(equation, grid, sp, lowered, mesh) -> np.ndarray:
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    from ..likelihood.matrix import _PallasPsiPlan
+    from ..likelihood.matrix import _PallasOdePsiPlan, _PallasPsiPlan
     from ..ops.pallas_psi import SUB_TILE
 
     n_shards = mesh.shape["subjects"]
-    plan = _PallasPsiPlan(
+    plan_cls = (
+        _PallasOdePsiPlan if getattr(equation, "kind", None) == "ode"
+        else _PallasPsiPlan
+    )
+    plan = plan_cls(
         equation, grid, sp, lowered, row_multiple=SUB_TILE * n_shards
     )
     cache = equation.__dict__.setdefault("_jit_psi", {})

@@ -232,11 +232,15 @@ def budget_cases():
     return cases
 
 
+_GOLDEN_CACHE: Dict[str, np.ndarray] = {}
+
+
 def run_case(case: BudgetCase, engine: str) -> dict:
     """Evaluate one case: f64 golden vs f32 on ``engine``.
 
     Returns {"rel": measured, "budget": committed, "ok": bool}. Callers
     own dtype discipline: this briefly switches the global float dtype.
+    The f64 golden is cached per case (both engine variants share it).
     """
     import jax
     import jax.numpy as jnp
@@ -247,10 +251,15 @@ def run_case(case: BudgetCase, engine: str) -> dict:
     model, data, sp, ems = case.build()
     set_float_dtype(jnp.float64)
     try:
-        # the f64 golden always runs on the host CPU: true IEEE f64 (the
-        # TPU's emulated f64 is itself an approximation under test)
-        with jax.default_device(jax.devices("cpu")[0]):
-            golden = log_likelihood_matrix(model, data, sp, ems, engine="xla")
+        golden = _GOLDEN_CACHE.get(case.name)
+        if golden is None:
+            # the f64 golden always runs on the host CPU: true IEEE f64
+            # (the TPU's emulated f64 is itself an approximation under test)
+            with jax.default_device(jax.devices("cpu")[0]):
+                golden = log_likelihood_matrix(
+                    model, data, sp, ems, engine="xla"
+                )
+            _GOLDEN_CACHE[case.name] = golden
         set_float_dtype(jnp.float32)
         model._invalidate()
         got = log_likelihood_matrix(model, data, sp, ems, engine=engine)

@@ -208,3 +208,16 @@ def test_ode_auto_engine_falls_back_on_cpu():
     decision = last_engine_decision(model)
     assert decision["engine"] == "xla"
     assert "TPU" in decision["reason"] or "crossover" in decision["reason"]
+
+
+def test_ode_pallas_sharded_matches_unsharded():
+    from pharmsol_tpu.parallel.mesh import log_likelihood_matrix_sharded
+
+    model = _two_cmt_ode()
+    data = _subjects(n=8)
+    sp = _support(8)
+    ref = log_likelihood_matrix(model, data, sp, _ems(), engine="pallas")
+    shd = log_likelihood_matrix_sharded(
+        model, data, sp, _ems(), engine="pallas"
+    )
+    np.testing.assert_allclose(shd, ref, rtol=1e-12, atol=1e-12)

@@ -1208,3 +1208,33 @@ def test_pallas_engine_lag_overlap_rejected():
     )
     with pytest.raises(Exception, match="lag"):
         log_likelihood_matrix(model, Data([s]), sp, ems, engine="pallas")
+
+
+def test_pallas_engine_declarative_additive_derive():
+    """Declarative derive with an ADDITIVE covariate term rides the
+    anchored AFFINE decomposition (round 3)."""
+    from pharmsol_tpu import Route, analytical_model
+    from pharmsol_tpu.likelihood.matrix import log_likelihood_matrix
+
+    am = analytical_model(
+        structure="one_compartment_with_absorption",
+        parameters=["ka", "ke0", "v"], covariates=["crcl"],
+        states=["gut", "central"], outputs=["cp"],
+        routes=[Route.bolus("oral").to_state("gut")],
+        # renal + non-renal elimination: ke = ke0 + slope * CrCl (additive)
+        derive=lambda p, t, cov: {"ke": p.ke0 + 0.0008 * cov.crcl},
+        out=lambda s, p, t, cov: {"cp": s.central / p.v},
+    )
+    rng = np.random.RandomState(11)
+    subs = []
+    for i in range(4):
+        b = (Subject.builder(f"r{i}").bolus(0.0, 500.0, "oral")
+             .covariate("crcl", 0.0, 60.0 + 10.0 * i))
+        for t in (1.0, 2.0, 6.0, 12.0):
+            b = b.observation(float(t), float(abs(2 + rng.randn())), "cp")
+        subs.append(b.build())
+    sp = np.abs(np.array([1.2, 0.05, 190.0])[None, :] * (1 + 0.2 * rng.randn(6, 3)))
+    ems = AssayErrorModels().add("cp", AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    want = log_likelihood_matrix(am, Data(subs), sp, ems)
+    got = log_likelihood_matrix(am, Data(subs), sp, ems, engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
