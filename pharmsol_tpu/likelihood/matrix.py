@@ -1257,17 +1257,20 @@ class _PallasOdePsiPlan:
     def __init__(self, equation, grid, sp, lowered, row_multiple: int):
         from ..config import BIG_TIME
         from ..engine.grid import CovView
-        from ..ops.pallas_ode import _TABLEAUS, make_lane_rhs
+        from ..ops.pallas_ode import (
+            _SDIRK_TABLEAUS, _TABLEAUS, make_lane_rhs,
+        )
         from ..ops.pallas_psi import (
             SP_TILE, extract_linear_out, segment_schedule, streams_from_grid,
         )
 
         opts = equation._opts
-        if opts.solver not in _TABLEAUS:
+        if (opts.solver not in _TABLEAUS
+                and opts.solver not in _SDIRK_TABLEAUS):
             raise PharmsolError(
-                f"engine='pallas' ODE psi supports explicit solvers "
-                f"{sorted(_TABLEAUS)} (model uses `{opts.solver}`; "
-                "use the default XLA engine)"
+                f"engine='pallas' ODE psi supports solvers "
+                f"{sorted(_TABLEAUS) + sorted(_SDIRK_TABLEAUS)} "
+                f"(model uses `{opts.solver}`; use the default XLA engine)"
             )
         if equation._lag is not None or equation._fa is not None:
             raise PharmsolError(
@@ -1565,6 +1568,7 @@ class _PallasOdePsiPlan:
                 n_states=n_states, ninput=ninput, solver=o.solver,
                 rtol=o.rtol, atol=o.atol,
                 h0=o.h0, max_iters=o.max_steps, unroll=unroll,
+                newton_iters=o.newton_iters,
                 obs_outeq=outeq, out_coef=coef, out_bias=bias,
                 bolus_map=bmap, init_rows=irows, init_mask=imask,
                 cov_streams=covs, cov_names=cov_names,

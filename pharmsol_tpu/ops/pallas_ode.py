@@ -99,6 +99,69 @@ _TABLEAUS = {
     "tsit5": (_TS_A, _TS_B, _TS_E, _TS_C),
 }
 
+# SDIRK methods for the in-kernel stiff path (same tableaus as
+# engine/ode.py: TR-BDF2 as an ESDIRK 2(3), Kvaerno 3/2). Newton systems
+# are solved per LANE with an explicit frozen-Jacobian inverse (unrolled
+# pivot-free Gauss-Jordan — the iteration matrix I - h*gamma*J has a
+# dominant positive diagonal for compartment kinetics).
+import numpy as _np
+
+_TRBDF2_D = float((2.0 - _np.sqrt(2.0)) / 2.0)
+_TRBDF2_W = float(_np.sqrt(2.0) / 4.0)
+_SDIRK_TABLEAUS = {
+    "trbdf2": {
+        "A": ((0.0,), (_TRBDF2_D, _TRBDF2_D), (_TRBDF2_W, _TRBDF2_W, _TRBDF2_D)),
+        "B": (_TRBDF2_W, _TRBDF2_W, _TRBDF2_D),
+        "BHAT": ((1.0 - _TRBDF2_W) / 3.0, (3.0 * _TRBDF2_W + 1.0) / 3.0,
+                 _TRBDF2_D / 3.0),
+        "C": (0.0, 2.0 * _TRBDF2_D, 1.0),
+        "gamma": _TRBDF2_D,
+        "order": 2.0,
+        "max_growth": 5.0,
+    },
+    "kvaerno3": {
+        "A": ((0.0,), (0.4358665215084590, 0.4358665215084590),
+              (0.490563388419108, 0.073570090080892, 0.4358665215084590),
+              (0.308809969973036, 1.490563388254106, -1.235239879727145,
+               0.4358665215084590)),
+        "B": (0.308809969973036, 1.490563388254106, -1.235239879727145,
+              0.4358665215084590),
+        "BHAT": (0.490563388419108, 0.073570090080892, 0.4358665215084590,
+                 0.0),
+        "C": (0.0, 2 * 0.4358665215084590, 1.0, 1.0),
+        "gamma": 0.4358665215084590,
+        "order": 3.0,
+        "max_growth": 5.0,
+    },
+}
+_SDIRK_TABLEAUS["esdirk34"] = _SDIRK_TABLEAUS["kvaerno3"]
+
+
+def _lane_inverse(M, n: int):
+    """Inverse of an n x n matrix whose entries are lane arrays.
+
+    Pivot-free Gauss-Jordan unrolled over the static size — every entry
+    is a [rows, sp] array so the whole elimination is elementwise VPU
+    work. Diagonals are clamped away from zero (the SDIRK iteration
+    matrix is diagonally dominant; a singular lane produces garbage that
+    the Newton residual check rejects).
+    """
+    aug = [[M[i][j] for j in range(n)]
+           + [jnp.full_like(M[0][0], 1.0 if j == i else 0.0)
+              for j in range(n)]
+           for i in range(n)]
+    for k in range(n):
+        d = aug[k][k]
+        d = jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
+        inv_d = 1.0 / d
+        aug[k] = [e * inv_d for e in aug[k]]
+        for i in range(n):
+            if i == k:
+                continue
+            factor = aug[i][k]
+            aug[i] = [e_i - factor * e_k for e_i, e_k in zip(aug[i], aug[k])]
+    return [row[n:] for row in aug]
+
 # ODE tiles are much smaller than the analytical ones: the stepper holds
 # ~(7 stages + 2) * n_states live [rows, sp] lanes, and the whole working
 # set must stay in vector registers/VMEM across while_loop iterations.
@@ -207,8 +270,9 @@ def make_lane_rhs(diffeq, n_states: int, n_params: int, ninput: int = None):
 def _make_ode_kernel(
     rhs, *, n_states: int, n_params: int, n_seg: int, has_inf: bool,
     has_cens: bool, n_out: int, has_bias: bool, has_init: bool,
-    cov_names: tuple, A, B, E, C, rtol: float, atol: float, h0: float,
-    max_iters: int, unroll: int,
+    cov_names: tuple, A=None, B=None, E=None, C=None, sdirk=None,
+    rtol: float, atol: float, h0: float,
+    max_iters: int, unroll: int, newton_iters: int = 4,
 ):
     """Build the fused ODE psi tile kernel.
 
@@ -218,7 +282,7 @@ def _make_ode_kernel(
     [init rows], coef rows, [bias rows]) each [1, sp_block]; out_ref
     [row_block, sp_block].
     """
-    n_stages = len(C)
+    n_stages = len(C) if C is not None else 0
     has_outeq = n_out > 1
     n_cov = len(cov_names)
 
@@ -395,6 +459,157 @@ def _make_ode_kernel(
             h_out = jnp.where(live0, h_f, h)
             return xs_out, h_out
 
+        def integrate_sdirk(xs, h, dt_col, rate, t0_col, estimate_h: bool):
+            """Adaptive SDIRK march (stiff path): per-lane Newton stages.
+
+            The iteration matrix ``I - h*gamma*J`` uses a Jacobian frozen
+            at the step start (J columns via ``jax.jvp`` on the lane RHS)
+            and is inverted ONCE per trial with the unrolled pivot-free
+            Gauss-Jordan — each Newton iteration is then one RHS + one
+            lane matvec. Non-converged Newton (residual > 0.1 in WRMS)
+            rejects the step exactly like engine/ode._esdirk_segment.
+            """
+            tab = sdirk
+            sA, sB = tab["A"], tab["B"]
+            sBHAT, sC = tab["BHAT"], tab["C"]
+            gamma = tab["gamma"]
+            order = tab["order"]
+            max_growth = tab["max_growth"]
+            ns = len(sC)
+            target = jnp.broadcast_to(dt_col, shape)
+            live0 = target > 0.0
+
+            def jac(xs_c, t_base):
+                cols = []
+                for j in range(n_states):
+                    tangent = tuple(
+                        jnp.ones(shape, dtype) if s == j else zeros
+                        for s in range(n_states)
+                    )
+                    _, jv = jax.jvp(
+                        lambda *x: f(list(x), t_base, rate),
+                        tuple(xs_c), tangent,
+                    )
+                    cols.append(list(jv))
+                # J[i][j] = df_i/dx_j
+                return [[cols[j][i] for j in range(n_states)]
+                        for i in range(n_states)]
+
+            def one_trial(carry):
+                tau, xs_c, h_c, live_f, it_ = carry
+                live = live_f > 0.5
+                rem = target - tau
+                h_try = jnp.minimum(h_c, jnp.maximum(rem, 1e-14))
+                t_base = t0_col + tau
+                J = jac(xs_c, t_base)
+                M = [
+                    [
+                        (1.0 if i == j else 0.0) - h_try * gamma * J[i][j]
+                        for j in range(n_states)
+                    ]
+                    for i in range(n_states)
+                ]
+                Minv = _lane_inverse(M, n_states)
+                ks = []
+                resid_max = zeros
+                for i in range(ns):
+                    if i == 0:
+                        ks.append(f(xs_c, t_base, rate))
+                        continue
+                    base = [
+                        xs_c[s] + h_try * _wsum(
+                            [ks[j][s] for j in range(i)], sA[i][:i]
+                        )
+                        for s in range(n_states)
+                    ]
+                    t_st = t_base + sC[i] * h_try
+                    z = [b + h_try * gamma * k for b, k in zip(base, ks[i - 1])]
+                    for _ in range(newton_iters):
+                        fz = f(z, t_st, rate)
+                        F = [
+                            zz - bb - h_try * gamma * ff
+                            for zz, bb, ff in zip(z, base, fz)
+                        ]
+                        z = [
+                            zz - sum(Minv[s][j] * F[j]
+                                     for j in range(n_states))
+                            for s, zz in enumerate(z)
+                        ]
+                    fz = f(z, t_st, rate)
+                    r2 = zeros
+                    for s in range(n_states):
+                        Fs = z[s] - base[s] - h_try * gamma * fz[s]
+                        sc = atol + rtol * jnp.abs(z[s])
+                        r2 = r2 + (Fs / sc) ** 2
+                    resid_max = jnp.maximum(
+                        resid_max, jnp.sqrt(r2 / float(n_states))
+                    )
+                    ks.append(fz)
+                xs_new = [
+                    x + h_try * _wsum([k[s] for k in ks], sB)
+                    for s, x in enumerate(xs_c)
+                ]
+                err2 = zeros
+                for s in range(n_states):
+                    e = h_try * (_wsum([k[s] for k in ks], sB)
+                                 - _wsum([k[s] for k in ks], sBHAT))
+                    sc = atol + rtol * jnp.maximum(
+                        jnp.abs(xs_c[s]), jnp.abs(xs_new[s])
+                    )
+                    err2 = err2 + (e / sc) ** 2
+                ratio = jnp.sqrt(err2 / float(n_states))
+                finite = jnp.isfinite(ratio) & (resid_max <= 0.1)
+                growth = zeros
+                xmax = zeros
+                for s in range(n_states):
+                    finite = finite & jnp.isfinite(xs_new[s])
+                    growth = jnp.maximum(growth, jnp.abs(xs_new[s] - xs_c[s]))
+                    xmax = jnp.maximum(xmax, jnp.abs(xs_c[s]))
+                # engine parity: a 10x state jump is a spurious Newton root
+                finite = finite & (growth <= 10.0 * (1.0 + xmax))
+                accept = live & (ratio <= 1.0) & finite
+                factor = jnp.where(
+                    finite,
+                    jnp.clip(
+                        0.9 * jnp.power(
+                            jnp.maximum(ratio, 1e-10), -1.0 / (order + 1.0)
+                        ),
+                        0.2, max_growth,
+                    ),
+                    0.25,
+                )
+                tau_n = jnp.where(accept, tau + h_try, tau)
+                xs_n = [
+                    jnp.where(accept, xn, x) for xn, x in zip(xs_new, xs_c)
+                ]
+                h_n = jnp.where(
+                    live, jnp.maximum(h_try * factor, 1e-14), h_c
+                )
+                done_n = tau_n >= target - 1e-6 * jnp.maximum(target, 1e-30)
+                stalled = live & ((tau_n + h_n) <= tau_n) & ~done_n
+                live_n = live & ~done_n & ~stalled
+                return (tau_n, xs_n, h_n, live_n.astype(live_f.dtype),
+                        it_ + 1)
+
+            def body(carry):
+                for _ in range(max(1, unroll)):
+                    carry = one_trial(carry)
+                return carry
+
+            def cond(carry):
+                tau, _, _, live_f, it_ = carry
+                return (it_ < max_iters) & (jnp.max(live_f) > 0.5)
+
+            h_start = jnp.minimum(h, jnp.maximum(target, 1e-14))
+            init = (zeros, list(xs), h_start, live0.astype(dtype),
+                    jnp.zeros((), jnp.int32))
+            tau_f, xs_f, h_f, _, _ = jax.lax.while_loop(cond, body, init)
+            incomplete = tau_f < target - 1e-6 * jnp.maximum(target, 1e-30)
+            nan = jnp.full(shape, jnp.nan, dtype)
+            xs_out = [jnp.where(incomplete, nan, x) for x in xs_f]
+            h_out = jnp.where(live0, h_f, h)
+            return xs_out, h_out
+
         if has_init:
             im = col(initm, 0)
             xs = [im * init_rows[s] + zeros for s in range(n_states)]
@@ -432,7 +647,8 @@ def _make_ode_kernel(
             xs = [x + bol * bmap[s] for s, x in enumerate(xs)]
             rate = col(rates, m) if has_inf else None
             t0_col = col(t0s, m)
-            xs, h = integrate(xs, h, dt, rate, t0_col, estimate_h=(m == 0))
+            march = integrate_sdirk if sdirk is not None else integrate
+            xs, h = march(xs, h, dt, rate, t0_col, estimate_h=(m == 0))
 
         out_ref[:, :] = ll
 
@@ -463,6 +679,7 @@ def psi_ode(
     h0: float = 1e-3,
     max_iters: int = 10_000,
     unroll: int = 4,
+    newton_iters: int = 4,
     obs_outeq=None,
     out_coef=None,
     out_bias=None,
@@ -491,12 +708,17 @@ def psi_ode(
     """
     from jax.experimental import pallas as pl
 
-    if solver not in _TABLEAUS:
+    if solver in _TABLEAUS:
+        A, B, E, C = _TABLEAUS[solver]
+        sdirk = None
+    elif solver in _SDIRK_TABLEAUS:
+        A = B = E = C = None
+        sdirk = _SDIRK_TABLEAUS[solver]
+    else:
         raise ValueError(
-            f"pallas ODE psi supports explicit solvers {sorted(_TABLEAUS)} "
-            f"(got `{solver}`)"
+            f"pallas ODE psi supports solvers "
+            f"{sorted(_TABLEAUS) + sorted(_SDIRK_TABLEAUS)} (got `{solver}`)"
         )
-    A, B, E, C = _TABLEAUS[solver]
     R, M = seg_dt.shape
     S = support.shape[0]
     n_params = support.shape[1]
@@ -578,9 +800,10 @@ def psi_ode(
     kernel = _make_ode_kernel(
         rhs, n_states=n_states, n_params=n_params, n_seg=M, has_inf=has_inf,
         has_cens=has_cens, n_out=n_out, has_bias=has_bias, has_init=has_init,
-        cov_names=cov_names, A=A, B=B, E=E, C=C, rtol=float(rtol),
+        cov_names=cov_names, A=A, B=B, E=E, C=C, sdirk=sdirk,
+        rtol=float(rtol),
         atol=float(atol), h0=float(h0), max_iters=int(max_iters),
-        unroll=int(unroll),
+        unroll=int(unroll), newton_iters=int(newton_iters),
     )
 
     row_block = next(b for b in ODE_ROW_BLOCKS if R % b == 0)
@@ -589,6 +812,9 @@ def psi_ode(
     # the state count grows so the working set stays inside VMEM (the
     # measured 32x128 sweet spot covers the 1-4 state PK families)
     budget = max(ODE_TILE_BUDGET // max(1, (n_states + 3) // 4), 8 * 128)
+    if sdirk is not None:
+        # the frozen Jacobian + its inverse add ~2*n^2 live lane arrays
+        budget = max(budget // 2, 8 * 128)
     while row_block * sp_block > budget and row_block > 8:
         row_block //= 2
     import os

@@ -175,9 +175,11 @@ def test_ode_pallas_multi_output_and_censoring():
     assert _rel_err(psi_p, psi_x) < 1e-4
 
 
-def test_ode_pallas_rejects_implicit_solver():
+def test_ode_pallas_rejects_bdf_solver():
+    # bdf stays on the XLA engine (variable-order history does not fit the
+    # fixed-stage in-kernel scheme); trbdf2/kvaerno3 are the stiff kernels
     model = _two_cmt_ode().with_solver("bdf")
-    with pytest.raises(PharmsolError, match="explicit solvers"):
+    with pytest.raises(PharmsolError, match="supports solvers"):
         log_likelihood_matrix(
             model, _subjects(n=2), _support(4), _ems(), engine="pallas"
         )
@@ -221,3 +223,53 @@ def test_ode_pallas_sharded_matches_unsharded():
         model, data, sp, _ems(), engine="pallas"
     )
     np.testing.assert_allclose(shd, ref, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("solver", ["trbdf2", "kvaerno3"])
+def test_ode_pallas_sdirk_matches_xla(solver):
+    """In-kernel SDIRK (frozen-Jacobian Newton with a per-lane inverse)
+    matches the XLA implicit engines at integration tolerance."""
+    model = _two_cmt_ode().with_solver(solver)
+    data = _subjects(n=8)
+    rng = np.random.default_rng(17)
+    sp = np.column_stack([
+        rng.uniform(5.0, 20.0, 12), rng.uniform(0.05, 0.5, 12),
+        rng.uniform(30, 90, 12),
+    ])
+    psi_x = log_likelihood_matrix(model, data, sp, _ems(), engine="xla")
+    psi_p = log_likelihood_matrix(model, data, sp, _ems(), engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 5e-4
+
+
+def test_ode_pallas_sdirk_stiff_tmdd():
+    """A stiff TMDD-like binding model through the pallas trbdf2 kernel."""
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] - p[2] * x[0] * x[1] + b[0],
+            p[3] - p[4] * x[1] - p[2] * x[0] * x[1],
+        ]),
+        init=lambda p, t, cov: jnp.stack([0.0, p[3] / p[4]]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=2, ndrugs=1, nout=1,
+    ).with_solver("trbdf2")
+    subjects = []
+    for i in range(4):
+        sb = SubjectBuilder(f"t{i}").bolus(0.0, 50.0, 0)
+        for t in (0.25, 1.0, 4.0, 12.0, 24.0):
+            sb = sb.observation(t, float(2 * np.exp(-0.2 * t) + 0.05 * i), 0)
+        subjects.append(sb.build())
+    rng = np.random.default_rng(19)
+    S = 8
+    sp = np.column_stack([
+        rng.uniform(0.05, 0.2, S),   # linear elimination
+        rng.uniform(3.0, 6.0, S),    # volume
+        rng.uniform(1.0, 5.0, S),    # binding (stiff term)
+        rng.uniform(1.0, 3.0, S),    # target synthesis
+        rng.uniform(0.5, 2.0, S),    # target turnover
+    ])
+    ems = _ems()
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, ems,
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, ems,
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 1e-3
