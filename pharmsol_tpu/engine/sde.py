@@ -229,11 +229,15 @@ def simulate_occasion_sde(
             q = jnp.exp(-0.5 * z * z) / (sigma * jnp.sqrt(2.0 * jnp.pi))
             q = jnp.where(weighted, q, 1.0)
             sum_q = jnp.sum(q)
-            w = q / jnp.maximum(sum_q, 1e-300)
+            # dtype-aware floor: a hard 1e-300 underflows to 0 in f32 and
+            # turned every poor-fit TPU cell into log(0) = -inf; tiny keeps
+            # the degradation finite (~ -87 per observation in f32)
+            tiny = jnp.asarray(jnp.finfo(fd).tiny, fd)
+            w = q / jnp.maximum(sum_q, tiny)
             idx = resample_fn(w, k_rs)
             X = jnp.where(weighted, X[idx], X)
             ll_contrib = jnp.where(
-                weighted, jnp.log(jnp.maximum(sum_q / P, 1e-300)), 0.0
+                weighted, jnp.log(jnp.maximum(sum_q / P, tiny)), 0.0
             )
         else:
             ll_contrib = jnp.asarray(0.0, fd)

@@ -1584,6 +1584,295 @@ class _PallasOdePsiPlan:
         return psi
 
 
+class _PallasSdePsiPlan:
+    """Validated, padded inputs for a fused pallas SDE particle-filter psi.
+
+    Same contract as _PallasPsiPlan/_PallasOdePsiPlan. Scope: boluses into
+    input 0 (mapped to the spec's destination state), infusions into
+    input 0, time-constant covariates, linear outputs, stratified
+    resampling, no lag/fa, no censoring. Noise draws are per-(row,
+    support, trial) — statistically equivalent to ``independent`` mode;
+    XLA-vs-pallas parity is therefore statistical (exact only at zero
+    diffusion).
+    """
+
+    def __init__(self, equation, grid, sp, lowered, row_multiple: int):
+        from ..config import BIG_TIME
+        from ..engine.grid import CovView
+        from ..ops.pallas_ode import make_lane_rhs
+        from ..ops.pallas_psi import (
+            SP_TILE, extract_linear_out, segment_schedule, streams_from_grid,
+        )
+
+        spec = equation.spec
+        if spec.lag is not None or spec.fa is not None:
+            raise PharmsolError(
+                "engine='pallas' SDE psi does not support lag/fa equations"
+            )
+        if getattr(equation, "_resampling", "stratified") != "stratified":
+            raise PharmsolError(
+                "engine='pallas' SDE psi implements stratified resampling "
+                "(the reference scheme) — use the default XLA engine for "
+                "systematic resampling"
+            )
+        if np.any(np.asarray(grid.rows.obs_cens) != 0):
+            raise PharmsolError(
+                "engine='pallas' SDE psi does not support censored "
+                "observations — use the default XLA engine"
+            )
+        self.n_states = int(spec.nstates)
+        self.n_out = int(spec.nout)
+        self.n_particles = int(spec.nparticles)
+        self.seed = int(getattr(equation, "_seed", 0))
+        self.ninput = int(spec.ninput)
+        n_states = self.n_states
+        self.n_params = sp.shape[1]
+        self.drift = spec.drift
+        self.diffusion = spec.diffusion
+        dest = spec.bolus_dest
+        self.dose_state = int(dest[0]) if dest else 0
+        self.cov_names = tuple(grid.cov_names)
+        cov_values = _constant_covariate_values(grid) if grid.cov_names else {}
+        cov0 = {n: float(np.asarray(v)[0]) for n, v in cov_values.items()}
+        cov1 = {n: v * 1.31 + 0.17 for n, v in cov0.items()}
+
+        # init rows per support (cov-independence probed)
+        init_rows = None
+        if spec.init is not None:
+            init_fn = spec.init
+
+            def init_at(p, covd):
+                return jnp.asarray(
+                    init_fn(p, jnp.asarray(0.0, jnp.float64), _RowCov(covd)),
+                    jnp.float64,
+                )
+
+            try:
+                with _host_cpu_device():
+                    i_ref = np.asarray(jax.vmap(
+                        lambda p: init_at(p, cov0))(
+                            jnp.asarray(sp, jnp.float64)), np.float64)
+                    i_cov = np.asarray(jax.vmap(
+                        lambda p: init_at(p, cov1))(
+                            jnp.asarray(sp, jnp.float64)), np.float64)
+            except PharmsolError:
+                raise
+            except Exception as e:
+                raise PharmsolError(
+                    f"engine='pallas' could not probe the SDE init "
+                    f"equation: {e}"
+                ) from e
+            iscale = np.maximum(np.abs(i_ref).max(), 1e-12)
+            if np.abs(i_cov - i_ref).max() > 1e-6 * iscale:
+                raise PharmsolError(
+                    "engine='pallas' SDE psi requires a covariate-"
+                    "independent init equation — use the default XLA engine"
+                )
+            init_rows = i_ref.T
+
+        # drift/diffusion must trace through the lane shims (the SDE drift
+        # signature has no bolus argument — adapt to the diffeq shim shape)
+        drift_fn = spec.drift
+        rhs = make_lane_rhs(
+            lambda x, p, t, b, rateiv, cov: drift_fn(x, p, t, rateiv, cov),
+            n_states, self.n_params, self.ninput,
+        )
+
+        def lane_probe():
+            shape = (2, 2)
+            xs = [jnp.zeros(shape, jnp.float64) for _ in range(n_states)]
+            p_lanes = [jnp.zeros((1, 2), jnp.float64)
+                       for _ in range(self.n_params)]
+            covd = {n: jnp.zeros((1, 1), jnp.float64) for n in self.cov_names}
+            d = rhs(xs, p_lanes, jnp.zeros(shape, jnp.float64),
+                    jnp.zeros((1, 1), jnp.float64), covd, shape, jnp.float64)
+            from ..ops.pallas_ode import LaneCov, LaneVec
+
+            g = spec.diffusion(LaneVec(p_lanes),
+                               jnp.zeros((), jnp.float64), LaneCov(covd))
+            comps = (list(g) if isinstance(g, (list, tuple, LaneVec))
+                     else [g[i] for i in range(n_states)])
+            if len(comps) != n_states:
+                raise PharmsolError(
+                    f"SDE diffusion returned {len(comps)} components, "
+                    f"expected {n_states}"
+                )
+            return d
+
+        try:
+            jax.eval_shape(lane_probe)
+        except PharmsolError:
+            raise
+        except Exception as e:
+            raise PharmsolError(
+                f"engine='pallas' SDE psi could not trace drift/diffusion "
+                f"with lane shims: {e}"
+            ) from e
+
+        try:
+            streams = streams_from_grid(grid.rows, lowered)
+        except ValueError as e:
+            raise PharmsolError(f"engine='pallas' SDE psi: {e}") from e
+        _, t_sorted, _, _ = segment_schedule(grid.rows)
+        real = t_sorted < BIG_TIME / 2
+        t_real_max = np.max(np.where(real, t_sorted, -np.inf), axis=1)
+        t_real_max = np.where(np.isfinite(t_real_max), t_real_max, 0.0)
+        seg_t0 = np.minimum(t_sorted, t_real_max[:, None])
+
+        self.R = streams[0].shape[0]
+        self.S = sp.shape[0]
+        self.M = streams[0].shape[1]
+        # the kernel processes 8 rows per grid step (Mosaic sublane blocks)
+        rm = max(8, row_multiple)
+        self.Rp = ((self.R + rm - 1) // rm) * rm
+        self.Sp = ((self.S + SP_TILE - 1) // SP_TILE) * SP_TILE
+        fd = float_dtype()
+        if jax.devices()[0].platform == "tpu":
+            fd = jnp.float32
+        self.fd = fd
+
+        def pad_rows(a):
+            a = np.asarray(a, dtype=np.float64)
+            if self.Rp == self.R:
+                return a
+            return np.concatenate(
+                [a, np.zeros((self.Rp - self.R, a.shape[1]), dtype=a.dtype)],
+                axis=0,
+            )
+
+        self.padded = [jnp.asarray(pad_rows(a), dtype=fd) for a in streams]
+        self.seg_t0 = jnp.asarray(pad_rows(seg_t0), dtype=fd)
+        im = np.asarray(grid.rows.init_mask, np.float64).reshape(-1)
+        init_mask_rm = np.zeros((self.R, self.M))
+        init_mask_rm[:, 0] = im
+        self.init_mask = (
+            jnp.asarray(pad_rows(init_mask_rm), dtype=fd)
+            if init_rows is not None else None
+        )
+        self.cov_streams = {}
+        for name in self.cov_names:
+            vs = np.zeros((self.R, self.M))
+            vs[:, 0] = np.asarray(cov_values[name], np.float64)
+            self.cov_streams[name] = jnp.asarray(pad_rows(vs), dtype=fd)
+
+        def pad_support_cols(a):
+            if self.Sp == self.S:
+                return a
+            return np.concatenate(
+                [a, np.repeat(a[..., -1:], self.Sp - self.S, axis=-1)],
+                axis=-1,
+            )
+
+        sp_padded = (
+            np.concatenate(
+                [sp, np.repeat(sp[-1:], self.Sp - self.S, axis=0)], axis=0
+            ) if self.Sp != self.S else sp
+        )
+        self.sp_dev = jnp.asarray(sp_padded, dtype=fd)
+        self.init_rows = (
+            jnp.asarray(pad_support_cols(init_rows), dtype=fd)
+            if init_rows is not None else None
+        )
+        out_fn = spec.out
+        occ0 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a)[0]), grid.rows
+        )
+        cov = CovView(
+            occ0.cov_t.astype(fd), occ0.cov_v.astype(fd), occ0.cov_fixed,
+            tuple(grid.cov_names),
+        )
+        try:
+            C, b = extract_linear_out(
+                out_fn, sp_padded, n_states, self.n_out, cov, fd
+            )
+        except PharmsolError:
+            raise
+        except Exception as e:
+            raise PharmsolError(
+                f"engine='pallas' SDE psi could not extract linear output "
+                f"coefficients (non-linear output?): {e}"
+            ) from e
+        self.out_coef = jnp.asarray(np.transpose(C, (1, 2, 0)), dtype=fd)
+        self.out_bias = jnp.asarray(b.T, dtype=fd) if np.any(b) else None
+        self.pass_inf = bool(np.any(streams[2]))
+        self.pass_outeq = self.n_out > 1
+
+    def cache_key(self, *extra):
+        return ("pallas_sde", self.n_states, self.n_params, self.ninput,
+                self.n_particles, self.seed, self.Rp, self.Sp, self.M,
+                self.pass_inf, self.pass_outeq, self.n_out,
+                self.out_bias is not None, self.init_rows is not None,
+                self.cov_names, self.dose_state, str(self.fd)) + extra
+
+    def stream_args(self):
+        p = self.padded
+        include = [True, True, self.pass_inf, True, True, True,
+                   False, self.pass_outeq]
+        out = tuple(a for a, inc in zip(p, include) if inc)
+        out = out + (self.seg_t0,)
+        if self.init_mask is not None:
+            out = out + (self.init_mask,)
+        out = out + tuple(self.cov_streams[n] for n in self.cov_names)
+        return out
+
+    def rep_args(self):
+        out = [self.sp_dev]
+        if self.init_rows is not None:
+            out.append(self.init_rows)
+        out.append(self.out_coef)
+        if self.out_bias is not None:
+            out.append(self.out_bias)
+        return tuple(out)
+
+    def runner(self):
+        from ..ops.pallas_sde import psi_sde
+
+        n_states = self.n_states
+        n_particles = self.n_particles
+        ninput = self.ninput
+        dose_state = self.dose_state
+        seed = self.seed
+        drift, diffusion = self.drift, self.diffusion
+        pass_inf = self.pass_inf
+        pass_outeq = self.pass_outeq
+        has_init = self.init_rows is not None
+        has_bias = self.out_bias is not None
+        cov_names = self.cov_names
+        n_streams = (6 + int(pass_inf) + int(pass_outeq) + int(has_init)
+                     + len(cov_names))
+
+        def run(*args):
+            it = iter(args[:n_streams])
+            dt, bol = next(it), next(it)
+            inf = next(it) if pass_inf else None
+            mask, val, sig = next(it), next(it), next(it)
+            outeq = next(it) if pass_outeq else None
+            t0 = next(it)
+            imask = next(it) if has_init else None
+            covs = {n: next(it) for n in cov_names}
+            rep = iter(args[n_streams:])
+            sp_dev = next(rep)
+            irows = next(rep) if has_init else None
+            coef = next(rep)
+            bias = next(rep) if has_bias else None
+            return psi_sde(
+                dt, bol, inf, mask, val, sig, t0, sp_dev, drift, diffusion,
+                n_states=n_states, n_particles=n_particles, ninput=ninput,
+                dose_state=dose_state, seed=seed, obs_outeq=outeq,
+                out_coef=coef, out_bias=bias, init_rows=irows,
+                init_mask=imask, cov_streams=covs, cov_names=cov_names,
+            )
+
+        run.n_streams = n_streams
+        return run
+
+    def finalize(self, psi_rows, grid) -> np.ndarray:
+        psi_rows = np.asarray(psi_rows, dtype=np.float64)[: self.R, : self.S]
+        psi = np.zeros((grid.n_subjects, self.S), dtype=np.float64)
+        np.add.at(psi, np.asarray(grid.row_subject), psi_rows)
+        return psi
+
+
 # engine='auto' crossover: the pallas tier pays a fixed plan/padding +
 # dispatch overhead (~30 ms measured round-2: a 128-cell psi was 0.0359 s
 # via pallas vs 0.00106 s via XLA) but wins ~10x at scale (16384x512).
@@ -1628,8 +1917,13 @@ def _pallas_psi_matrix(equation, grid, sp, lowered) -> np.ndarray:
     """
     from ..ops.pallas_psi import SUB_TILE
 
-    if getattr(equation, "kind", None) == "ode":
+    kind = getattr(equation, "kind", None)
+    if kind == "ode":
         plan = _PallasOdePsiPlan(
+            equation, grid, sp, lowered, row_multiple=SUB_TILE
+        )
+    elif kind == "sde":
+        plan = _PallasSdePsiPlan(
             equation, grid, sp, lowered, row_multiple=SUB_TILE
         )
     else:

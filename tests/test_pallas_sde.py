@@ -1,0 +1,117 @@
+"""Parity tests for the fused pallas SDE particle-filter psi tier.
+
+Zero-diffusion models are EXACT vs the XLA SDE engine (same EM controller
+law, no noise dependence). Stochastic parity is statistical: the kernel's
+on-core draws are independent per (row, support, trial), so fixed-seed
+bitwise equality across engines is not defined — matching the reference's
+own thread-local-RNG non-reproducibility (sde/mod.rs).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pharmsol_tpu import (
+    SDE,
+    AssayErrorModel,
+    AssayErrorModels,
+    Data,
+    ErrorPoly,
+    Subject,
+    SubjectBuilder,
+)
+from pharmsol_tpu.errors import PharmsolError
+from pharmsol_tpu.likelihood.matrix import log_likelihood_matrix
+
+pytestmark = pytest.mark.slow  # heavy parity tier; quick gate runs -m 'not slow'
+
+
+def _ems(factor=0.5):
+    return AssayErrorModels().add(
+        0, AssayErrorModel.additive(ErrorPoly(0.5, 0.0, 0.0, 0.0), factor)
+    )
+
+
+def test_sde_pallas_zero_diffusion_exact():
+    sde = SDE(
+        drift=lambda x, p, t, rateiv, cov: jnp.stack(
+            [-p[0] * x[0] + rateiv[0]]
+        ),
+        diffusion=lambda p, t, cov: jnp.stack([0.0]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nparticles=16, nstates=1, ndrugs=1, nout=1, seed=3,
+    )
+    subs = []
+    for i in range(5):
+        sb = SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+        if i % 2 == 0:
+            sb = sb.infusion(0.5, 20.0, 0, 0.5)
+        for t in (0.3, 0.8, 1.5):
+            sb = sb.observation(t, float(8 * np.exp(-0.3 * t) + 0.1 * i), 0)
+        subs.append(sb.build())
+    rng = np.random.default_rng(4)
+    sp = np.column_stack([rng.uniform(0.2, 0.6, 6), rng.uniform(8, 14, 6)])
+    px = log_likelihood_matrix(sde, Data(subs), sp, _ems(), engine="xla")
+    pp = log_likelihood_matrix(sde, Data(subs), sp, _ems(), engine="pallas")
+    rel = np.max(np.abs(pp - px) / np.maximum(np.abs(px), 1.0))
+    assert rel < 1e-9, rel
+
+
+def test_sde_pallas_stochastic_statistical_parity():
+    def make(seed):
+        return SDE(
+            drift=lambda x, p, t, rateiv, cov: jnp.stack(
+                [-x[0] * x[1], -x[1] + p[0]]
+            ),
+            diffusion=lambda p, t, cov: jnp.stack([1.0, 0.01]),
+            init=lambda p, t, cov: jnp.stack([0.0, 1.0]),
+            out=lambda x, p, t, cov: x[0:1],
+            nparticles=400, nstates=2, ndrugs=1, nout=1, seed=seed,
+        )
+
+    s = (Subject.builder("id1").bolus(0.0, 20.0, 0)
+         .observation(0.2, 16.6434, 0).observation(0.4, 14.3233, 0)
+         .observation(0.6, 9.8468, 0).observation(0.8, 9.4177, 0)
+         .observation(1.0, 7.5170, 0).build())
+    ems = _ems(factor=0.0)
+    sp = np.array([[1.0]])
+    xla = [float(log_likelihood_matrix(make(i), Data([s]), sp, ems,
+                                       engine="xla")[0, 0])
+           for i in range(4)]
+    pal = [float(log_likelihood_matrix(make(i), Data([s]), sp, ems,
+                                       engine="pallas")[0, 0])
+           for i in range(4)]
+    assert all(np.isfinite(v) for v in xla + pal)
+    assert abs(np.mean(xla) - np.mean(pal)) < 0.6, (xla, pal)
+
+
+def test_sde_pallas_rejections():
+    base = dict(
+        drift=lambda x, p, t, rateiv, cov: jnp.stack([-p[0] * x[0]]),
+        diffusion=lambda p, t, cov: jnp.stack([0.1]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nparticles=8, nstates=1, ndrugs=1, nout=1,
+    )
+    s = (SubjectBuilder("s").bolus(0.0, 100.0, 0)
+         .observation(1.0, 5.0, 0).build())
+    sp = np.array([[0.3, 10.0]])
+
+    # systematic resampling stays on the XLA engine
+    m = SDE(**base).with_resampling("systematic")
+    with pytest.raises(PharmsolError, match="stratified"):
+        log_likelihood_matrix(m, Data([s]), sp, _ems(), engine="pallas")
+
+    # lag falls back
+    m2 = SDE(lag=lambda p, t, cov: {0: 0.5}, **base)
+    with pytest.raises(PharmsolError, match="lag"):
+        log_likelihood_matrix(m2, Data([s]), sp, _ems(), engine="pallas")
+
+    # censored observations fall back
+    from pharmsol_tpu import Censor
+
+    s3 = (SubjectBuilder("c").bolus(0.0, 100.0, 0)
+          .censored_observation(1.0, 0.5, 0, Censor.BLOQ).build())
+    with pytest.raises(PharmsolError, match="censored"):
+        log_likelihood_matrix(SDE(**base), Data([s3]), sp, _ems(),
+                              engine="pallas")
