@@ -125,6 +125,87 @@ def _constant_covariate_values(grid) -> dict:
     return {name: cov_v[:, c, 0] for c, name in enumerate(grid.cov_names)}
 
 
+def _classify_covariates(grid):
+    """Split covariates into time-constant and time-varying sets.
+
+    Returns ``(row_values, varying)``: ``row_values[name]`` is the per-row
+    value at the row's first knot (the probe reference — and the exact
+    per-row constant for non-varying covariates); ``varying`` holds the
+    names whose value changes within at least one occasion row.
+    """
+    cov_v = np.asarray(grid.rows.cov_v, dtype=np.float64)  # [R, ncov, K]
+    if cov_v.ndim != 3 or not grid.cov_names:
+        return {}, set()
+    row_values = {}
+    varying = set()
+    for c, name in enumerate(grid.cov_names):
+        row_values[name] = cov_v[:, c, 0]
+        if not np.all(cov_v[:, c, :] == cov_v[:, c, :1]):
+            varying.add(name)
+    return row_values, varying
+
+
+def _affine_covariate_streams(grid, names, seg_t0, seg_dt):
+    """Per-segment affine ``(a, b)`` streams for time-varying covariates.
+
+    The reference interpolation (covariate.rs: linear between knots, clamp
+    outside the knot range, carry-forward for ``!`` fixed covariates) is
+    affine within any time span containing no interior knot — so inside an
+    integration segment cov(t) = a + b*t EXACTLY, provided every knot falls
+    on a segment boundary. Validates that and returns the coefficient
+    streams; raises PharmsolError (``engine='auto'`` then falls back to the
+    XLA engine, whose CovView interpolates globally) when a knot lies
+    strictly inside a segment span.
+    """
+    cov_t = np.asarray(grid.rows.cov_t, np.float64)  # [R, ncov, K]
+    cov_v = np.asarray(grid.rows.cov_v, np.float64)
+    fixed = np.asarray(grid.rows.cov_fixed)          # [R, ncov]
+    t0 = np.asarray(seg_t0, np.float64)              # [R, M]
+    dt = np.asarray(seg_dt, np.float64)
+    t1 = t0 + dt
+    name_to_idx = {n: i for i, n in enumerate(grid.cov_names)}
+    out = {}
+    for name in names:
+        c = name_to_idx[name]
+        ts = cov_t[:, c, :]  # [R, K]
+        vs = cov_v[:, c, :]
+        K = ts.shape[1]
+        interior = ((ts[:, None, :] > t0[:, :, None])
+                    & (ts[:, None, :] < t1[:, :, None]))
+        if np.any(interior & (dt > 0.0)[:, :, None]):
+            raise PharmsolError(
+                f"engine='pallas' ODE psi requires covariate `{name}`'s "
+                "change points to fall on event/segment boundaries (a "
+                "knot lies strictly inside an integration segment — use "
+                "the default XLA engine)"
+            )
+        fx = fixed[:, c:c + 1].astype(bool)
+
+        def interp(tq):
+            tcl = np.clip(tq, ts[:, :1], ts[:, -1:])
+            idx = np.clip(
+                (ts[:, None, :] <= tcl[:, :, None]).sum(-1) - 1, 0, K - 1
+            )
+            nxt = np.minimum(idx + 1, K - 1)
+            tk0 = np.take_along_axis(ts, idx, 1)
+            tk1 = np.take_along_axis(ts, nxt, 1)
+            vk0 = np.take_along_axis(vs, idx, 1)
+            vk1 = np.take_along_axis(vs, nxt, 1)
+            denom = np.where(tk1 > tk0, tk1 - tk0, 1.0)
+            lin = vk0 + (vk1 - vk0) * (tcl - tk0) / denom
+            lin = np.where(tk1 > tk0, lin, vk0)
+            return np.where(fx, vk0, lin)
+
+        v0 = interp(t0)
+        v1 = interp(t1)
+        span = np.where(dt > 0.0, dt, 1.0)
+        b = np.where(dt > 0.0, (v1 - v0) / span, 0.0)
+        b = np.where(fx, 0.0, b)  # fixed: carry v(t0) across the span
+        a = v0 - b * t0
+        out[name] = (a, b)
+    return out
+
+
 class _RowCov:
     """Covariate shim handing per-row constants to a seq probe."""
 
@@ -1251,7 +1332,10 @@ class _PallasOdePsiPlan:
     - lane-RHS compatibility: the user RHS is traced once with 2-D lane
       shims; styles the shim cannot carry (dynamic indexing, ``.at`` on a
       dense state vector) fall back to the XLA engine;
-    - covariates must be time-constant per occasion (per-row lanes).
+    - covariates: time-constant ones ride per-row lanes; time-varying
+      ones ride per-segment affine ``(a, b)`` streams (exact vs the
+      reference interpolation when every knot falls on a segment
+      boundary — _affine_covariate_streams validates, else fallback).
     """
 
     def __init__(self, equation, grid, sp, lowered, row_multiple: int):
@@ -1286,8 +1370,12 @@ class _PallasOdePsiPlan:
         n_params = sp.shape[1]
         self.n_params = n_params
         fd_probe = np.float64
-        cov_values = _constant_covariate_values(grid) if grid.cov_names else {}
+        cov_values, varying_covs = _classify_covariates(grid)
         self.cov_names = tuple(grid.cov_names)
+        self.cov_modes = tuple(
+            "affine" if n in varying_covs else "const"
+            for n in self.cov_names
+        )
 
         # --- host probes (CPU backend, tiny shapes) -----------------------
         p_ref = np.where(np.abs(sp[0]) > 1e-30, sp[0], 1.0)
@@ -1386,12 +1474,15 @@ class _PallasOdePsiPlan:
 
         def lane_probe():
             shape = (2, 2)
+            z = jnp.zeros((2, 1), jnp.float64)
             xs = [jnp.zeros(shape, jnp.float64) for _ in range(n_states)]
             p_lanes = [jnp.zeros((1, 2), jnp.float64) for _ in range(n_params)]
-            covd = {n: jnp.zeros((2, 1), jnp.float64) for n in self.cov_names}
+            covd = {
+                n: ((z, z) if m == "affine" else z)
+                for n, m in zip(self.cov_names, self.cov_modes)
+            }
             return rhs(xs, p_lanes, jnp.zeros(shape, jnp.float64),
-                       jnp.zeros((2, 1), jnp.float64), covd, shape,
-                       jnp.float64)
+                       z, covd, shape, jnp.float64)
 
         try:
             jax.eval_shape(lane_probe)
@@ -1448,11 +1539,23 @@ class _PallasOdePsiPlan:
             jnp.asarray(pad_rows(init_mask_rm), dtype=fd)
             if init_rows is not None else None
         )
+        affine_streams = (
+            _affine_covariate_streams(
+                grid, sorted(varying_covs), seg_t0, np.asarray(streams[0])
+            ) if varying_covs else {}
+        )
         self.cov_streams = {}
         for name in self.cov_names:
-            vs = np.zeros((self.R, self.M))
-            vs[:, 0] = np.asarray(cov_values[name], np.float64)
-            self.cov_streams[name] = jnp.asarray(pad_rows(vs), dtype=fd)
+            if name in affine_streams:
+                a, b = affine_streams[name]
+                self.cov_streams[name] = (
+                    jnp.asarray(pad_rows(a), dtype=fd),
+                    jnp.asarray(pad_rows(b), dtype=fd),
+                )
+            else:
+                vs = np.zeros((self.R, self.M))
+                vs[:, 0] = np.asarray(cov_values[name], np.float64)
+                self.cov_streams[name] = jnp.asarray(pad_rows(vs), dtype=fd)
 
         def pad_support(a):
             if self.Sp == self.S:
@@ -1504,7 +1607,8 @@ class _PallasOdePsiPlan:
                 self.Rp,
                 self.Sp, self.M, self.pass_inf, self.pass_cens,
                 self.pass_outeq, self.n_out, self.out_bias is not None,
-                self.init_rows is not None, self.cov_names, o.solver,
+                self.init_rows is not None, self.cov_names, self.cov_modes,
+                o.solver,
                 o.rtol, o.atol, o.h0, o.max_steps, str(self.fd)) + extra
 
     def stream_args(self):
@@ -1515,7 +1619,9 @@ class _PallasOdePsiPlan:
         out = out + (self.seg_t0,)
         if self.init_mask is not None:
             out = out + (self.init_mask,)
-        out = out + tuple(self.cov_streams[n] for n in self.cov_names)
+        for n in self.cov_names:
+            e = self.cov_streams[n]
+            out = out + (e if isinstance(e, tuple) else (e,))
         return out
 
     def rep_args(self):
@@ -1539,8 +1645,10 @@ class _PallasOdePsiPlan:
         has_init = self.init_rows is not None
         has_bias = self.out_bias is not None
         cov_names = self.cov_names
+        cov_modes = self.cov_modes
         n_streams = (6 + int(pass_inf) + int(pass_cens) + int(pass_outeq)
-                     + int(has_init) + len(cov_names))
+                     + int(has_init)
+                     + sum(2 if m == "affine" else 1 for m in cov_modes))
         # ODEOptions.unroll amortizes XLA's per-while-iteration dispatch;
         # inside the pallas kernel there is no dispatch to amortize and
         # every extra unrolled trial is wasted work on lanes that just
@@ -1556,7 +1664,10 @@ class _PallasOdePsiPlan:
             outeq = next(it) if pass_outeq else None
             t0 = next(it)
             imask = next(it) if has_init else None
-            covs = {n: next(it) for n in cov_names}
+            covs = {
+                n: ((next(it), next(it)) if m == "affine" else next(it))
+                for n, m in zip(cov_names, cov_modes)
+            }
             rep = iter(args[n_streams:])
             sp_dev = next(rep)
             bmap = next(rep)
@@ -1878,8 +1989,18 @@ class _PallasSdePsiPlan:
 # via pallas vs 0.00106 s via XLA) but wins ~10x at scale (16384x512).
 # Below this many psi cells the XLA engine is used; at or above it the
 # pallas plan is attempted and any validation failure falls back to XLA
-# with the reason retrievable via last_engine_decision().
-AUTO_PALLAS_MIN_CELLS = 262_144  # 2048 subjects x 128 supports
+# with the reason retrievable via last_engine_decision(). The threshold is
+# per model kind because the fixed overhead amortizes against wildly
+# different per-cell costs: an analytical cell is ~ns-scale, an SDE cell
+# carries a full particle cloud (~us-scale) — and the XLA SDE psi program
+# has crashed the tunneled TPU worker at population scale, so the fused
+# kernel takes over much earlier there.
+AUTO_PALLAS_MIN_CELLS = 262_144  # analytical: 2048 subjects x 128 supports
+AUTO_PALLAS_MIN_CELLS_BY_KIND = {
+    "analytical": AUTO_PALLAS_MIN_CELLS,
+    "ode": AUTO_PALLAS_MIN_CELLS,
+    "sde": 4_096,
+}
 
 
 def last_engine_decision(equation) -> Optional[dict]:
@@ -1897,12 +2018,14 @@ def _auto_engine(equation, grid, sp) -> tuple:
     cells = grid.n_rows * sp.shape[0]
     if jax.devices()[0].platform != "tpu":
         return "xla", "pallas kernels compile on TPU only (interpret mode is for parity tests)"
-    if cells < AUTO_PALLAS_MIN_CELLS:
+    kind = getattr(equation, "kind", "analytical")
+    min_cells = AUTO_PALLAS_MIN_CELLS_BY_KIND.get(kind, AUTO_PALLAS_MIN_CELLS)
+    if cells < min_cells:
         return "xla", (
             f"matrix too small for the pallas tier ({cells} cells < "
-            f"{AUTO_PALLAS_MIN_CELLS} crossover)"
+            f"{min_cells} crossover for kind={kind})"
         )
-    return "pallas", f"{cells} cells >= {AUTO_PALLAS_MIN_CELLS} crossover"
+    return "pallas", f"{cells} cells >= {min_cells} crossover for kind={kind}"
 
 
 def _pallas_psi_matrix(equation, grid, sp, lowered) -> np.ndarray:

@@ -39,8 +39,11 @@ the model's ODEOptions (defaults rtol=atol=1e-4, ode/mod.rs:40-41).
 
 Scope (validated by likelihood/matrix._PallasOdePsiPlan; anything else
 falls back to the general XLA engine): explicit solvers (dopri5/tsit5),
-boluses into input 0, infusions into input 0, time-constant covariates,
-outputs linear in the state, no lag/fa/init-covariate coupling.
+boluses into input 0, infusions into input 0, covariates that are
+time-constant OR piecewise-linear with every knot on a segment boundary
+(per-segment affine (a, b) streams — exact vs the reference
+interpolation), outputs linear in the state, no lag/fa/init-covariate
+coupling.
 Compiled kernels are float32-only; off-TPU the kernel runs in interpret
 mode (which is also how the CPU/f64 parity tests exercise it).
 """
@@ -212,10 +215,15 @@ class LaneVec:
 
 
 class LaneCov:
-    """Covariate shim for the kernel RHS: per-row constant lanes.
+    """Covariate shim for the kernel RHS.
 
-    The plan validates covariates are time-constant per occasion, so the
-    value is independent of the query time.
+    Entries are either a per-row constant lane (time-constant covariates)
+    or an ``(a, b)`` pair of lanes encoding the segment-affine
+    interpolation ``cov(t) = a + b * t``. The host plan guarantees the
+    affine form is EXACT: the reference interpolation (covariate.rs —
+    linear between knots, carry-forward for fixed) is affine within any
+    span containing no interior knot, and _PallasOdePsiPlan validates
+    that for every integration segment (falling back to XLA otherwise).
     """
 
     def __init__(self, values: dict):
@@ -223,11 +231,15 @@ class LaneCov:
 
     def __call__(self, name, t):
         try:
-            return self._values[str(name)]
+            v = self._values[str(name)]
         except KeyError:
             raise KeyError(
                 f"RHS reads unknown covariate `{name}`"
             )
+        if isinstance(v, tuple):
+            a, b = v
+            return a + b * t
+        return v
 
     def value(self, name, t):
         return self(name, t)
@@ -270,7 +282,8 @@ def make_lane_rhs(diffeq, n_states: int, n_params: int, ninput: int = None):
 def _make_ode_kernel(
     rhs, *, n_states: int, n_params: int, n_seg: int, has_inf: bool,
     has_cens: bool, n_out: int, has_bias: bool, has_init: bool,
-    cov_names: tuple, A=None, B=None, E=None, C=None, sdirk=None,
+    cov_names: tuple, cov_affine: tuple = (),
+    A=None, B=None, E=None, C=None, sdirk=None,
     rtol: float, atol: float, h0: float,
     max_iters: int, unroll: int, newton_iters: int = 4,
 ):
@@ -285,6 +298,8 @@ def _make_ode_kernel(
     n_stages = len(C) if C is not None else 0
     has_outeq = n_out > 1
     n_cov = len(cov_names)
+    if not cov_affine:
+        cov_affine = (False,) * n_cov
 
     def kernel(*refs):
         it = iter(refs)
@@ -298,7 +313,10 @@ def _make_ode_kernel(
         outeqs = next(it)[:, :] if has_outeq else None
         t0s = next(it)[:, :]
         initm = next(it)[:, :] if has_init else None
-        cov_streams = [next(it)[:, :] for _ in range(n_cov)]
+        cov_streams = [
+            ((next(it)[:, :], next(it)[:, :]) if aff else next(it)[:, :])
+            for aff in cov_affine
+        ]
         params = [next(it)[:, :] for _ in range(n_params)]
         bmap = [next(it)[:, :] for _ in range(n_states)]
         init_rows = [next(it)[:, :] for _ in range(n_states)] if has_init else None
@@ -315,15 +333,27 @@ def _make_ode_kernel(
             sel = (lane == np.int32(m)).astype(a.dtype)
             return jnp.sum(a * sel, axis=1, keepdims=True)  # [rows, 1]
 
-        # time-constant covariate lanes, one value per row
-        cov_lanes = {
-            name: col(cs, 0) for name, cs in zip(cov_names, cov_streams)
+        # time-constant covariate lanes, one value per row; affine ones
+        # get their per-segment (a, b) lanes in cov_for_seg below
+        const_lanes = {
+            name: col(cs, 0)
+            for name, cs, aff in zip(cov_names, cov_streams, cov_affine)
+            if not aff
         }
 
-        def f(xs, t, rate):
-            return rhs(xs, params, t, rate, cov_lanes, shape, dtype)
+        def cov_for_seg(m):
+            lanes = dict(const_lanes)
+            for name, cs, aff in zip(cov_names, cov_streams, cov_affine):
+                if aff:
+                    lanes[name] = (col(cs[0], m), col(cs[1], m))
+            return lanes
 
-        def integrate(xs, h, dt_col, rate, t0_col, estimate_h: bool):
+        def make_f(cov_lanes):
+            def f(xs, t, rate):
+                return rhs(xs, params, t, rate, cov_lanes, shape, dtype)
+            return f
+
+        def integrate(f, xs, h, dt_col, rate, t0_col, estimate_h: bool):
             """Adaptive embedded-RK march over one segment, all lanes.
 
             ``tau`` is segment-relative time; the RHS sees ``t0 + tau``.
@@ -459,7 +489,8 @@ def _make_ode_kernel(
             h_out = jnp.where(live0, h_f, h)
             return xs_out, h_out
 
-        def integrate_sdirk(xs, h, dt_col, rate, t0_col, estimate_h: bool):
+        def integrate_sdirk(f, xs, h, dt_col, rate, t0_col,
+                            estimate_h: bool):
             """Adaptive SDIRK march (stiff path): per-lane Newton stages.
 
             The iteration matrix ``I - h*gamma*J`` uses a Jacobian frozen
@@ -617,6 +648,7 @@ def _make_ode_kernel(
             xs = [zeros] * n_states
         ll = zeros
         h = jnp.full(shape, h0, dtype)
+        f_const = None if any(cov_affine) else make_f(const_lanes)
 
         for m in range(n_seg):
             dt = col(dts, m)
@@ -647,8 +679,9 @@ def _make_ode_kernel(
             xs = [x + bol * bmap[s] for s, x in enumerate(xs)]
             rate = col(rates, m) if has_inf else None
             t0_col = col(t0s, m)
+            f_m = make_f(cov_for_seg(m)) if any(cov_affine) else f_const
             march = integrate_sdirk if sdirk is not None else integrate
-            xs, h = march(xs, h, dt, rate, t0_col, estimate_h=(m == 0))
+            xs, h = march(f_m, xs, h, dt, rate, t0_col, estimate_h=(m == 0))
 
         out_ref[:, :] = ll
 
@@ -702,7 +735,9 @@ def psi_ode(
       output extraction (pallas_psi.extract_linear_out);
     - ``init_rows`` [n_states, S] + ``init_mask`` [R, M] (lane 0): initial
       state on occasion-0 rows;
-    - ``cov_streams`` {name: [R, M]} (lane 0 = the row's constant value).
+    - ``cov_streams`` {name: [R, M] (lane 0 = the row's constant value) or
+      an ``(a, b)`` pair of [R, M] per-segment affine streams for
+      time-varying covariates: cov(t) = a[m] + b[m] * t inside segment m}.
 
     Returns psi [R, S]. R must be a multiple of SUB_TILE, S of SP_TILE.
     """
@@ -763,9 +798,18 @@ def psi_ode(
     has_bias = _static_any(out_bias)
 
     cov_names = tuple(cov_names)
-    cov_list = [
-        jnp.asarray((cov_streams or {})[name], dtype) for name in cov_names
-    ]
+    cov_list = []
+    cov_affine = []
+    for name in cov_names:
+        entry = (cov_streams or {})[name]
+        if isinstance(entry, tuple):  # per-segment affine (a, b) streams
+            cov_affine.append(True)
+            cov_list.append(jnp.asarray(entry[0], dtype))
+            cov_list.append(jnp.asarray(entry[1], dtype))
+        else:
+            cov_affine.append(False)
+            cov_list.append(jnp.asarray(entry, dtype))
+    cov_affine = tuple(cov_affine)
 
     full = [
         _pad_lanes(jnp.asarray(a, dtype), SEG_PAD)
@@ -800,7 +844,8 @@ def psi_ode(
     kernel = _make_ode_kernel(
         rhs, n_states=n_states, n_params=n_params, n_seg=M, has_inf=has_inf,
         has_cens=has_cens, n_out=n_out, has_bias=has_bias, has_init=has_init,
-        cov_names=cov_names, A=A, B=B, E=E, C=C, sdirk=sdirk,
+        cov_names=cov_names, cov_affine=cov_affine,
+        A=A, B=B, E=E, C=C, sdirk=sdirk,
         rtol=float(rtol),
         atol=float(atol), h0=float(h0), max_iters=int(max_iters),
         unroll=int(unroll), newton_iters=int(newton_iters),

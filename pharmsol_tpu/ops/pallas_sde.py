@@ -208,19 +208,23 @@ def _make_sde_kernel(
             uu = uniforms(jnp.zeros((), jnp.int32)).astype(dtype)
             u = (prow.astype(dtype) + uu) / float(n_particles)
 
+            # row k extraction via masked iota reduction — Mosaic has no
+            # dynamic_slice on the sublane dim for traced indices
             def count_body(k, idx):
-                qck = jax.lax.dynamic_slice_in_dim(qc, k, 1, 0)  # [1, sp]
+                selk = (prow == k).astype(dtype)
+                qck = jnp.sum(qc * selk, axis=0, keepdims=True)  # [1, sp]
                 return idx + (qck < u).astype(dtype)
 
             idx = jax.lax.fori_loop(0, n_particles, count_body, zeros)
             idx = jnp.minimum(idx, float(n_particles - 1))
 
             def gather_body(k, xn):
+                selk = (prow == k).astype(dtype)
                 sel = (idx == k.astype(dtype)).astype(dtype)
-                rows = [
-                    jax.lax.dynamic_slice_in_dim(x, k, 1, 0) for x in xs
+                return [
+                    x + sel * jnp.sum(xsrc * selk, axis=0, keepdims=True)
+                    for x, xsrc in zip(xn, xs)
                 ]
-                return [x + sel * r for x, r in zip(xn, rows)]
 
             return jax.lax.fori_loop(
                 0, n_particles, gather_body, [zeros] * n_states

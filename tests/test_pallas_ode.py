@@ -273,3 +273,88 @@ def test_ode_pallas_sdirk_stiff_tmdd():
     psi_p = log_likelihood_matrix(model, Data(subjects), sp, ems,
                                   engine="pallas")
     assert _rel_err(psi_p, psi_x) < 1e-3
+
+
+def test_ode_pallas_time_varying_covariate_linear():
+    # wt interpolates linearly between knots placed ON event boundaries:
+    # the per-segment affine (a, b) streams must match the XLA engine's
+    # global CovView interpolation exactly
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * (cov("wt", t) / 70.0) * x[0] + b[0],
+        ]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    subjects = []
+    for i in range(8):
+        sb = (SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+              .covariate("wt", 0.0, 55.0 + 5.0 * i)
+              .covariate("wt", 2.0, 80.0 - 3.0 * i)
+              .covariate("wt", 8.0, 60.0 + 2.0 * i))
+        for t in (1.0, 2.0, 4.0, 8.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.25 * t)), 0)
+        subjects.append(sb.build())
+    rng = np.random.default_rng(11)
+    sp = np.column_stack([
+        rng.uniform(0.1, 0.6, 12), rng.uniform(10, 40, 12),
+    ])
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 2e-5
+
+
+def test_ode_pallas_time_varying_covariate_fixed_step():
+    # `!` fixed covariates carry forward between knots (step function);
+    # the affine stream degenerates to b=0 with the carried value
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+            p[0] * x[0] - p[1] * (1.0 + 0.5 * cov("dose_phase", t)) * x[1],
+        ]),
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    subjects = []
+    for i in range(6):
+        sb = (SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+              .covariate("dose_phase!", 0.0, 0.0)
+              .covariate("dose_phase!", 3.0, 1.0))
+        for t in (1.0, 3.0, 5.0, 9.0):
+            sb = sb.observation(t, float(3 * np.exp(-0.2 * t)), 0)
+        subjects.append(sb.build())
+    sp = _support(12, seed=13)
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="pallas")
+    # looser than the linear case: at a step ending exactly on a knot the
+    # XLA CovView evaluates the C=1.0 RK stage with the step covariate's
+    # right-limit (new) value while the affine stream keeps the left
+    # limit over the whole span (the mathematically consistent choice for
+    # a discontinuous RHS) — the disagreement is a stage-level artifact
+    # bounded by the integration tolerance, not a stream error
+    assert _rel_err(psi_p, psi_x) < 5e-4
+
+
+def test_ode_pallas_rejects_interior_covariate_knot():
+    # a knot strictly inside an integration segment cannot be expressed
+    # as a per-segment affine stream -> explicit fallback error
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * (cov("wt", t) / 70.0) * x[0] + b[0],
+        ]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    sb = (SubjectBuilder("s0").bolus(0.0, 100.0, 0)
+          .covariate("wt", 0.0, 70.0)
+          .covariate("wt", 2.5, 80.0))  # 2.5 is not an event time
+    for t in (1.0, 2.0, 4.0):
+        sb = sb.observation(t, 1.0, 0)
+    sp = np.array([[0.3, 20.0]])
+    with pytest.raises(PharmsolError, match="segment boundaries"):
+        log_likelihood_matrix(model, Data([sb.build()]), sp, _ems(),
+                              engine="pallas")
