@@ -1356,10 +1356,6 @@ class _PallasOdePsiPlan:
                 f"{sorted(_TABLEAUS) + sorted(_SDIRK_TABLEAUS)} "
                 f"(model uses `{opts.solver}`; use the default XLA engine)"
             )
-        if equation._lag is not None or equation._fa is not None:
-            raise PharmsolError(
-                "engine='pallas' ODE psi does not support lag/fa equations"
-            )
         self.opts = opts
         self.diffeq = equation._diffeq
         self.n_states = int(equation.nstates())
@@ -1376,6 +1372,27 @@ class _PallasOdePsiPlan:
             "affine" if n in varying_covs else "const"
             for n in self.cov_names
         )
+
+        # lag/fa: per-(row, support) planes, applied by the kernel's
+        # pending-dose split march / dose-amount scaling (the probe helper
+        # requires time-constant covariates, so lag/fa + time-varying
+        # covariates falls back to the XLA engine)
+        lag_plane = None
+        fa_plane = None
+        if equation._lag is not None:
+            lag_plane = _decompose_input_plane(
+                equation._lag, sp, grid, int(equation.ndrugs()), 0.0, "lag"
+            )
+            if np.any(lag_plane != 0.0):
+                _validate_lag_no_overlap(lag_plane, grid)
+            else:
+                lag_plane = None
+        if equation._fa is not None:
+            fa_plane = _decompose_input_plane(
+                equation._fa, sp, grid, int(equation.ndrugs()), 1.0, "fa"
+            )
+            if np.all(fa_plane == 1.0):
+                fa_plane = None
 
         # --- host probes (CPU backend, tiny shapes) -----------------------
         p_ref = np.where(np.abs(sp[0]) > 1e-30, sp[0], 1.0)
@@ -1576,6 +1593,27 @@ class _PallasOdePsiPlan:
             jnp.asarray(pad_support(init_rows), dtype=fd)
             if init_rows is not None else None
         )
+
+        def pad_plane(a, fill):
+            a = np.asarray(a, np.float64)
+            if self.Rp != self.R:
+                a = np.concatenate(
+                    [a, np.full((self.Rp - self.R, a.shape[1]), fill)],
+                    axis=0,
+                )
+            if self.Sp != self.S:
+                a = np.concatenate(
+                    [a, np.repeat(a[:, -1:], self.Sp - self.S, axis=1)],
+                    axis=1,
+                )
+            return jnp.asarray(a, dtype=fd)
+
+        self.lag_plane_dev = (
+            pad_plane(lag_plane, 0.0) if lag_plane is not None else None
+        )
+        self.fa_plane_dev = (
+            pad_plane(fa_plane, 1.0) if fa_plane is not None else None
+        )
         out_fn = equation._out or (lambda x, p, t, cov: x[: self.n_out])
         occ0 = jax.tree_util.tree_map(
             lambda a: jnp.asarray(np.asarray(a)[0]), grid.rows
@@ -1608,6 +1646,8 @@ class _PallasOdePsiPlan:
                 self.Sp, self.M, self.pass_inf, self.pass_cens,
                 self.pass_outeq, self.n_out, self.out_bias is not None,
                 self.init_rows is not None, self.cov_names, self.cov_modes,
+                self.lag_plane_dev is not None,
+                self.fa_plane_dev is not None,
                 o.solver,
                 o.rtol, o.atol, o.h0, o.max_steps, str(self.fd)) + extra
 
@@ -1622,6 +1662,9 @@ class _PallasOdePsiPlan:
         for n in self.cov_names:
             e = self.cov_streams[n]
             out = out + (e if isinstance(e, tuple) else (e,))
+        for plane in (self.lag_plane_dev, self.fa_plane_dev):
+            if plane is not None:
+                out = out + (plane,)
         return out
 
     def rep_args(self):
@@ -1646,8 +1689,10 @@ class _PallasOdePsiPlan:
         has_bias = self.out_bias is not None
         cov_names = self.cov_names
         cov_modes = self.cov_modes
+        pass_lag = self.lag_plane_dev is not None
+        pass_fa = self.fa_plane_dev is not None
         n_streams = (6 + int(pass_inf) + int(pass_cens) + int(pass_outeq)
-                     + int(has_init)
+                     + int(has_init) + int(pass_lag) + int(pass_fa)
                      + sum(2 if m == "affine" else 1 for m in cov_modes))
         # ODEOptions.unroll amortizes XLA's per-while-iteration dispatch;
         # inside the pallas kernel there is no dispatch to amortize and
@@ -1668,6 +1713,8 @@ class _PallasOdePsiPlan:
                 n: ((next(it), next(it)) if m == "affine" else next(it))
                 for n, m in zip(cov_names, cov_modes)
             }
+            lagp = next(it) if pass_lag else None
+            fap = next(it) if pass_fa else None
             rep = iter(args[n_streams:])
             sp_dev = next(rep)
             bmap = next(rep)
@@ -1683,6 +1730,7 @@ class _PallasOdePsiPlan:
                 obs_outeq=outeq, out_coef=coef, out_bias=bias,
                 bolus_map=bmap, init_rows=irows, init_mask=imask,
                 cov_streams=covs, cov_names=cov_names,
+                lag_plane=lagp, fa_plane=fap,
             )
 
         run.n_streams = n_streams

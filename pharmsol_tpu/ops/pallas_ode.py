@@ -283,6 +283,7 @@ def _make_ode_kernel(
     rhs, *, n_states: int, n_params: int, n_seg: int, has_inf: bool,
     has_cens: bool, n_out: int, has_bias: bool, has_init: bool,
     cov_names: tuple, cov_affine: tuple = (),
+    has_lag: bool = False, has_fa: bool = False,
     A=None, B=None, E=None, C=None, sdirk=None,
     rtol: float, atol: float, h0: float,
     max_iters: int, unroll: int, newton_iters: int = 4,
@@ -291,9 +292,20 @@ def _make_ode_kernel(
 
     Ref layout (in order): segment streams (dt, bolus, [rateiv], mask,
     value, sigma, [cens], [outeq], t0, [init_mask], cov...) each
-    [row_block, SEG_PAD]; parameter rows (p columns, bolus-map rows,
+    [row_block, SEG_PAD]; [lag plane], [fa plane] each
+    [row_block, sp_block]; parameter rows (p columns, bolus-map rows,
     [init rows], coef rows, [bias rows]) each [1, sp_block]; out_ref
     [row_block, sp_block].
+
+    ``has_lag``: a lagged dose parks in (pend_amt, pend_rem) lanes at its
+    original breakpoint and fires once its remaining lag elapses. Unlike
+    the analytical kernel's superposition (invalid for nonlinear RHS),
+    the segment march SPLITS at the per-lane fire time: integrate to the
+    dose time, apply the bolus, integrate the rest. A dose due exactly at
+    a breakpoint fires after that breakpoint's observation
+    (observation-before-dose parity, structs.rs:611-666); the plan
+    guarantees no two doses of a lane pend simultaneously. ``has_fa``
+    scales dose amounts by the per-(row, support) plane.
     """
     n_stages = len(C) if C is not None else 0
     has_outeq = n_out > 1
@@ -317,6 +329,8 @@ def _make_ode_kernel(
             ((next(it)[:, :], next(it)[:, :]) if aff else next(it)[:, :])
             for aff in cov_affine
         ]
+        lag_plane = next(it)[:, :] if has_lag else None
+        fa_plane = next(it)[:, :] if has_fa else None
         params = [next(it)[:, :] for _ in range(n_params)]
         bmap = [next(it)[:, :] for _ in range(n_states)]
         init_rows = [next(it)[:, :] for _ in range(n_states)] if has_init else None
@@ -649,6 +663,9 @@ def _make_ode_kernel(
         ll = zeros
         h = jnp.full(shape, h0, dtype)
         f_const = None if any(cov_affine) else make_f(const_lanes)
+        if has_lag:
+            pend_amt = zeros
+            pend_rem = zeros
 
         for m in range(n_seg):
             dt = col(dts, m)
@@ -676,12 +693,43 @@ def _make_ode_kernel(
             s_c = col(censs, m) if has_cens else None
             ll = ll + _obs_ll(val, pred, sig, mask, s_c, has_cens)
 
-            xs = [x + bol * bmap[s] for s, x in enumerate(xs)]
             rate = col(rates, m) if has_inf else None
             t0_col = col(t0s, m)
             f_m = make_f(cov_for_seg(m)) if any(cov_affine) else f_const
             march = integrate_sdirk if sdirk is not None else integrate
-            xs, h = march(f_m, xs, h, dt, rate, t0_col, estimate_h=(m == 0))
+            amt = bol * fa_plane if has_fa else bol
+            if not has_lag:
+                xs = [x + amt * bmap[s] for s, x in enumerate(xs)]
+                xs, h = march(f_m, xs, h, dt, rate, t0_col,
+                              estimate_h=(m == 0))
+            else:
+                # dose due exactly at this breakpoint (rem elapsed) fires
+                # first — after the observation above, before a new dose
+                # can park in the slot
+                fire0 = (pend_amt != 0.0) & (pend_rem <= 0.0)
+                xs = [jnp.where(fire0, x + pend_amt * bmap[s], x)
+                      for s, x in enumerate(xs)]
+                pend_amt = jnp.where(fire0, zeros, pend_amt)
+                # arrival: park the (fa-scaled) dose with its per-lane lag
+                arrive = bol != 0.0
+                pend_amt = jnp.where(arrive, pend_amt + amt, pend_amt)
+                pend_rem = jnp.where(arrive, lag_plane + zeros, pend_rem)
+                # split march at the per-lane fire time
+                dt_b = jnp.broadcast_to(dt, shape)
+                fire = (pend_amt != 0.0) & (pend_rem < dt_b)
+                t1 = jnp.where(fire, pend_rem, zeros)
+                xs, h = march(f_m, xs, h, t1, rate, t0_col,
+                              estimate_h=(m == 0))
+                xs = [jnp.where(fire, x + pend_amt * bmap[s], x)
+                      for s, x in enumerate(xs)]
+                pend_amt = jnp.where(fire, zeros, pend_amt)
+                xs, h = march(f_m, xs, h, dt_b - t1, rate, t0_col + t1,
+                              estimate_h=False)
+                live = dt_b > 0.0
+                pend_rem = jnp.where(
+                    fire, zeros,
+                    jnp.where(live, pend_rem - dt_b, pend_rem),
+                )
 
         out_ref[:, :] = ll
 
@@ -721,6 +769,8 @@ def psi_ode(
     init_mask=None,
     cov_streams=None,
     cov_names=(),
+    lag_plane=None,
+    fa_plane=None,
     interpret: Optional[bool] = None,
 ):
     """Fused psi for ODE models: one pallas kernel per tile.
@@ -737,7 +787,10 @@ def psi_ode(
       state on occasion-0 rows;
     - ``cov_streams`` {name: [R, M] (lane 0 = the row's constant value) or
       an ``(a, b)`` pair of [R, M] per-segment affine streams for
-      time-varying covariates: cov(t) = a[m] + b[m] * t inside segment m}.
+      time-varying covariates: cov(t) = a[m] + b[m] * t inside segment m};
+    - ``lag_plane`` / ``fa_plane`` [R, S]: per-(row, support) dose lag
+      shift / bioavailability scale (the kernel's pending-dose split
+      march / amount scaling; see _make_ode_kernel).
 
     Returns psi [R, S]. R must be a multiple of SUB_TILE, S of SP_TILE.
     """
@@ -840,11 +893,25 @@ def psi_ode(
         ob = jnp.asarray(out_bias, dtype)
         p_rows += [ob[k].reshape(1, S) for k in range(n_out)]
 
+    has_lag = lag_plane is not None
+    has_fa = fa_plane is not None
+    planes = []
+    for pl_arr, what in ((lag_plane, "lag_plane"), (fa_plane, "fa_plane")):
+        if pl_arr is None:
+            continue
+        pl_arr = jnp.asarray(pl_arr, dtype)
+        if pl_arr.shape != (R, S):
+            raise ValueError(
+                f"{what} must be [R, S] = [{R}, {S}], got {pl_arr.shape}"
+            )
+        planes.append(pl_arr)
+
     rhs = make_lane_rhs(diffeq, n_states, n_params, ninput)
     kernel = _make_ode_kernel(
         rhs, n_states=n_states, n_params=n_params, n_seg=M, has_inf=has_inf,
         has_cens=has_cens, n_out=n_out, has_bias=has_bias, has_init=has_init,
         cov_names=cov_names, cov_affine=cov_affine,
+        has_lag=has_lag, has_fa=has_fa,
         A=A, B=B, E=E, C=C, sdirk=sdirk,
         rtol=float(rtol),
         atol=float(atol), h0=float(h0), max_iters=int(max_iters),
@@ -871,16 +938,18 @@ def psi_ode(
             row_block = rb
     row_spec = pl.BlockSpec((row_block, SEG_PAD), lambda i, j: (i, 0))
     p_spec = pl.BlockSpec((1, sp_block), lambda i, j: (0, j))
+    tile_spec = pl.BlockSpec((row_block, sp_block), lambda i, j: (i, j))
 
     def call():
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((R, S), dtype),
             grid=(R // row_block, S // sp_block),
-            in_specs=[row_spec] * len(streams) + [p_spec] * len(p_rows),
-            out_specs=pl.BlockSpec((row_block, sp_block), lambda i, j: (i, j)),
+            in_specs=([row_spec] * len(streams) + [tile_spec] * len(planes)
+                      + [p_spec] * len(p_rows)),
+            out_specs=tile_spec,
             interpret=interpret,
-        )(*streams, *p_rows)
+        )(*streams, *planes, *p_rows)
 
     if dtype == jnp.float32:
         # see pallas_psi.psi_oral: trace with x64 disabled so the grid

@@ -185,17 +185,85 @@ def test_ode_pallas_rejects_bdf_solver():
         )
 
 
-def test_ode_pallas_rejects_lag():
+def test_ode_pallas_lag_fa_parity():
+    # per-support lag (pending-dose split march) + fa (amount scaling):
+    # the kernel integrates to each lane's shifted dose time, applies the
+    # scaled bolus, and continues — must match the XLA engine's in-jit
+    # re-sorted schedule
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+            p[0] * x[0] - p[1] * x[1],
+        ]),
+        lag=lambda p, t, cov: {0: p[3]},
+        fa=lambda p, t, cov: {0: p[4]},
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    subjects = []
+    for i in range(6):
+        sb = (SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+              .bolus(6.0, 80.0, 0))
+        for t in (0.5, 1.0, 2.0, 4.0, 7.0, 10.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.25 * t) + 0.05 * i), 0)
+        subjects.append(sb.build())
+    rng = np.random.default_rng(17)
+    sp = np.column_stack([
+        rng.uniform(0.5, 2.0, 12), rng.uniform(0.05, 0.5, 12),
+        rng.uniform(30, 90, 12),
+        rng.uniform(0.0, 1.5, 12),   # lag: spans obs times and none
+        rng.uniform(0.3, 1.0, 12),   # fa
+    ])
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 5e-5
+
+
+def test_ode_pallas_lag_with_infusion_parity():
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0] + rateiv[0],
+        ]),
+        lag=lambda p, t, cov: {0: p[2]},
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    subjects = []
+    for i in range(4):
+        sb = (SubjectBuilder(f"s{i}").bolus(0.0, 50.0, 0)
+              .infusion(1.0, 40.0, 0, 2.0))
+        for t in (0.5, 1.5, 3.0, 5.0):
+            sb = sb.observation(t, float(3 * np.exp(-0.2 * t)), 0)
+        subjects.append(sb.build())
+    rng = np.random.default_rng(19)
+    sp = np.column_stack([
+        rng.uniform(0.2, 0.8, 8), rng.uniform(10, 40, 8),
+        rng.uniform(0.0, 0.9, 8),
+    ])
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 5e-5
+
+
+def test_ode_pallas_rejects_overlapping_lag():
+    # two doses of one row must never pend simultaneously: max lag exceeds
+    # the inter-dose gap -> explicit fallback error
     model = ODE(
         lambda x, p, t, b, rateiv, cov: jnp.stack([-p[0] * x[0] + b[0]]),
         lag=lambda p, t, cov: {0: p[1]},
         out=lambda x, p, t, cov: x[0:1],
         nstates=1, ndrugs=1, nout=1,
     )
-    with pytest.raises(PharmsolError, match="lag"):
+    sb = (SubjectBuilder("s").bolus(0.0, 50.0, 0).bolus(1.0, 50.0, 0)
+          .observation(0.5, 1.0, 0).observation(3.0, 1.0, 0))
+    with pytest.raises(PharmsolError, match="inter-dose gap"):
         log_likelihood_matrix(
-            model, _subjects(n=2, infusion_every=0),
-            np.column_stack([np.full(4, 0.3), np.full(4, 0.5)]),
+            model, Data([sb.build()]),
+            np.column_stack([np.full(4, 0.3), np.full(4, 2.5)]),
             _ems(), engine="pallas",
         )
 
