@@ -785,12 +785,18 @@ def _decompose_input_plane(fn, sp, grid, ninput: int, fill: float,
     Probes (host CPU): time-independence at two t values (the engine
     evaluates lag at each bolus's own time, structs.rs:629 — a
     time-dependent closure would need per-bolus planes). Covariate reads
-    require time-constant covariates; cov-independent closures collapse to
-    one support row broadcast over rows. Returns [R, S] float64.
+    must resolve to one value per occasion row: time-constant covariates
+    may influence the plane (evaluated per row); closures that READ a
+    time-varying covariate fall back (their value at the bolus time is not
+    a per-row constant). Time-varying covariates the closure does not read
+    are fine — a perturbation probe distinguishes the two. cov-independent
+    closures collapse to one support row broadcast over rows.
+    Returns [R, S] float64.
     """
     from ..engine.grid import _as_input_vector
 
-    cov_values = _constant_covariate_values(grid) if grid.cov_names else {}
+    cov_values, varying_covs = (_classify_covariates(grid)
+                                if grid.cov_names else ({}, set()))
     names = list(cov_values.keys())
     R = grid.n_rows
     S = sp.shape[0]
@@ -805,6 +811,8 @@ def _decompose_input_plane(fn, sp, grid, ninput: int, fill: float,
 
     cov0 = {n: float(np.asarray(v)[0]) for n, v in cov_values.items()}
     cov1 = {n: v * 1.31 + 0.17 for n, v in cov0.items()}
+    cov_var = {n: (v * 1.31 + 0.17 if n in varying_covs else v)
+               for n, v in cov0.items()}
     try:
         with _host_cpu_device():
             sp_j = jnp.asarray(sp, jnp.float64)
@@ -814,6 +822,9 @@ def _decompose_input_plane(fn, sp, grid, ninput: int, fill: float,
                              np.float64)
             v_cov = np.asarray(jax.vmap(lambda p: at(p, 0.0, cov1))(sp_j),
                                np.float64)
+            v_var = (np.asarray(jax.vmap(
+                lambda p: at(p, 0.0, cov_var))(sp_j), np.float64)
+                if varying_covs else v_ref)
     except PharmsolError:
         raise
     except Exception as e:
@@ -826,6 +837,12 @@ def _decompose_input_plane(fn, sp, grid, ninput: int, fill: float,
             f"engine='pallas' requires a time-independent {what} equation "
             "(the engine evaluates it at each bolus's own time) — use the "
             "default XLA engine"
+        )
+    if varying_covs and np.abs(v_var - v_ref).max() > 1e-9 * scale:
+        raise PharmsolError(
+            f"engine='pallas' requires the {what} equation not to read a "
+            "time-varying covariate (its value at each bolus time is not a "
+            "per-row constant) — use the default XLA engine"
         )
     if not np.all(np.isfinite(v_ref)):
         raise PharmsolError(
@@ -1374,9 +1391,11 @@ class _PallasOdePsiPlan:
         )
 
         # lag/fa: per-(row, support) planes, applied by the kernel's
-        # pending-dose split march / dose-amount scaling (the probe helper
-        # requires time-constant covariates, so lag/fa + time-varying
-        # covariates falls back to the XLA engine)
+        # pending-dose split march / dose-amount scaling. Closures that
+        # READ a time-varying covariate fall back (probed in
+        # _decompose_input_plane); time-varying covariates elsewhere in
+        # the model compose fine — the split march stays inside one
+        # segment, where the affine (a, b) covariate streams are valid.
         lag_plane = None
         fa_plane = None
         if equation._lag is not None:

@@ -426,3 +426,63 @@ def test_ode_pallas_rejects_interior_covariate_knot():
     with pytest.raises(PharmsolError, match="segment boundaries"):
         log_likelihood_matrix(model, Data([sb.build()]), sp, _ems(),
                               engine="pallas")
+
+
+def test_ode_pallas_lag_with_time_varying_covariate():
+    # lag/fa closures that do NOT read the varying covariate compose with
+    # per-segment affine covariate streams: the pending-dose split march
+    # stays inside one segment, where the (a, b) stream is valid
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * (cov("wt", t) / 70.0) * x[0] + b[0],
+            p[0] * (cov("wt", t) / 70.0) * x[0] - p[1] * x[1],
+        ]),
+        lag=lambda p, t, cov: {0: p[3]},
+        fa=lambda p, t, cov: {0: p[4]},
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    subjects = []
+    for i in range(6):
+        sb = (SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+              .bolus(6.0, 80.0, 0)
+              .covariate("wt", 0.0, 55.0 + 4.0 * i)
+              .covariate("wt", 2.0, 80.0 - 3.0 * i)
+              .covariate("wt", 10.0, 60.0 + 2.0 * i))
+        for t in (0.5, 1.0, 2.0, 4.0, 7.0, 10.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.25 * t) + 0.05 * i), 0)
+        subjects.append(sb.build())
+    rng = np.random.default_rng(23)
+    sp = np.column_stack([
+        rng.uniform(0.5, 2.0, 12), rng.uniform(0.05, 0.5, 12),
+        rng.uniform(30, 90, 12),
+        rng.uniform(0.0, 1.5, 12),   # lag
+        rng.uniform(0.3, 1.0, 12),   # fa
+    ])
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 5e-5
+
+
+def test_ode_pallas_rejects_lag_reading_varying_covariate():
+    # a lag closure READING a time-varying covariate has no per-row
+    # constant value at the bolus time -> explicit fallback error
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+        ]),
+        lag=lambda p, t, cov: {0: p[1] * cov("wt", 0.0) / 70.0},
+        out=lambda x, p, t, cov: x[0:1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    sb = (SubjectBuilder("s0").bolus(0.0, 100.0, 0)
+          .covariate("wt", 0.0, 70.0)
+          .covariate("wt", 2.0, 90.0))
+    for t in (1.0, 2.0, 4.0):
+        sb = sb.observation(t, 1.0, 0)
+    sp = np.column_stack([np.full(4, 0.3), np.full(4, 0.5)])
+    with pytest.raises(PharmsolError, match="time-varying covariate"):
+        log_likelihood_matrix(model, Data([sb.build()]), sp, _ems(),
+                              engine="pallas")
