@@ -991,10 +991,58 @@ class _PallasPsiPlan:
                     f"this model doses state {dest[0]} — use the default "
                     "XLA engine"
                 )
+        # init equation: covariate-independent init evaluates to per-support
+        # initial-state rows, applied by the kernel on occasion-0 rows via
+        # the init-mask stream (same scheme as the ODE tier)
+        self.init_rows = None
         if equation._init is not None:
-            raise PharmsolError(
-                "engine='pallas' does not support init equations"
-            )
+            init_fn = equation._init
+            cov_vals0, _ = (_classify_covariates(grid)
+                            if grid.cov_names else ({}, set()))
+            icov0 = {n: float(np.asarray(v)[0])
+                     for n, v in cov_vals0.items()}
+            icov1 = {n: v * 1.31 + 0.17 for n, v in icov0.items()}
+
+            def init_at(p, covd):
+                return jnp.asarray(
+                    init_fn(p, jnp.asarray(0.0, jnp.float64),
+                            _RowCov(covd)),
+                    jnp.float64,
+                )
+
+            try:
+                with _host_cpu_device():
+                    i_ref = np.asarray(jax.vmap(
+                        lambda p: init_at(p, icov0))(
+                            jnp.asarray(sp, jnp.float64)), np.float64)
+                    i_cov = (np.asarray(jax.vmap(
+                        lambda p: init_at(p, icov1))(
+                            jnp.asarray(sp, jnp.float64)), np.float64)
+                        if icov0 else i_ref)
+            except PharmsolError:
+                raise
+            except Exception as e:
+                raise PharmsolError(
+                    f"engine='pallas' could not probe the init equation: {e}"
+                ) from e
+            iscale = np.maximum(np.abs(i_ref).max(), 1e-12)
+            if icov0 and np.abs(i_cov - i_ref).max() > 1e-6 * iscale:
+                raise PharmsolError(
+                    "engine='pallas' requires a covariate-independent init "
+                    "equation — use the default XLA engine"
+                )
+            if not np.all(np.isfinite(i_ref)):
+                raise PharmsolError(
+                    "engine='pallas' init probe produced non-finite values"
+                )
+            if i_ref.shape[1] != sdef["n_states"]:
+                raise PharmsolError(
+                    f"engine='pallas' with `{self.structure}` expects init "
+                    f"to return {sdef['n_states']} states, got "
+                    f"{i_ref.shape[1]}"
+                )
+            if np.any(i_ref != 0.0):
+                self.init_rows = i_ref.T  # [n_states, S]
         self.mult = None
         self.mult_off = None
         self.mult_seg = None
@@ -1205,6 +1253,22 @@ class _PallasPsiPlan:
                     axis=-1,
                 )
             self.param_levels_dev = jnp.asarray(lv, dtype=fd)
+        self.init_mask_dev = None
+        self.init_rows_dev = None
+        if self.init_rows is not None:
+            im = np.asarray(grid.rows.init_mask, np.float64).reshape(-1)
+            init_mask_rm = np.zeros((self.R, self.M))
+            init_mask_rm[:, 0] = im
+            self.init_mask_dev = jnp.asarray(
+                pad_rows(init_mask_rm), dtype=fd
+            )
+            ir = np.asarray(self.init_rows, np.float64)  # [n_states, S]
+            if self.Sp != self.S:
+                ir = np.concatenate(
+                    [ir, np.repeat(ir[:, -1:], self.Sp - self.S, axis=1)],
+                    axis=1,
+                )
+            self.init_rows_dev = jnp.asarray(ir, dtype=fd)
         # output coefficients: y_k = C_k(p) . x + b_k(p), per support point
         out_fn = equation._out or (lambda x, p, t, cov: x[: self.n_out])
         occ0 = jax.tree_util.tree_map(
@@ -1245,6 +1309,7 @@ class _PallasPsiPlan:
                 self.mult_seg_dev is not None,
                 self.mult_seg_off_dev is not None,
                 None if lv is None else int(lv.shape[0]),
+                self.init_rows_dev is not None,
                 self.lag_plane_dev is not None,
                 self.fa_plane_dev is not None, str(self.fd)) + extra
 
@@ -1257,7 +1322,7 @@ class _PallasPsiPlan:
         out = tuple(a for a, inc in zip(p, include) if inc)
         for a in (self.mult_dev, self.mult_off_dev, self.mult_seg_dev,
                   self.mult_seg_off_dev, self.seg_depth_dev,
-                  self.lag_plane_dev, self.fa_plane_dev):
+                  self.init_mask_dev, self.lag_plane_dev, self.fa_plane_dev):
             if a is not None:
                 out = out + (a,)
         return out
@@ -1270,6 +1335,8 @@ class _PallasPsiPlan:
             out.append(self.out_bias)
         if self.param_levels_dev is not None:
             out.append(self.param_levels_dev)
+        if self.init_rows_dev is not None:
+            out.append(self.init_rows_dev)
         return tuple(out)
 
     def runner(self):
@@ -1285,13 +1352,15 @@ class _PallasPsiPlan:
         pass_mult_seg_off = self.mult_seg_off_dev is not None
         pass_depth = self.seg_depth_dev is not None
         pass_levels = self.param_levels_dev is not None
+        pass_init = self.init_rows_dev is not None
         pass_lag = self.lag_plane_dev is not None
         pass_fa = self.fa_plane_dev is not None
         has_bias = self.out_bias is not None
         n_streams = (5 + int(pass_inf) + int(pass_cens) + int(pass_outeq)
                      + int(pass_mult) + int(pass_mult_off)
                      + int(pass_mult_seg) + int(pass_mult_seg_off)
-                     + int(pass_depth) + int(pass_lag) + int(pass_fa))
+                     + int(pass_depth) + int(pass_init)
+                     + int(pass_lag) + int(pass_fa))
 
         def run(*args):
             it = iter(args[:n_streams])
@@ -1305,19 +1374,22 @@ class _PallasPsiPlan:
             mult_seg = next(it) if pass_mult_seg else None
             mult_seg_off = next(it) if pass_mult_seg_off else None
             depth = next(it) if pass_depth else None
+            initm = next(it) if pass_init else None
             lagp = next(it) if pass_lag else None
             fap = next(it) if pass_fa else None
             rep = iter(args[n_streams:])
             sp_dev, coef = next(rep), next(rep)
             bias = next(rep) if has_bias else None
             levels = next(rep) if pass_levels else None
+            init_r = next(rep) if pass_init else None
             return psi_oral(dt, bol, inf, mask, val, sig, cens, sp_dev,
                             structure=structure, obs_outeq=outeq,
                             out_coef=coef, out_bias=bias, param_mult=mult,
                             param_mult_seg=mult_seg, param_offset=mult_off,
                             param_offset_seg=mult_seg_off,
                             param_levels=levels, seg_depth=depth,
-                            lag_plane=lagp, fa_plane=fap)
+                            lag_plane=lagp, fa_plane=fap,
+                            init_rows=init_r, init_mask=initm)
 
         run.n_streams = n_streams
         return run

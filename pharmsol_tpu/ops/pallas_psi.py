@@ -433,7 +433,7 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
                  n_out: int, has_bias: bool, n_param_rows: int,
                  mult_mode: Optional[str] = None, has_lag: bool = False,
                  has_fa: bool = False, n_levels: int = 0,
-                 has_offsets: bool = False):
+                 has_offsets: bool = False, has_init: bool = False):
     """Build the psi tile kernel for one structure + feature combination.
 
     Ref layout (in order): segment streams (dt, bolus, [rateiv], mask, value,
@@ -520,6 +520,7 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
             if mult_mode == "segment" and has_offsets else None
         )
         depths = next(it)[:, :] if mult_mode == "levels" else None
+        initm = next(it)[:, :] if has_init else None
         lag_plane = next(it)[:, :] if has_lag else None
         fa_plane = next(it)[:, :] if has_fa else None
         if mult_mode == "levels":
@@ -532,6 +533,8 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
             params = [next(it)[:, :] for _ in range(n_param_rows)]
         coefs = [[next(it)[:, :] for _ in range(n_states)] for _ in range(n_out)]
         biases = [next(it)[:, :] for _ in range(n_out)] if has_bias else None
+        init_srows = ([next(it)[:, :] for _ in range(n_states)]
+                      if has_init else None)
         out_ref = next(it)
 
         if mult_mode == "row":
@@ -551,11 +554,18 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
             aux = prepare(params)
         shape = (out_ref.shape[0], out_ref.shape[1])
         zeros = jnp.zeros(shape, dtype=out_ref.dtype)
-        xs = [zeros] * n_states
+        lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
+        if has_init:
+            # per-row occasion-0 flag rides lane 0 of the initm stream;
+            # initial state = flag * init(p) per support (engine/sim.py:147)
+            l0 = (lane == 0).astype(zeros.dtype)
+            im0 = jnp.sum(initm * l0, axis=1, keepdims=True)  # [rows, 1]
+            xs = [im0 * init_srows[s] + zeros for s in range(n_states)]
+        else:
+            xs = [zeros] * n_states
         ll = zeros
         pend_amt = zeros if has_lag else None
         pend_rem = zeros if has_lag else None
-        lane = jax.lax.broadcasted_iota(jnp.int32, dts.shape, 1)
 
         for m in range(n_seg):
             sel = (lane == np.int32(m)).astype(dts.dtype)
@@ -676,6 +686,8 @@ def psi_oral(
     seg_depth=None,
     lag_plane=None,
     fa_plane=None,
+    init_rows=None,
+    init_mask=None,
 ):
     """Fused psi for the closed-form analytical structures.
 
@@ -716,6 +728,12 @@ def psi_oral(
     structure's MICRO-CONSTANT parameterization (remap applied host-side);
     eigen extras for 3-cmt structures are prepared here per level. Depth
     values are 1-based level indices (0 on dead segments).
+
+    ``init_rows`` [n_states, S] + ``init_mask`` [R, M]: initial state per
+    support point from a (covariate-independent) init equation, applied on
+    rows whose lane-0 init_mask flag is 1 (occasion-0 rows only,
+    engine/sim.py:147, analytical/mod.rs:408-426); all other rows start
+    at zero.
 
     Returns psi [R, S]. R must be a multiple of SUB_TILE and S a multiple of
     SP_TILE (pad rows with dt=0/mask=0 and supports by repetition; pad
@@ -863,6 +881,16 @@ def psi_oral(
                 f"seg_depth must be [{R}, {M}], got {sd.shape}"
             )
         full.append(_pad_lanes(sd, SEG_PAD))
+    # init equation: per-support initial-state rows gated by the per-row
+    # occasion-0 flag (lane 0 of the init_mask stream)
+    has_init = init_rows is not None
+    if has_init:
+        if init_mask is None:
+            raise ValueError("init_rows requires the init_mask stream")
+        im = jnp.asarray(init_mask, dtype)
+        if im.shape != (R, M):
+            raise ValueError(f"init_mask must be [{R}, {M}], got {im.shape}")
+        full.append(_pad_lanes(im, SEG_PAD))
     # base parameter rows: with per-row multipliers the CL remap moves into
     # the kernel (it must act on the effective per-row params); otherwise
     # remap CL columns and XLA-prepare eigen extras here
@@ -892,6 +920,13 @@ def psi_oral(
                 jnp.asarray(r, dtype) for r in sdef["prep_xla"](base_rows)
             ]
         p_rows = base_rows + coef_rows + bias_rows
+    if has_init:
+        ir = jnp.asarray(init_rows, dtype)
+        if ir.shape != (n_states, S):
+            raise ValueError(
+                f"init_rows must be [{n_states}, {S}], got {ir.shape}"
+            )
+        p_rows = p_rows + [ir[s].reshape(1, S) for s in range(n_states)]
 
     has_lag = lag_plane is not None
     has_fa = _static_any(fa_plane)
@@ -909,7 +944,7 @@ def psi_oral(
         sdef, n_seg=M, has_inf=has_inf, has_cens=has_cens, n_out=n_out,
         has_bias=has_bias, n_param_rows=len(base_rows), mult_mode=mult_mode,
         has_lag=has_lag, has_fa=has_fa, n_levels=n_levels,
-        has_offsets=has_offsets,
+        has_offsets=has_offsets, has_init=has_init,
     )
     # all-zero optional streams are dropped from the pipeline entirely
     # (no DMA, no VMEM block); the kernel never reads those refs

@@ -410,15 +410,17 @@ def test_pallas_sharded_validates_like_unsharded():
     from pharmsol_tpu.errors import PharmsolError
     from pharmsol_tpu.parallel.mesh import log_likelihood_matrix_sharded
 
-    s = Subject.builder("s").bolus(0.0, 100.0, 0).observation(1.0, 5.0, 0).build()
+    s = (Subject.builder("s").bolus(0.0, 100.0, 0)
+         .covariate("wt", 0.0, 70.0)
+         .observation(1.0, 5.0, 0).build())
     ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
     model = Analytical(
         pst.two_compartments,
         out=lambda x, p, t, cov: x[0:1] / p[3],
-        init=lambda p, t, cov: jnp.stack([p[0], 0.0]),
+        init=lambda p, t, cov: jnp.stack([cov("wt", 0.0) * p[0], 0.0 * p[0]]),
         nstates=2, ndrugs=1, nout=1,
     )
-    with pytest.raises(PharmsolError, match="init"):
+    with pytest.raises(PharmsolError, match="covariate-independent init"):
         log_likelihood_matrix_sharded(
             model, Data([s]), np.ones((4, 4)), ems, engine="pallas"
         )
@@ -1238,3 +1240,115 @@ def test_pallas_engine_declarative_additive_derive():
     want = log_likelihood_matrix(am, Data(subs), sp, ems)
     got = log_likelihood_matrix(am, Data(subs), sp, ems, engine="pallas")
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_pallas_psi_init_equation_parity():
+    # covariate-independent init -> per-support initial-state rows applied
+    # on occasion-0 rows; parity vs the XLA engine
+    model = Analytical(
+        pst.one_compartment_with_absorption,
+        init=lambda p, t, cov: jnp.stack([0.5 * p[2], 2.0 + 0.1 * p[2]]),
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    subjects = []
+    for i in range(6):
+        b = Subject.builder(f"s{i}").bolus(0.0, 100.0, 0)
+        for t in (0.5, 1.0, 2.0, 4.0, 8.0):
+            b = b.observation(t, float(5 * np.exp(-0.3 * t) + 0.1 * i), 0)
+        subjects.append(b.build())
+    rng = np.random.RandomState(7)
+    support = np.abs(np.array([1.0, 0.2, 30.0])[None, :]
+                     * (1.0 + 0.2 * rng.randn(12, 3)))
+    ems = AssayErrorModels().add(
+        0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    want = log_likelihood_matrix(model, Data(subjects), support, ems,
+                                 engine="xla")
+    got = log_likelihood_matrix(model, Data(subjects), support, ems,
+                                engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9)
+
+
+def test_pallas_psi_init_occasion0_only():
+    # init applies only to occasion index 0; a reset occasion starts at
+    # zero state (engine/sim.py:147, analytical/mod.rs:408-426)
+    model = Analytical(
+        pst.one_compartment,
+        init=lambda p, t, cov: jnp.stack([3.0 / p[1] + 0.0 * p[0]]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    subjects = []
+    for i in range(4):
+        b = Subject.builder(f"s{i}").bolus(0.0, 50.0, 0)
+        for t in (1.0, 3.0):
+            b = b.observation(t, 2.0 + 0.1 * i, 0)
+        b = b.reset().bolus(0.0, 40.0, 0)
+        for t in (1.0, 4.0):
+            b = b.observation(t, 1.5, 0)
+        subjects.append(b.build())
+    rng = np.random.RandomState(11)
+    support = np.abs(np.array([0.3, 20.0])[None, :]
+                     * (1.0 + 0.2 * rng.randn(8, 2)))
+    ems = AssayErrorModels().add(
+        0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    want = log_likelihood_matrix(model, Data(subjects), support, ems,
+                                 engine="xla")
+    got = log_likelihood_matrix(model, Data(subjects), support, ems,
+                                engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9)
+
+
+def test_pallas_psi_rejects_covariate_dependent_init():
+    from pharmsol_tpu.errors import PharmsolError
+
+    model = Analytical(
+        pst.one_compartment,
+        init=lambda p, t, cov: jnp.stack([cov("wt", 0.0) / p[1]]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    b = (Subject.builder("s0").bolus(0.0, 50.0, 0)
+         .covariate("wt", 0.0, 70.0)
+         .observation(1.0, 2.0, 0).observation(3.0, 1.0, 0))
+    support = np.array([[0.3, 20.0]] * 4)
+    ems = AssayErrorModels().add(
+        0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    with pytest.raises(PharmsolError, match="covariate-independent init"):
+        log_likelihood_matrix(model, Data([b.build()]), support, ems,
+                              engine="pallas")
+
+
+def test_pallas_psi_init_composes_with_seq_multiplier():
+    # init rows (support-axis) + per-row covariate multiplier streams must
+    # coexist: exercises the full stream ordering (mult -> init-mask ->
+    # params -> coef -> init rows)
+    rng = np.random.RandomState(9)
+    subjects = []
+    for i in range(SUB_TILE):
+        b = (Subject.builder(f"s{i}").bolus(0.0, 100.0, 0)
+             .covariate("wt", 0.0, 55.0 + 5.0 * i))
+        for t in (0.5, 1.0, 2.0, 4.0, 8.0):
+            b = b.observation(float(t), float(np.abs(5 + rng.randn())), 0)
+        subjects.append(b.build())
+
+    def seq(p, t, cov):
+        scale = (cov("wt", t) / 70.0) ** 0.75
+        return jnp.stack([p[0] * scale, p[1] * scale, p[2]])
+
+    model = Analytical(
+        pst.one_compartment_with_absorption,
+        seq_eq=seq,
+        init=lambda p, t, cov: jnp.stack([0.0 * p[2], 1.5 + 0.05 * p[2]]),
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    ems = AssayErrorModels().add(
+        0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+    support = np.abs(np.array([1.0, 0.2, 30.0])[None, :]
+                     * (1.0 + 0.2 * rng.randn(SP_TILE, 3)))
+    want = log_likelihood_matrix(model, Data(subjects), support, ems,
+                                 engine="xla")
+    got = log_likelihood_matrix(model, Data(subjects), support, ems,
+                                engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9)
