@@ -1485,6 +1485,39 @@ class _PallasOdePsiPlan:
             if np.all(fa_plane == 1.0):
                 fa_plane = None
 
+        # --- active dose inputs ------------------------------------------
+        # multi-drug models dose into several RHS inputs; each active input
+        # gets its own bolus stream + probed bolus map (and rate stream)
+        from ..config import BIG_TIME as _BT
+
+        bt_ = np.asarray(grid.rows.bolus_t, np.float64)
+        ba_ = np.asarray(grid.rows.bolus_amt, np.float64)
+        bi_ = np.asarray(grid.rows.bolus_input)
+        real_b = (bt_ < _BT / 2) & (ba_ != 0.0)
+        bolus_inputs = tuple(sorted(
+            {int(j) for j in bi_[real_b]})) or (0,)
+        it_ = np.asarray(grid.rows.inf_t, np.float64)
+        rate_inputs = (0,)
+        if it_.size:
+            ia_ = np.asarray(grid.rows.inf_amt, np.float64)
+            ii_ = np.asarray(grid.rows.inf_input)
+            real_i = (it_ < _BT / 2) & (ia_ != 0.0)
+            rate_inputs = tuple(sorted(
+                {int(j) for j in ii_[real_i]})) or (0,)
+        if max(bolus_inputs + rate_inputs) >= ninput:
+            raise PharmsolError(
+                f"engine='pallas' ODE psi: a dose targets input "
+                f">= ndrugs ({ninput})"
+            )
+        if (lag_plane is not None or fa_plane is not None) \
+                and bolus_inputs != (0,):
+            raise PharmsolError(
+                "engine='pallas' ODE psi supports lag/fa only with a "
+                "single bolus input (input 0) — use the default XLA engine"
+            )
+        self.bolus_inputs = bolus_inputs
+        self.rate_inputs = rate_inputs
+
         # --- host probes (CPU backend, tiny shapes) -----------------------
         p_ref = np.where(np.abs(sp[0]) > 1e-30, sp[0], 1.0)
         x_a = np.linspace(0.7, 1.9, n_states)
@@ -1493,8 +1526,8 @@ class _PallasOdePsiPlan:
         cov1 = {n: v * 1.31 + 0.17 for n, v in cov0.items()}
         diffeq = self.diffeq
 
-        def delta(p, x, amt, t, covd):
-            b = jnp.zeros((ninput,), jnp.float64).at[0].set(amt)
+        def delta(p, x, amt, t, covd, j):
+            b = jnp.zeros((ninput,), jnp.float64).at[j].set(amt)
             z = jnp.zeros((ninput,), jnp.float64)
             shim = _RowCov(covd)
             xj = jnp.asarray(x, jnp.float64)
@@ -1503,46 +1536,51 @@ class _PallasOdePsiPlan:
             no_b = jnp.asarray(diffeq(xj, p, tj, z, z, shim), jnp.float64)
             return with_b - no_b
 
-        try:
-            with _host_cpu_device():
-                d_ref = np.asarray(jax.vmap(
-                    lambda p: delta(p, x_a, 1.0, 0.0, cov0))(
-                        jnp.asarray(sp, jnp.float64)), np.float64)
-                d_x = np.asarray(jax.vmap(
-                    lambda p: delta(p, x_b, 1.0, 0.0, cov0))(
-                        jnp.asarray(sp, jnp.float64)), np.float64)
-                d_amt = np.asarray(jax.vmap(
-                    lambda p: delta(p, x_a, 2.37, 0.0, cov0))(
-                        jnp.asarray(sp, jnp.float64)), np.float64)
-                d_t = np.asarray(jax.vmap(
-                    lambda p: delta(p, x_a, 1.0, 17.31, cov0))(
-                        jnp.asarray(sp, jnp.float64)), np.float64)
-                d_cov = np.asarray(jax.vmap(
-                    lambda p: delta(p, x_a, 1.0, 0.0, cov1))(
-                        jnp.asarray(sp, jnp.float64)), np.float64)
-        except PharmsolError:
-            raise
-        except Exception as e:
-            raise PharmsolError(
-                f"engine='pallas' could not probe the ODE bolus mapping: {e}"
-            ) from e
-        scale = np.maximum(np.abs(d_ref).max(), 1e-12)
-        tol = 1e-6 * scale
-        if (np.abs(d_x - d_ref).max() > tol
-                or np.abs(d_amt / 2.37 - d_ref).max() > tol
-                or np.abs(d_t - d_ref).max() > tol
-                or np.abs(d_cov - d_ref).max() > tol):
-            raise PharmsolError(
-                "engine='pallas' ODE psi requires a state-independent, "
-                "amount-linear, time/covariate-independent bolus mapping "
-                "(dx[i] += c(p) * b[0]); this RHS's bolus term is not — "
-                "use the default XLA engine"
-            )
-        if not np.all(np.isfinite(d_ref)):
-            raise PharmsolError(
-                "engine='pallas' ODE bolus probe produced non-finite values"
-            )
-        bolus_map = d_ref.T  # [n_states, S]
+        bmaps = []
+        for j in bolus_inputs:
+            try:
+                with _host_cpu_device():
+                    d_ref = np.asarray(jax.vmap(
+                        lambda p: delta(p, x_a, 1.0, 0.0, cov0, j))(
+                            jnp.asarray(sp, jnp.float64)), np.float64)
+                    d_x = np.asarray(jax.vmap(
+                        lambda p: delta(p, x_b, 1.0, 0.0, cov0, j))(
+                            jnp.asarray(sp, jnp.float64)), np.float64)
+                    d_amt = np.asarray(jax.vmap(
+                        lambda p: delta(p, x_a, 2.37, 0.0, cov0, j))(
+                            jnp.asarray(sp, jnp.float64)), np.float64)
+                    d_t = np.asarray(jax.vmap(
+                        lambda p: delta(p, x_a, 1.0, 17.31, cov0, j))(
+                            jnp.asarray(sp, jnp.float64)), np.float64)
+                    d_cov = np.asarray(jax.vmap(
+                        lambda p: delta(p, x_a, 1.0, 0.0, cov1, j))(
+                            jnp.asarray(sp, jnp.float64)), np.float64)
+            except PharmsolError:
+                raise
+            except Exception as e:
+                raise PharmsolError(
+                    f"engine='pallas' could not probe the ODE bolus "
+                    f"mapping: {e}"
+                ) from e
+            scale = np.maximum(np.abs(d_ref).max(), 1e-12)
+            tol = 1e-6 * scale
+            if (np.abs(d_x - d_ref).max() > tol
+                    or np.abs(d_amt / 2.37 - d_ref).max() > tol
+                    or np.abs(d_t - d_ref).max() > tol
+                    or np.abs(d_cov - d_ref).max() > tol):
+                raise PharmsolError(
+                    "engine='pallas' ODE psi requires a state-independent, "
+                    "amount-linear, time/covariate-independent bolus "
+                    f"mapping (dx[i] += c(p) * b[{j}]); this RHS's bolus "
+                    "term is not — use the default XLA engine"
+                )
+            if not np.all(np.isfinite(d_ref)):
+                raise PharmsolError(
+                    "engine='pallas' ODE bolus probe produced non-finite "
+                    "values"
+                )
+            bmaps.append(d_ref.T)  # [n_states, S]
+        bolus_map = np.stack(bmaps, axis=0)  # [nb, n_states, S]
 
         init_rows = None
         if equation._init is not None:
@@ -1610,9 +1648,20 @@ class _PallasOdePsiPlan:
 
         # --- streams ------------------------------------------------------
         try:
-            streams = streams_from_grid(grid.rows, lowered)
+            streams = streams_from_grid(grid.rows, lowered, inputs=ninput)
         except ValueError as e:
             raise PharmsolError(f"engine='pallas' ODE psi: {e}") from e
+        # split the per-input stacks onto one stream per ACTIVE input
+        seg_bolus3 = np.asarray(streams[1], np.float64)  # [R, M, ninput]
+        seg_rate3 = np.asarray(streams[2], np.float64)
+        streams = (
+            [streams[0]]
+            + [seg_bolus3[..., j] for j in bolus_inputs]
+            + [seg_rate3[..., j] for j in rate_inputs]
+            + list(streams[3:])
+        )
+        self.n_bolus_in = len(bolus_inputs)
+        self.n_rate_in = len(rate_inputs)
         _, t_sorted, _, _ = segment_schedule(grid.rows)
         real = t_sorted < BIG_TIME / 2
         t_real_max = np.max(np.where(real, t_sorted, -np.inf), axis=1)
@@ -1726,13 +1775,15 @@ class _PallasOdePsiPlan:
             ) from e
         self.out_coef = jnp.asarray(np.transpose(C, (1, 2, 0)), dtype=fd)
         self.out_bias = jnp.asarray(b.T, dtype=fd) if np.any(b) else None
-        self.pass_inf = bool(np.any(streams[2]))
-        self.pass_cens = bool(np.any(streams[6]))
+        self.pass_inf = bool(np.any(seg_rate3))
+        i_cens = 1 + self.n_bolus_in + self.n_rate_in + 3
+        self.pass_cens = bool(np.any(streams[i_cens]))
         self.pass_outeq = self.n_out > 1
 
     def cache_key(self, *extra):
         o = self.opts
         return ("pallas_ode", self.n_states, self.n_params, self.ninput,
+                self.bolus_inputs, self.rate_inputs,
                 self.Rp,
                 self.Sp, self.M, self.pass_inf, self.pass_cens,
                 self.pass_outeq, self.n_out, self.out_bias is not None,
@@ -1744,8 +1795,9 @@ class _PallasOdePsiPlan:
 
     def stream_args(self):
         p = self.padded
-        include = [True, True, self.pass_inf, True, True, True,
-                   self.pass_cens, self.pass_outeq]
+        include = ([True] + [True] * self.n_bolus_in
+                   + [self.pass_inf] * self.n_rate_in
+                   + [True, True, True, self.pass_cens, self.pass_outeq])
         out = tuple(a for a, inc in zip(p, include) if inc)
         out = out + (self.seg_t0,)
         if self.init_mask is not None:
@@ -1782,7 +1834,10 @@ class _PallasOdePsiPlan:
         cov_modes = self.cov_modes
         pass_lag = self.lag_plane_dev is not None
         pass_fa = self.fa_plane_dev is not None
-        n_streams = (6 + int(pass_inf) + int(pass_cens) + int(pass_outeq)
+        nb, nr = self.n_bolus_in, self.n_rate_in
+        bolus_inputs, rate_inputs = self.bolus_inputs, self.rate_inputs
+        n_streams = (5 + nb + (nr if pass_inf else 0)
+                     + int(pass_cens) + int(pass_outeq)
                      + int(has_init) + int(pass_lag) + int(pass_fa)
                      + sum(2 if m == "affine" else 1 for m in cov_modes))
         # ODEOptions.unroll amortizes XLA's per-while-iteration dispatch;
@@ -1793,8 +1848,9 @@ class _PallasOdePsiPlan:
 
         def run(*args):
             it = iter(args[:n_streams])
-            dt, bol = next(it), next(it)
-            inf = next(it) if pass_inf else None
+            dt = next(it)
+            bols = [next(it) for _ in range(nb)]
+            infs = [next(it) for _ in range(nr)] if pass_inf else None
             mask, val, sig = next(it), next(it), next(it)
             cens = next(it) if pass_cens else None
             outeq = next(it) if pass_outeq else None
@@ -1812,6 +1868,9 @@ class _PallasOdePsiPlan:
             irows = next(rep) if has_init else None
             coef = next(rep)
             bias = next(rep) if has_bias else None
+            bol = bols[0] if nb == 1 else jnp.stack(bols, axis=-1)
+            inf = (None if infs is None
+                   else infs[0] if nr == 1 else jnp.stack(infs, axis=-1))
             return psi_ode(
                 dt, bol, inf, mask, val, sig, cens, t0, sp_dev, diffeq,
                 n_states=n_states, ninput=ninput, solver=o.solver,
@@ -1822,6 +1881,7 @@ class _PallasOdePsiPlan:
                 bolus_map=bmap, init_rows=irows, init_mask=imask,
                 cov_streams=covs, cov_names=cov_names,
                 lag_plane=lagp, fa_plane=fap,
+                bolus_inputs=bolus_inputs, rate_inputs=rate_inputs,
             )
 
         run.n_streams = n_streams

@@ -245,14 +245,17 @@ class LaneCov:
         return self(name, t)
 
 
-def make_lane_rhs(diffeq, n_states: int, n_params: int, ninput: int = None):
+def make_lane_rhs(diffeq, n_states: int, n_params: int, ninput: int = None,
+                  rate_inputs: tuple = (0,)):
     """Wrap a user ``diffeq(x, p, t, b, rateiv, cov)`` for lane evaluation.
 
     Returns ``rhs(xs, p_lanes, t, rate, cov_lanes) -> [n_states lanes]``
     where every lane is a broadcastable 2-D array. ``rate`` may be None
-    (no infusions — slot 0 forcing compiled out). ``b`` and ``rateiv``
-    are ``ninput`` wide (boluses apply at breakpoints, so ``b`` is always
-    zero inside segments; infusions are restricted to input 0).
+    (no infusions — all forcing slots compiled out), a single lane
+    (applied to ``rate_inputs[0]``), or a list of lanes matching
+    ``rate_inputs`` — the static input indices that receive infusions.
+    ``b`` and ``rateiv`` are ``ninput`` wide (boluses apply at
+    breakpoints, so ``b`` is always zero inside segments).
     """
     if ninput is None:
         ninput = n_states
@@ -260,8 +263,12 @@ def make_lane_rhs(diffeq, n_states: int, n_params: int, ninput: int = None):
     def rhs(xs, p_lanes, t, rate, cov_lanes, shape, dtype):
         zero = jnp.zeros((), dtype)
         b = LaneVec([zero] * max(ninput, 1))
-        r0 = rate if rate is not None else zero
-        rateiv = LaneVec([r0] + [zero] * max(ninput - 1, 0))
+        lanes = [zero] * max(ninput, 1)
+        if rate is not None:
+            rl = list(rate) if isinstance(rate, (list, tuple)) else [rate]
+            for j, r in zip(rate_inputs, rl):
+                lanes[j] = r
+        rateiv = LaneVec(lanes)
         out = diffeq(LaneVec(xs), LaneVec(p_lanes), t, b, rateiv,
                      LaneCov(cov_lanes))
         if isinstance(out, LaneVec):
@@ -284,6 +291,7 @@ def _make_ode_kernel(
     has_cens: bool, n_out: int, has_bias: bool, has_init: bool,
     cov_names: tuple, cov_affine: tuple = (),
     has_lag: bool = False, has_fa: bool = False,
+    n_bolus_in: int = 1, n_rate_in: int = 1,
     A=None, B=None, E=None, C=None, sdirk=None,
     rtol: float, atol: float, h0: float,
     max_iters: int, unroll: int, newton_iters: int = 4,
@@ -316,8 +324,9 @@ def _make_ode_kernel(
     def kernel(*refs):
         it = iter(refs)
         dts = next(it)[:, :]
-        bols = next(it)[:, :]
-        rates = next(it)[:, :] if has_inf else None
+        bols_l = [next(it)[:, :] for _ in range(n_bolus_in)]
+        rates_l = ([next(it)[:, :] for _ in range(n_rate_in)]
+                   if has_inf else None)
         masks = next(it)[:, :]
         vals = next(it)[:, :]
         sigs = next(it)[:, :]
@@ -332,7 +341,9 @@ def _make_ode_kernel(
         lag_plane = next(it)[:, :] if has_lag else None
         fa_plane = next(it)[:, :] if has_fa else None
         params = [next(it)[:, :] for _ in range(n_params)]
-        bmap = [next(it)[:, :] for _ in range(n_states)]
+        bmaps = [[next(it)[:, :] for _ in range(n_states)]
+                 for _ in range(n_bolus_in)]
+        bmap = bmaps[0]
         init_rows = [next(it)[:, :] for _ in range(n_states)] if has_init else None
         coefs = [[next(it)[:, :] for _ in range(n_states)] for _ in range(n_out)]
         biases = [next(it)[:, :] for _ in range(n_out)] if has_bias else None
@@ -669,7 +680,7 @@ def _make_ode_kernel(
 
         for m in range(n_seg):
             dt = col(dts, m)
-            bol = col(bols, m)
+            bol = col(bols_l[0], m)
             mask = col(masks, m)
             val = col(vals, m)
             sig = col(sigs, m) + (1.0 - mask)
@@ -693,13 +704,17 @@ def _make_ode_kernel(
             s_c = col(censs, m) if has_cens else None
             ll = ll + _obs_ll(val, pred, sig, mask, s_c, has_cens)
 
-            rate = col(rates, m) if has_inf else None
+            rate = [col(r, m) for r in rates_l] if has_inf else None
             t0_col = col(t0s, m)
             f_m = make_f(cov_for_seg(m)) if any(cov_affine) else f_const
             march = integrate_sdirk if sdirk is not None else integrate
             amt = bol * fa_plane if has_fa else bol
             if not has_lag:
                 xs = [x + amt * bmap[s] for s, x in enumerate(xs)]
+                for jb in range(1, n_bolus_in):
+                    amt_j = col(bols_l[jb], m)
+                    xs = [x + amt_j * bmaps[jb][s]
+                          for s, x in enumerate(xs)]
                 xs, h = march(f_m, xs, h, dt, rate, t0_col,
                               estimate_h=(m == 0))
             else:
@@ -771,6 +786,8 @@ def psi_ode(
     cov_names=(),
     lag_plane=None,
     fa_plane=None,
+    bolus_inputs=(0,),
+    rate_inputs=(0,),
     interpret: Optional[bool] = None,
 ):
     """Fused psi for ODE models: one pallas kernel per tile.
@@ -779,8 +796,12 @@ def psi_ode(
     ``seg_t0`` [R, M] (segment start times — the RHS may read t) and the
     per-support probe products:
 
-    - ``bolus_map`` [n_states, S]: state increment per unit dose into
-      input 0 (the RHS-difference probe result; ode/mod.rs:644-687);
+    - ``bolus_map`` [n_states, S] (single input) or [nb, n_states, S]:
+      state increment per unit dose into each input in ``bolus_inputs``
+      (the RHS-difference probe result; ode/mod.rs:644-687). Multi-input
+      models pass ``seg_bolus`` / ``seg_rateiv`` as [R, M, nb] /
+      [R, M, nr] stacked per active input, with ``bolus_inputs`` /
+      ``rate_inputs`` naming the RHS input index of each slice;
     - ``out_coef`` [n_out, n_states, S] / ``out_bias`` [n_out, S]: linear
       output extraction (pallas_psi.extract_linear_out);
     - ``init_rows`` [n_states, S] + ``init_mask`` [R, M] (lane 0): initial
@@ -833,8 +854,27 @@ def psi_ode(
     has_cens = _static_any(obs_cens)
     has_init = init_rows is not None
     zeros_rm = jnp.zeros_like(jnp.asarray(seg_dt, dtype))
+    bolus_inputs = tuple(int(j) for j in bolus_inputs)
+    rate_inputs = tuple(int(j) for j in rate_inputs)
+    sb = jnp.asarray(seg_bolus, dtype)
+    bol_list = ([sb] if sb.ndim == 2
+                else [sb[..., i] for i in range(sb.shape[-1])])
+    if len(bol_list) != len(bolus_inputs):
+        raise ValueError(
+            f"seg_bolus carries {len(bol_list)} input slices, bolus_inputs "
+            f"names {len(bolus_inputs)}"
+        )
     if seg_rateiv is None:
-        seg_rateiv = zeros_rm
+        rate_list = [zeros_rm]
+    else:
+        sr = jnp.asarray(seg_rateiv, dtype)
+        rate_list = ([sr] if sr.ndim == 2
+                     else [sr[..., i] for i in range(sr.shape[-1])])
+    if len(rate_list) != len(rate_inputs):
+        raise ValueError(
+            f"seg_rateiv carries {len(rate_list)} input slices, rate_inputs "
+            f"names {len(rate_inputs)}"
+        )
     if obs_cens is None:
         obs_cens = zeros_rm
     out_coef = jnp.asarray(out_coef, dtype)
@@ -864,24 +904,37 @@ def psi_ode(
             cov_list.append(jnp.asarray(entry, dtype))
     cov_affine = tuple(cov_affine)
 
+    nb = len(bol_list)
+    nr = len(rate_list)
     full = [
         _pad_lanes(jnp.asarray(a, dtype), SEG_PAD)
-        for a in (seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value,
-                  obs_sigma, obs_cens, obs_outeq, seg_t0)
+        for a in ([seg_dt] + bol_list + rate_list
+                  + [obs_mask, obs_value, obs_sigma, obs_cens, obs_outeq,
+                     seg_t0])
     ]
-    full[5] = full[5] * full[3]  # masked sigma lanes -> 0 (kernel re-adds 1)
+    i_mask = 1 + nb + nr
+    # masked sigma lanes -> 0 (kernel re-adds 1)
+    full[i_mask + 2] = full[i_mask + 2] * full[i_mask]
     if has_init:
         full.append(_pad_lanes(jnp.asarray(init_mask, dtype), SEG_PAD))
     full.extend(_pad_lanes(cs, SEG_PAD) for cs in cov_list)
-    include = ([True, True, has_inf, True, True, True, has_cens, has_outeq,
-                True]
-               + [True] * (len(full) - 9))
+    n_head = 1 + nb + nr + 6
+    include = ([True] + [True] * nb + [has_inf] * nr
+               + [True, True, True, has_cens, has_outeq, True]
+               + [True] * (len(full) - n_head))
     streams = [a for a, inc in zip(full, include) if inc]
 
     sp = jnp.asarray(support, dtype)
     p_rows = [sp[:, i].reshape(1, S) for i in range(n_params)]
     bm = jnp.asarray(bolus_map, dtype)
-    p_rows += [bm[s].reshape(1, S) for s in range(n_states)]
+    if bm.ndim == 2:
+        bm = bm.reshape(1, n_states, S)
+    if bm.shape != (nb, n_states, S):
+        raise ValueError(
+            f"bolus_map must be [{nb}, {n_states}, {S}], got {bm.shape}"
+        )
+    p_rows += [bm[j, s].reshape(1, S)
+               for j in range(nb) for s in range(n_states)]
     if has_init:
         ir = jnp.asarray(init_rows, dtype)
         p_rows += [ir[s].reshape(1, S) for s in range(n_states)]
@@ -906,12 +959,18 @@ def psi_ode(
             )
         planes.append(pl_arr)
 
-    rhs = make_lane_rhs(diffeq, n_states, n_params, ninput)
+    if has_lag and nb != 1:
+        raise ValueError(
+            "the pending-dose lag mechanism holds one dose slot per lane; "
+            "lag/fa requires a single bolus input"
+        )
+    rhs = make_lane_rhs(diffeq, n_states, n_params, ninput, rate_inputs)
     kernel = _make_ode_kernel(
         rhs, n_states=n_states, n_params=n_params, n_seg=M, has_inf=has_inf,
         has_cens=has_cens, n_out=n_out, has_bias=has_bias, has_init=has_init,
         cov_names=cov_names, cov_affine=cov_affine,
         has_lag=has_lag, has_fa=has_fa,
+        n_bolus_in=nb, n_rate_in=nr,
         A=A, B=B, E=E, C=C, sdirk=sdirk,
         rtol=float(rtol),
         atol=float(atol), h0=float(h0), max_iters=int(max_iters),

@@ -1138,8 +1138,13 @@ def segment_schedule(rows):
     return order, t_sorted, seg_dt, rank_sorted >= 1.0
 
 
-def streams_from_grid(rows, lowered_em):
+def streams_from_grid(rows, lowered_em, inputs: Optional[int] = None):
     """Convert stacked OccasionArrays rows into kernel segment streams.
+
+    ``inputs=None`` (the analytical tier): doses must target input 0 and
+    ``seg_bolus`` / ``seg_rateiv`` are [R, M]. ``inputs=k`` (the ODE
+    tier's multi-input mode): doses may target any input < k and the two
+    dose streams come back stacked per input as [R, M, k].
 
     Requirements of the fused kernel's model shape: a single bolus route into
     the structure's dose compartment (depot for *_with_absorption, central
@@ -1162,17 +1167,27 @@ def streams_from_grid(rows, lowered_em):
     inf_t = np.asarray(rows.inf_t, dtype=np.float64)
     valid_rows = np.asarray(rows.obs_valid) & np.asarray(rows.obs_has_value)
     real_bolus = bolus_t < BIG_TIME / 2
-    if np.any(np.asarray(rows.bolus_input)[real_bolus] != 0):
+    bolus_input = np.asarray(rows.bolus_input)
+    if inputs is None and np.any(bolus_input[real_bolus] != 0):
         raise ValueError(
             "pallas psi fast path supports boluses into input 0 (the "
             "structure's dose compartment) only"
         )
+    if inputs is not None and np.any(bolus_input[real_bolus] >= inputs):
+        raise ValueError(
+            f"bolus targets input >= ninput ({inputs})"
+        )
     NI = inf_t.shape[1]
     if NI:
         real_inf = inf_t < BIG_TIME / 2
-        if np.any(np.asarray(rows.inf_input)[real_inf] != 0):
+        inf_input = np.asarray(rows.inf_input)
+        if inputs is None and np.any(inf_input[real_inf] != 0):
             raise ValueError(
                 "pallas psi fast path supports infusions into input 0 (central) only"
+            )
+        if inputs is not None and np.any(inf_input[real_inf] >= inputs):
+            raise ValueError(
+                f"infusion targets input >= ninput ({inputs})"
             )
     obs_t = np.asarray(rows.obs_t, dtype=np.float64)
     R, NO = obs_t.shape
@@ -1194,7 +1209,19 @@ def streams_from_grid(rows, lowered_em):
     bolus_amt = np.where(
         bolus_t < BIG_TIME / 2, np.asarray(rows.bolus_amt, dtype=np.float64), 0.0
     )
-    seg_bolus = scatter(with_zero_pads(np.zeros_like(obs_t), bolus_amt))
+    if inputs is None:
+        seg_bolus = scatter(with_zero_pads(np.zeros_like(obs_t), bolus_amt))
+    else:
+        seg_bolus = np.stack(
+            [
+                scatter(with_zero_pads(
+                    np.zeros_like(obs_t),
+                    np.where(bolus_input == j, bolus_amt, 0.0),
+                ))
+                for j in range(inputs)
+            ],
+            axis=-1,
+        )  # [R, M, inputs]
     # per-segment infusion rate: midpoint containment (engine parity)
     if NI:
         rate = np.where(
@@ -1208,9 +1235,25 @@ def streams_from_grid(rows, lowered_em):
             & (mid[:, :, None] < inf_end[:, None, :])
             & (seg_dt[:, :, None] > 0)
         )
-        seg_rateiv = np.einsum("rmi,ri->rm", contained.astype(np.float64), rate)
-    else:
+        if inputs is None:
+            seg_rateiv = np.einsum(
+                "rmi,ri->rm", contained.astype(np.float64), rate
+            )
+        else:
+            seg_rateiv = np.stack(
+                [
+                    np.einsum(
+                        "rmi,ri->rm", contained.astype(np.float64),
+                        np.where(inf_input == j, rate, 0.0),
+                    )
+                    for j in range(inputs)
+                ],
+                axis=-1,
+            )  # [R, M, inputs]
+    elif inputs is None:
         seg_rateiv = np.zeros_like(seg_dt)
+    else:
+        seg_rateiv = np.zeros(seg_dt.shape + (inputs,))
     valid = valid_rows
     obs_value_u = np.asarray(rows.obs_value, dtype=np.float64)
     # observation-based sigma from each observation's outeq error model;

@@ -50,6 +50,11 @@ F32_BUDGET: Dict[str, float] = {
     "seq_multiplier_segment": 5e-5,
     "censoring_heavy": 2e-4,
     "ode_dopri5": 2e-4,  # adaptive stepping compounds controller decisions
+    # round-3 kernel paths (all on the ode_dopri5-style workload)
+    "ode_lag_fa": 2e-4,          # pending-dose split march
+    "ode_tv_covariate": 2e-4,    # per-segment affine covariate streams
+    "ode_multi_input": 2e-4,     # per-input bolus/rate streams
+    "analytical_init": 5e-5,     # per-support initial-state rows
 }
 
 _NOMINAL = {
@@ -222,6 +227,139 @@ def _ode_case() -> BudgetCase:
     return BudgetCase("ode_dopri5", build, F32_BUDGET["ode_dopri5"])
 
 
+def _ode_lag_fa_case() -> BudgetCase:
+    def build():
+        import jax.numpy as jnp
+
+        from ..data.structs import Data, Subject
+        from ..models.equation import ODE
+
+        model = ODE(
+            lambda x, p, t, b, rateiv, cov: jnp.stack([
+                -p[0] * x[0] + b[0],
+                p[0] * x[0] - p[1] * x[1],
+            ]),
+            lag=lambda p, t, cov: {0: p[3]},
+            fa=lambda p, t, cov: {0: p[4]},
+            out=lambda x, p, t, cov: x[1:2] / p[2],
+            nstates=2, ndrugs=1, nout=1,
+        )
+        rng = np.random.RandomState(41)
+        subjects = []
+        for i in range(8):
+            b = (Subject.builder(f"l{i}").bolus(0.0, 100.0, 0)
+                 .bolus(12.0, 80.0, 0))
+            for t in (1.0, 2.5, 4.0, 6.0, 9.0, 14.0, 24.0):
+                b = b.observation(float(t), float(np.abs(3 + rng.randn())), 0)
+            subjects.append(b.build())
+        sp = np.column_stack([
+            rng.uniform(0.5, 2.0, 12), rng.uniform(0.05, 0.5, 12),
+            rng.uniform(8, 14, 12), rng.uniform(0.0, 1.5, 12),
+            rng.uniform(0.3, 1.0, 12),
+        ])
+        return model, Data(subjects), sp, _ems()
+
+    return BudgetCase("ode_lag_fa", build, F32_BUDGET["ode_lag_fa"])
+
+
+def _ode_tv_cov_case() -> BudgetCase:
+    def build():
+        import jax.numpy as jnp
+
+        from ..data.structs import Data, Subject
+        from ..models.equation import ODE
+
+        model = ODE(
+            lambda x, p, t, b, rateiv, cov: jnp.stack([
+                -p[0] * (cov("wt", t) / 70.0) * x[0] + b[0],
+            ]),
+            out=lambda x, p, t, cov: x[0:1] / p[1],
+            nstates=1, ndrugs=1, nout=1,
+        )
+        rng = np.random.RandomState(43)
+        subjects = []
+        for i in range(8):
+            b = (Subject.builder(f"v{i}").bolus(0.0, 100.0, 0)
+                 .covariate("wt", 0.0, 55.0 + 4.0 * i)
+                 .covariate("wt", 2.5, 80.0 - 3.0 * i)
+                 .covariate("wt", 9.0, 60.0 + 2.0 * i))
+            for t in (1.0, 2.5, 4.0, 9.0, 14.0):
+                b = b.observation(float(t), float(np.abs(3 + rng.randn())), 0)
+            subjects.append(b.build())
+        sp = np.column_stack([
+            rng.uniform(0.1, 0.6, 12), rng.uniform(8, 14, 12),
+        ])
+        return model, Data(subjects), sp, _ems()
+
+    return BudgetCase("ode_tv_covariate", build,
+                      F32_BUDGET["ode_tv_covariate"])
+
+
+def _ode_multi_input_case() -> BudgetCase:
+    def build():
+        import jax.numpy as jnp
+
+        from ..data.structs import Data, Subject
+        from ..models.equation import ODE
+
+        model = ODE(
+            lambda x, p, t, b, rateiv, cov: jnp.stack([
+                -p[0] * x[0] + b[0] + rateiv[1],
+                -p[1] * x[1] + b[1],
+                p[0] * x[0] + p[1] * x[1] - p[2] * x[2] + rateiv[0],
+            ]),
+            out=lambda x, p, t, cov: x[2:3] / p[3],
+            nstates=3, ndrugs=2, nout=1,
+        )
+        rng = np.random.RandomState(47)
+        subjects = []
+        for i in range(8):
+            b = (Subject.builder(f"m{i}").bolus(0.0, 100.0, 0)
+                 .bolus(1.0, 60.0, 1).infusion(2.0, 40.0, 1, 1.5))
+            for t in (0.5, 1.5, 3.0, 5.0, 8.0, 12.0):
+                b = b.observation(float(t), float(np.abs(3 + rng.randn())), 0)
+            subjects.append(b.build())
+        sp = np.column_stack([
+            rng.uniform(0.5, 2.0, 12), rng.uniform(0.3, 1.2, 12),
+            rng.uniform(0.05, 0.5, 12), rng.uniform(8, 14, 12),
+        ])
+        return model, Data(subjects), sp, _ems()
+
+    return BudgetCase("ode_multi_input", build,
+                      F32_BUDGET["ode_multi_input"])
+
+
+def _analytical_init_case() -> BudgetCase:
+    def build():
+        import jax.numpy as jnp
+
+        from ..data.structs import Data, Subject
+        from ..engine.analytical import one_compartment_with_absorption
+        from ..models.equation import Analytical
+
+        model = Analytical(
+            one_compartment_with_absorption,
+            init=lambda p, t, cov: jnp.stack([0.5 * p[2], 2.0 + 0.1 * p[2]]),
+            out=lambda x, p, t, cov: x[1:2] / p[2],
+            nstates=2, ndrugs=1, nout=1,
+        )
+        rng = np.random.RandomState(53)
+        subjects = []
+        for i in range(8):
+            b = Subject.builder(f"i{i}").bolus(0.0, 100.0, 0)
+            for t in (1.0, 2.5, 4.0, 6.0, 9.0, 14.0):
+                b = b.observation(float(t), float(np.abs(3 + rng.randn())), 0)
+            subjects.append(b.build())
+        sp = np.abs(
+            np.array([1.1, 0.2, 11.0])[None, :]
+            * (1.0 + 0.15 * rng.randn(12, 3))
+        )
+        return model, Data(subjects), sp, _ems()
+
+    return BudgetCase("analytical_init", build,
+                      F32_BUDGET["analytical_init"])
+
+
 def budget_cases():
     """All committed budget cases, in table order."""
     cases = [_kernel_case(n) for n in _NOMINAL]
@@ -229,6 +367,10 @@ def budget_cases():
     cases.append(_seq_case("segment"))
     cases.append(_censoring_case())
     cases.append(_ode_case())
+    cases.append(_ode_lag_fa_case())
+    cases.append(_ode_tv_cov_case())
+    cases.append(_ode_multi_input_case())
+    cases.append(_analytical_init_case())
     return cases
 
 

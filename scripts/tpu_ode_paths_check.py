@@ -115,4 +115,35 @@ px3 = log_likelihood_matrix(model3, Data(subjects3), sp3,
                                 ErrorPoly(0.5, 0.1), 1.0)), engine="xla")
 print(f"lag+tv-cov: rel {rel(pp3, px3):.2e}  ({time.time()-t0:.0f}s)")
 assert rel(pp3, px3) < 5e-4, rel(pp3, px3)
+
+# --- multi-input dosing (two drugs, per-input bolus/rate streams) ---
+model4 = ODE(
+    lambda x, p, t, b, rateiv, cov: jnp.stack([
+        -p[0] * x[0] + b[0] + rateiv[1],
+        -p[1] * x[1] + b[1],
+        p[0] * x[0] + p[1] * x[1] - p[2] * x[2] + rateiv[0],
+    ]),
+    out=lambda x, p, t, cov: x[2:3] / p[3],
+    nstates=3, ndrugs=2, nout=1,
+)
+subjects4 = []
+for i in range(16):
+    sb = (SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0).bolus(1.0, 60.0, 1)
+          .infusion(2.0, 40.0, 1, 1.5))
+    for t in (0.5, 1.5, 3.0, 5.0, 8.0):
+        sb = sb.observation(t, float(4 * np.exp(-0.25 * t) + 0.05 * i), 0)
+    subjects4.append(sb.build())
+sp4 = np.column_stack([
+    rng.uniform(0.5, 2.0, 32), rng.uniform(0.3, 1.2, 32),
+    rng.uniform(0.05, 0.5, 32), rng.uniform(20, 60, 32),
+])
+t0 = time.time()
+pp4 = log_likelihood_matrix(model4, Data(subjects4), sp4,
+                            AssayErrorModels().add(0, AssayErrorModel.additive(
+                                ErrorPoly(0.5, 0.1), 1.0)), engine="pallas")
+px4 = log_likelihood_matrix(model4, Data(subjects4), sp4,
+                            AssayErrorModels().add(0, AssayErrorModel.additive(
+                                ErrorPoly(0.5, 0.1), 1.0)), engine="xla")
+print(f"multi-input: rel {rel(pp4, px4):.2e}  ({time.time()-t0:.0f}s)")
+assert rel(pp4, px4) < 5e-4, rel(pp4, px4)
 print("TPU NEW PATHS OK")

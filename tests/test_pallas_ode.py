@@ -486,3 +486,87 @@ def test_ode_pallas_rejects_lag_reading_varying_covariate():
     with pytest.raises(PharmsolError, match="time-varying covariate"):
         log_likelihood_matrix(model, Data([sb.build()]), sp, _ems(),
                               engine="pallas")
+
+
+def test_ode_pallas_multi_input_bolus_parity():
+    # two drugs dosed into different RHS inputs: per-input bolus streams +
+    # per-input probed bolus maps (ode/mod.rs:644-687 generalized)
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+            -p[1] * x[1] + b[1],
+            p[0] * x[0] + p[1] * x[1] - p[2] * x[2],
+        ]),
+        out=lambda x, p, t, cov: x[2:3] / p[3],
+        nstates=3, ndrugs=2, nout=1,
+    )
+    subjects = []
+    for i in range(6):
+        sb = (SubjectBuilder(f"s{i}")
+              .bolus(0.0, 100.0, 0)
+              .bolus(1.0, 60.0, 1)
+              .bolus(6.0, 40.0, 0))
+        for t in (0.5, 1.5, 3.0, 5.0, 8.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.25 * t) + 0.05 * i), 0)
+        subjects.append(sb.build())
+    rng = np.random.default_rng(29)
+    sp = np.column_stack([
+        rng.uniform(0.5, 2.0, 12), rng.uniform(0.3, 1.2, 12),
+        rng.uniform(0.05, 0.5, 12), rng.uniform(20, 60, 12),
+    ])
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 5e-5
+
+
+def test_ode_pallas_multi_input_infusion_parity():
+    # infusions into a non-zero input ride their own rate stream and reach
+    # the RHS at the right rateiv slot
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0] + rateiv[1],
+            p[0] * x[0] - p[1] * x[1] + rateiv[0],
+        ]),
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=2, nout=1,
+    )
+    subjects = []
+    for i in range(4):
+        sb = (SubjectBuilder(f"s{i}").bolus(0.0, 50.0, 0)
+              .infusion(1.0, 40.0, 1, 2.0)
+              .infusion(4.0, 30.0, 0, 1.5))
+        for t in (0.5, 1.5, 3.0, 5.0, 7.0):
+            sb = sb.observation(t, float(3 * np.exp(-0.2 * t)), 0)
+        subjects.append(sb.build())
+    rng = np.random.default_rng(31)
+    sp = np.column_stack([
+        rng.uniform(0.3, 1.0, 8), rng.uniform(0.05, 0.4, 8),
+        rng.uniform(10, 40, 8),
+    ])
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 5e-5
+
+
+def test_ode_pallas_rejects_lag_with_multi_input_bolus():
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+            -p[0] * x[1] + b[1],
+        ]),
+        lag=lambda p, t, cov: {0: p[1]},
+        out=lambda x, p, t, cov: x[0:1],
+        nstates=2, ndrugs=2, nout=1,
+    )
+    sb = (SubjectBuilder("s").bolus(0.0, 50.0, 0).bolus(1.0, 50.0, 1)
+          .observation(0.5, 1.0, 0).observation(3.0, 1.0, 0))
+    with pytest.raises(PharmsolError, match="single bolus input"):
+        log_likelihood_matrix(
+            model, Data([sb.build()]),
+            np.column_stack([np.full(4, 0.3), np.full(4, 0.4)]),
+            _ems(), engine="pallas",
+        )
