@@ -145,6 +145,38 @@ def _classify_covariates(grid):
     return row_values, varying
 
 
+def _covariate_values_at(grid, tq: float):
+    """Exact per-row covariate values at absolute time ``tq``.
+
+    Mirrors the reference interpolation (covariate.rs: linear between
+    knots, clamped outside the knot range, carry-forward for ``!`` fixed
+    covariates). Returns ``{name: [R] float64}`` — used to evaluate
+    covariate-dependent init equations at t=0 (engine/sim.py applies
+    init at t=0.0; analytical/mod.rs:408-426).
+    """
+    cov_t = np.asarray(grid.rows.cov_t, np.float64)  # [R, ncov, K]
+    cov_v = np.asarray(grid.rows.cov_v, np.float64)
+    if cov_t.ndim != 3 or not grid.cov_names:
+        return {}
+    fixed = np.asarray(grid.rows.cov_fixed)
+    rr = np.arange(cov_t.shape[0])
+    out = {}
+    for c, name in enumerate(grid.cov_names):
+        ts, vs = cov_t[:, c, :], cov_v[:, c, :]
+        K = ts.shape[1]
+        tcl = np.clip(tq, ts[:, 0], ts[:, -1])
+        idx = np.clip((ts <= tcl[:, None]).sum(-1) - 1, 0, K - 1)
+        nxt = np.minimum(idx + 1, K - 1)
+        tk0, tk1 = ts[rr, idx], ts[rr, nxt]
+        vk0, vk1 = vs[rr, idx], vs[rr, nxt]
+        denom = np.where(tk1 > tk0, tk1 - tk0, 1.0)
+        lin = np.where(
+            tk1 > tk0, vk0 + (vk1 - vk0) * (tcl - tk0) / denom, vk0
+        )
+        out[name] = np.where(fixed[:, c].astype(bool), vk0, lin)
+    return out
+
+
 def _affine_covariate_streams(grid, names, seg_t0, seg_dt):
     """Per-segment affine ``(a, b)`` streams for time-varying covariates.
 
@@ -993,8 +1025,10 @@ class _PallasPsiPlan:
                 )
         # init equation: covariate-independent init evaluates to per-support
         # initial-state rows, applied by the kernel on occasion-0 rows via
-        # the init-mask stream (same scheme as the ODE tier)
+        # the init-mask stream (same scheme as the ODE tier);
+        # covariate-dependent init rides per-(row, support) planes
         self.init_rows = None
+        self.init_planes = None
         if equation._init is not None:
             init_fn = equation._init
             cov_vals0, _ = (_classify_covariates(grid)
@@ -1026,11 +1060,6 @@ class _PallasPsiPlan:
                     f"engine='pallas' could not probe the init equation: {e}"
                 ) from e
             iscale = np.maximum(np.abs(i_ref).max(), 1e-12)
-            if icov0 and np.abs(i_cov - i_ref).max() > 1e-6 * iscale:
-                raise PharmsolError(
-                    "engine='pallas' requires a covariate-independent init "
-                    "equation — use the default XLA engine"
-                )
             if not np.all(np.isfinite(i_ref)):
                 raise PharmsolError(
                     "engine='pallas' init probe produced non-finite values"
@@ -1041,7 +1070,45 @@ class _PallasPsiPlan:
                     f"to return {sdef['n_states']} states, got "
                     f"{i_ref.shape[1]}"
                 )
-            if np.any(i_ref != 0.0):
+            if icov0 and np.abs(i_cov - i_ref).max() > 1e-6 * iscale:
+                # covariate-dependent init: evaluate exactly per (row,
+                # support) at t=0 and ride per-state [R, S] planes
+                # (engine/sim.py:147-152 applies init at t=0.0)
+                cov_at0 = _covariate_values_at(grid, 0.0)
+                names = tuple(grid.cov_names)
+                cov_mat = np.stack(
+                    [np.asarray(cov_at0[n], np.float64) for n in names],
+                    axis=1,
+                )  # [R, ncov]
+
+                def init_row(p, cv):
+                    covd = {n: cv[i] for i, n in enumerate(names)}
+                    return init_at(p, covd)
+
+                try:
+                    with _host_cpu_device():
+                        pl_ = np.asarray(
+                            jax.vmap(lambda cv: jax.vmap(
+                                lambda p: init_row(p, cv))(
+                                    jnp.asarray(sp, jnp.float64)))(
+                                jnp.asarray(cov_mat, jnp.float64)),
+                            np.float64,
+                        )  # [R, S, n_states]
+                except PharmsolError:
+                    raise
+                except Exception as e:
+                    raise PharmsolError(
+                        f"engine='pallas' could not evaluate the "
+                        f"covariate-dependent init per row: {e}"
+                    ) from e
+                if not np.all(np.isfinite(pl_)):
+                    raise PharmsolError(
+                        "engine='pallas' covariate-dependent init "
+                        "evaluation produced non-finite values"
+                    )
+                if np.any(pl_ != 0.0):
+                    self.init_planes = np.transpose(pl_, (2, 0, 1))
+            elif np.any(i_ref != 0.0):
                 self.init_rows = i_ref.T  # [n_states, S]
         self.mult = None
         self.mult_off = None
@@ -1255,13 +1322,15 @@ class _PallasPsiPlan:
             self.param_levels_dev = jnp.asarray(lv, dtype=fd)
         self.init_mask_dev = None
         self.init_rows_dev = None
-        if self.init_rows is not None:
+        self.init_planes_dev = None
+        if self.init_rows is not None or self.init_planes is not None:
             im = np.asarray(grid.rows.init_mask, np.float64).reshape(-1)
             init_mask_rm = np.zeros((self.R, self.M))
             init_mask_rm[:, 0] = im
             self.init_mask_dev = jnp.asarray(
                 pad_rows(init_mask_rm), dtype=fd
             )
+        if self.init_rows is not None:
             ir = np.asarray(self.init_rows, np.float64)  # [n_states, S]
             if self.Sp != self.S:
                 ir = np.concatenate(
@@ -1269,6 +1338,11 @@ class _PallasPsiPlan:
                     axis=1,
                 )
             self.init_rows_dev = jnp.asarray(ir, dtype=fd)
+        if self.init_planes is not None:
+            self.init_planes_dev = jnp.stack([
+                pad_plane(self.init_planes[s], 0.0)
+                for s in range(n_states)
+            ])
         # output coefficients: y_k = C_k(p) . x + b_k(p), per support point
         out_fn = equation._out or (lambda x, p, t, cov: x[: self.n_out])
         occ0 = jax.tree_util.tree_map(
@@ -1310,6 +1384,7 @@ class _PallasPsiPlan:
                 self.mult_seg_off_dev is not None,
                 None if lv is None else int(lv.shape[0]),
                 self.init_rows_dev is not None,
+                self.init_planes_dev is not None,
                 self.lag_plane_dev is not None,
                 self.fa_plane_dev is not None, str(self.fd)) + extra
 
@@ -1325,6 +1400,13 @@ class _PallasPsiPlan:
                   self.init_mask_dev, self.lag_plane_dev, self.fa_plane_dev):
             if a is not None:
                 out = out + (a,)
+        if self.init_planes_dev is not None:
+            # one [Rp, Sp] plane per state (rows leading, so the sharded
+            # driver's subjects-axis specs apply uniformly)
+            out = out + tuple(
+                self.init_planes_dev[s]
+                for s in range(self.init_planes_dev.shape[0])
+            )
         return out
 
     def rep_args(self):
@@ -1352,7 +1434,10 @@ class _PallasPsiPlan:
         pass_mult_seg_off = self.mult_seg_off_dev is not None
         pass_depth = self.seg_depth_dev is not None
         pass_levels = self.param_levels_dev is not None
-        pass_init = self.init_rows_dev is not None
+        n_init_planes = (int(self.init_planes_dev.shape[0])
+                         if self.init_planes_dev is not None else 0)
+        pass_init_rows = self.init_rows_dev is not None
+        pass_init = pass_init_rows or n_init_planes > 0
         pass_lag = self.lag_plane_dev is not None
         pass_fa = self.fa_plane_dev is not None
         has_bias = self.out_bias is not None
@@ -1360,7 +1445,7 @@ class _PallasPsiPlan:
                      + int(pass_mult) + int(pass_mult_off)
                      + int(pass_mult_seg) + int(pass_mult_seg_off)
                      + int(pass_depth) + int(pass_init)
-                     + int(pass_lag) + int(pass_fa))
+                     + int(pass_lag) + int(pass_fa) + n_init_planes)
 
         def run(*args):
             it = iter(args[:n_streams])
@@ -1377,11 +1462,13 @@ class _PallasPsiPlan:
             initm = next(it) if pass_init else None
             lagp = next(it) if pass_lag else None
             fap = next(it) if pass_fa else None
+            ipl = (jnp.stack([next(it) for _ in range(n_init_planes)])
+                   if n_init_planes else None)
             rep = iter(args[n_streams:])
             sp_dev, coef = next(rep), next(rep)
             bias = next(rep) if has_bias else None
             levels = next(rep) if pass_levels else None
-            init_r = next(rep) if pass_init else None
+            init_r = next(rep) if pass_init_rows else None
             return psi_oral(dt, bol, inf, mask, val, sig, cens, sp_dev,
                             structure=structure, obs_outeq=outeq,
                             out_coef=coef, out_bias=bias, param_mult=mult,
@@ -1389,7 +1476,8 @@ class _PallasPsiPlan:
                             param_offset_seg=mult_seg_off,
                             param_levels=levels, seg_depth=depth,
                             lag_plane=lagp, fa_plane=fap,
-                            init_rows=init_r, init_mask=initm)
+                            init_rows=init_r, init_planes=ipl,
+                            init_mask=initm)
 
         run.n_streams = n_streams
         return run
@@ -1583,6 +1671,7 @@ class _PallasOdePsiPlan:
         bolus_map = np.stack(bmaps, axis=0)  # [nb, n_states, S]
 
         init_rows = None
+        init_planes = None
         if equation._init is not None:
             init_fn = equation._init
 
@@ -1609,11 +1698,51 @@ class _PallasOdePsiPlan:
                 ) from e
             iscale = np.maximum(np.abs(i_ref).max(), 1e-12)
             if np.abs(i_cov - i_ref).max() > 1e-6 * iscale:
-                raise PharmsolError(
-                    "engine='pallas' ODE psi requires a covariate-"
-                    "independent init equation — use the default XLA engine"
-                )
-            init_rows = i_ref.T  # [n_states, S]
+                # covariate-dependent init: evaluate it exactly once per
+                # (row, support) pair on the host probe backend and ride
+                # per-state [R, S] planes into the kernel (the init is
+                # applied at t=0 with the covariate's t=0 value —
+                # engine/sim.py:147-152 semantics)
+                cov_at0 = _covariate_values_at(grid, 0.0)
+                names = tuple(grid.cov_names)
+                cov_mat = np.stack(
+                    [np.asarray(cov_at0[n], np.float64) for n in names],
+                    axis=1,
+                )  # [R, ncov]
+
+                def init_row(p, cv):
+                    covd = {n: cv[i] for i, n in enumerate(names)}
+                    return init_at(p, covd)
+
+                try:
+                    with _host_cpu_device():
+                        pl_ = np.asarray(
+                            jax.vmap(lambda cv: jax.vmap(
+                                lambda p: init_row(p, cv))(
+                                    jnp.asarray(sp, jnp.float64)))(
+                                jnp.asarray(cov_mat, jnp.float64)),
+                            np.float64,
+                        )  # [R, S, n_states]
+                except PharmsolError:
+                    raise
+                except Exception as e:
+                    raise PharmsolError(
+                        f"engine='pallas' could not evaluate the "
+                        f"covariate-dependent ODE init per row: {e}"
+                    ) from e
+                if pl_.shape != (cov_mat.shape[0], sp.shape[0], n_states):
+                    raise PharmsolError(
+                        f"engine='pallas' init equation must return "
+                        f"[{n_states}] states"
+                    )
+                if not np.all(np.isfinite(pl_)):
+                    raise PharmsolError(
+                        "engine='pallas' covariate-dependent init "
+                        "evaluation produced non-finite values"
+                    )
+                init_planes = np.transpose(pl_, (2, 0, 1))  # [n, R, S]
+            else:
+                init_rows = i_ref.T  # [n_states, S]
 
         # lane-RHS compatibility: trace once with 2-D lane shapes
         rhs = make_lane_rhs(diffeq, n_states, n_params, ninput)
@@ -1694,7 +1823,7 @@ class _PallasOdePsiPlan:
         init_mask_rm[:, 0] = im
         self.init_mask = (
             jnp.asarray(pad_rows(init_mask_rm), dtype=fd)
-            if init_rows is not None else None
+            if (init_rows is not None or init_planes is not None) else None
         )
         affine_streams = (
             _affine_covariate_streams(
@@ -1754,6 +1883,11 @@ class _PallasOdePsiPlan:
         self.fa_plane_dev = (
             pad_plane(fa_plane, 1.0) if fa_plane is not None else None
         )
+        self.init_planes_dev = (
+            jnp.stack([pad_plane(init_planes[s], 0.0)
+                       for s in range(n_states)])
+            if init_planes is not None else None
+        )
         out_fn = equation._out or (lambda x, p, t, cov: x[: self.n_out])
         occ0 = jax.tree_util.tree_map(
             lambda a: jnp.asarray(np.asarray(a)[0]), grid.rows
@@ -1787,7 +1921,9 @@ class _PallasOdePsiPlan:
                 self.Rp,
                 self.Sp, self.M, self.pass_inf, self.pass_cens,
                 self.pass_outeq, self.n_out, self.out_bias is not None,
-                self.init_rows is not None, self.cov_names, self.cov_modes,
+                self.init_rows is not None,
+                self.init_planes_dev is not None,
+                self.cov_names, self.cov_modes,
                 self.lag_plane_dev is not None,
                 self.fa_plane_dev is not None,
                 o.solver,
@@ -1808,6 +1944,12 @@ class _PallasOdePsiPlan:
         for plane in (self.lag_plane_dev, self.fa_plane_dev):
             if plane is not None:
                 out = out + (plane,)
+        if self.init_planes_dev is not None:
+            # one [Rp, Sp] plane per state (rows leading for sharding)
+            out = out + tuple(
+                self.init_planes_dev[s]
+                for s in range(self.init_planes_dev.shape[0])
+            )
         return out
 
     def rep_args(self):
@@ -1828,7 +1970,10 @@ class _PallasOdePsiPlan:
         diffeq = self.diffeq
         pass_inf, pass_cens = self.pass_inf, self.pass_cens
         pass_outeq = self.pass_outeq
-        has_init = self.init_rows is not None
+        n_init_planes = (int(self.init_planes_dev.shape[0])
+                         if self.init_planes_dev is not None else 0)
+        has_init_rows = self.init_rows is not None
+        has_init = has_init_rows or n_init_planes > 0
         has_bias = self.out_bias is not None
         cov_names = self.cov_names
         cov_modes = self.cov_modes
@@ -1839,6 +1984,7 @@ class _PallasOdePsiPlan:
         n_streams = (5 + nb + (nr if pass_inf else 0)
                      + int(pass_cens) + int(pass_outeq)
                      + int(has_init) + int(pass_lag) + int(pass_fa)
+                     + n_init_planes
                      + sum(2 if m == "affine" else 1 for m in cov_modes))
         # ODEOptions.unroll amortizes XLA's per-while-iteration dispatch;
         # inside the pallas kernel there is no dispatch to amortize and
@@ -1862,10 +2008,12 @@ class _PallasOdePsiPlan:
             }
             lagp = next(it) if pass_lag else None
             fap = next(it) if pass_fa else None
+            ipl = (jnp.stack([next(it) for _ in range(n_init_planes)])
+                   if n_init_planes else None)
             rep = iter(args[n_streams:])
             sp_dev = next(rep)
             bmap = next(rep)
-            irows = next(rep) if has_init else None
+            irows = next(rep) if has_init_rows else None
             coef = next(rep)
             bias = next(rep) if has_bias else None
             bol = bols[0] if nb == 1 else jnp.stack(bols, axis=-1)
@@ -1878,7 +2026,8 @@ class _PallasOdePsiPlan:
                 h0=o.h0, max_iters=o.max_steps, unroll=unroll,
                 newton_iters=o.newton_iters,
                 obs_outeq=outeq, out_coef=coef, out_bias=bias,
-                bolus_map=bmap, init_rows=irows, init_mask=imask,
+                bolus_map=bmap, init_rows=irows, init_planes=ipl,
+                init_mask=imask,
                 cov_streams=covs, cov_names=cov_names,
                 lag_plane=lagp, fa_plane=fap,
                 bolus_inputs=bolus_inputs, rate_inputs=rate_inputs,
@@ -1946,8 +2095,11 @@ class _PallasSdePsiPlan:
         cov0 = {n: float(np.asarray(v)[0]) for n, v in cov_values.items()}
         cov1 = {n: v * 1.31 + 0.17 for n, v in cov0.items()}
 
-        # init rows per support (cov-independence probed)
+        # init rows per support (cov-independence probed); covariate-
+        # dependent init rides per-(row, support) planes (SDE covariates
+        # are time-constant, so t=0 values are the per-row constants)
         init_rows = None
+        init_planes = None
         if spec.init is not None:
             init_fn = spec.init
 
@@ -1974,11 +2126,40 @@ class _PallasSdePsiPlan:
                 ) from e
             iscale = np.maximum(np.abs(i_ref).max(), 1e-12)
             if np.abs(i_cov - i_ref).max() > 1e-6 * iscale:
-                raise PharmsolError(
-                    "engine='pallas' SDE psi requires a covariate-"
-                    "independent init equation — use the default XLA engine"
-                )
-            init_rows = i_ref.T
+                names = tuple(grid.cov_names)
+                cov_mat = np.stack(
+                    [np.asarray(cov_values[n], np.float64) for n in names],
+                    axis=1,
+                )  # [R, ncov]
+
+                def init_row(p, cv):
+                    covd = {n: cv[i] for i, n in enumerate(names)}
+                    return init_at(p, covd)
+
+                try:
+                    with _host_cpu_device():
+                        pl_ = np.asarray(
+                            jax.vmap(lambda cv: jax.vmap(
+                                lambda p: init_row(p, cv))(
+                                    jnp.asarray(sp, jnp.float64)))(
+                                jnp.asarray(cov_mat, jnp.float64)),
+                            np.float64,
+                        )  # [R, S, n_states]
+                except PharmsolError:
+                    raise
+                except Exception as e:
+                    raise PharmsolError(
+                        f"engine='pallas' could not evaluate the "
+                        f"covariate-dependent SDE init per row: {e}"
+                    ) from e
+                if not np.all(np.isfinite(pl_)):
+                    raise PharmsolError(
+                        "engine='pallas' covariate-dependent SDE init "
+                        "evaluation produced non-finite values"
+                    )
+                init_planes = np.transpose(pl_, (2, 0, 1))  # [n, R, S]
+            else:
+                init_rows = i_ref.T
 
         # drift/diffusion must trace through the lane shims (the SDE drift
         # signature has no bolus argument — adapt to the diffeq shim shape)
@@ -2057,7 +2238,7 @@ class _PallasSdePsiPlan:
         init_mask_rm[:, 0] = im
         self.init_mask = (
             jnp.asarray(pad_rows(init_mask_rm), dtype=fd)
-            if init_rows is not None else None
+            if (init_rows is not None or init_planes is not None) else None
         )
         self.cov_streams = {}
         for name in self.cov_names:
@@ -2083,6 +2264,14 @@ class _PallasSdePsiPlan:
             jnp.asarray(pad_support_cols(init_rows), dtype=fd)
             if init_rows is not None else None
         )
+        self.init_planes_dev = None
+        if init_planes is not None:
+            ipl = np.stack(
+                [pad_rows(init_planes[s]) for s in range(n_states)]
+            )  # [n, Rp, S]
+            self.init_planes_dev = jnp.asarray(
+                pad_support_cols(ipl), dtype=fd
+            )
         out_fn = spec.out
         occ0 = jax.tree_util.tree_map(
             lambda a: jnp.asarray(np.asarray(a)[0]), grid.rows
@@ -2112,6 +2301,7 @@ class _PallasSdePsiPlan:
                 self.n_particles, self.seed, self.Rp, self.Sp, self.M,
                 self.pass_inf, self.pass_outeq, self.n_out,
                 self.out_bias is not None, self.init_rows is not None,
+                self.init_planes_dev is not None,
                 self.cov_names, self.dose_state, str(self.fd)) + extra
 
     def stream_args(self):
@@ -2123,6 +2313,12 @@ class _PallasSdePsiPlan:
         if self.init_mask is not None:
             out = out + (self.init_mask,)
         out = out + tuple(self.cov_streams[n] for n in self.cov_names)
+        if self.init_planes_dev is not None:
+            # one [Rp, Sp] plane per state (rows leading for sharding)
+            out = out + tuple(
+                self.init_planes_dev[s]
+                for s in range(self.init_planes_dev.shape[0])
+            )
         return out
 
     def rep_args(self):
@@ -2145,11 +2341,14 @@ class _PallasSdePsiPlan:
         drift, diffusion = self.drift, self.diffusion
         pass_inf = self.pass_inf
         pass_outeq = self.pass_outeq
-        has_init = self.init_rows is not None
+        n_init_planes = (int(self.init_planes_dev.shape[0])
+                         if self.init_planes_dev is not None else 0)
+        has_init_rows = self.init_rows is not None
+        has_init = has_init_rows or n_init_planes > 0
         has_bias = self.out_bias is not None
         cov_names = self.cov_names
         n_streams = (6 + int(pass_inf) + int(pass_outeq) + int(has_init)
-                     + len(cov_names))
+                     + len(cov_names) + n_init_planes)
 
         def run(*args):
             it = iter(args[:n_streams])
@@ -2160,9 +2359,11 @@ class _PallasSdePsiPlan:
             t0 = next(it)
             imask = next(it) if has_init else None
             covs = {n: next(it) for n in cov_names}
+            ipl = (jnp.stack([next(it) for _ in range(n_init_planes)])
+                   if n_init_planes else None)
             rep = iter(args[n_streams:])
             sp_dev = next(rep)
-            irows = next(rep) if has_init else None
+            irows = next(rep) if has_init_rows else None
             coef = next(rep)
             bias = next(rep) if has_bias else None
             return psi_sde(
@@ -2170,6 +2371,7 @@ class _PallasSdePsiPlan:
                 n_states=n_states, n_particles=n_particles, ninput=ninput,
                 dose_state=dose_state, seed=seed, obs_outeq=outeq,
                 out_coef=coef, out_bias=bias, init_rows=irows,
+                init_planes=ipl,
                 init_mask=imask, cov_streams=covs, cov_names=cov_names,
             )
 

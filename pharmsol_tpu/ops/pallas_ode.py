@@ -51,6 +51,7 @@ mode (which is also how the CPU/f64 parity tests exercise it).
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -168,12 +169,16 @@ def _lane_inverse(M, n: int):
 # ODE tiles are much smaller than the analytical ones: the stepper holds
 # ~(7 stages + 2) * n_states live [rows, sp] lanes, and the whole working
 # set must stay in vector registers/VMEM across while_loop iterations.
-# Measured on v5e (512x128 dopri5 2-cmt-oral psi, same-session sweep):
-# row_block 8 -> 82M, 16 -> 125M, 32 -> 565M, 64 -> 259M, 128 -> 240M
-# sims/s — 32x128 is the sweet spot by >2x.
-ODE_ROW_BLOCKS = (32, 16, 8)
+# Measured on v5e at population scale (4096x512 dopri5 3-state psi,
+# same-session sweeps, iteration-scaling protocol): row_block 64 beats 32
+# consistently (234.7M vs 202.6M sims/s head-to-head; 229M vs 196M in a
+# second session), 128-row and 512-lane tiles lose (199M / 189M), and
+# sp_block 256 is within noise of 128 (282M once, 225M once). An earlier
+# 512x128-scale sweep that crowned 32x128 was tunnel-floor noise
+# (k_hi*t_psi << 40 ms) — tile choices must be measured at scale.
+ODE_ROW_BLOCKS = (64, 32, 16, 8)
 ODE_SP_BLOCKS = (128,)
-ODE_TILE_BUDGET = 32 * 128
+ODE_TILE_BUDGET = 64 * 128
 
 
 class LaneVec:
@@ -295,6 +300,7 @@ def _make_ode_kernel(
     A=None, B=None, E=None, C=None, sdirk=None,
     rtol: float, atol: float, h0: float,
     max_iters: int, unroll: int, newton_iters: int = 4,
+    controller: str = "i", init_mode: str = "rows",
 ):
     """Build the fused ODE psi tile kernel.
 
@@ -340,11 +346,18 @@ def _make_ode_kernel(
         ]
         lag_plane = next(it)[:, :] if has_lag else None
         fa_plane = next(it)[:, :] if has_fa else None
+        # covariate-dependent init: per-(row, support) planes instead of
+        # per-support rows — same init expression, tile-shaped source
+        init_planes = ([next(it)[:, :] for _ in range(n_states)]
+                       if has_init and init_mode == "planes" else None)
         params = [next(it)[:, :] for _ in range(n_params)]
         bmaps = [[next(it)[:, :] for _ in range(n_states)]
                  for _ in range(n_bolus_in)]
         bmap = bmaps[0]
-        init_rows = [next(it)[:, :] for _ in range(n_states)] if has_init else None
+        init_rows = (
+            [next(it)[:, :] for _ in range(n_states)]
+            if has_init and init_mode == "rows" else init_planes
+        )
         coefs = [[next(it)[:, :] for _ in range(n_states)] for _ in range(n_out)]
         biases = [next(it)[:, :] for _ in range(n_out)] if has_bias else None
         out_ref = next(it)
@@ -431,7 +444,7 @@ def _make_ode_kernel(
             def one_trial(carry):
                 # the live mask rides the carry as 0/1 float lanes: Mosaic
                 # cannot legalize i1 vectors in scf.while yields
-                tau, xs_c, h_c, k1_c, live_f, it_ = carry
+                tau, xs_c, h_c, k1_c, rp_c, live_f, it_ = carry
                 live = live_f > 0.5
                 rem = target - tau
                 h_try = jnp.minimum(h_c, jnp.maximum(rem, 1e-14))
@@ -460,14 +473,29 @@ def _make_ode_kernel(
                 for s in range(n_states):
                     finite = finite & jnp.isfinite(xs_new[s])
                 accept = live & (ratio <= 1.0) & finite
-                factor = jnp.where(
-                    finite,
-                    jnp.clip(
-                        0.9 * jnp.power(jnp.maximum(ratio, 1e-10), -0.2),
-                        0.2, 5.0,
-                    ),
-                    0.25,
-                )
+                r_fl = jnp.maximum(ratio, 1e-10)
+                if controller == "pi":
+                    # Lund-stabilized PI (Hairer dopri5 beta=0.04,
+                    # expo1 = 1/5 - 0.75*beta): growth tempered by the
+                    # previous accepted error — fewer accept/reject
+                    # oscillations on mildly stiff lanes. Rejections use
+                    # the plain I-step with growth capped at 1.
+                    fac_acc = (0.9 * jnp.power(r_fl, -0.17)
+                               * jnp.power(rp_c, 0.04))
+                    fac_rej = 0.9 * jnp.power(r_fl, -0.2)
+                    factor = jnp.where(
+                        ratio <= 1.0,
+                        jnp.clip(fac_acc, 0.2, 5.0),
+                        jnp.clip(fac_rej, 0.2, 1.0),
+                    )
+                    factor = jnp.where(finite, factor, 0.25)
+                else:
+                    factor = jnp.where(
+                        finite,
+                        jnp.clip(0.9 * jnp.power(r_fl, -0.2), 0.2, 5.0),
+                        0.25,
+                    )
+                rp_n = jnp.where(accept, jnp.maximum(ratio, 1e-4), rp_c)
                 tau_n = jnp.where(accept, tau + h_try, tau)
                 xs_n = [
                     jnp.where(accept, xn, x) for xn, x in zip(xs_new, xs_c)
@@ -488,7 +516,7 @@ def _make_ode_kernel(
                 # poison below turns it into -inf
                 stalled = live & ((tau_n + h_n) <= tau_n) & ~done_n
                 live_n = live & ~done_n & ~stalled
-                return (tau_n, xs_n, h_n, k1_n,
+                return (tau_n, xs_n, h_n, k1_n, rp_n,
                         live_n.astype(live_f.dtype), it_ + 1)
 
             def body(carry):
@@ -497,13 +525,14 @@ def _make_ode_kernel(
                 return carry
 
             def cond(carry):
-                tau, _, _, _, live_f, it_ = carry
+                tau, _, _, _, _, live_f, it_ = carry
                 return (it_ < max_iters) & (jnp.max(live_f) > 0.5)
 
             h_start = jnp.minimum(h, jnp.maximum(target, 1e-14))
             init = (zeros, list(xs), h_start, k1_0,
+                    jnp.full(shape, 1e-4, dtype),
                     live0.astype(dtype), jnp.zeros((), jnp.int32))
-            tau_f, xs_f, h_f, _, _, _ = jax.lax.while_loop(
+            tau_f, xs_f, h_f, _, _, _, _ = jax.lax.while_loop(
                 cond, body, init
             )
             incomplete = tau_f < target - 1e-6 * jnp.maximum(target, 1e-30)
@@ -776,11 +805,13 @@ def psi_ode(
     max_iters: int = 10_000,
     unroll: int = 4,
     newton_iters: int = 4,
+    controller: str = None,
     obs_outeq=None,
     out_coef=None,
     out_bias=None,
     bolus_map=None,
     init_rows=None,
+    init_planes=None,
     init_mask=None,
     cov_streams=None,
     cov_names=(),
@@ -805,7 +836,9 @@ def psi_ode(
     - ``out_coef`` [n_out, n_states, S] / ``out_bias`` [n_out, S]: linear
       output extraction (pallas_psi.extract_linear_out);
     - ``init_rows`` [n_states, S] + ``init_mask`` [R, M] (lane 0): initial
-      state on occasion-0 rows;
+      state on occasion-0 rows; ``init_planes`` [n_states, R, S] instead
+      when the init equation reads covariates (per-(row, support) values,
+      mutually exclusive with ``init_rows``);
     - ``cov_streams`` {name: [R, M] (lane 0 = the row's constant value) or
       an ``(a, b)`` pair of [R, M] per-segment affine streams for
       time-varying covariates: cov(t) = a[m] + b[m] * t inside segment m};
@@ -817,6 +850,12 @@ def psi_ode(
     """
     from jax.experimental import pallas as pl
 
+    if controller is None:
+        controller = os.environ.get("PHARMSOL_ODE_CONTROLLER", "i")
+    if controller not in ("i", "pi"):
+        raise ValueError(
+            f"controller must be 'i' or 'pi' (got `{controller}`)"
+        )
     if solver in _TABLEAUS:
         A, B, E, C = _TABLEAUS[solver]
         sdirk = None
@@ -852,7 +891,10 @@ def psi_ode(
 
     has_inf = _static_any(seg_rateiv)
     has_cens = _static_any(obs_cens)
-    has_init = init_rows is not None
+    if init_rows is not None and init_planes is not None:
+        raise ValueError("pass init_rows OR init_planes, not both")
+    has_init = init_rows is not None or init_planes is not None
+    init_mode = "planes" if init_planes is not None else "rows"
     zeros_rm = jnp.zeros_like(jnp.asarray(seg_dt, dtype))
     bolus_inputs = tuple(int(j) for j in bolus_inputs)
     rate_inputs = tuple(int(j) for j in rate_inputs)
@@ -935,7 +977,7 @@ def psi_ode(
         )
     p_rows += [bm[j, s].reshape(1, S)
                for j in range(nb) for s in range(n_states)]
-    if has_init:
+    if has_init and init_mode == "rows":
         ir = jnp.asarray(init_rows, dtype)
         p_rows += [ir[s].reshape(1, S) for s in range(n_states)]
     p_rows += [
@@ -958,6 +1000,13 @@ def psi_ode(
                 f"{what} must be [R, S] = [{R}, {S}], got {pl_arr.shape}"
             )
         planes.append(pl_arr)
+    if init_planes is not None:
+        ip = jnp.asarray(init_planes, dtype)
+        if ip.shape != (n_states, R, S):
+            raise ValueError(
+                f"init_planes must be [{n_states}, {R}, {S}], got {ip.shape}"
+            )
+        planes.extend(ip[s] for s in range(n_states))
 
     if has_lag and nb != 1:
         raise ValueError(
@@ -975,6 +1024,7 @@ def psi_ode(
         rtol=float(rtol),
         atol=float(atol), h0=float(h0), max_iters=int(max_iters),
         unroll=int(unroll), newton_iters=int(newton_iters),
+        controller=controller, init_mode=init_mode,
     )
 
     row_block = next(b for b in ODE_ROW_BLOCKS if R % b == 0)
@@ -988,13 +1038,16 @@ def psi_ode(
         budget = max(budget // 2, 8 * 128)
     while row_block * sp_block > budget and row_block > 8:
         row_block //= 2
-    import os
-
     override = os.environ.get("PHARMSOL_ODE_ROW_BLOCK")
     if override:  # perf-experiment hook (scripts/tpu_ode_psi_ab.py A/Bs)
         rb = int(override)
         if R % rb == 0:
             row_block = rb
+    sp_override = os.environ.get("PHARMSOL_ODE_SP_BLOCK")
+    if sp_override:
+        sb_ = int(sp_override)
+        if S % sb_ == 0 and sb_ % 128 == 0:
+            sp_block = sb_
     row_spec = pl.BlockSpec((row_block, SEG_PAD), lambda i, j: (i, 0))
     p_spec = pl.BlockSpec((1, sp_block), lambda i, j: (0, j))
     tile_spec = pl.BlockSpec((row_block, sp_block), lambda i, j: (i, j))

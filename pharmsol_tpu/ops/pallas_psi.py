@@ -687,6 +687,7 @@ def psi_oral(
     lag_plane=None,
     fa_plane=None,
     init_rows=None,
+    init_planes=None,
     init_mask=None,
 ):
     """Fused psi for the closed-form analytical structures.
@@ -733,7 +734,9 @@ def psi_oral(
     support point from a (covariate-independent) init equation, applied on
     rows whose lane-0 init_mask flag is 1 (occasion-0 rows only,
     engine/sim.py:147, analytical/mod.rs:408-426); all other rows start
-    at zero.
+    at zero. ``init_planes`` [n_states, R, S] instead when the init
+    equation reads covariates (exact per-(row, support) values; mutually
+    exclusive with ``init_rows``).
 
     Returns psi [R, S]. R must be a multiple of SUB_TILE and S a multiple of
     SP_TILE (pad rows with dt=0/mask=0 and supports by repetition; pad
@@ -883,7 +886,9 @@ def psi_oral(
         full.append(_pad_lanes(sd, SEG_PAD))
     # init equation: per-support initial-state rows gated by the per-row
     # occasion-0 flag (lane 0 of the init_mask stream)
-    has_init = init_rows is not None
+    if init_rows is not None and init_planes is not None:
+        raise ValueError("pass init_rows OR init_planes, not both")
+    has_init = init_rows is not None or init_planes is not None
     if has_init:
         if init_mask is None:
             raise ValueError("init_rows requires the init_mask stream")
@@ -920,13 +925,24 @@ def psi_oral(
                 jnp.asarray(r, dtype) for r in sdef["prep_xla"](base_rows)
             ]
         p_rows = base_rows + coef_rows + bias_rows
-    if has_init:
+    init_plane_list = []
+    if has_init and init_planes is None:
         ir = jnp.asarray(init_rows, dtype)
         if ir.shape != (n_states, S):
             raise ValueError(
                 f"init_rows must be [{n_states}, {S}], got {ir.shape}"
             )
         p_rows = p_rows + [ir[s].reshape(1, S) for s in range(n_states)]
+    elif has_init:
+        # covariate-dependent init: per-(row, support) planes ride as
+        # trailing tile-spec inputs in the same kernel slots (the gating
+        # expression broadcasts [rows, sp] exactly like [1, sp] rows)
+        ip = jnp.asarray(init_planes, dtype)
+        if ip.shape != (n_states, R, S):
+            raise ValueError(
+                f"init_planes must be [{n_states}, {R}, {S}], got {ip.shape}"
+            )
+        init_plane_list = [ip[s] for s in range(n_states)]
 
     has_lag = lag_plane is not None
     has_fa = _static_any(fa_plane)
@@ -972,10 +988,11 @@ def psi_oral(
             out_shape=jax.ShapeDtypeStruct((R, S), dtype),
             grid=(R // row_block, S // sp_block),
             in_specs=([row_spec] * n_streams + [tile_spec] * len(planes)
-                      + [p_spec] * len(p_rows)),
+                      + [p_spec] * len(p_rows)
+                      + [tile_spec] * len(init_plane_list)),
             out_specs=tile_spec,
             interpret=interpret,
-        )(*streams, *planes, *p_rows)
+        )(*streams, *planes, *p_rows, *init_plane_list)
 
     if dtype == jnp.float32:
         # Trace with x64 disabled: under jax_enable_x64 the grid pipeline

@@ -108,6 +108,7 @@ def _make_sde_kernel(
     n_particles: int, p_pad: int, has_inf: bool, n_out: int, has_bias: bool,
     has_init: bool, cov_names: tuple, dose_state: int, seed: int,
     filter_on: bool, interpret: bool, rows_per_step: int = 8,
+    init_mode: str = "rows",
 ):
     """Build the fused SDE particle-filter psi kernel.
 
@@ -314,7 +315,13 @@ def _make_sde_kernel(
             # ---- initial cloud ----
             if has_init:
                 im = col(initm, 0)
-                xs = [im * init_rows[s] + zeros for s in range(n_states)]
+                # planes mode: init rides [rows_per_step, sp] tile refs
+                # (covariate-dependent init); rr is a static Python int
+                xs = [
+                    im * (init_rows[s] if init_mode == "rows"
+                          else init_rows[s][rr:rr + 1, :]) + zeros
+                    for s in range(n_states)
+                ]
             else:
                 xs = [zeros] * n_states
             ll = zrow
@@ -386,6 +393,7 @@ def psi_sde(
     out_coef=None,
     out_bias=None,
     init_rows=None,
+    init_planes=None,
     init_mask=None,
     cov_streams=None,
     cov_names=(),
@@ -428,7 +436,10 @@ def psi_sde(
     n_out = out_coef.shape[0]
     has_outeq = n_out > 1
     has_inf = _static_any(seg_rateiv)
-    has_init = init_rows is not None
+    if init_rows is not None and init_planes is not None:
+        raise ValueError("pass init_rows OR init_planes, not both")
+    has_init = init_rows is not None or init_planes is not None
+    init_mode = "planes" if init_planes is not None else "rows"
     has_bias = _static_any(out_bias)
     p_pad = max(8, ((n_particles + 7) // 8) * 8)
 
@@ -456,17 +467,34 @@ def psi_sde(
     streams = [a for a, inc in zip(full, include) if inc]
 
     sp_arr = jnp.asarray(support, dtype)
+    ROWS_SPEC = "row_tile"  # sentinel for tile-shaped entries in p_rows
     p_rows = [sp_arr[:, i].reshape(1, S) for i in range(n_params)]
-    if has_init:
+    p_row_kinds = ["p"] * n_params
+    if has_init and init_mode == "rows":
         ir = jnp.asarray(init_rows, dtype)
+        if ir.shape != (n_states, S):
+            raise ValueError(
+                f"init_rows must be [{n_states}, {S}], got {ir.shape}"
+            )
         p_rows += [ir[s].reshape(1, S) for s in range(n_states)]
+        p_row_kinds += ["p"] * n_states
+    elif has_init:
+        ip = jnp.asarray(init_planes, dtype)
+        if ip.shape != (n_states, R, S):
+            raise ValueError(
+                f"init_planes must be [{n_states}, {R}, {S}], got {ip.shape}"
+            )
+        p_rows += [ip[s] for s in range(n_states)]
+        p_row_kinds += [ROWS_SPEC] * n_states
     p_rows += [
         out_coef[k, i].reshape(1, S)
         for k in range(n_out) for i in range(n_states)
     ]
+    p_row_kinds += ["p"] * (n_out * n_states)
     if has_bias:
         ob = jnp.asarray(out_bias, dtype)
         p_rows += [ob[k].reshape(1, S) for k in range(n_out)]
+        p_row_kinds += ["p"] * n_out
 
     # SDE drift signature is (x, p, t, rateiv, cov) — no bolus argument
     # (boluses apply at breakpoints); adapt to the shared diffeq shim shape
@@ -489,20 +517,21 @@ def psi_sde(
         has_bias=has_bias, has_init=has_init, cov_names=cov_names,
         dose_state=dose_state, seed=seed, filter_on=True,
         interpret=interpret, rows_per_step=ROWS_PER_STEP,
+        init_mode=init_mode,
     )
     sp_block = SDE_SP_BLOCK
     row_spec = pl.BlockSpec((ROWS_PER_STEP, SEG_PAD), lambda i, j: (i, 0))
     p_spec = pl.BlockSpec((1, sp_block), lambda i, j: (0, j))
+    tile_spec = pl.BlockSpec((ROWS_PER_STEP, sp_block), lambda i, j: (i, j))
+    p_specs = [tile_spec if k == ROWS_SPEC else p_spec for k in p_row_kinds]
 
     def call():
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((R, S), dtype),
             grid=(R // ROWS_PER_STEP, S // sp_block),
-            in_specs=[row_spec] * len(streams) + [p_spec] * len(p_rows),
-            out_specs=pl.BlockSpec(
-                (ROWS_PER_STEP, sp_block), lambda i, j: (i, j)
-            ),
+            in_specs=[row_spec] * len(streams) + p_specs,
+            out_specs=tile_spec,
             interpret=interpret,
         )(*streams, *p_rows)
 

@@ -33,6 +33,12 @@ def main() -> int:
     ap.add_argument("--k-hi", type=int, default=16)
     ap.add_argument("--solver", default="dopri5")
     ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--controllers", default=None,
+                    help="comma-separated step-controller variants to A/B "
+                         "same-session (e.g. 'i,pi'); default: env/i only")
+    ap.add_argument("--tiles", default=None,
+                    help="comma-separated row_block[xsp_block] tile variants "
+                         "to sweep same-session (e.g. '16,32,64x128,16x256')")
     args = ap.parse_args()
 
     import jax
@@ -122,31 +128,66 @@ def main() -> int:
            "supports": n_supports, "solver": args.solver}
 
     # --- pallas ODE psi ---------------------------------------------------
-    plan = _PallasOdePsiPlan(model, grid, support, lowered,
-                             row_multiple=SUB_TILE)
-    run = plan.runner()
-    streams = plan.stream_args()
-    rep = plan.rep_args()
+    import os
 
-    def make_pallas(K):
-        @jax.jit
-        def f(sp):
-            def body(c, i):
-                r = (sp * (1.0 + 1e-6 * i),) + rep[1:]
-                return c + jnp.sum(run(*streams, *r)), None
-            total, _ = jax.lax.scan(
-                body, jnp.asarray(0.0, fd), jnp.arange(K, dtype=fd)
-            )
-            return total
-        return f
+    variants = [(None, {})]
+    if args.controllers:
+        variants = [
+            (f"pallas_{c.strip()}", {"PHARMSOL_ODE_CONTROLLER": c.strip()})
+            for c in args.controllers.split(",")
+        ]
+    if args.tiles:
+        variants = []
+        for t in (s.strip() for s in args.tiles.split(",")):
+            rb, _, sb = t.partition("x")
+            env = {"PHARMSOL_ODE_ROW_BLOCK": rb}
+            if sb:
+                env["PHARMSOL_ODE_SP_BLOCK"] = sb
+            variants.append((f"pallas_t{t}", env))
+    psi_pallas = None
+    per_pallas = None
+    for key, env in variants:
+        for k in ("PHARMSOL_ODE_CONTROLLER", "PHARMSOL_ODE_ROW_BLOCK",
+                  "PHARMSOL_ODE_SP_BLOCK"):
+            os.environ.pop(k, None)
+        for k, v in env.items():
+            os.environ[k] = v
+        plan = _PallasOdePsiPlan(model, grid, support, lowered,
+                                 row_multiple=SUB_TILE)
+        run = plan.runner()
+        streams = plan.stream_args()
+        rep = plan.rep_args()
 
-    sp0 = rep[0]
-    t0 = time.perf_counter()
-    psi_pallas = np.asarray(run(*streams, *rep), np.float64)
-    out["pallas_first_s"] = round(time.perf_counter() - t0, 2)
-    per_pallas = marginal(make_pallas, sp0)
-    out["pallas_s_per_psi"] = round(per_pallas, 6)
-    out["pallas_sims_per_sec"] = round(sims / per_pallas, 1)
+        def make_pallas(K, run=run, streams=streams, rep=rep):
+            @jax.jit
+            def f(sp):
+                def body(c, i):
+                    r = (sp * (1.0 + 1e-6 * i),) + rep[1:]
+                    return c + jnp.sum(run(*streams, *r)), None
+                total, _ = jax.lax.scan(
+                    body, jnp.asarray(0.0, fd), jnp.arange(K, dtype=fd)
+                )
+                return total
+            return f
+
+        if key is None:
+            key = "pallas"
+        sp0 = rep[0]
+        t0 = time.perf_counter()
+        psi_v = np.asarray(run(*streams, *rep), np.float64)
+        out[f"{key}_first_s"] = round(time.perf_counter() - t0, 2)
+        per_v = marginal(make_pallas, sp0)
+        out[f"{key}_s_per_psi"] = round(per_v, 6)
+        out[f"{key}_sims_per_sec"] = round(sims / per_v, 1)
+        if psi_pallas is None:
+            psi_pallas = psi_v
+            per_pallas = per_v
+        else:
+            rel = np.max(np.abs(plan.finalize(psi_v, grid)
+                                - plan.finalize(psi_pallas, grid))
+                         / np.maximum(np.abs(plan.finalize(psi_pallas, grid)),
+                                      1.0))
+            out[f"{key}_vs_first_rel"] = float(rel)
 
     # --- XLA engine -------------------------------------------------------
     if not args.skip_xla:

@@ -570,3 +570,63 @@ def test_ode_pallas_rejects_lag_with_multi_input_bolus():
             np.column_stack([np.full(4, 0.3), np.full(4, 0.4)]),
             _ems(), engine="pallas",
         )
+
+
+def test_ode_pallas_covariate_dependent_init():
+    # init reads a covariate: rides per-(row, support) init planes
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+        ]),
+        init=lambda p, t, cov: jnp.stack([p[2] * cov("wt", t) / 70.0]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    subjects = []
+    for i in range(6):
+        sb = (SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+              .covariate("wt", 0.0, 55.0 + 6.0 * i))
+        for t in (0.5, 1.0, 2.0, 4.0, 8.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.25 * t)), 0)
+        subjects.append(sb.build())
+    rng = np.random.default_rng(41)
+    sp = np.column_stack([
+        rng.uniform(0.1, 0.6, 12), rng.uniform(10, 40, 12),
+        rng.uniform(5.0, 30.0, 12),
+    ])
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 2e-5
+
+
+def test_ode_pallas_covariate_dependent_init_varying_cov():
+    # the init covariate varies in time: init must use its t=0 value while
+    # the RHS sees the per-segment affine interpolation
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * (cov("crcl", t) / 100.0) * x[0] + b[0],
+        ]),
+        init=lambda p, t, cov: jnp.stack([p[2] * cov("crcl", t) / 100.0]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    subjects = []
+    for i in range(6):
+        sb = (SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+              .covariate("crcl", 0.0, 80.0 + 4.0 * i)
+              .covariate("crcl", 4.0, 60.0 + 4.0 * i))
+        for t in (0.5, 1.0, 2.0, 4.0, 8.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.25 * t)), 0)
+        subjects.append(sb.build())
+    rng = np.random.default_rng(43)
+    sp = np.column_stack([
+        rng.uniform(0.1, 0.6, 12), rng.uniform(10, 40, 12),
+        rng.uniform(5.0, 30.0, 12),
+    ])
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 2e-5

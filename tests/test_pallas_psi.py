@@ -416,11 +416,10 @@ def test_pallas_sharded_validates_like_unsharded():
     ems = AssayErrorModels().add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
     model = Analytical(
         pst.two_compartments,
-        out=lambda x, p, t, cov: x[0:1] / p[3],
-        init=lambda p, t, cov: jnp.stack([cov("wt", 0.0) * p[0], 0.0 * p[0]]),
+        out=lambda x, p, t, cov: (x[0:1] ** 2) / p[3],
         nstates=2, ndrugs=1, nout=1,
     )
-    with pytest.raises(PharmsolError, match="covariate-independent init"):
+    with pytest.raises(PharmsolError, match="linear output"):
         log_likelihood_matrix_sharded(
             model, Data([s]), np.ones((4, 4)), ems, engine="pallas"
         )
@@ -1299,24 +1298,30 @@ def test_pallas_psi_init_occasion0_only():
     np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9)
 
 
-def test_pallas_psi_rejects_covariate_dependent_init():
-    from pharmsol_tpu.errors import PharmsolError
-
+def test_pallas_psi_covariate_dependent_init_parity():
+    # init reads a covariate: rides per-(row, support) init planes
     model = Analytical(
         pst.one_compartment,
         init=lambda p, t, cov: jnp.stack([cov("wt", 0.0) / p[1]]),
         out=lambda x, p, t, cov: x[0:1] / p[1],
         nstates=1, ndrugs=1, nout=1,
     )
-    b = (Subject.builder("s0").bolus(0.0, 50.0, 0)
-         .covariate("wt", 0.0, 70.0)
-         .observation(1.0, 2.0, 0).observation(3.0, 1.0, 0))
-    support = np.array([[0.3, 20.0]] * 4)
+    subjects = []
+    for i in range(6):
+        b = (Subject.builder(f"s{i}").bolus(0.0, 50.0, 0)
+             .covariate("wt", 0.0, 55.0 + 6.0 * i)
+             .observation(1.0, 2.0 + 0.1 * i, 0).observation(3.0, 1.0, 0))
+        subjects.append(b.build())
+    rng = np.random.RandomState(13)
+    support = np.abs(np.array([0.3, 20.0])[None, :]
+                     * (1.0 + 0.2 * rng.randn(12, 2)))
     ems = AssayErrorModels().add(
         0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
-    with pytest.raises(PharmsolError, match="covariate-independent init"):
-        log_likelihood_matrix(model, Data([b.build()]), support, ems,
-                              engine="pallas")
+    want = log_likelihood_matrix(model, Data(subjects), support, ems,
+                                 engine="xla")
+    got = log_likelihood_matrix(model, Data(subjects), support, ems,
+                                engine="pallas")
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9)
 
 
 def test_pallas_psi_init_composes_with_seq_multiplier():

@@ -115,3 +115,28 @@ def test_sde_pallas_rejections():
     with pytest.raises(PharmsolError, match="censored"):
         log_likelihood_matrix(SDE(**base), Data([s3]), sp, _ems(),
                               engine="pallas")
+
+
+def test_sde_pallas_covariate_dependent_init_zero_diffusion():
+    # init reads a covariate: rides per-(row, support) init planes; zero
+    # diffusion makes parity exact vs the XLA SDE engine
+    sde = SDE(
+        drift=lambda x, p, t, rateiv, cov: jnp.stack([-p[0] * x[0]]),
+        diffusion=lambda p, t, cov: jnp.stack([0.0]),
+        init=lambda p, t, cov: jnp.stack([p[1] * cov("wt", t) / 70.0]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nparticles=16, nstates=1, ndrugs=1, nout=1, seed=5,
+    )
+    subs = []
+    for i in range(5):
+        sb = (SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+              .covariate("wt", 0.0, 55.0 + 6.0 * i))
+        for t in (0.3, 0.8, 1.5):
+            sb = sb.observation(t, float(8 * np.exp(-0.3 * t) + 0.1 * i), 0)
+        subs.append(sb.build())
+    rng = np.random.default_rng(6)
+    sp = np.column_stack([rng.uniform(0.2, 0.6, 6), rng.uniform(8, 14, 6)])
+    px = log_likelihood_matrix(sde, Data(subs), sp, _ems(), engine="xla")
+    pp = log_likelihood_matrix(sde, Data(subs), sp, _ems(), engine="pallas")
+    rel = np.max(np.abs(pp - px) / np.maximum(np.abs(px), 1.0))
+    assert rel < 1e-9, rel
