@@ -526,6 +526,40 @@ def _decompose_seq_tv(seq, sp, grid, n_kernel_params: int):
 
 
 _MAX_SEQ_LEVELS = 8
+# param-plane mode materializes [L, n_base, R, S] float64 host-side; cap it
+# so a pathological population can't swallow host memory (fall back to XLA)
+_MAX_PLANE_FLOATS = 1 << 27  # 128M doubles = 1 GiB host / 512 MiB device f32
+
+
+def _seq_depth_stream(grid):
+    """Chain depth per (row, segment) from the engine's reset/carry rule.
+
+    ``p_base`` resets to the raw support point at real events and carries
+    across infusion-end sub-splits; spanned segments apply seq once more
+    (engine/sim.py step, analytical/mod.rs:331,360). Returns
+    (depth [R, M] 1-based / 0 on dead segments, L = max depth >= 1).
+    """
+    from ..ops.pallas_psi import segment_schedule
+
+    _, t_sorted, seg_dt, is_event = segment_schedule(grid.rows)
+    R, M = t_sorted.shape
+    depth = np.zeros((R, M), dtype=np.float64)
+    d_cur = np.zeros(R, dtype=np.int64)
+    for m in range(M):
+        base = np.where(is_event[:, m], 0, d_cur)
+        span = seg_dt[:, m] > 0
+        d_seg = np.where(span, base + 1, base)
+        depth[:, m] = np.where(span, d_seg, 0)
+        d_cur = d_seg
+    L = int(depth.max())
+    if L == 0:
+        L = 1  # no spanned segments: one trivial level keeps shapes valid
+    if L > _MAX_SEQ_LEVELS:
+        raise PharmsolError(
+            f"engine='pallas' seq chain depth {L} exceeds "
+            f"{_MAX_SEQ_LEVELS} — use the default XLA engine"
+        )
+    return depth, L
 
 
 def _decompose_seq_levels(seq, sp, grid, sdef, n_kernel_params: int):
@@ -587,24 +621,7 @@ def _decompose_seq_levels(seq, sp, grid, sdef, n_kernel_params: int):
         )
 
     # chain depth per (row, segment) from the engine's reset/carry rule
-    _, t_sorted, seg_dt, is_event = segment_schedule(grid.rows)
-    R, M = t_sorted.shape
-    depth = np.zeros((R, M), dtype=np.float64)
-    d_cur = np.zeros(R, dtype=np.int64)
-    for m in range(M):
-        base = np.where(is_event[:, m], 0, d_cur)
-        span = seg_dt[:, m] > 0
-        d_seg = np.where(span, base + 1, base)
-        depth[:, m] = np.where(span, d_seg, 0)
-        d_cur = d_seg
-    L = int(depth.max())
-    if L == 0:
-        L = 1  # no spanned segments: one trivial level keeps shapes valid
-    if L > _MAX_SEQ_LEVELS:
-        raise PharmsolError(
-            f"engine='pallas' seq chain depth {L} exceeds "
-            f"{_MAX_SEQ_LEVELS} — use the default XLA engine"
-        )
+    depth, L = _seq_depth_stream(grid)
 
     # iterated level tables on the full declared support width
     k = n_kernel_params
@@ -636,6 +653,128 @@ def _decompose_seq_levels(seq, sp, grid, sdef, n_kernel_params: int):
             "default XLA engine"
         )
     return np.ascontiguousarray(param_levels), np.ascontiguousarray(depth)
+
+
+def _decompose_seq_planes(seq, sp, grid, sdef, n_kernel_params: int):
+    """Per-(row, support) parameter planes for covariate-dependent seq.
+
+    The exact generalization of :func:`_decompose_seq_levels` to seq
+    equations that READ covariates in ANY form — true parameter x covariate
+    mixing (``ke * wt**gamma``, ``cl / (1 + km * crcl)``, ...) included —
+    provided the seq equation is time-independent and every covariate it
+    reads is time-constant within each occasion row. The iterated chain
+    ``seq^d(p, cov_r)`` is then a pure function of (row, support, depth),
+    evaluated host-side into full parameter planes.
+
+    Returns (param_planes [L, n_base, R, S] in the structure's
+    micro-constant parameterization, seg_depth [R, M] 1-based, 0 on dead
+    segments). Raises PharmsolError (-> XLA fallback) for time-dependent
+    seq, seq reading a time-varying covariate, or a plane volume past the
+    host-memory cap.
+    """
+    fd = float_dtype()
+    tol = 1e-9 if np.dtype(fd) == np.float64 else 1e-5
+    p_ref = np.where(np.abs(sp[0]) > 1e-30, sp[0], 1.0)
+
+    cov_values, varying_covs = (_classify_covariates(grid)
+                                if grid.cov_names else ({}, set()))
+    names = list(cov_values.keys())
+    cov0 = {n: float(np.asarray(v)[0]) for n, v in cov_values.items()}
+    cov_var = {n: (v * 1.31 + 0.17 if n in varying_covs else v)
+               for n, v in cov0.items()}
+
+    def seq_once(p_rows, t, covd):
+        def one(p):
+            return jnp.asarray(seq(jnp.asarray(p, jnp.float64),
+                                   jnp.asarray(t, jnp.float64),
+                                   _RowCov(covd)), jnp.float64)
+        return np.asarray(jax.vmap(one)(jnp.asarray(p_rows, jnp.float64)),
+                          np.float64)
+
+    try:
+        with _host_cpu_device():
+            f0 = seq_once(p_ref[None, :], 0.0, cov0)
+            ft = seq_once(p_ref[None, :], 123.456, cov0)
+            fv = (seq_once(p_ref[None, :], 0.0, cov_var)
+                  if varying_covs else f0)
+    except PharmsolError:
+        raise
+    except Exception as e:
+        raise PharmsolError(
+            f"engine='pallas' could not probe the seq equation: {e}"
+        ) from e
+    scale = np.maximum(np.abs(f0).max(), 1.0)
+    if np.abs(ft - f0).max() > tol * scale:
+        raise PharmsolError(
+            "engine='pallas' seq planes require a time-independent seq "
+            "equation — use the default XLA engine"
+        )
+    if varying_covs and np.abs(fv - f0).max() > tol * scale:
+        raise PharmsolError(
+            "engine='pallas' seq planes require the seq equation not to "
+            "read a time-varying covariate — use the default XLA engine"
+        )
+
+    depth, L = _seq_depth_stream(grid)
+    R = grid.n_rows
+    S = sp.shape[0]
+    k = n_kernel_params
+    remap = sdef["remap"]
+    n_base = len(remap([1.0] * k)) if remap else k
+    if L * n_base * R * S > _MAX_PLANE_FLOATS:
+        raise PharmsolError(
+            "engine='pallas' covariate-dependent seq planes would exceed "
+            f"the memory cap ({L}x{n_base}x{R}x{S} cells) — use the "
+            "default XLA engine"
+        )
+
+    cov_mat = np.stack([np.asarray(cov_values[n], np.float64)
+                        for n in names], axis=1) if names else \
+        np.zeros((R, 0), np.float64)
+
+    levels = []
+    try:
+        with _host_cpu_device():
+            sp_j = jnp.asarray(sp, jnp.float64)
+            cur = jnp.broadcast_to(sp_j[None, :, :],
+                                   (R,) + sp_j.shape)  # [R, S, ncols]
+
+            def step_row(cur_row, cov_row):
+                covd = {n: cov_row[i] for i, n in enumerate(names)}
+
+                def one(p):
+                    return jnp.asarray(
+                        seq(p, jnp.asarray(0.0, jnp.float64),
+                            _RowCov(covd)), jnp.float64)
+
+                return jax.vmap(one)(cur_row)
+
+            cov_j = jnp.asarray(cov_mat, jnp.float64)
+            for _ in range(L):
+                cur = jax.vmap(step_row)(cur, cov_j)  # [R, S, ncols']
+                arr = np.asarray(cur, np.float64)
+                if arr.shape[2] < sp.shape[1]:
+                    raise PharmsolError(
+                        "engine='pallas' seq returned fewer columns than "
+                        "the support width — use the default XLA engine"
+                    )
+                rows = [arr[:, :, i] for i in range(k)]  # [R, S] each
+                rows = remap(rows) if remap else rows
+                levels.append(np.stack(rows, axis=0))  # [n_base, R, S]
+    except PharmsolError:
+        raise
+    except Exception as e:
+        raise PharmsolError(
+            f"engine='pallas' could not iterate the seq equation per "
+            f"row: {e}"
+        ) from e
+    param_planes = np.stack(levels, axis=0)  # [L, n_base, R, S]
+    if not np.all(np.isfinite(param_planes)):
+        raise PharmsolError(
+            "engine='pallas' seq parameter planes are non-finite — use "
+            "the default XLA engine"
+        )
+    return np.ascontiguousarray(param_planes), np.ascontiguousarray(depth)
 
 
 def _decompose_kernel_inputs(kernel_inputs, sp, grid, n_kernel_params: int,
@@ -1115,6 +1254,7 @@ class _PallasPsiPlan:
         self.mult_seg = None
         self.mult_seg_off = None
         self.param_levels = None
+        self.param_planes = None
         self.seg_depth = None
         self.sp_kernel = None
         cov_values = {}
@@ -1175,19 +1315,37 @@ class _PallasPsiPlan:
                         equation._seq, sp, grid, sdef, n_kernel_params
                     )
                 except PharmsolError as level_err:
-                    raise affine_err or level_err
+                    # covariate-DEPENDENT time-independent seq of any form
+                    # over time-constant covariates: exact per-(row, support)
+                    # parameter planes, one set per chain depth
+                    try:
+                        self.param_planes, self.seg_depth = \
+                            _decompose_seq_planes(
+                                equation._seq, sp, grid, sdef,
+                                n_kernel_params,
+                            )
+                    except PharmsolError as plane_err:
+                        raise affine_err or plane_err or level_err
         # lag/fa: per-(row, support) planes via the kernel's pending-dose /
         # amount-scale mechanism (structs.rs:611-666)
         self.lag_plane = None
         self.fa_plane = None
         ninput = int(equation.ndrugs())
         if equation._lag is not None:
-            if self.mult_seg is not None or self.param_levels is not None:
+            # a lag-shifted dose inserts a real-event seq-reset breakpoint.
+            # Per-segment affine streams cannot express it; depth-selected
+            # levels/planes CAN when the chain depth is 1 everywhere (the
+            # reset is then a no-op: every spanned segment already applies
+            # seq exactly once to the raw support point).
+            depth_gt1 = (self.seg_depth is not None
+                         and float(np.max(self.seg_depth)) > 1.0)
+            if self.mult_seg is not None or depth_gt1:
                 raise PharmsolError(
                     "engine='pallas' does not support lag together with "
-                    "per-segment seq streams (a lag-shifted dose adds a "
-                    "seq-reset breakpoint the host-side segment schedule "
-                    "cannot express) — use the default XLA engine"
+                    "per-segment seq streams or seq chain depth > 1 (a "
+                    "lag-shifted dose adds a seq-reset breakpoint the "
+                    "host-side segment schedule cannot express) — use the "
+                    "default XLA engine"
                 )
             lp = _decompose_input_plane(
                 equation._lag, sp, grid, ninput, 0.0, "lag"
@@ -1320,6 +1478,23 @@ class _PallasPsiPlan:
                     axis=-1,
                 )
             self.param_levels_dev = jnp.asarray(lv, dtype=fd)
+        self.param_planes_dev = None
+        if self.param_planes is not None:
+            pp = np.asarray(self.param_planes, np.float64)  # [L, nb, R, S]
+            if self.Rp != self.R:
+                # padded rows are dead (depth 0) but ride prepare(): fill
+                # with 1.0 so eigen/ratio math stays finite
+                pp = np.concatenate(
+                    [pp, np.ones(pp.shape[:2] + (self.Rp - self.R,
+                                                 pp.shape[3]))],
+                    axis=2,
+                )
+            if self.Sp != self.S:
+                pp = np.concatenate(
+                    [pp, np.repeat(pp[..., -1:], self.Sp - self.S, axis=-1)],
+                    axis=-1,
+                )
+            self.param_planes_dev = jnp.asarray(pp, dtype=fd)
         self.init_mask_dev = None
         self.init_rows_dev = None
         self.init_planes_dev = None
@@ -1376,6 +1551,7 @@ class _PallasPsiPlan:
 
     def cache_key(self, *extra):
         lv = self.param_levels_dev
+        pp = self.param_planes_dev
         return ("pallas", self.structure, self.Rp, self.Sp, self.M,
                 self.pass_inf, self.pass_cens, self.pass_outeq, self.n_out,
                 self.out_bias is not None, self.mult_dev is not None,
@@ -1383,6 +1559,7 @@ class _PallasPsiPlan:
                 self.mult_seg_dev is not None,
                 self.mult_seg_off_dev is not None,
                 None if lv is None else int(lv.shape[0]),
+                None if pp is None else tuple(int(d) for d in pp.shape[:2]),
                 self.init_rows_dev is not None,
                 self.init_planes_dev is not None,
                 self.lag_plane_dev is not None,
@@ -1406,6 +1583,14 @@ class _PallasPsiPlan:
             out = out + tuple(
                 self.init_planes_dev[s]
                 for s in range(self.init_planes_dev.shape[0])
+            )
+        if self.param_planes_dev is not None:
+            # flattened [Rp, Sp] parameter planes, level-major then
+            # base-row (rows leading for the sharded driver)
+            pp = self.param_planes_dev
+            out = out + tuple(
+                pp[l, i]
+                for l in range(pp.shape[0]) for i in range(pp.shape[1])
             )
         return out
 
@@ -1434,6 +1619,9 @@ class _PallasPsiPlan:
         pass_mult_seg_off = self.mult_seg_off_dev is not None
         pass_depth = self.seg_depth_dev is not None
         pass_levels = self.param_levels_dev is not None
+        plane_dims = (tuple(int(d) for d in self.param_planes_dev.shape[:2])
+                      if self.param_planes_dev is not None else None)
+        n_param_planes = plane_dims[0] * plane_dims[1] if plane_dims else 0
         n_init_planes = (int(self.init_planes_dev.shape[0])
                          if self.init_planes_dev is not None else 0)
         pass_init_rows = self.init_rows_dev is not None
@@ -1445,7 +1633,8 @@ class _PallasPsiPlan:
                      + int(pass_mult) + int(pass_mult_off)
                      + int(pass_mult_seg) + int(pass_mult_seg_off)
                      + int(pass_depth) + int(pass_init)
-                     + int(pass_lag) + int(pass_fa) + n_init_planes)
+                     + int(pass_lag) + int(pass_fa) + n_init_planes
+                     + n_param_planes)
 
         def run(*args):
             it = iter(args[:n_streams])
@@ -1464,6 +1653,12 @@ class _PallasPsiPlan:
             fap = next(it) if pass_fa else None
             ipl = (jnp.stack([next(it) for _ in range(n_init_planes)])
                    if n_init_planes else None)
+            ppl = None
+            if plane_dims:
+                flat = [next(it) for _ in range(n_param_planes)]
+                ppl = jnp.stack(flat).reshape(
+                    plane_dims + flat[0].shape
+                )
             rep = iter(args[n_streams:])
             sp_dev, coef = next(rep), next(rep)
             bias = next(rep) if has_bias else None
@@ -1474,7 +1669,8 @@ class _PallasPsiPlan:
                             out_coef=coef, out_bias=bias, param_mult=mult,
                             param_mult_seg=mult_seg, param_offset=mult_off,
                             param_offset_seg=mult_seg_off,
-                            param_levels=levels, seg_depth=depth,
+                            param_levels=levels, param_planes=ppl,
+                            seg_depth=depth,
                             lag_plane=lagp, fa_plane=fap,
                             init_rows=init_r, init_planes=ipl,
                             init_mask=initm)

@@ -519,11 +519,11 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
             [next(it)[:, :] for _ in range(n_param_rows)]
             if mult_mode == "segment" and has_offsets else None
         )
-        depths = next(it)[:, :] if mult_mode == "levels" else None
+        depths = next(it)[:, :] if mult_mode in ("levels", "planes") else None
         initm = next(it)[:, :] if has_init else None
         lag_plane = next(it)[:, :] if has_lag else None
         fa_plane = next(it)[:, :] if has_fa else None
-        if mult_mode == "levels":
+        if mult_mode in ("levels", "planes"):
             level_params = [
                 [next(it)[:, :] for _ in range(n_param_rows)]
                 for _ in range(n_levels)
@@ -548,7 +548,7 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
                     e_i = e_i + jnp.sum(offs * sel_i, axis=1, keepdims=True)
                 eff.append(e_i)
             aux = prepare(remap(eff) if remap else eff)
-        elif mult_mode in ("segment", "levels"):
+        elif mult_mode in ("segment", "levels", "planes"):
             aux = None  # rebuilt per segment from the streams
         else:
             aux = prepare(params)
@@ -612,7 +612,7 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
                 if has_offsets:
                     eff = [e + col(seg_offs[i]) for i, e in enumerate(eff)]
                 aux_m = prepare(remap(eff) if remap else eff)
-            elif mult_mode == "levels":
+            elif mult_mode in ("levels", "planes"):
                 d = col(depths)  # [rows, 1]
                 eff = []
                 for i in range(n_param_rows):
@@ -683,6 +683,7 @@ def psi_oral(
     param_offset=None,
     param_offset_seg=None,
     param_levels=None,
+    param_planes=None,
     seg_depth=None,
     lag_plane=None,
     fa_plane=None,
@@ -729,6 +730,16 @@ def psi_oral(
     structure's MICRO-CONSTANT parameterization (remap applied host-side);
     eigen extras for 3-cmt structures are prepared here per level. Depth
     values are 1-based level indices (0 on dead segments).
+
+    ``param_planes`` [L, n_base, R, S] + ``seg_depth``: the per-(row,
+    support) generalization of ``param_levels`` for COVARIATE-dependent
+    time-independent seq equations of any form (true parameter x covariate
+    mixing included) over time-constant covariates: each level carries one
+    full micro-constant parameter plane per (row, support) cell, exact by
+    construction (the seq chain is iterated host-side with each row's own
+    covariate values). Eigen extras for 3-cmt structures are prepared here
+    per level on the planes; in-kernel the planes ride as
+    [row_block, sp_block] tiles selected per segment by the depth stream.
 
     ``init_rows`` [n_states, S] + ``init_mask`` [R, M]: initial state per
     support point from a (covariate-independent) init equation, applied on
@@ -825,15 +836,16 @@ def psi_oral(
     # log() stays finite
     full[5] = full[5] * full[3]
     n_modes = sum(x is not None for x in (param_mult, param_mult_seg,
-                                          param_levels))
+                                          param_levels, param_planes))
     if n_modes > 1:
         raise ValueError(
-            "param_mult, param_mult_seg and param_levels are mutually "
-            "exclusive"
+            "param_mult, param_mult_seg, param_levels and param_planes are "
+            "mutually exclusive"
         )
     mult_mode = ("row" if param_mult is not None
                  else "segment" if param_mult_seg is not None
-                 else "levels" if param_levels is not None else None)
+                 else "levels" if param_levels is not None
+                 else "planes" if param_planes is not None else None)
     if mult_mode in ("row", "segment") and sdef["prep_xla"] is not None:
         raise ValueError(
             f"param multipliers are not supported for `{structure}` (its "
@@ -875,9 +887,11 @@ def psi_oral(
                 )
             for i in range(n_params):
                 full.append(_pad_lanes(pos[:, i, :], SEG_PAD))
-    elif mult_mode == "levels":
+    elif mult_mode in ("levels", "planes"):
         if seg_depth is None:
-            raise ValueError("param_levels requires the seg_depth stream")
+            raise ValueError(
+                "param_levels/param_planes require the seg_depth stream"
+            )
         sd = jnp.asarray(seg_depth, dtype)
         if sd.shape != (R, M):
             raise ValueError(
@@ -900,6 +914,7 @@ def psi_oral(
     # the kernel (it must act on the effective per-row params); otherwise
     # remap CL columns and XLA-prepare eigen extras here
     raw_rows = [sp[:, i].reshape(1, S) for i in range(n_params)]
+    level_plane_list = []
     if mult_mode == "levels":
         lv = jnp.asarray(param_levels, dtype)
         n_levels = lv.shape[0]
@@ -915,6 +930,24 @@ def psi_oral(
             level_rows_all.extend(rows_l)
         base_rows = rows_l  # per-level layout; sets the kernel's row count
         p_rows = level_rows_all + coef_rows + bias_rows
+    elif mult_mode == "planes":
+        pp = jnp.asarray(param_planes, dtype)
+        n_levels = pp.shape[0]
+        if pp.ndim != 4 or pp.shape[2:] != (R, S):
+            raise ValueError(
+                f"param_planes must be [L, n_base, {R}, {S}], got {pp.shape}"
+            )
+        planes_l = None
+        for l in range(n_levels):
+            planes_l = [pp[l, i] for i in range(pp.shape[1])]
+            if sdef["prep_xla"] is not None:
+                planes_l = planes_l + [
+                    jnp.asarray(r, dtype)
+                    for r in sdef["prep_xla"](planes_l)
+                ]
+            level_plane_list.extend(planes_l)
+        base_rows = planes_l  # per-level layout; sets the kernel's row count
+        p_rows = coef_rows + bias_rows
     elif mult_mode is not None:
         base_rows = raw_rows
         p_rows = base_rows + coef_rows + bias_rows
@@ -976,6 +1009,8 @@ def psi_oral(
     budget = TILE_BUDGET // 4 if mult_mode is not None else TILE_BUDGET
     if has_lag:  # pending-dose lanes + a second propagate's intermediates
         budget = min(budget, TILE_BUDGET // 4)
+    if level_plane_list:  # L x n_rows extra [rb, sb] tiles live in VMEM
+        budget = min(budget, TILE_BUDGET // max(4, len(level_plane_list)))
     while row_block * sp_block > budget and row_block > 8:
         row_block //= 2
     row_spec = pl.BlockSpec((row_block, SEG_PAD), lambda i, j: (i, 0))
@@ -988,11 +1023,12 @@ def psi_oral(
             out_shape=jax.ShapeDtypeStruct((R, S), dtype),
             grid=(R // row_block, S // sp_block),
             in_specs=([row_spec] * n_streams + [tile_spec] * len(planes)
+                      + [tile_spec] * len(level_plane_list)
                       + [p_spec] * len(p_rows)
                       + [tile_spec] * len(init_plane_list)),
             out_specs=tile_spec,
             interpret=interpret,
-        )(*streams, *planes, *p_rows, *init_plane_list)
+        )(*streams, *planes, *level_plane_list, *p_rows, *init_plane_list)
 
     if dtype == jnp.float32:
         # Trace with x64 disabled: under jax_enable_x64 the grid pipeline

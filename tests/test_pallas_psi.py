@@ -706,8 +706,9 @@ def test_pallas_engine_covariate_rejections():
     want_add = log_likelihood_matrix(model_add, Data([subj()]), sp, ems)
     np.testing.assert_allclose(got_add, want_add, rtol=1e-6, atol=1e-6)
 
-    # covariate-dependent parameter MIXING: not diagonal-affine and not
-    # covariate-free -> genuinely outside every fast-path decomposition
+    # covariate-dependent parameter MIXING over a time-CONSTANT covariate:
+    # not diagonal-affine and not covariate-free — the round-3 per-(row,
+    # support) parameter planes carry it exactly
     model_mix = Analytical(
         pst.one_compartment,
         seq_eq=lambda p, t, cov: jnp.stack(
@@ -715,8 +716,18 @@ def test_pallas_engine_covariate_rejections():
         ),
         out=lambda x, p, t, cov: x[0:1] / p[1], nstates=1, ndrugs=1, nout=1,
     )
+    got_mix = log_likelihood_matrix(
+        model_mix, Data([subj()]), sp, ems, engine="pallas"
+    )
+    want_mix = log_likelihood_matrix(model_mix, Data([subj()]), sp, ems)
+    np.testing.assert_allclose(got_mix, want_mix, rtol=1e-6, atol=1e-6)
+
+    # the same mixing over a time-VARYING covariate stays outside every
+    # decomposition (its value at each segment is not a per-row constant)
     with pytest.raises(PharmsolError, match="affine|separable|mixes"):
-        log_likelihood_matrix(model_mix, Data([subj()]), sp, ems, engine="pallas")
+        log_likelihood_matrix(
+            model_mix, Data([subj(tv=True)]), sp, ems, engine="pallas"
+        )
 
     # time-dependent multiplicative seq: per-segment streams carry it too
     model_t = Analytical(
@@ -776,7 +787,8 @@ def test_pallas_engine_covariate_rejections():
     want_3 = log_likelihood_matrix(model_3, Data([subj()]), sp6, ems)
     np.testing.assert_allclose(got_3, want_3, rtol=1e-6, atol=1e-6)
 
-    # 3-cmt + covariate-READING seq: no fast-path decomposition exists
+    # 3-cmt + covariate-READING seq over a constant covariate: per-(row,
+    # support) parameter planes with per-level XLA eigen prep carry it
     model_3c = Analytical(
         pst.three_compartments,
         seq_eq=lambda p, t, cov: jnp.stack(
@@ -785,9 +797,17 @@ def test_pallas_engine_covariate_rejections():
         out=lambda x, p, t, cov: x[0:1] / p[5],
         nstates=3, ndrugs=1, nout=1,
     )
-    with pytest.raises(PharmsolError, match="covariate-free|eigen|affine"):
+    got_3c = log_likelihood_matrix(
+        model_3c, Data([subj()]), sp6, ems, engine="pallas"
+    )
+    want_3c = log_likelihood_matrix(model_3c, Data([subj()]), sp6, ems)
+    np.testing.assert_allclose(got_3c, want_3c, rtol=1e-6, atol=1e-6)
+
+    # ... but the same model over a time-VARYING covariate still falls back
+    with pytest.raises(PharmsolError,
+                       match="covariate-free|eigen|affine|time-varying"):
         log_likelihood_matrix(
-            model_3c, Data([subj()]), sp6, ems, engine="pallas"
+            model_3c, Data([subj(tv=True)]), sp6, ems, engine="pallas"
         )
 
 
@@ -1161,6 +1181,117 @@ def test_pallas_engine_three_cmt_seq_levels():
         rng.uniform(0.05, 0.15, 12), rng.uniform(8, 15, 12),
     ])
     _seq_check(model, _seq_subjects(), sp)
+
+
+def test_pallas_engine_covariate_mixing_seq_planes():
+    # true parameter x covariate mixing (allometric scaling with an
+    # ESTIMATED exponent): exact per-(row, support) parameter planes;
+    # infusion sub-splits compound the chain -> multi-level planes
+    rng = np.random.RandomState(26)
+    model = Analytical(
+        pst.two_compartments,
+        out=lambda x, p, t, cov: x[0:1] / p[3],
+        seq_eq=lambda p, t, cov: jnp.stack([
+            p[0] * (cov("wt", t) / 70.0) ** p[4],
+            p[1] / (1.0 + p[2] * cov("wt", t) / 700.0),
+            p[2], p[3], p[4],
+        ]),
+        nstates=2, ndrugs=1, nout=1,
+    )
+    sp = np.column_stack([
+        rng.uniform(0.1, 0.3, 12), rng.uniform(0.2, 0.4, 12),
+        rng.uniform(0.1, 0.3, 12), rng.uniform(8, 15, 12),
+        rng.uniform(0.5, 1.0, 12),
+    ])
+    _seq_check(model, _seq_subjects(with_cov=True), sp)
+
+
+def test_pallas_engine_covariate_mixing_seq_planes_row_only():
+    # no infusions: single-level planes (depth 1 everywhere)
+    rng = np.random.RandomState(27)
+    model = Analytical(
+        pst.one_compartment_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        seq_eq=lambda p, t, cov: jnp.stack([
+            p[0] * jnp.exp(-p[1] * cov("wt", t) / 200.0),
+            p[1] * (cov("wt", t) / 70.0) ** 0.75, p[2],
+        ]),
+        nstates=2, ndrugs=1, nout=1,
+    )
+    sp = np.column_stack([
+        rng.uniform(0.8, 2.0, 12), rng.uniform(0.1, 0.3, 12),
+        rng.uniform(8, 15, 12),
+    ])
+    _seq_check(model, _seq_subjects(with_cov=True, with_inf=False), sp)
+
+
+def test_pallas_engine_three_cmt_covariate_seq_planes():
+    # 3-cmt + covariate-dependent non-affine seq: planes with per-level
+    # eigen preparation on [R, S] tensors
+    rng = np.random.RandomState(28)
+    model = Analytical(
+        pst.three_compartments,
+        out=lambda x, p, t, cov: x[0:1] / p[5],
+        seq_eq=lambda p, t, cov: jnp.stack([
+            p[0] * (cov("wt", t) / 70.0) ** p[2],
+            p[1], p[2] * 0.95, p[3], p[4], p[5],
+        ]),
+        nstates=3, ndrugs=1, nout=1,
+    )
+    sp = np.column_stack([
+        rng.uniform(0.1, 0.3, 12), rng.uniform(0.15, 0.35, 12),
+        rng.uniform(0.05, 0.2, 12), rng.uniform(0.1, 0.3, 12),
+        rng.uniform(0.05, 0.15, 12), rng.uniform(8, 15, 12),
+    ])
+    _seq_check(model, _seq_subjects(with_cov=True), sp)
+
+
+def test_pallas_engine_cl_covariate_seq_planes():
+    # CL-parameterized structure: the micro-constant remap applies to the
+    # planes host-side, per level
+    rng = np.random.RandomState(29)
+    model = Analytical(
+        pst.two_compartments_cl,
+        out=lambda x, p, t, cov: x[0:1] / p[2],
+        seq_eq=lambda p, t, cov: jnp.stack([
+            p[0] * p[1] * (cov("wt", t) / 700.0),
+            p[1], p[2], p[3],
+        ]),
+        nstates=2, ndrugs=1, nout=1,
+    )
+    sp = np.column_stack([
+        rng.uniform(1.0, 3.0, 12), rng.uniform(2.0, 5.0, 12),
+        rng.uniform(8, 15, 12), rng.uniform(20, 40, 12),
+    ])
+    _seq_check(model, _seq_subjects(with_cov=True), sp)
+
+
+def test_pallas_engine_lag_with_depth1_seq():
+    # lag + depth-1 seq (levels or planes): the seq reset a lag-shifted
+    # dose inserts is a no-op at chain depth 1, so the fast path holds
+    rng = np.random.RandomState(30)
+    model = Analytical(
+        pst.one_compartment,
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        seq_eq=lambda p, t, cov: jnp.stack(
+            [p[0] * p[1] * cov("wt", t) / 700.0, p[1], p[2]]
+        ),
+        lag=lambda p, t, cov: {0: p[2]},
+        nstates=1, ndrugs=1, nout=1,
+    )
+    subjects = []
+    for i in range(8):
+        sb = (Subject.builder(f"s{i}")
+              .bolus(0.0, 100.0, 0).bolus(12.0, 80.0, 0)
+              .covariate("wt", 0.0, 55.0 + 4.0 * i))
+        for t in (0.5, 1.5, 3.0, 6.0, 10.0, 13.0, 16.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.2 * t) + 0.05 * i), 0)
+        subjects.append(sb.build())
+    sp = np.column_stack([
+        rng.uniform(0.1, 0.3, 12), rng.uniform(8, 15, 12),
+        rng.uniform(0.0, 1.5, 12),
+    ])
+    _seq_check(model, Data(subjects), sp)
 
 
 def test_pallas_engine_lag_fa_planes():
