@@ -1686,6 +1686,65 @@ class _PallasPsiPlan:
         return psi
 
 
+# a merged span holds one extra [rows, sp] carry lane per interior obs in
+# the kernel's while carry — cap the span length to bound VMEM growth
+_ODE_MERGE_MAX_SPAN = 16
+
+
+def _ode_merge_runs(streams, seg_t0, solver, *, n_bolus_in, n_rate_in,
+                    affine_streams, has_lag):
+    """Static (m0, m1) spans whose interior breakpoints the fused ODE
+    kernel may cross with dense output (see ops/pallas_ode.psi_ode).
+
+    A breakpoint m (the start of column m) is crossable iff on EVERY row:
+    no bolus lands there (any input), the infusion rates and time-varying
+    covariate affine (a, b) streams are identical across it, and the
+    segment times are contiguous (t0[m] == t0[m-1] + dt[m-1] — dead
+    trailing columns satisfy this with dt 0). Returns None when no span
+    would merge (the kernel then runs the classic per-segment march).
+    """
+    import os
+
+    from ..ops.pallas_ode import _DENSE_P
+
+    if solver not in _DENSE_P or has_lag:
+        return None
+    if os.environ.get("PHARMSOL_ODE_NO_MERGE") == "1":
+        # perf-experiment kill switch; lives HERE (not in psi_ode) so the
+        # choice is part of the plan and its cache_key
+        return None
+    dt_np = np.asarray(streams[0], np.float64)
+    M = dt_np.shape[1]
+    if M < 2:
+        return None
+    mergeable = np.ones(M, dtype=bool)
+    mergeable[0] = False
+    for b in range(n_bolus_in):
+        bol = np.asarray(streams[1 + b], np.float64)
+        mergeable &= np.all(bol == 0.0, axis=0)
+    for r in range(n_rate_in):
+        rate = np.asarray(streams[1 + n_bolus_in + r], np.float64)
+        mergeable[1:] &= np.all(rate[:, 1:] == rate[:, :-1], axis=0)
+    for a, bb in affine_streams.values():
+        a = np.asarray(a, np.float64)
+        bb = np.asarray(bb, np.float64)
+        mergeable[1:] &= np.all(a[:, 1:] == a[:, :-1], axis=0)
+        mergeable[1:] &= np.all(bb[:, 1:] == bb[:, :-1], axis=0)
+    t0_np = np.asarray(seg_t0, np.float64)
+    cont = np.abs(t0_np[:, 1:] - (t0_np[:, :-1] + dt_np[:, :-1])) \
+        <= 1e-9 * np.maximum(1.0, np.abs(t0_np[:, 1:]))
+    mergeable[1:] &= np.all(cont, axis=0)
+    runs = []
+    start = 0
+    for m in range(1, M + 1):
+        if m == M or not mergeable[m] or (m - start) >= _ODE_MERGE_MAX_SPAN:
+            runs.append((start, m))
+            start = m
+    if all(b - a == 1 for a, b in runs):
+        return None
+    return tuple(runs)
+
+
 class _PallasOdePsiPlan:
     """Validated, padded inputs for a fused pallas ODE psi evaluation.
 
@@ -2110,6 +2169,19 @@ class _PallasOdePsiPlan:
         self.pass_cens = bool(np.any(streams[i_cens]))
         self.pass_outeq = self.n_out > 1
 
+        # --- merged-march spans --------------------------------------------
+        # breakpoints that are observation-only on EVERY row (no dose, rate
+        # and covariate streams unchanged, contiguous segment times) need
+        # not stop the adaptive march: the kernel crosses them and captures
+        # the observation from the solver's dense-output interpolant
+        # (ops/pallas_ode.py). Proven here on the host-side numpy streams;
+        # each extra interior obs costs one carry lane, so spans are capped.
+        self.merge_runs = _ode_merge_runs(
+            streams, seg_t0, opts.solver,
+            n_bolus_in=self.n_bolus_in, n_rate_in=self.n_rate_in,
+            affine_streams=affine_streams, has_lag=lag_plane is not None,
+        )
+
     def cache_key(self, *extra):
         o = self.opts
         return ("pallas_ode", self.n_states, self.n_params, self.ninput,
@@ -2122,7 +2194,7 @@ class _PallasOdePsiPlan:
                 self.cov_names, self.cov_modes,
                 self.lag_plane_dev is not None,
                 self.fa_plane_dev is not None,
-                o.solver,
+                o.solver, self.merge_runs,
                 o.rtol, o.atol, o.h0, o.max_steps, str(self.fd)) + extra
 
     def stream_args(self):
@@ -2175,6 +2247,7 @@ class _PallasOdePsiPlan:
         cov_modes = self.cov_modes
         pass_lag = self.lag_plane_dev is not None
         pass_fa = self.fa_plane_dev is not None
+        merge_runs = self.merge_runs
         nb, nr = self.n_bolus_in, self.n_rate_in
         bolus_inputs, rate_inputs = self.bolus_inputs, self.rate_inputs
         n_streams = (5 + nb + (nr if pass_inf else 0)
@@ -2227,6 +2300,7 @@ class _PallasOdePsiPlan:
                 cov_streams=covs, cov_names=cov_names,
                 lag_plane=lagp, fa_plane=fap,
                 bolus_inputs=bolus_inputs, rate_inputs=rate_inputs,
+                merge_runs=merge_runs,
             )
 
         run.n_streams = n_streams

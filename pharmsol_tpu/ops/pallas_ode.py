@@ -77,6 +77,29 @@ _DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
           187 / 2100, 1 / 40)
 _DP_E = tuple(b5 - b4 for b5, b4 in zip(_DP_B5, _DP_B4))
 
+# Dormand-Prince 5(4) dense-output interpolant (Shampine 1986 — the same
+# published quartic used by scipy's RK45.P):
+#   x(t0 + theta*h) = x0 + h * sum_i k_i * theta * (P[i][0] + theta*(P[i][1]
+#                     + theta*(P[i][2] + theta*P[i][3])))
+# Row sums equal _DP_B5 (theta=1 reproduces the step) and P[0][0] = 1 with
+# zeros elsewhere in column 0 (theta->0 derivative is k1).
+_DP_P = (
+    (1.0, -8048581381 / 2820520608, 8663915743 / 2820520608,
+     -12715105075 / 11282082432),
+    (0.0, 0.0, 0.0, 0.0),
+    (0.0, 131558114200 / 32700410799, -68118460800 / 10900136933,
+     87487479700 / 32700410799),
+    (0.0, -1754552775 / 470086768, 14199869525 / 1410260304,
+     -10690763975 / 1880347072),
+    (0.0, 127303824393 / 49829197408, -318862633887 / 49829197408,
+     701980252875 / 199316789632),
+    (0.0, -282668133 / 205662961, 2019193451 / 616988883,
+     -1453857185 / 822651844),
+    (0.0, 40617522 / 29380423, -110615467 / 29380423, 69997945 / 29380423),
+)
+
+_DENSE_P = {"dopri5": _DP_P}
+
 # Tsitouras 5(4) (Tsitouras 2011), FSAL.
 _TS_C = (0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0)
 _TS_A = (
@@ -301,6 +324,7 @@ def _make_ode_kernel(
     rtol: float, atol: float, h0: float,
     max_iters: int, unroll: int, newton_iters: int = 4,
     controller: str = "i", init_mode: str = "rows",
+    runs=None, dense_P=None,
 ):
     """Build the fused ODE psi tile kernel.
 
@@ -391,12 +415,14 @@ def _make_ode_kernel(
                 return rhs(xs, params, t, rate, cov_lanes, shape, dtype)
             return f
 
-        def integrate(f, xs, h, dt_col, rate, t0_col, estimate_h: bool):
+        def integrate(f, xs, h, dt_col, rate, t0_col, estimate_h: bool,
+                      interior=None):
             """Adaptive embedded-RK march over one segment, all lanes.
 
             ``tau`` is segment-relative time; the RHS sees ``t0 + tau``.
-            Returns (xs_end, h_cruise): lanes that exhaust the iteration
-            budget or stall are NaN-poisoned (engine parity: -inf cells).
+            Returns (xs_end, h_cruise, preds): lanes that exhaust the
+            iteration budget or stall are NaN-poisoned (engine parity:
+            -inf cells).
 
             ``estimate_h`` (first segment only): the classic
             Hairer-Norsett-Wanner II.4 starting-step estimate from two RHS
@@ -404,10 +430,59 @@ def _make_ode_kernel(
             5-accept geometric ramp from h0=1e-3 that every lane would
             otherwise pay before reaching its cruise step. Later segments
             warm-start from the carried cruise h instead.
+
+            ``interior`` (merged runs): {"T": [J x [rows, 1] run-relative
+            observation offsets], "oe": [J x [rows, 1] outeq cols or
+            None]}. The march then crosses observation-only breakpoints
+            without stopping and captures each interior prediction from
+            the tableau's dense-output interpolant on the accepted step
+            that crosses it. Per-trial cost stays small because the
+            quartic b_i(theta) stage weights are pre-contracted with the
+            (linear) output extraction: one Horner evaluation per
+            (observation, output) per trial. ``preds`` returns the J
+            captured predictions (bias NOT yet added); observations an
+            incomplete lane never reached come back NaN (the same
+            poisoning the segment-by-segment march produces).
             """
             target = jnp.broadcast_to(dt_col, shape)
             live0 = target > 0.0
             k1_0 = f(xs, t0_col, rate)
+            n_int = len(interior["T"]) if interior else 0
+            if n_int:
+                # effective capture offsets: clamp to just inside the
+                # done-threshold so an obs at the run end is captured by
+                # the final accepted step (theta ~ 1, dense output == the
+                # step result by construction)
+                t_end_eff = target - 1e-6 * jnp.maximum(target, 1e-30)
+                T_eff = [jnp.minimum(jnp.broadcast_to(Tj, shape), t_end_eff)
+                         for Tj in interior["T"]]
+                oe_int = interior["oe"]
+
+                def out_k(k, xs_v):
+                    p = coefs[k][0] * xs_v[0]
+                    for s_ in range(1, n_states):
+                        p = p + coefs[k][s_] * xs_v[s_]
+                    return p
+
+                def sel_out(oe_j, per_out):
+                    if n_out == 1:
+                        return per_out[0]
+                    acc = jnp.zeros(shape, dtype)
+                    for k in range(n_out):
+                        acc = acc + (oe_j == float(k)).astype(dtype) \
+                            * per_out[k]
+                    return acc
+
+                # at-start capture: offsets that are exactly zero read the
+                # run-start state (post-bolus — an obs sharing the dose
+                # breakpoint but sitting one zero-dt segment later reads
+                # post-bolus state in the segment-by-segment march too)
+                start_preds = [out_k(k, xs) for k in range(n_out)]
+                preds0 = [
+                    jnp.where(jnp.broadcast_to(Tj, shape) <= 0.0,
+                              sel_out(oe_int[j], start_preds), 0.0)
+                    for j, Tj in enumerate(interior["T"])
+                ]
             if estimate_h:
                 d0 = zeros
                 d1 = zeros
@@ -444,7 +519,7 @@ def _make_ode_kernel(
             def one_trial(carry):
                 # the live mask rides the carry as 0/1 float lanes: Mosaic
                 # cannot legalize i1 vectors in scf.while yields
-                tau, xs_c, h_c, k1_c, rp_c, live_f, it_ = carry
+                tau, xs_c, h_c, k1_c, rp_c, live_f, it_, preds_c = carry
                 live = live_f > 0.5
                 rem = target - tau
                 h_try = jnp.minimum(h_c, jnp.maximum(rem, 1e-14))
@@ -516,8 +591,41 @@ def _make_ode_kernel(
                 # poison below turns it into -inf
                 stalled = live & ((tau_n + h_n) <= tau_n) & ~done_n
                 live_n = live & ~done_n & ~stalled
+                preds_n = preds_c
+                if n_int:
+                    # dense-output capture: per output, contract the stage
+                    # slopes with the linear extraction (ci), then with the
+                    # interpolant's quartic columns (d_q) — per interior
+                    # observation the capture is then one Horner chain
+                    dqs = []
+                    c0s = []
+                    for k in range(n_out):
+                        c0s.append(out_k(k, xs_c))
+                        ci = [out_k(k, [kk[s_] for s_ in range(n_states)])
+                              for kk in ks]
+                        dqs.append([
+                            _wsum(ci, [dense_P[i][q]
+                                       for i in range(n_stages)])
+                            for q in range(4)
+                        ])
+                    preds_n = []
+                    for j in range(n_int):
+                        crossed = accept & (tau < T_eff[j]) \
+                            & (T_eff[j] <= tau + h_try)
+                        th = (T_eff[j] - tau) / h_try
+                        per_out = [
+                            c0s[k] + h_try * th * (
+                                dqs[k][0] + th * (dqs[k][1] + th * (
+                                    dqs[k][2] + th * dqs[k][3]))
+                            )
+                            for k in range(n_out)
+                        ]
+                        preds_n.append(jnp.where(
+                            crossed, sel_out(oe_int[j], per_out),
+                            preds_c[j],
+                        ))
                 return (tau_n, xs_n, h_n, k1_n, rp_n,
-                        live_n.astype(live_f.dtype), it_ + 1)
+                        live_n.astype(live_f.dtype), it_ + 1, preds_n)
 
             def body(carry):
                 for _ in range(max(1, unroll)):
@@ -525,14 +633,15 @@ def _make_ode_kernel(
                 return carry
 
             def cond(carry):
-                tau, _, _, _, _, live_f, it_ = carry
+                tau, _, _, _, _, live_f, it_, _ = carry
                 return (it_ < max_iters) & (jnp.max(live_f) > 0.5)
 
             h_start = jnp.minimum(h, jnp.maximum(target, 1e-14))
             init = (zeros, list(xs), h_start, k1_0,
                     jnp.full(shape, 1e-4, dtype),
-                    live0.astype(dtype), jnp.zeros((), jnp.int32))
-            tau_f, xs_f, h_f, _, _, _, _ = jax.lax.while_loop(
+                    live0.astype(dtype), jnp.zeros((), jnp.int32),
+                    preds0 if n_int else [])
+            tau_f, xs_f, h_f, _, _, _, _, preds_f = jax.lax.while_loop(
                 cond, body, init
             )
             incomplete = tau_f < target - 1e-6 * jnp.maximum(target, 1e-30)
@@ -541,10 +650,21 @@ def _make_ode_kernel(
             # warm start for the next segment; lanes that never integrated
             # (dt == 0) keep their carried h
             h_out = jnp.where(live0, h_f, h)
-            return xs_out, h_out
+            if n_int:
+                # an interior obs a (stalled/budget-exhausted) lane never
+                # reached: poison it exactly like the step-by-step march
+                # poisons everything downstream of the failed segment
+                preds_f = [
+                    jnp.where((T_eff[j] > tau_f)
+                              & (jnp.broadcast_to(interior["T"][j], shape)
+                                 > 0.0),
+                              nan, p)
+                    for j, p in enumerate(preds_f)
+                ]
+            return xs_out, h_out, preds_f
 
         def integrate_sdirk(f, xs, h, dt_col, rate, t0_col,
-                            estimate_h: bool):
+                            estimate_h: bool, interior=None):
             """Adaptive SDIRK march (stiff path): per-lane Newton stages.
 
             The iteration matrix ``I - h*gamma*J`` uses a Jacobian frozen
@@ -693,7 +813,7 @@ def _make_ode_kernel(
             nan = jnp.full(shape, jnp.nan, dtype)
             xs_out = [jnp.where(incomplete, nan, x) for x in xs_f]
             h_out = jnp.where(live0, h_f, h)
-            return xs_out, h_out
+            return xs_out, h_out, []
 
         if has_init:
             im = col(initm, 0)
@@ -707,7 +827,10 @@ def _make_ode_kernel(
             pend_amt = zeros
             pend_rem = zeros
 
-        for m in range(n_seg):
+        run_list = (tuple(runs) if runs
+                    else tuple((m, m + 1) for m in range(n_seg)))
+        for (m0, m1) in run_list:
+            m = m0
             dt = col(dts, m)
             bol = col(bols_l[0], m)
             mask = col(masks, m)
@@ -738,14 +861,57 @@ def _make_ode_kernel(
             f_m = make_f(cov_for_seg(m)) if any(cov_affine) else f_const
             march = integrate_sdirk if sdirk is not None else integrate
             amt = bol * fa_plane if has_fa else bol
+            if m1 > m0 + 1:
+                # merged run: the host plan proved columns m0+1..m1-1 are
+                # observation-only breakpoints (no dose on any row, rate
+                # and covariate streams unchanged, contiguous times) — the
+                # march crosses them with dense output instead of stopping
+                xs = [x + amt * bmap[s] for s, x in enumerate(xs)]
+                for jb in range(1, n_bolus_in):
+                    amt_j = col(bols_l[jb], m)
+                    xs = [x + amt_j * bmaps[jb][s]
+                          for s, x in enumerate(xs)]
+                dt_run = dt
+                t_offs = []
+                for mm in range(m0 + 1, m1):
+                    t_offs.append(dt_run)
+                    dt_run = dt_run + col(dts, mm)
+                interior = {
+                    "T": t_offs,
+                    "oe": [col(outeqs, mm) if has_outeq else None
+                           for mm in range(m0 + 1, m1)],
+                }
+                xs, h, preds = integrate(
+                    f_m, xs, h, dt_run, rate, t0_col,
+                    estimate_h=(m0 == 0), interior=interior,
+                )
+                for j, mm in enumerate(range(m0 + 1, m1)):
+                    mask_j = col(masks, mm)
+                    val_j = col(vals, mm)
+                    sig_j = col(sigs, mm) + (1.0 - mask_j)
+                    pred_j = preds[j]
+                    if has_bias:
+                        if n_out == 1:
+                            pred_j = pred_j + biases[0]
+                        else:
+                            oe_j = interior["oe"][j]
+                            for k in range(n_out):
+                                pred_j = pred_j + (
+                                    (oe_j == float(k)).astype(ll.dtype)
+                                    * biases[k]
+                                )
+                    s_cj = col(censs, mm) if has_cens else None
+                    ll = ll + _obs_ll(val_j, pred_j, sig_j, mask_j, s_cj,
+                                      has_cens)
+                continue
             if not has_lag:
                 xs = [x + amt * bmap[s] for s, x in enumerate(xs)]
                 for jb in range(1, n_bolus_in):
                     amt_j = col(bols_l[jb], m)
                     xs = [x + amt_j * bmaps[jb][s]
                           for s, x in enumerate(xs)]
-                xs, h = march(f_m, xs, h, dt, rate, t0_col,
-                              estimate_h=(m == 0))
+                xs, h, _ = march(f_m, xs, h, dt, rate, t0_col,
+                                 estimate_h=(m == 0))
             else:
                 # dose due exactly at this breakpoint (rem elapsed) fires
                 # first — after the observation above, before a new dose
@@ -762,13 +928,13 @@ def _make_ode_kernel(
                 dt_b = jnp.broadcast_to(dt, shape)
                 fire = (pend_amt != 0.0) & (pend_rem < dt_b)
                 t1 = jnp.where(fire, pend_rem, zeros)
-                xs, h = march(f_m, xs, h, t1, rate, t0_col,
-                              estimate_h=(m == 0))
+                xs, h, _ = march(f_m, xs, h, t1, rate, t0_col,
+                                 estimate_h=(m == 0))
                 xs = [jnp.where(fire, x + pend_amt * bmap[s], x)
                       for s, x in enumerate(xs)]
                 pend_amt = jnp.where(fire, zeros, pend_amt)
-                xs, h = march(f_m, xs, h, dt_b - t1, rate, t0_col + t1,
-                              estimate_h=False)
+                xs, h, _ = march(f_m, xs, h, dt_b - t1, rate, t0_col + t1,
+                                 estimate_h=False)
                 live = dt_b > 0.0
                 pend_rem = jnp.where(
                     fire, zeros,
@@ -819,6 +985,7 @@ def psi_ode(
     fa_plane=None,
     bolus_inputs=(0,),
     rate_inputs=(0,),
+    merge_runs=None,
     interpret: Optional[bool] = None,
 ):
     """Fused psi for ODE models: one pallas kernel per tile.
@@ -844,7 +1011,16 @@ def psi_ode(
       time-varying covariates: cov(t) = a[m] + b[m] * t inside segment m};
     - ``lag_plane`` / ``fa_plane`` [R, S]: per-(row, support) dose lag
       shift / bioavailability scale (the kernel's pending-dose split
-      march / amount scaling; see _make_ode_kernel).
+      march / amount scaling; see _make_ode_kernel);
+    - ``merge_runs``: static tuple of (m0, m1) column spans. Within a span
+      the adaptive march does NOT stop at interior breakpoints — the host
+      caller must have proven they are observation-only (no dose on any
+      row, rate/covariate streams unchanged, contiguous t0) — and interior
+      observations are captured from the tableau's dense-output
+      interpolant (4th-order; error within the integration tolerance).
+      Spans must tile [0, M) consecutively. Requires a solver with a
+      dense-output interpolant (dopri5) and no lag. ``None`` = one span
+      per segment (the classic stop-at-every-breakpoint march).
 
     Returns psi [R, S]. R must be a multiple of SUB_TILE, S of SP_TILE.
     """
@@ -1013,6 +1189,28 @@ def psi_ode(
             "the pending-dose lag mechanism holds one dose slot per lane; "
             "lag/fa requires a single bolus input"
         )
+    dense_P = _DENSE_P.get(solver)
+    if merge_runs is not None:
+        merge_runs = tuple((int(a), int(b)) for a, b in merge_runs)
+        if dense_P is None or sdirk is not None:
+            raise ValueError(
+                f"merge_runs requires a dense-output tableau "
+                f"(solver `{solver}` has none)"
+            )
+        if has_lag:
+            raise ValueError("merge_runs is incompatible with lag planes")
+        flat = [0]
+        for a, b in merge_runs:
+            if a != flat[-1] or b <= a:
+                raise ValueError(
+                    f"merge_runs must tile [0, {M}) consecutively, got "
+                    f"{merge_runs}"
+                )
+            flat.append(b)
+        if flat[-1] != M:
+            raise ValueError(
+                f"merge_runs must cover all {M} segments, got {merge_runs}"
+            )
     rhs = make_lane_rhs(diffeq, n_states, n_params, ninput, rate_inputs)
     kernel = _make_ode_kernel(
         rhs, n_states=n_states, n_params=n_params, n_seg=M, has_inf=has_inf,
@@ -1025,6 +1223,7 @@ def psi_ode(
         atol=float(atol), h0=float(h0), max_iters=int(max_iters),
         unroll=int(unroll), newton_iters=int(newton_iters),
         controller=controller, init_mode=init_mode,
+        runs=merge_runs, dense_P=dense_P,
     )
 
     row_block = next(b for b in ODE_ROW_BLOCKS if R % b == 0)

@@ -39,6 +39,9 @@ def main() -> int:
     ap.add_argument("--tiles", default=None,
                     help="comma-separated row_block[xsp_block] tile variants "
                          "to sweep same-session (e.g. '16,32,64x128,16x256')")
+    ap.add_argument("--merge-ab", action="store_true",
+                    help="A/B the merged dense-output march vs the classic "
+                         "stop-at-every-breakpoint march same-session")
     args = ap.parse_args()
 
     import jax
@@ -144,10 +147,14 @@ def main() -> int:
             if sb:
                 env["PHARMSOL_ODE_SP_BLOCK"] = sb
             variants.append((f"pallas_t{t}", env))
+    if args.merge_ab:
+        variants = [("pallas_merged", {}),
+                    ("pallas_nomerge", {"PHARMSOL_ODE_NO_MERGE": "1"})]
     psi_pallas = None
     per_pallas = None
     for key, env in variants:
-        for k in ("PHARMSOL_ODE_CONTROLLER", "PHARMSOL_ODE_ROW_BLOCK",
+        for k in ("PHARMSOL_ODE_CONTROLLER", "PHARMSOL_ODE_NO_MERGE",
+                  "PHARMSOL_ODE_ROW_BLOCK",
                   "PHARMSOL_ODE_SP_BLOCK"):
             os.environ.pop(k, None)
         for k, v in env.items():

@@ -1,10 +1,13 @@
 """Parity tests for the fused pallas ODE psi tier (interpret mode, f64).
 
 The pallas ODE kernel (ops/pallas_ode.py) must match the general XLA
-engine at adaptive-solver tolerance: both run the same embedded
-Dormand-Prince 5(4) controller, so agreement is far tighter than the
-rtol=1e-4 integration tolerance — differences come only from warm-start
-bookkeeping across segments.
+engine at adaptive-solver ACCURACY: both run the same embedded
+Dormand-Prince 5(4) controller, but the kernel's merged march crosses
+observation-only breakpoints with dense output instead of stopping, so
+the two paths take different step sequences and agree at the controller's
+real error level (~rtol), not bit-level. test_pallas_ode_merge.py pins
+the merged march against a tight-tolerance golden; lag/SDIRK paths never
+merge and keep their tighter step-identical bounds.
 """
 
 import jax
@@ -76,7 +79,7 @@ def test_ode_pallas_matches_xla_bolus_and_infusion():
     model = _two_cmt_ode()
     psi_x = log_likelihood_matrix(model, data, sp, _ems(), engine="xla")
     psi_p = log_likelihood_matrix(model, data, sp, _ems(), engine="pallas")
-    assert _rel_err(psi_p, psi_x) < 2e-5
+    assert _rel_err(psi_p, psi_x) < 1e-4
 
 
 def test_ode_pallas_nonlinear_rhs():
@@ -96,7 +99,7 @@ def test_ode_pallas_nonlinear_rhs():
     data = _subjects(n=8)
     psi_x = log_likelihood_matrix(model, data, sp, _ems(), engine="xla")
     psi_p = log_likelihood_matrix(model, data, sp, _ems(), engine="pallas")
-    assert _rel_err(psi_p, psi_x) < 2e-5
+    assert _rel_err(psi_p, psi_x) < 1e-4
 
 
 def test_ode_pallas_init_equation():
@@ -116,7 +119,7 @@ def test_ode_pallas_init_equation():
     data = _subjects(n=6, infusion_every=0)
     psi_x = log_likelihood_matrix(model, data, sp, _ems(), engine="xla")
     psi_p = log_likelihood_matrix(model, data, sp, _ems(), engine="pallas")
-    assert _rel_err(psi_p, psi_x) < 2e-5
+    assert _rel_err(psi_p, psi_x) < 1e-4
 
 
 def test_ode_pallas_time_constant_covariates():
@@ -142,7 +145,7 @@ def test_ode_pallas_time_constant_covariates():
                                   engine="xla")
     psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
                                   engine="pallas")
-    assert _rel_err(psi_p, psi_x) < 2e-5
+    assert _rel_err(psi_p, psi_x) < 1e-4
 
 
 def test_ode_pallas_multi_output_and_censoring():
@@ -371,7 +374,7 @@ def test_ode_pallas_time_varying_covariate_linear():
                                   engine="xla")
     psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
                                   engine="pallas")
-    assert _rel_err(psi_p, psi_x) < 2e-5
+    assert _rel_err(psi_p, psi_x) < 1e-4
 
 
 def test_ode_pallas_time_varying_covariate_fixed_step():
@@ -598,7 +601,7 @@ def test_ode_pallas_covariate_dependent_init():
                                   engine="xla")
     psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
                                   engine="pallas")
-    assert _rel_err(psi_p, psi_x) < 2e-5
+    assert _rel_err(psi_p, psi_x) < 1e-4
 
 
 def test_ode_pallas_covariate_dependent_init_varying_cov():
@@ -629,4 +632,4 @@ def test_ode_pallas_covariate_dependent_init_varying_cov():
                                   engine="xla")
     psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
                                   engine="pallas")
-    assert _rel_err(psi_p, psi_x) < 2e-5
+    assert _rel_err(psi_p, psi_x) < 1e-4
