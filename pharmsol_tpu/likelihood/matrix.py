@@ -1705,9 +1705,10 @@ def _ode_merge_runs(streams, seg_t0, solver, *, n_bolus_in, n_rate_in,
     """
     import os
 
-    from ..ops.pallas_ode import _DENSE_P
+    from ..ops.pallas_ode import _SDIRK_TABLEAUS, dense_P_for
 
-    if solver not in _DENSE_P or has_lag:
+    if (dense_P_for(solver) is None and solver not in _SDIRK_TABLEAUS) \
+            or has_lag:
         return None
     if os.environ.get("PHARMSOL_ODE_NO_MERGE") == "1":
         # perf-experiment kill switch; lives HERE (not in psi_ode) so the

@@ -100,6 +100,105 @@ _DP_P = (
 
 _DENSE_P = {"dopri5": _DP_P}
 
+
+def _derive_dense_P(A, B, C):
+    """Derive a quartic dense-output interpolant from order conditions.
+
+    Solves for stage-weight polynomials ``b_i(theta) = sum_q P[i][q] *
+    theta^(q+1)`` satisfying the eight order-4 continuous-extension
+    conditions (Hairer-Norsett-Wanner II.6: the theta-dependent analogues
+    of the trees up to order 4) plus theta=1 consistency with the step
+    weights ``B``. The system is linear in the 4*ns monomial coefficients;
+    a least-squares solve + residual check either yields an interpolant
+    whose capture error is within the integration tolerance (same order
+    as Shampine's published dopri5 quartic, which this reproduces up to
+    interpolant non-uniqueness) or proves none exists for the tableau.
+    Returns a P-matrix tuple like ``_DP_P`` or None.
+    """
+    ns = len(C)
+    a = np.zeros((ns, ns))
+    for i, row in enumerate(A):
+        a[i, : len(row)] = row
+    c = np.asarray(C, np.float64)
+    ac = a @ c
+    conds = (
+        (np.ones(ns), 1, 1.0),
+        (c, 2, 1.0 / 2.0),
+        (c ** 2, 3, 1.0 / 3.0),
+        (ac, 3, 1.0 / 6.0),
+        (c ** 3, 4, 1.0 / 4.0),
+        (c * ac, 4, 1.0 / 8.0),
+        (a @ (c ** 2), 4, 1.0 / 12.0),
+        (a @ ac, 4, 1.0 / 24.0),
+    )
+    rows, rhs = [], []
+    for w, r, gamma in conds:
+        for q in range(1, 5):
+            row = np.zeros(ns * 4)
+            for i in range(ns):
+                row[i * 4 + (q - 1)] = w[i]
+            rows.append(row)
+            rhs.append(gamma if q == r else 0.0)
+    for i in range(ns):  # b_i(1) == B_i: theta=1 reproduces the step
+        row = np.zeros(ns * 4)
+        row[i * 4: (i + 1) * 4] = 1.0
+        rows.append(row)
+        rhs.append(B[i])
+    M = np.asarray(rows)
+    y = np.asarray(rhs)
+    sol, *_ = np.linalg.lstsq(M, y, rcond=None)
+    if np.max(np.abs(M @ sol - y)) > 1e-10:
+        return None
+    # the quartic family satisfying the hard constraints is not unique;
+    # pick the member minimizing the ORDER-5 defect (sampled-L2 over
+    # theta) — min-norm solutions can carry a ~50x larger leading error
+    # constant than published interpolants. Order-5 trees (phi, gamma):
+    conds5 = (
+        (c ** 4, 5.0),
+        (c ** 2 * ac, 10.0),
+        (ac ** 2, 20.0),
+        (c * (a @ (c ** 2)), 15.0),
+        (c * (a @ ac), 30.0),
+        (a @ (c ** 3), 20.0),
+        (a @ (c * ac), 40.0),
+        (a @ (a @ (c ** 2)), 60.0),
+        (a @ (a @ ac), 120.0),
+    )
+    u, s, vt = np.linalg.svd(M, full_matrices=True)
+    null = vt[np.sum(s > 1e-9 * s[0]):].T  # [4*ns, k]
+    if null.shape[1]:
+        thetas = np.linspace(0.1, 1.0, 10)
+        soft_rows, soft_rhs = [], []
+        for w, gamma in conds5:
+            for th in thetas:
+                row = np.zeros(ns * 4)
+                for i in range(ns):
+                    for q in range(1, 5):
+                        row[i * 4 + (q - 1)] += w[i] * th ** q
+                soft_rows.append(row)
+                soft_rhs.append(th ** 5 / gamma)
+        S5 = np.asarray(soft_rows)
+        y5 = np.asarray(soft_rhs)
+        z, *_ = np.linalg.lstsq(S5 @ null, y5 - S5 @ sol, rcond=None)
+        sol = sol + null @ z
+        if np.max(np.abs(M @ sol - y)) > 1e-9:  # hard constraints intact
+            return None
+    return tuple(tuple(float(v) for v in sol[i * 4: (i + 1) * 4])
+                 for i in range(ns))
+
+
+def dense_P_for(solver: str):
+    """The solver's dense-output P matrix (published for dopri5, derived
+    from order conditions otherwise), or None if the tableau has no
+    4th-order quartic interpolant."""
+    if solver in _DENSE_P:
+        return _DENSE_P[solver]
+    if solver in _TABLEAUS:
+        A, B, _, C = _TABLEAUS[solver]
+        _DENSE_P[solver] = _derive_dense_P(A, B, C)
+        return _DENSE_P[solver]
+    return None
+
 # Tsitouras 5(4) (Tsitouras 2011), FSAL.
 _TS_C = (0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0)
 _TS_A = (
@@ -415,6 +514,52 @@ def _make_ode_kernel(
                 return rhs(xs, params, t, rate, cov_lanes, shape, dtype)
             return f
 
+        # -- merged-run interior observation capture (shared helpers) -----
+        def out_k(k, xs_v):
+            p = coefs[k][0] * xs_v[0]
+            for s_ in range(1, n_states):
+                p = p + coefs[k][s_] * xs_v[s_]
+            return p
+
+        def sel_out(oe_j, per_out):
+            if n_out == 1:
+                return per_out[0]
+            acc = jnp.zeros(shape, dtype)
+            for k in range(n_out):
+                acc = acc + (oe_j == float(k)).astype(dtype) * per_out[k]
+            return acc
+
+        def interior_setup(interior, target, xs):
+            """(T_eff, oe, preds0): effective capture offsets clamped just
+            inside the done-threshold (so a span-end obs is captured by the
+            final accepted step at theta ~ 1), plus at-start captures for
+            zero-offset observations (they read the post-bolus span-start
+            state, matching the zero-dt segment in the unmerged march)."""
+            t_end_eff = target - 1e-6 * jnp.maximum(target, 1e-30)
+            T_eff = [
+                jnp.minimum(jnp.broadcast_to(Tj, shape), t_end_eff)
+                for Tj in interior["T"]
+            ]
+            start_preds = [out_k(k, xs) for k in range(n_out)]
+            preds0 = [
+                jnp.where(jnp.broadcast_to(Tj, shape) <= 0.0,
+                          sel_out(interior["oe"][j], start_preds), 0.0)
+                for j, Tj in enumerate(interior["T"])
+            ]
+            return T_eff, interior["oe"], preds0
+
+        def interior_poison(interior, T_eff, tau_f, preds_f):
+            """NaN-poison captures an incomplete lane never reached — the
+            same downstream -inf the step-by-step march produces."""
+            nan = jnp.full(shape, jnp.nan, dtype)
+            return [
+                jnp.where((T_eff[j] > tau_f)
+                          & (jnp.broadcast_to(interior["T"][j], shape)
+                             > 0.0),
+                          nan, p)
+                for j, p in enumerate(preds_f)
+            ]
+
         def integrate(f, xs, h, dt_col, rate, t0_col, estimate_h: bool,
                       interior=None):
             """Adaptive embedded-RK march over one segment, all lanes.
@@ -449,40 +594,7 @@ def _make_ode_kernel(
             k1_0 = f(xs, t0_col, rate)
             n_int = len(interior["T"]) if interior else 0
             if n_int:
-                # effective capture offsets: clamp to just inside the
-                # done-threshold so an obs at the run end is captured by
-                # the final accepted step (theta ~ 1, dense output == the
-                # step result by construction)
-                t_end_eff = target - 1e-6 * jnp.maximum(target, 1e-30)
-                T_eff = [jnp.minimum(jnp.broadcast_to(Tj, shape), t_end_eff)
-                         for Tj in interior["T"]]
-                oe_int = interior["oe"]
-
-                def out_k(k, xs_v):
-                    p = coefs[k][0] * xs_v[0]
-                    for s_ in range(1, n_states):
-                        p = p + coefs[k][s_] * xs_v[s_]
-                    return p
-
-                def sel_out(oe_j, per_out):
-                    if n_out == 1:
-                        return per_out[0]
-                    acc = jnp.zeros(shape, dtype)
-                    for k in range(n_out):
-                        acc = acc + (oe_j == float(k)).astype(dtype) \
-                            * per_out[k]
-                    return acc
-
-                # at-start capture: offsets that are exactly zero read the
-                # run-start state (post-bolus — an obs sharing the dose
-                # breakpoint but sitting one zero-dt segment later reads
-                # post-bolus state in the segment-by-segment march too)
-                start_preds = [out_k(k, xs) for k in range(n_out)]
-                preds0 = [
-                    jnp.where(jnp.broadcast_to(Tj, shape) <= 0.0,
-                              sel_out(oe_int[j], start_preds), 0.0)
-                    for j, Tj in enumerate(interior["T"])
-                ]
+                T_eff, oe_int, preds0 = interior_setup(interior, target, xs)
             if estimate_h:
                 d0 = zeros
                 d1 = zeros
@@ -651,16 +763,7 @@ def _make_ode_kernel(
             # (dt == 0) keep their carried h
             h_out = jnp.where(live0, h_f, h)
             if n_int:
-                # an interior obs a (stalled/budget-exhausted) lane never
-                # reached: poison it exactly like the step-by-step march
-                # poisons everything downstream of the failed segment
-                preds_f = [
-                    jnp.where((T_eff[j] > tau_f)
-                              & (jnp.broadcast_to(interior["T"][j], shape)
-                                 > 0.0),
-                              nan, p)
-                    for j, p in enumerate(preds_f)
-                ]
+                preds_f = interior_poison(interior, T_eff, tau_f, preds_f)
             return xs_out, h_out, preds_f
 
         def integrate_sdirk(f, xs, h, dt_col, rate, t0_col,
@@ -673,6 +776,11 @@ def _make_ode_kernel(
             Gauss-Jordan — each Newton iteration is then one RHS + one
             lane matvec. Non-converged Newton (residual > 0.1 in WRMS)
             rejects the step exactly like engine/ode._esdirk_segment.
+
+            ``interior`` (merged runs): captured with CUBIC HERMITE on
+            (x0, f0, x1, f1) — order-matched for these 2nd/3rd-order
+            stiffly-accurate tableaus, whose last stage slope IS
+            f(x_new) (B equals the last A row for trbdf2/kvaerno3).
             """
             tab = sdirk
             sA, sB = tab["A"], tab["B"]
@@ -683,6 +791,9 @@ def _make_ode_kernel(
             ns = len(sC)
             target = jnp.broadcast_to(dt_col, shape)
             live0 = target > 0.0
+            n_int = len(interior["T"]) if interior else 0
+            if n_int:
+                T_eff, oe_int, preds0 = interior_setup(interior, target, xs)
 
             def jac(xs_c, t_base):
                 cols = []
@@ -701,7 +812,7 @@ def _make_ode_kernel(
                         for i in range(n_states)]
 
             def one_trial(carry):
-                tau, xs_c, h_c, live_f, it_ = carry
+                tau, xs_c, h_c, live_f, it_, preds_c = carry
                 live = live_f > 0.5
                 rem = target - tau
                 h_try = jnp.minimum(h_c, jnp.maximum(rem, 1e-14))
@@ -793,8 +904,37 @@ def _make_ode_kernel(
                 done_n = tau_n >= target - 1e-6 * jnp.maximum(target, 1e-30)
                 stalled = live & ((tau_n + h_n) <= tau_n) & ~done_n
                 live_n = live & ~done_n & ~stalled
+                preds_n = preds_c
+                if n_int:
+                    # cubic Hermite capture on (x0, f0, x1, f1), all
+                    # pre-contracted with the linear output extraction
+                    c0s = [out_k(k, xs_c) for k in range(n_out)]
+                    c1s = [out_k(k, xs_new) for k in range(n_out)]
+                    f0s = [out_k(k, [ks[0][s_] for s_ in range(n_states)])
+                           for k in range(n_out)]
+                    f1s = [out_k(k, [ks[-1][s_] for s_ in range(n_states)])
+                           for k in range(n_out)]
+                    preds_n = []
+                    for j in range(n_int):
+                        crossed = accept & (tau < T_eff[j]) \
+                            & (T_eff[j] <= tau + h_try)
+                        th = (T_eff[j] - tau) / h_try
+                        per_out = []
+                        for k in range(n_out):
+                            d = c1s[k] - c0s[k]
+                            a_ = h_try * f0s[k] - d
+                            b_ = d - h_try * f1s[k]
+                            per_out.append(
+                                c0s[k] + th * d
+                                + th * (1.0 - th)
+                                * ((1.0 - th) * a_ + th * b_)
+                            )
+                        preds_n.append(jnp.where(
+                            crossed, sel_out(oe_int[j], per_out),
+                            preds_c[j],
+                        ))
                 return (tau_n, xs_n, h_n, live_n.astype(live_f.dtype),
-                        it_ + 1)
+                        it_ + 1, preds_n)
 
             def body(carry):
                 for _ in range(max(1, unroll)):
@@ -802,18 +942,22 @@ def _make_ode_kernel(
                 return carry
 
             def cond(carry):
-                tau, _, _, live_f, it_ = carry
+                tau, _, _, live_f, it_, _ = carry
                 return (it_ < max_iters) & (jnp.max(live_f) > 0.5)
 
             h_start = jnp.minimum(h, jnp.maximum(target, 1e-14))
             init = (zeros, list(xs), h_start, live0.astype(dtype),
-                    jnp.zeros((), jnp.int32))
-            tau_f, xs_f, h_f, _, _ = jax.lax.while_loop(cond, body, init)
+                    jnp.zeros((), jnp.int32), preds0 if n_int else [])
+            tau_f, xs_f, h_f, _, _, preds_f = jax.lax.while_loop(
+                cond, body, init
+            )
             incomplete = tau_f < target - 1e-6 * jnp.maximum(target, 1e-30)
             nan = jnp.full(shape, jnp.nan, dtype)
             xs_out = [jnp.where(incomplete, nan, x) for x in xs_f]
             h_out = jnp.where(live0, h_f, h)
-            return xs_out, h_out, []
+            if n_int:
+                preds_f = interior_poison(interior, T_eff, tau_f, preds_f)
+            return xs_out, h_out, preds_f
 
         if has_init:
             im = col(initm, 0)
@@ -881,7 +1025,7 @@ def _make_ode_kernel(
                     "oe": [col(outeqs, mm) if has_outeq else None
                            for mm in range(m0 + 1, m1)],
                 }
-                xs, h, preds = integrate(
+                xs, h, preds = march(
                     f_m, xs, h, dt_run, rate, t0_col,
                     estimate_h=(m0 == 0), interior=interior,
                 )
@@ -1017,10 +1161,14 @@ def psi_ode(
       caller must have proven they are observation-only (no dose on any
       row, rate/covariate streams unchanged, contiguous t0) — and interior
       observations are captured from the tableau's dense-output
-      interpolant (4th-order; error within the integration tolerance).
-      Spans must tile [0, M) consecutively. Requires a solver with a
-      dense-output interpolant (dopri5) and no lag. ``None`` = one span
-      per segment (the classic stop-at-every-breakpoint march).
+      interpolant (dopri5: Shampine's 4th-order quartic; tsit5: a quartic
+      DERIVED from the continuous-extension order conditions at build
+      time — dense_P_for; SDIRK solvers: cubic Hermite on
+      (x0, f0, x1, f1), order-matched for these stiffly-accurate
+      2nd/3rd-order tableaus — error within the integration tolerance
+      either way). Spans must tile [0, M) consecutively; requires no
+      lag. ``None`` = one span per segment (the classic
+      stop-at-every-breakpoint march).
 
     Returns psi [R, S]. R must be a multiple of SUB_TILE, S of SP_TILE.
     """
@@ -1189,13 +1337,14 @@ def psi_ode(
             "the pending-dose lag mechanism holds one dose slot per lane; "
             "lag/fa requires a single bolus input"
         )
-    dense_P = _DENSE_P.get(solver)
+    dense_P = dense_P_for(solver)
     if merge_runs is not None:
         merge_runs = tuple((int(a), int(b)) for a, b in merge_runs)
-        if dense_P is None or sdirk is not None:
+        if dense_P is None and sdirk is None:
             raise ValueError(
-                f"merge_runs requires a dense-output tableau "
-                f"(solver `{solver}` has none)"
+                f"merge_runs requires a dense-output interpolant "
+                f"(solver `{solver}` has none; SDIRK solvers use cubic "
+                f"Hermite)"
             )
         if has_lag:
             raise ValueError("merge_runs is incompatible with lag planes")

@@ -249,3 +249,92 @@ def test_merged_march_poisons_failed_lanes():
     assert np.isneginf(psi_x[0, 0]) and np.isneginf(psi_x[0, 1])
     assert np.all(np.isfinite(psi_p[0, 2:]))
     assert _rel(psi_p[:, 2:], psi_x[:, 2:]) < 1e-4
+
+
+@pytest.mark.slow
+def test_merged_march_sdirk_hermite_capture():
+    """The stiff SDIRK tier merges too: interior observations captured
+    with cubic Hermite (order-matched for trbdf2/kvaerno3)."""
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+            p[0] * x[0] - p[1] * x[1],
+        ]),
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    ).with_solver("kvaerno3")
+    subjects = []
+    for i in range(4):
+        sb = SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+        for t in (0.5, 1.0, 2.0, 4.0, 8.0, 12.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.25 * t) + 0.1 * i), 0)
+        subjects.append(sb.build())
+    data = Data(subjects)
+    sp = _support(S=8, seed=11)
+
+    plan = _plan(model, data, sp)
+    assert plan.merge_runs is not None and any(
+        b - a > 1 for a, b in plan.merge_runs
+    )
+    psi_m = log_likelihood_matrix(model, data, sp, _ems(), engine="pallas")
+    tight = ODE(
+        model._diffeq, out=model._out, nstates=2, ndrugs=1, nout=1,
+    ).with_solver("kvaerno3").with_tolerances(1e-7, 1e-7)
+    psi_t = log_likelihood_matrix(tight, data, sp, _ems(), engine="xla")
+    assert _rel(psi_m, psi_t) < 1e-3  # 2nd/3rd-order controller at 1e-4
+
+
+def test_derived_dense_interpolants():
+    """dense_P_for derives a 4th-order quartic interpolant from the
+    continuous-extension order conditions for any supported 5(4) tableau
+    (reproducing dopri5's published class, covering tsit5 which has no
+    committed constants)."""
+    from pharmsol_tpu.ops.pallas_ode import (
+        _TABLEAUS, _derive_dense_P, dense_P_for,
+    )
+
+    def step_and_interp(P, A, B, h, theta):
+        y, ks = 1.0, []
+        for i in range(len(P)):
+            yi = y + h * sum(a * k for a, k in zip(A[i], ks))
+            ks.append(-yi)  # y' = -y
+        return y + h * sum(
+            k * theta * (p[0] + theta * (p[1] + theta * (p[2] + theta * p[3])))
+            for k, p in zip(ks, P)
+        )
+
+    for solver in ("dopri5", "tsit5"):
+        A, B, E, C = _TABLEAUS[solver]
+        P = dense_P_for(solver)
+        assert P is not None, solver
+        for row, b in zip(P, B):  # theta=1 reproduces the step weights
+            assert abs(sum(row) - b) < 1e-10
+        errs = [
+            max(abs(step_and_interp(P, A, B, h, th) - np.exp(-h * th))
+                for th in (0.25, 0.5, 0.75))
+            for h in (0.1, 0.05)
+        ]
+        order = np.log2(errs[0] / errs[1])
+        assert errs[0] < 1e-7 and order > 4.0, (solver, errs, order)
+
+
+@pytest.mark.slow
+def test_merged_march_tsit5_derived_interpolant():
+    """tsit5 merges via its DERIVED interpolant and matches the XLA tsit5
+    engine at accuracy level."""
+    model = _two_cmt().with_solver("tsit5")
+    subjects = []
+    for i in range(6):
+        sb = SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+        for t in (0.5, 1.0, 2.0, 4.0, 8.0, 12.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.25 * t) + 0.1 * i), 0)
+        subjects.append(sb.build())
+    data = Data(subjects)
+    sp = _support(S=8, seed=13)
+    plan = _plan(model, data, sp)
+    assert plan.merge_runs is not None and any(
+        b - a > 1 for a, b in plan.merge_runs
+    )
+    psi_p = log_likelihood_matrix(model, data, sp, _ems(), engine="pallas")
+    psi_x = log_likelihood_matrix(model, data, sp, _ems(), engine="xla")
+    assert _rel(psi_p, psi_x) < 1e-4
