@@ -951,7 +951,17 @@ def _decompose_kernel_inputs(kernel_inputs, sp, grid, n_kernel_params: int,
 
 def _decompose_input_plane(fn, sp, grid, ninput: int, fill: float,
                            what: str) -> np.ndarray:
-    """Evaluate a lag/fa closure into a per-(row, support) plane for input 0.
+    """Input-0 view of :func:`_decompose_input_planes` ([R, S] float64).
+
+    The analytical pallas tier supports one bolus route (into the
+    kernel's destination state), so its plans only need input 0's plane.
+    """
+    return _decompose_input_planes(fn, sp, grid, ninput, fill, what)[0]
+
+
+def _decompose_input_planes(fn, sp, grid, ninput: int, fill: float,
+                            what: str) -> np.ndarray:
+    """Evaluate a lag/fa closure into per-(input, row, support) planes.
 
     Probes (host CPU): time-independence at two t values (the engine
     evaluates lag at each bolus's own time, structs.rs:629 — a
@@ -962,7 +972,7 @@ def _decompose_input_plane(fn, sp, grid, ninput: int, fill: float,
     a per-row constant). Time-varying covariates the closure does not read
     are fine — a perturbation probe distinguishes the two. cov-independent
     closures collapse to one support row broadcast over rows.
-    Returns [R, S] float64.
+    Returns [ninput, R, S] float64.
     """
     from ..engine.grid import _as_input_vector
 
@@ -973,12 +983,11 @@ def _decompose_input_plane(fn, sp, grid, ninput: int, fill: float,
     S = sp.shape[0]
 
     def at(p, t, covd):
-        v = _as_input_vector(
+        return _as_input_vector(
             fn(jnp.asarray(p, jnp.float64), jnp.asarray(t, jnp.float64),
                _RowCov(covd)),
             ninput, fill=fill,
         )
-        return v[0]
 
     cov0 = {n: float(np.asarray(v)[0]) for n, v in cov_values.items()}
     cov1 = {n: v * 1.31 + 0.17 for n, v in cov0.items()}
@@ -1032,7 +1041,7 @@ def _decompose_input_plane(fn, sp, grid, ninput: int, fill: float,
                 plane = np.asarray(
                     jax.vmap(one_row)(jnp.asarray(stacked, jnp.float64)),
                     np.float64,
-                )  # [R, S]
+                )  # [R, S, ninput]
         except PharmsolError:
             raise
         except Exception as e:
@@ -1044,18 +1053,23 @@ def _decompose_input_plane(fn, sp, grid, ninput: int, fill: float,
             raise PharmsolError(
                 f"engine='pallas' {what} probe produced non-finite values"
             )
-        return plane
-    return np.broadcast_to(v_ref[None, :], (R, S)).copy()
+        return np.ascontiguousarray(np.transpose(plane, (2, 0, 1)))
+    # cov-independent: one support row per input, broadcast over rows
+    return np.broadcast_to(
+        np.asarray(v_ref).T[:, None, :], (ninput, R, S)
+    ).copy()
 
 
-def _validate_lag_no_overlap(lag_plane: np.ndarray, grid) -> None:
+def _validate_lag_no_overlap(lag_plane: np.ndarray, grid,
+                             input_j: int = None) -> None:
     """Reject lag plans where two doses of one row could pend at once.
 
-    The kernel holds ONE pending dose per lane; dose k must fire (its lag
-    elapse) strictly before dose k+1 arrives: max_support lag(row) must not
-    exceed the row's minimum inter-bolus gap. Negative lags (doses shifted
-    before their record time) have no reference semantics worth chasing —
-    rejected too.
+    The kernel holds ONE pending dose per (lane, input) slot; dose k of an
+    input must fire (its lag elapse) strictly before dose k+1 of the SAME
+    input arrives: max_support lag(row) must not exceed the row's minimum
+    inter-bolus gap for that input (``input_j``; None = all boluses, the
+    single-input tiers). Negative lags (doses shifted before their record
+    time) have no reference semantics worth chasing — rejected too.
     """
     from ..config import BIG_TIME
 
@@ -1066,6 +1080,8 @@ def _validate_lag_no_overlap(lag_plane: np.ndarray, grid) -> None:
         )
     bolus_t = np.asarray(grid.rows.bolus_t, dtype=np.float64)
     real = bolus_t < BIG_TIME / 2
+    if input_j is not None:
+        real = real & (np.asarray(grid.rows.bolus_input) == input_j)
     lag_max = lag_plane.max(axis=1)  # [R]
     for r in range(bolus_t.shape[0]):
         ts = np.sort(bolus_t[r][real[r]])
@@ -1806,29 +1822,6 @@ class _PallasOdePsiPlan:
             for n in self.cov_names
         )
 
-        # lag/fa: per-(row, support) planes, applied by the kernel's
-        # pending-dose split march / dose-amount scaling. Closures that
-        # READ a time-varying covariate fall back (probed in
-        # _decompose_input_plane); time-varying covariates elsewhere in
-        # the model compose fine — the split march stays inside one
-        # segment, where the affine (a, b) covariate streams are valid.
-        lag_plane = None
-        fa_plane = None
-        if equation._lag is not None:
-            lag_plane = _decompose_input_plane(
-                equation._lag, sp, grid, int(equation.ndrugs()), 0.0, "lag"
-            )
-            if np.any(lag_plane != 0.0):
-                _validate_lag_no_overlap(lag_plane, grid)
-            else:
-                lag_plane = None
-        if equation._fa is not None:
-            fa_plane = _decompose_input_plane(
-                equation._fa, sp, grid, int(equation.ndrugs()), 1.0, "fa"
-            )
-            if np.all(fa_plane == 1.0):
-                fa_plane = None
-
         # --- active dose inputs ------------------------------------------
         # multi-drug models dose into several RHS inputs; each active input
         # gets its own bolus stream + probed bolus map (and rate stream)
@@ -1853,14 +1846,36 @@ class _PallasOdePsiPlan:
                 f"engine='pallas' ODE psi: a dose targets input "
                 f">= ndrugs ({ninput})"
             )
-        if (lag_plane is not None or fa_plane is not None) \
-                and bolus_inputs != (0,):
-            raise PharmsolError(
-                "engine='pallas' ODE psi supports lag/fa only with a "
-                "single bolus input (input 0) — use the default XLA engine"
-            )
         self.bolus_inputs = bolus_inputs
         self.rate_inputs = rate_inputs
+
+        # lag/fa: per-(input, row, support) planes, applied by the kernel's
+        # pending-dose split march / dose-amount scaling — one pending slot
+        # per (lane, bolus input), so multi-drug regimens with lag compose
+        # (each input's doses must not overlap their own lag windows;
+        # validated per input). Closures that READ a time-varying covariate
+        # fall back (probed in _decompose_input_planes); time-varying
+        # covariates elsewhere in the model compose fine — the split march
+        # stays inside one segment, where the affine (a, b) covariate
+        # streams are valid.
+        lag_planes = None
+        fa_planes = None
+        sel = list(bolus_inputs)
+        if equation._lag is not None:
+            lp = _decompose_input_planes(
+                equation._lag, sp, grid, ninput, 0.0, "lag"
+            )[sel]  # [nb, R, S]
+            if np.any(lp != 0.0):
+                for k, j in enumerate(bolus_inputs):
+                    if np.any(lp[k] != 0.0):
+                        _validate_lag_no_overlap(lp[k], grid, input_j=j)
+                lag_planes = lp
+        if equation._fa is not None:
+            fp = _decompose_input_planes(
+                equation._fa, sp, grid, ninput, 1.0, "fa"
+            )[sel]  # [nb, R, S]
+            if not np.all(fp == 1.0):
+                fa_planes = fp
 
         # --- host probes (CPU backend, tiny shapes) -----------------------
         p_ref = np.where(np.abs(sp[0]) > 1e-30, sp[0], 1.0)
@@ -2133,11 +2148,15 @@ class _PallasOdePsiPlan:
                 )
             return jnp.asarray(a, dtype=fd)
 
-        self.lag_plane_dev = (
-            pad_plane(lag_plane, 0.0) if lag_plane is not None else None
+        self.lag_planes_dev = (
+            tuple(pad_plane(lag_planes[k], 0.0)
+                  for k in range(self.n_bolus_in))
+            if lag_planes is not None else None
         )
-        self.fa_plane_dev = (
-            pad_plane(fa_plane, 1.0) if fa_plane is not None else None
+        self.fa_planes_dev = (
+            tuple(pad_plane(fa_planes[k], 1.0)
+                  for k in range(self.n_bolus_in))
+            if fa_planes is not None else None
         )
         self.init_planes_dev = (
             jnp.stack([pad_plane(init_planes[s], 0.0)
@@ -2180,7 +2199,7 @@ class _PallasOdePsiPlan:
         self.merge_runs = _ode_merge_runs(
             streams, seg_t0, opts.solver,
             n_bolus_in=self.n_bolus_in, n_rate_in=self.n_rate_in,
-            affine_streams=affine_streams, has_lag=lag_plane is not None,
+            affine_streams=affine_streams, has_lag=lag_planes is not None,
         )
 
     def cache_key(self, *extra):
@@ -2193,8 +2212,8 @@ class _PallasOdePsiPlan:
                 self.init_rows is not None,
                 self.init_planes_dev is not None,
                 self.cov_names, self.cov_modes,
-                self.lag_plane_dev is not None,
-                self.fa_plane_dev is not None,
+                self.lag_planes_dev is not None,
+                self.fa_planes_dev is not None,
                 o.solver, self.merge_runs,
                 o.rtol, o.atol, o.h0, o.max_steps, str(self.fd)) + extra
 
@@ -2210,9 +2229,9 @@ class _PallasOdePsiPlan:
         for n in self.cov_names:
             e = self.cov_streams[n]
             out = out + (e if isinstance(e, tuple) else (e,))
-        for plane in (self.lag_plane_dev, self.fa_plane_dev):
-            if plane is not None:
-                out = out + (plane,)
+        for planes in (self.lag_planes_dev, self.fa_planes_dev):
+            if planes is not None:
+                out = out + tuple(planes)
         if self.init_planes_dev is not None:
             # one [Rp, Sp] plane per state (rows leading for sharding)
             out = out + tuple(
@@ -2246,14 +2265,15 @@ class _PallasOdePsiPlan:
         has_bias = self.out_bias is not None
         cov_names = self.cov_names
         cov_modes = self.cov_modes
-        pass_lag = self.lag_plane_dev is not None
-        pass_fa = self.fa_plane_dev is not None
+        pass_lag = self.lag_planes_dev is not None
+        pass_fa = self.fa_planes_dev is not None
         merge_runs = self.merge_runs
         nb, nr = self.n_bolus_in, self.n_rate_in
         bolus_inputs, rate_inputs = self.bolus_inputs, self.rate_inputs
         n_streams = (5 + nb + (nr if pass_inf else 0)
                      + int(pass_cens) + int(pass_outeq)
-                     + int(has_init) + int(pass_lag) + int(pass_fa)
+                     + int(has_init) + (nb if pass_lag else 0)
+                     + (nb if pass_fa else 0)
                      + n_init_planes
                      + sum(2 if m == "affine" else 1 for m in cov_modes))
         # ODEOptions.unroll amortizes XLA's per-while-iteration dispatch;
@@ -2276,8 +2296,10 @@ class _PallasOdePsiPlan:
                 n: ((next(it), next(it)) if m == "affine" else next(it))
                 for n, m in zip(cov_names, cov_modes)
             }
-            lagp = next(it) if pass_lag else None
-            fap = next(it) if pass_fa else None
+            lagp = (tuple(next(it) for _ in range(nb))
+                    if pass_lag else None)
+            fap = (tuple(next(it) for _ in range(nb))
+                   if pass_fa else None)
             ipl = (jnp.stack([next(it) for _ in range(n_init_planes)])
                    if n_init_planes else None)
             rep = iter(args[n_streams:])

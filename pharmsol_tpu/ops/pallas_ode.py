@@ -38,12 +38,14 @@ exhaustion (-> -inf cells downstream). Tolerances/h0/max_steps come from
 the model's ODEOptions (defaults rtol=atol=1e-4, ode/mod.rs:40-41).
 
 Scope (validated by likelihood/matrix._PallasOdePsiPlan; anything else
-falls back to the general XLA engine): explicit solvers (dopri5/tsit5),
-boluses into input 0, infusions into input 0, covariates that are
-time-constant OR piecewise-linear with every knot on a segment boundary
-(per-segment affine (a, b) streams — exact vs the reference
-interpolation), outputs linear in the state, no lag/fa/init-covariate
-coupling.
+falls back to the general XLA engine): explicit solvers (dopri5/tsit5)
+plus the in-kernel SDIRK stiff tier, boluses and infusions into any RHS
+input (one stream + probed bolus map per active input), covariates that
+are time-constant OR piecewise-linear with every knot on a segment
+boundary (per-segment affine (a, b) streams — exact vs the reference
+interpolation), outputs linear in the state, lag/fa via the per-input
+pending-dose split march, init equations via per-support rows or
+per-(row, support) planes.
 Compiled kernels are float32-only; off-TPU the kernel runs in interpret
 mode (which is also how the CPU/f64 parity tests exercise it).
 """
@@ -429,20 +431,22 @@ def _make_ode_kernel(
 
     Ref layout (in order): segment streams (dt, bolus, [rateiv], mask,
     value, sigma, [cens], [outeq], t0, [init_mask], cov...) each
-    [row_block, SEG_PAD]; [lag plane], [fa plane] each
-    [row_block, sp_block]; parameter rows (p columns, bolus-map rows,
+    [row_block, SEG_PAD]; [lag planes], [fa planes] (one per bolus input)
+    each [row_block, sp_block]; parameter rows (p columns, bolus-map rows,
     [init rows], coef rows, [bias rows]) each [1, sp_block]; out_ref
     [row_block, sp_block].
 
-    ``has_lag``: a lagged dose parks in (pend_amt, pend_rem) lanes at its
-    original breakpoint and fires once its remaining lag elapses. Unlike
-    the analytical kernel's superposition (invalid for nonlinear RHS),
-    the segment march SPLITS at the per-lane fire time: integrate to the
-    dose time, apply the bolus, integrate the rest. A dose due exactly at
-    a breakpoint fires after that breakpoint's observation
-    (observation-before-dose parity, structs.rs:611-666); the plan
-    guarantees no two doses of a lane pend simultaneously. ``has_fa``
-    scales dose amounts by the per-(row, support) plane.
+    ``has_lag``: a lagged dose parks in per-input (pend_amt, pend_rem)
+    lanes at its original breakpoint and fires once its remaining lag
+    elapses. Unlike the analytical kernel's superposition (invalid for
+    nonlinear RHS), the segment march SPLITS at the per-lane fire times:
+    one pass per bolus input advances to the next earliest fire time
+    (inputs due at equal times fire together), applies the bolus, and
+    integrates on. A dose due exactly at a breakpoint fires after that
+    breakpoint's observation (observation-before-dose parity,
+    structs.rs:611-666); the plan guarantees no two doses of one (lane,
+    input) slot pend simultaneously. ``has_fa`` scales each input's dose
+    amounts by its per-(row, support) plane.
     """
     n_stages = len(C) if C is not None else 0
     has_outeq = n_out > 1
@@ -467,8 +471,10 @@ def _make_ode_kernel(
             ((next(it)[:, :], next(it)[:, :]) if aff else next(it)[:, :])
             for aff in cov_affine
         ]
-        lag_plane = next(it)[:, :] if has_lag else None
-        fa_plane = next(it)[:, :] if has_fa else None
+        lag_planes = ([next(it)[:, :] for _ in range(n_bolus_in)]
+                      if has_lag else None)
+        fa_planes = ([next(it)[:, :] for _ in range(n_bolus_in)]
+                     if has_fa else None)
         # covariate-dependent init: per-(row, support) planes instead of
         # per-support rows — same init expression, tile-shaped source
         init_planes = ([next(it)[:, :] for _ in range(n_states)]
@@ -968,8 +974,8 @@ def _make_ode_kernel(
         h = jnp.full(shape, h0, dtype)
         f_const = None if any(cov_affine) else make_f(const_lanes)
         if has_lag:
-            pend_amt = zeros
-            pend_rem = zeros
+            pend_amt = [zeros] * n_bolus_in
+            pend_rem = [zeros] * n_bolus_in
 
         run_list = (tuple(runs) if runs
                     else tuple((m, m + 1) for m in range(n_seg)))
@@ -1004,15 +1010,18 @@ def _make_ode_kernel(
             t0_col = col(t0s, m)
             f_m = make_f(cov_for_seg(m)) if any(cov_affine) else f_const
             march = integrate_sdirk if sdirk is not None else integrate
-            amt = bol * fa_plane if has_fa else bol
+
+            def amt_for(jb, _m=m, _bol=bol):
+                a = _bol if jb == 0 else col(bols_l[jb], _m)
+                return a * fa_planes[jb] if has_fa else a
+
             if m1 > m0 + 1:
                 # merged run: the host plan proved columns m0+1..m1-1 are
                 # observation-only breakpoints (no dose on any row, rate
                 # and covariate streams unchanged, contiguous times) — the
                 # march crosses them with dense output instead of stopping
-                xs = [x + amt * bmap[s] for s, x in enumerate(xs)]
-                for jb in range(1, n_bolus_in):
-                    amt_j = col(bols_l[jb], m)
+                for jb in range(n_bolus_in):
+                    amt_j = amt_for(jb)
                     xs = [x + amt_j * bmaps[jb][s]
                           for s, x in enumerate(xs)]
                 dt_run = dt
@@ -1049,41 +1058,66 @@ def _make_ode_kernel(
                                       has_cens)
                 continue
             if not has_lag:
-                xs = [x + amt * bmap[s] for s, x in enumerate(xs)]
-                for jb in range(1, n_bolus_in):
-                    amt_j = col(bols_l[jb], m)
+                for jb in range(n_bolus_in):
+                    amt_j = amt_for(jb)
                     xs = [x + amt_j * bmaps[jb][s]
                           for s, x in enumerate(xs)]
                 xs, h, _ = march(f_m, xs, h, dt, rate, t0_col,
                                  estimate_h=(m == 0))
             else:
-                # dose due exactly at this breakpoint (rem elapsed) fires
-                # first — after the observation above, before a new dose
-                # can park in the slot
-                fire0 = (pend_amt != 0.0) & (pend_rem <= 0.0)
-                xs = [jnp.where(fire0, x + pend_amt * bmap[s], x)
-                      for s, x in enumerate(xs)]
-                pend_amt = jnp.where(fire0, zeros, pend_amt)
-                # arrival: park the (fa-scaled) dose with its per-lane lag
-                arrive = bol != 0.0
-                pend_amt = jnp.where(arrive, pend_amt + amt, pend_amt)
-                pend_rem = jnp.where(arrive, lag_plane + zeros, pend_rem)
-                # split march at the per-lane fire time
+                # doses due exactly at this breakpoint (rem elapsed) fire
+                # first — after the observation above, before new doses
+                # can park in their slots
+                for jb in range(n_bolus_in):
+                    fire0 = (pend_amt[jb] != 0.0) & (pend_rem[jb] <= 0.0)
+                    xs = [jnp.where(fire0, x + pend_amt[jb] * bmaps[jb][s],
+                                    x)
+                          for s, x in enumerate(xs)]
+                    pend_amt[jb] = jnp.where(fire0, zeros, pend_amt[jb])
+                # arrivals: park each input's (fa-scaled) dose with its
+                # per-lane lag
+                for jb in range(n_bolus_in):
+                    bol_j = bol if jb == 0 else col(bols_l[jb], m)
+                    amt_j = amt_for(jb)
+                    arrive = bol_j != 0.0
+                    pend_amt[jb] = jnp.where(
+                        arrive, pend_amt[jb] + amt_j, pend_amt[jb])
+                    pend_rem[jb] = jnp.where(
+                        arrive, lag_planes[jb] + zeros, pend_rem[jb])
+                # split march: one pass per input, each advancing to the
+                # next earliest per-lane fire time (equal times fire
+                # together; for one input this is the classic two-piece
+                # split)
                 dt_b = jnp.broadcast_to(dt, shape)
-                fire = (pend_amt != 0.0) & (pend_rem < dt_b)
-                t1 = jnp.where(fire, pend_rem, zeros)
-                xs, h, _ = march(f_m, xs, h, t1, rate, t0_col,
-                                 estimate_h=(m == 0))
-                xs = [jnp.where(fire, x + pend_amt * bmap[s], x)
-                      for s, x in enumerate(xs)]
-                pend_amt = jnp.where(fire, zeros, pend_amt)
-                xs, h, _ = march(f_m, xs, h, dt_b - t1, rate, t0_col + t1,
-                                 estimate_h=False)
+                elapsed = zeros
+                for p_ in range(n_bolus_in):
+                    will = [(pend_amt[jb] != 0.0) & (pend_rem[jb] < dt_b)
+                            for jb in range(n_bolus_in)]
+                    t_next = dt_b
+                    for jb in range(n_bolus_in):
+                        t_next = jnp.minimum(
+                            t_next,
+                            jnp.where(will[jb], pend_rem[jb], dt_b),
+                        )
+                    t_next = jnp.maximum(t_next, elapsed)
+                    xs, h, _ = march(f_m, xs, h, t_next - elapsed, rate,
+                                     t0_col + elapsed,
+                                     estimate_h=(m == 0 and p_ == 0))
+                    for jb in range(n_bolus_in):
+                        fire = will[jb] & (pend_rem[jb] <= t_next)
+                        xs = [jnp.where(fire,
+                                        x + pend_amt[jb] * bmaps[jb][s], x)
+                              for s, x in enumerate(xs)]
+                        pend_amt[jb] = jnp.where(fire, zeros, pend_amt[jb])
+                    elapsed = t_next
+                xs, h, _ = march(f_m, xs, h, dt_b - elapsed, rate,
+                                 t0_col + elapsed, estimate_h=False)
                 live = dt_b > 0.0
-                pend_rem = jnp.where(
-                    fire, zeros,
-                    jnp.where(live, pend_rem - dt_b, pend_rem),
-                )
+                for jb in range(n_bolus_in):
+                    pend_rem[jb] = jnp.where(
+                        (pend_amt[jb] != 0.0) & live,
+                        pend_rem[jb] - dt_b, pend_rem[jb],
+                    )
 
         out_ref[:, :] = ll
 
@@ -1153,9 +1187,11 @@ def psi_ode(
     - ``cov_streams`` {name: [R, M] (lane 0 = the row's constant value) or
       an ``(a, b)`` pair of [R, M] per-segment affine streams for
       time-varying covariates: cov(t) = a[m] + b[m] * t inside segment m};
-    - ``lag_plane`` / ``fa_plane`` [R, S]: per-(row, support) dose lag
-      shift / bioavailability scale (the kernel's pending-dose split
-      march / amount scaling; see _make_ode_kernel);
+    - ``lag_plane`` / ``fa_plane``: per-(row, support) dose lag shift /
+      bioavailability scale — one [R, S] plane, or a sequence of one
+      plane per bolus input for multi-drug regimens (the kernel's
+      per-input pending-dose split march / amount scaling; see
+      _make_ode_kernel);
     - ``merge_runs``: static tuple of (m0, m1) column spans. Within a span
       the adaptive march does NOT stop at interior breakpoints — the host
       caller must have proven they are observation-only (no dose on any
@@ -1312,18 +1348,38 @@ def psi_ode(
         ob = jnp.asarray(out_bias, dtype)
         p_rows += [ob[k].reshape(1, S) for k in range(n_out)]
 
-    has_lag = lag_plane is not None
-    has_fa = fa_plane is not None
-    planes = []
-    for pl_arr, what in ((lag_plane, "lag_plane"), (fa_plane, "fa_plane")):
-        if pl_arr is None:
-            continue
-        pl_arr = jnp.asarray(pl_arr, dtype)
-        if pl_arr.shape != (R, S):
+    def as_plane_list(p, what):
+        """Normalize a plane argument to one [R, S] plane per bolus input."""
+        if p is None:
+            return None
+        lst = list(p) if isinstance(p, (list, tuple)) else [p]
+        if len(lst) == 1 and nb > 1:
             raise ValueError(
-                f"{what} must be [R, S] = [{R}, {S}], got {pl_arr.shape}"
+                f"{what} must carry one [R, S] plane per bolus input ({nb})"
             )
-        planes.append(pl_arr)
+        if len(lst) != nb:
+            raise ValueError(
+                f"{what} carries {len(lst)} planes, bolus_inputs names {nb}"
+            )
+        out = []
+        for arr in lst:
+            arr = jnp.asarray(arr, dtype)
+            if arr.shape != (R, S):
+                raise ValueError(
+                    f"{what} must be [R, S] = [{R}, {S}], got {arr.shape}"
+                )
+            out.append(arr)
+        return out
+
+    lag_list = as_plane_list(lag_plane, "lag_plane")
+    fa_list = as_plane_list(fa_plane, "fa_plane")
+    has_lag = lag_list is not None
+    has_fa = fa_list is not None
+    planes = []
+    if has_lag:
+        planes.extend(lag_list)
+    if has_fa:
+        planes.extend(fa_list)
     if init_planes is not None:
         ip = jnp.asarray(init_planes, dtype)
         if ip.shape != (n_states, R, S):
@@ -1332,11 +1388,6 @@ def psi_ode(
             )
         planes.extend(ip[s] for s in range(n_states))
 
-    if has_lag and nb != 1:
-        raise ValueError(
-            "the pending-dose lag mechanism holds one dose slot per lane; "
-            "lag/fa requires a single bolus input"
-        )
     dense_P = dense_P_for(solver)
     if merge_runs is not None:
         merge_runs = tuple((int(a), int(b)) for a, b in merge_runs)

@@ -146,4 +146,40 @@ px4 = log_likelihood_matrix(model4, Data(subjects4), sp4,
                                 ErrorPoly(0.5, 0.1), 1.0)), engine="xla")
 print(f"multi-input: rel {rel(pp4, px4):.2e}  ({time.time()-t0:.0f}s)")
 assert rel(pp4, px4) < 5e-4, rel(pp4, px4)
+
+# --- lag/fa with TWO bolus inputs (per-input pending-dose slots) ---
+model5 = ODE(
+    lambda x, p, t, b, rateiv, cov: jnp.stack([
+        -p[0] * x[0] + b[0],
+        -p[1] * x[1] + b[1],
+        p[0] * x[0] + p[1] * x[1] - p[2] * x[2],
+    ]),
+    lag=lambda p, t, cov: {0: p[4], 1: p[5]},
+    fa=lambda p, t, cov: {0: p[6], 1: 0.85},
+    out=lambda x, p, t, cov: x[2:3] / p[3],
+    nstates=3, ndrugs=2, nout=1,
+)
+subjects5 = []
+for i in range(16):
+    sb = (SubjectBuilder(f"s{i}")
+          .bolus(0.0, 100.0, 0).bolus(0.3, 60.0, 1)
+          .bolus(8.0, 100.0, 0).bolus(8.3, 60.0, 1))
+    for t in (0.5, 1.0, 2.0, 4.0, 7.0, 10.0, 14.0):
+        sb = sb.observation(t, float(3 * np.exp(-0.2 * t) + 0.04 * i), 0)
+    subjects5.append(sb.build())
+sp5 = np.column_stack([
+    rng.uniform(0.5, 2.0, 32), rng.uniform(0.8, 3.0, 32),
+    rng.uniform(0.05, 0.5, 32), rng.uniform(30, 90, 32),
+    rng.uniform(0.0, 1.4, 32), rng.uniform(0.0, 0.9, 32),
+    rng.uniform(0.3, 1.0, 32),
+])
+t0 = time.time()
+pp5 = log_likelihood_matrix(model5, Data(subjects5), sp5,
+                            AssayErrorModels().add(0, AssayErrorModel.additive(
+                                ErrorPoly(0.5, 0.1), 1.0)), engine="pallas")
+px5 = log_likelihood_matrix(model5, Data(subjects5), sp5,
+                            AssayErrorModels().add(0, AssayErrorModel.additive(
+                                ErrorPoly(0.5, 0.1), 1.0)), engine="xla")
+print(f"multi-input lag/fa: rel {rel(pp5, px5):.2e}  ({time.time()-t0:.0f}s)")
+assert rel(pp5, px5) < 5e-4, rel(pp5, px5)
 print("TPU NEW PATHS OK")

@@ -555,24 +555,73 @@ def test_ode_pallas_multi_input_infusion_parity():
     assert _rel_err(psi_p, psi_x) < 5e-5
 
 
-def test_ode_pallas_rejects_lag_with_multi_input_bolus():
+def test_ode_pallas_lag_fa_multi_input_parity():
+    # per-input pending-dose slots: two bolus inputs with DIFFERENT lags
+    # and bioavailabilities; both doses can fire inside the same segment
+    # (the kernel's split march takes one pass per input, ordered by the
+    # per-lane fire times) — must match the XLA engine's re-sorted
+    # schedule
     model = ODE(
         lambda x, p, t, b, rateiv, cov: jnp.stack([
             -p[0] * x[0] + b[0],
-            -p[0] * x[1] + b[1],
+            -p[1] * x[1] + b[1],
+            p[0] * x[0] + p[1] * x[1] - p[2] * x[2],
         ]),
-        lag=lambda p, t, cov: {0: p[1]},
-        out=lambda x, p, t, cov: x[0:1],
-        nstates=2, ndrugs=2, nout=1,
+        lag=lambda p, t, cov: {0: p[4], 1: p[5]},
+        fa=lambda p, t, cov: {0: p[6], 1: 0.85},
+        out=lambda x, p, t, cov: x[2:3] / p[3],
+        nstates=3, ndrugs=2, nout=1,
     )
-    sb = (SubjectBuilder("s").bolus(0.0, 50.0, 0).bolus(1.0, 50.0, 1)
-          .observation(0.5, 1.0, 0).observation(3.0, 1.0, 0))
-    with pytest.raises(PharmsolError, match="single bolus input"):
-        log_likelihood_matrix(
-            model, Data([sb.build()]),
-            np.column_stack([np.full(4, 0.3), np.full(4, 0.4)]),
-            _ems(), engine="pallas",
-        )
+    subjects = []
+    for i in range(5):
+        sb = (SubjectBuilder(f"s{i}")
+              .bolus(0.0, 100.0, 0).bolus(0.3, 60.0, 1)
+              .bolus(8.0, 100.0, 0).bolus(8.3, 60.0, 1))
+        for t in (0.5, 1.0, 2.0, 4.0, 7.0, 10.0, 14.0):
+            sb = sb.observation(t, float(3 * np.exp(-0.2 * t) + 0.04 * i), 0)
+        subjects.append(sb.build())
+    rng = np.random.default_rng(23)
+    sp = np.column_stack([
+        rng.uniform(0.5, 2.0, 12), rng.uniform(0.8, 3.0, 12),
+        rng.uniform(0.05, 0.5, 12), rng.uniform(30, 90, 12),
+        rng.uniform(0.0, 1.4, 12),   # lag input 0: spans obs times and none
+        rng.uniform(0.0, 0.9, 12),   # lag input 1
+        rng.uniform(0.3, 1.0, 12),   # fa input 0
+    ])
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 5e-5
+
+
+def test_ode_pallas_lag_multi_input_same_fire_segment():
+    # both inputs' lagged doses fire inside ONE segment, in a per-lane
+    # ORDER that differs across supports (input 0 first on some lanes,
+    # input 1 first on others) — exercises the sorted multi-pass split
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+            -1.3 * p[0] * x[1] + b[1],
+            p[0] * x[0] + 1.3 * p[0] * x[1] - p[1] * x[2],
+        ]),
+        lag=lambda p, t, cov: {0: p[2], 1: p[3]},
+        out=lambda x, p, t, cov: x[2:3],
+        nstates=3, ndrugs=2, nout=1,
+    )
+    sb = (SubjectBuilder("s").bolus(0.0, 80.0, 0).bolus(0.0, 50.0, 1)
+          .observation(3.0, 1.5, 0).observation(6.0, 0.8, 0))
+    rng = np.random.default_rng(5)
+    sp = np.column_stack([
+        rng.uniform(0.4, 1.5, 8), rng.uniform(0.05, 0.4, 8),
+        rng.uniform(0.1, 2.5, 8),   # lag 0: sometimes before, sometimes
+        rng.uniform(0.1, 2.5, 8),   # lag 1: after the other input's
+    ])
+    psi_x = log_likelihood_matrix(model, Data([sb.build()]), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data([sb.build()]), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 5e-5
 
 
 def test_ode_pallas_covariate_dependent_init():
