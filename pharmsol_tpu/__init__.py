@@ -80,3 +80,7 @@ def __getattr__(name):
 
         return _SDE
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals().keys()) + ["SDE"])

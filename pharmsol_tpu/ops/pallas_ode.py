@@ -425,7 +425,7 @@ def _make_ode_kernel(
     rtol: float, atol: float, h0: float,
     max_iters: int, unroll: int, newton_iters: int = 4,
     controller: str = "i", init_mode: str = "rows",
-    runs=None, dense_P=None,
+    runs=None, dense_P=None, lazy_capture: bool = False,
 ):
     """Build the fused ODE psi tile kernel.
 
@@ -715,33 +715,58 @@ def _make_ode_kernel(
                     # slopes with the linear extraction (ci), then with the
                     # interpolant's quartic columns (d_q) — per interior
                     # observation the capture is then one Horner chain
-                    dqs = []
-                    c0s = []
-                    for k in range(n_out):
-                        c0s.append(out_k(k, xs_c))
-                        ci = [out_k(k, [kk[s_] for s_ in range(n_states)])
-                              for kk in ks]
-                        dqs.append([
-                            _wsum(ci, [dense_P[i][q]
-                                       for i in range(n_stages)])
-                            for q in range(4)
-                        ])
-                    preds_n = []
-                    for j in range(n_int):
-                        crossed = accept & (tau < T_eff[j]) \
-                            & (T_eff[j] <= tau + h_try)
-                        th = (T_eff[j] - tau) / h_try
-                        per_out = [
-                            c0s[k] + h_try * th * (
-                                dqs[k][0] + th * (dqs[k][1] + th * (
-                                    dqs[k][2] + th * dqs[k][3]))
-                            )
-                            for k in range(n_out)
-                        ]
-                        preds_n.append(jnp.where(
-                            crossed, sel_out(oe_int[j], per_out),
-                            preds_c[j],
+                    crossed_l = [
+                        accept & (tau < T_eff[j]) & (T_eff[j] <= tau + h_try)
+                        for j in range(n_int)
+                    ]
+
+                    def _capture(_):
+                        dqs = []
+                        c0s = []
+                        for k in range(n_out):
+                            c0s.append(out_k(k, xs_c))
+                            ci = [out_k(k, [kk[s_]
+                                            for s_ in range(n_states)])
+                                  for kk in ks]
+                            dqs.append([
+                                _wsum(ci, [dense_P[i][q]
+                                           for i in range(n_stages)])
+                                for q in range(4)
+                            ])
+                        out_l = []
+                        for j in range(n_int):
+                            th = (T_eff[j] - tau) / h_try
+                            per_out = [
+                                c0s[k] + h_try * th * (
+                                    dqs[k][0] + th * (dqs[k][1] + th * (
+                                        dqs[k][2] + th * dqs[k][3]))
+                                )
+                                for k in range(n_out)
+                            ]
+                            out_l.append(jnp.where(
+                                crossed_l[j], sel_out(oe_int[j], per_out),
+                                preds_c[j],
+                            ))
+                        return tuple(out_l)
+
+                    if lazy_capture:
+                        # each interior obs is crossed ONCE per lane over
+                        # the whole march, so on most trials no lane in
+                        # the tile crosses anything — skip the stage-slope
+                        # contraction behind a scalar-predicate cond. The
+                        # reduce rides the kernel float dtype (same trick
+                        # as the while cond's live_f lanes: bool reduces
+                        # don't lower under an x64-ambient outer trace)
+                        any_c = crossed_l[0]
+                        for c_ in crossed_l[1:]:
+                            any_c = any_c | c_
+                        pred = jnp.max(any_c.astype(dtype)) > 0.5
+                        preds_n = list(jax.lax.cond(
+                            pred, lambda: _capture(0),
+                            lambda: tuple(preds_c),
                         ))
+                    else:
+                        preds_n = list(_capture(0))
                 return (tau_n, xs_n, h_n, k1_n, rp_n,
                         live_n.astype(live_f.dtype), it_ + 1, preds_n)
 
@@ -1424,6 +1449,12 @@ def psi_ode(
         unroll=int(unroll), newton_iters=int(newton_iters),
         controller=controller, init_mode=init_mode,
         runs=merge_runs, dense_P=dense_P,
+        # measured on-chip (4096x256 dopri5, same session): the
+        # cond-guarded "lazy" capture is 0.88x the eager per-trial one —
+        # the scalar scf.if plus the preds carried through both branches
+        # cost more than the skipped stage-slope contraction, so eager
+        # stays the default (hook kept for re-measurement on other chips)
+        lazy_capture=os.environ.get("PHARMSOL_ODE_LAZY_CAPTURE") == "1",
     )
 
     row_block = next(b for b in ODE_ROW_BLOCKS if R % b == 0)

@@ -42,6 +42,9 @@ def main() -> int:
     ap.add_argument("--merge-ab", action="store_true",
                     help="A/B the merged dense-output march vs the classic "
                          "stop-at-every-breakpoint march same-session")
+    ap.add_argument("--capture-ab", action="store_true",
+                    help="A/B the cond-guarded (lazy) interior-obs capture "
+                         "vs the per-trial eager capture same-session")
     args = ap.parse_args()
 
     import jax
@@ -150,12 +153,16 @@ def main() -> int:
     if args.merge_ab:
         variants = [("pallas_merged", {}),
                     ("pallas_nomerge", {"PHARMSOL_ODE_NO_MERGE": "1"})]
+    if args.capture_ab:
+        variants = [("pallas_eagercap", {}),
+                    ("pallas_lazycap",
+                     {"PHARMSOL_ODE_LAZY_CAPTURE": "1"})]
     psi_pallas = None
     per_pallas = None
     for key, env in variants:
         for k in ("PHARMSOL_ODE_CONTROLLER", "PHARMSOL_ODE_NO_MERGE",
                   "PHARMSOL_ODE_ROW_BLOCK",
-                  "PHARMSOL_ODE_SP_BLOCK"):
+                  "PHARMSOL_ODE_SP_BLOCK", "PHARMSOL_ODE_LAZY_CAPTURE"):
             os.environ.pop(k, None)
         for k, v in env.items():
             os.environ[k] = v

@@ -170,6 +170,44 @@ def test_ode_lag_and_fa():
     np.testing.assert_allclose(got, want, rtol=1e-8)
 
 
+def test_multi_input_lag_fa_closed_form_oracle():
+    # two bolus inputs with DIFFERENT per-input lags and fa: a linear
+    # 3-state system, so the exact solution is the superposition of two
+    # lag-shifted fa-scaled first-order absorption curves
+    # (structs.rs:611-666 lag/fa semantics, applied per input)
+    ode = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+            -p[1] * x[1] + b[1],
+            p[0] * x[0] + p[1] * x[1] - p[2] * x[2],
+        ]),
+        lag=lambda p, t, cov: {0: p[4], 1: p[5]},
+        fa=lambda p, t, cov: {0: p[6], 1: 0.85},
+        out=lambda x, p, t, cov: x[2:3] / p[3],
+        nstates=3, ndrugs=2, nout=1,
+    ).with_tolerances(1e-10, 1e-10)
+    subject = (Subject.builder("s").bolus(0.0, 100.0, 0).bolus(0.3, 60.0, 1)
+               .observation(2.0, 0.0, 0).observation(5.0, 0.0, 0).build())
+    ka1, ka2, ke, V, lag0, lag1, fa0 = 1.0, 2.0, 0.25, 50.0, 0.6, 0.4, 0.8
+    got = ode.estimate_predictions(
+        subject, [ka1, ka2, ke, V, lag0, lag1, fa0]
+    ).flat_predictions()
+
+    def depot(dose, ka, t):
+        return dose * ka / (ka - ke) * (
+            math.exp(-ke * t) - math.exp(-ka * t))
+
+    def conc(t):
+        c = 0.0
+        if t > lag0:
+            c += depot(100.0 * fa0, ka1, t - lag0)
+        if t > 0.3 + lag1:
+            c += depot(60.0 * 0.85, ka2, t - 0.3 - lag1)
+        return c / V
+
+    np.testing.assert_allclose(got, [conc(2.0), conc(5.0)], rtol=1e-6)
+
+
 def test_time_varying_covariate_in_rhs():
     # RHS reads a linearly interpolated covariate: dx/dt = -wt(t)*k*x.
     # With wt(t) = 1 + t on [0, 2], integral of wt over [0,2] = 4.
