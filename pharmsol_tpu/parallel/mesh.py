@@ -240,14 +240,16 @@ def _pallas_psi_sharded(equation, grid, sp, lowered, mesh) -> np.ndarray:
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    from ..likelihood.matrix import _PallasOdePsiPlan, _PallasPsiPlan
+    from ..likelihood.matrix import (
+        _PallasOdePsiPlan, _PallasPsiPlan, _PallasSdePsiPlan,
+    )
     from ..ops.pallas_psi import SUB_TILE
 
     n_shards = mesh.shape["subjects"]
-    plan_cls = (
-        _PallasOdePsiPlan if getattr(equation, "kind", None) == "ode"
-        else _PallasPsiPlan
-    )
+    plan_cls = {
+        "ode": _PallasOdePsiPlan,
+        "sde": _PallasSdePsiPlan,
+    }.get(getattr(equation, "kind", None), _PallasPsiPlan)
     plan = plan_cls(
         equation, grid, sp, lowered, row_multiple=SUB_TILE * n_shards
     )

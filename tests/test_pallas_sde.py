@@ -58,6 +58,41 @@ def test_sde_pallas_zero_diffusion_exact():
     assert rel < 1e-9, rel
 
 
+def test_sde_pallas_sharded_zero_diffusion_matches_unsharded():
+    """shard_map routes SDE models to _PallasSdePsiPlan; with zero
+    diffusion the filter is deterministic, so the 8-device virtual-mesh
+    psi must equal the unsharded pallas psi exactly (the per-shard RNG
+    streams differ but are never consulted when sigma == 0)."""
+    from pharmsol_tpu.parallel.mesh import (
+        log_likelihood_matrix_sharded, population_mesh,
+    )
+
+    sde = SDE(
+        drift=lambda x, p, t, rateiv, cov: jnp.stack(
+            [-p[0] * x[0] + rateiv[0]]
+        ),
+        diffusion=lambda p, t, cov: jnp.stack([0.0]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nparticles=16, nstates=1, ndrugs=1, nout=1, seed=3,
+    )
+    subs = []
+    for i in range(10):
+        sb = SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+        for t in (0.3, 0.8, 1.5):
+            sb = sb.observation(t, float(8 * np.exp(-0.3 * t) + 0.1 * i), 0)
+        subs.append(sb.build())
+    rng = np.random.default_rng(11)
+    sp = np.column_stack([rng.uniform(0.2, 0.6, 6), rng.uniform(8, 14, 6)])
+    want = log_likelihood_matrix(sde, Data(subs), sp, _ems(),
+                                 engine="pallas")
+    mesh = population_mesh()
+    got = log_likelihood_matrix_sharded(
+        sde, Data(subs), sp, _ems(), mesh=mesh, engine="pallas"
+    )
+    assert got.shape == (10, 6)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
 def test_sde_pallas_stochastic_statistical_parity():
     def make(seed):
         return SDE(
