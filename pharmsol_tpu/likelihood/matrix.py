@@ -256,6 +256,84 @@ class _RowCov:
         return self(name, t)
 
 
+def _decompose_input_seg_planes(equation, sp, grid, ninput: int,
+                                dose_cols, t0_np):
+    """Exact per-(row, support) lag/fa planes per dose-carrying segment.
+
+    For closures that are time-dependent or READ a time-varying covariate
+    (the cases _decompose_input_planes rejects as _InputPlaneDynamic): lag
+    is evaluated at each bolus's ORIGINAL breakpoint time (structs.rs:629)
+    and fa at the lag-SHIFTED time per input (add_lagtime runs first —
+    engine/grid.py:502-512 parity), on the host CPU with the same CovView
+    interpolation the in-jit engine uses — exact, not approximated.
+
+    ``dose_cols``: sorted segment columns that carry a bolus on any row;
+    ``t0_np`` [R, M]: segment start times. Returns
+    ``{m: (lag [ninput, R, S], fa [ninput, R, S])}`` float64.
+    """
+    from ..engine.grid import CovView, _as_input_vector
+
+    lag_fn, fa_fn = equation._lag, equation._fa
+    names = tuple(grid.cov_names)
+    R = grid.n_rows
+    kt = jnp.asarray(np.asarray(grid.rows.cov_t, np.float64))
+    kv = jnp.asarray(np.asarray(grid.rows.cov_v, np.float64))
+    kf = jnp.asarray(np.asarray(grid.rows.cov_fixed))
+    sp_j = jnp.asarray(sp, jnp.float64)
+
+    def per_cell(p, tr, kt_r, kv_r, kf_r):
+        cv = CovView(kt_r, kv_r, kf_r, names)
+        if lag_fn is not None:
+            lag_v = _as_input_vector(
+                lag_fn(p, tr, cv), ninput, fill=0.0)
+        else:
+            lag_v = jnp.zeros((ninput,), jnp.float64)
+        if fa_fn is not None:
+            fa_v = jnp.stack([
+                _as_input_vector(
+                    fa_fn(p, tr + lag_v[j], cv), ninput, fill=1.0)[j]
+                for j in range(ninput)
+            ])
+        else:
+            fa_v = jnp.ones((ninput,), jnp.float64)
+        return lag_v, fa_v
+
+    def per_row(tr, kt_r, kv_r, kf_r):
+        return jax.vmap(lambda p: per_cell(p, tr, kt_r, kv_r, kf_r))(sp_j)
+
+    out = {}
+    try:
+        with _host_cpu_device():
+            fn = jax.jit(jax.vmap(per_row))
+            for m in dose_cols:
+                t_col = jnp.asarray(t0_np[:, m], jnp.float64)
+                lag_rs, fa_rs = fn(t_col, kt, kv, kf)  # [R, S, ninput]
+                lag_p = np.transpose(np.asarray(lag_rs, np.float64),
+                                     (2, 0, 1))
+                fa_p = np.transpose(np.asarray(fa_rs, np.float64),
+                                    (2, 0, 1))
+                if not (np.all(np.isfinite(lag_p))
+                        and np.all(np.isfinite(fa_p))):
+                    raise PharmsolError(
+                        "engine='pallas' lag/fa probe produced non-finite "
+                        "values"
+                    )
+                out[int(m)] = (lag_p, fa_p)
+    except PharmsolError:
+        raise
+    except Exception as e:
+        raise PharmsolError(
+            f"engine='pallas' could not evaluate the lag/fa equations per "
+            f"dose segment: {e}"
+        ) from e
+    if R and any(np.any(v[0] < 0.0) for v in out.values()):
+        raise PharmsolError(
+            "engine='pallas' does not support negative lag times — use "
+            "the default XLA engine"
+        )
+    return out
+
+
 def _affine_solve(f_a, f_b, f_c, p_a, p_b, p_c, tol):
     """Solve/validate the diagonal-affine decomposition from three probes.
 
@@ -949,6 +1027,13 @@ def _decompose_kernel_inputs(kernel_inputs, sp, grid, n_kernel_params: int,
             None if off_zero else np.ascontiguousarray(h))
 
 
+class _InputPlaneDynamic(PharmsolError):
+    """A lag/fa closure is time-dependent or reads a time-varying
+    covariate: its value is not one per-(row, support) constant. The ODE
+    plan reroutes these to exact per-dose-segment planes
+    (_decompose_input_seg_planes); the analytical plan falls back."""
+
+
 def _decompose_input_plane(fn, sp, grid, ninput: int, fill: float,
                            what: str) -> np.ndarray:
     """Input-0 view of :func:`_decompose_input_planes` ([R, S] float64).
@@ -1013,13 +1098,13 @@ def _decompose_input_planes(fn, sp, grid, ninput: int, fill: float,
         ) from e
     scale = np.maximum(np.abs(v_ref).max(), 1e-12)
     if np.abs(v_t - v_ref).max() > 1e-9 * scale:
-        raise PharmsolError(
+        raise _InputPlaneDynamic(
             f"engine='pallas' requires a time-independent {what} equation "
             "(the engine evaluates it at each bolus's own time) — use the "
             "default XLA engine"
         )
     if varying_covs and np.abs(v_var - v_ref).max() > 1e-9 * scale:
-        raise PharmsolError(
+        raise _InputPlaneDynamic(
             f"engine='pallas' requires the {what} equation not to read a "
             "time-varying covariate (its value at each bolus time is not a "
             "per-row constant) — use the default XLA engine"
@@ -1849,33 +1934,9 @@ class _PallasOdePsiPlan:
         self.bolus_inputs = bolus_inputs
         self.rate_inputs = rate_inputs
 
-        # lag/fa: per-(input, row, support) planes, applied by the kernel's
-        # pending-dose split march / dose-amount scaling — one pending slot
-        # per (lane, bolus input), so multi-drug regimens with lag compose
-        # (each input's doses must not overlap their own lag windows;
-        # validated per input). Closures that READ a time-varying covariate
-        # fall back (probed in _decompose_input_planes); time-varying
-        # covariates elsewhere in the model compose fine — the split march
-        # stays inside one segment, where the affine (a, b) covariate
-        # streams are valid.
-        lag_planes = None
-        fa_planes = None
-        sel = list(bolus_inputs)
-        if equation._lag is not None:
-            lp = _decompose_input_planes(
-                equation._lag, sp, grid, ninput, 0.0, "lag"
-            )[sel]  # [nb, R, S]
-            if np.any(lp != 0.0):
-                for k, j in enumerate(bolus_inputs):
-                    if np.any(lp[k] != 0.0):
-                        _validate_lag_no_overlap(lp[k], grid, input_j=j)
-                lag_planes = lp
-        if equation._fa is not None:
-            fp = _decompose_input_planes(
-                equation._fa, sp, grid, ninput, 1.0, "fa"
-            )[sel]  # [nb, R, S]
-            if not np.all(fp == 1.0):
-                fa_planes = fp
+        # lag/fa plane construction is deferred until the segment streams
+        # exist (the dynamic path needs the dose-carrying columns); see
+        # the block after seg_t0 below.
 
         # --- host probes (CPU backend, tiny shapes) -----------------------
         p_ref = np.where(np.abs(sp[0]) > 1e-30, sp[0], 1.0)
@@ -2068,6 +2129,102 @@ class _PallasOdePsiPlan:
         t_real_max = np.where(np.isfinite(t_real_max), t_real_max, 0.0)
         seg_t0 = np.minimum(t_sorted, t_real_max[:, None])
 
+        # --- lag/fa planes ------------------------------------------------
+        # one pending-dose slot per (lane, bolus input); multi-drug
+        # regimens with lag compose (no-overlap validated per input
+        # against that input's own inter-dose gaps). Constant path: one
+        # [R, S] plane per input (closure time-independent, no tv-cov
+        # reads). Dynamic path (time-dependent closures or closures that
+        # READ a time-varying covariate): exact per-DOSE-SEGMENT planes,
+        # evaluated host-side with the engine's CovView at each bolus's
+        # original breakpoint time (lag, structs.rs:629) / lag-shifted
+        # time (fa, engine/grid.py:502-512), selected statically by the
+        # kernel via (input, segment) -> plane-slot tables.
+        lag_planes = None
+        fa_planes = None
+        lag_slots = None
+        fa_slots = None
+        sel = list(bolus_inputs)
+        nb_ = len(bolus_inputs)
+        M_ = streams[0].shape[1]
+        dynamic = False
+        if equation._lag is not None or equation._fa is not None:
+            try:
+                if equation._lag is not None:
+                    lp = _decompose_input_planes(
+                        equation._lag, sp, grid, ninput, 0.0, "lag")[sel]
+                    if np.any(lp != 0.0):
+                        for k, j in enumerate(bolus_inputs):
+                            if np.any(lp[k] != 0.0):
+                                _validate_lag_no_overlap(
+                                    lp[k], grid, input_j=j)
+                        lag_planes = lp
+                if equation._fa is not None:
+                    fp = _decompose_input_planes(
+                        equation._fa, sp, grid, ninput, 1.0, "fa")[sel]
+                    if not np.all(fp == 1.0):
+                        fa_planes = fp
+            except _InputPlaneDynamic:
+                dynamic = True
+        if dynamic:
+            lag_planes = fa_planes = None
+            dose_cols = [
+                m for m in range(M_)
+                if any(np.any(np.asarray(streams[1 + k],
+                                         np.float64)[:, m] != 0.0)
+                       for k in range(nb_))
+            ]
+            seg_pl = _decompose_input_seg_planes(
+                equation, sp, grid, ninput, dose_cols, seg_t0
+            )
+            has_lag_dyn = equation._lag is not None and any(
+                np.any(seg_pl[m][0][sel] != 0.0) for m in dose_cols
+            )
+            has_fa_dyn = equation._fa is not None and any(
+                not np.all(seg_pl[m][1][sel] == 1.0) for m in dose_cols
+            )
+            if has_lag_dyn:
+                # pairwise no-overlap per input: each dose's lag (max over
+                # supports) must elapse before the SAME input's next dose
+                for k, j in enumerate(bolus_inputs):
+                    bstream = np.asarray(streams[1 + k], np.float64)
+                    for r in range(bstream.shape[0]):
+                        cols = [m for m in dose_cols
+                                if bstream[r, m] != 0.0]
+                        cols.sort(key=lambda m: seg_t0[r, m])
+                        for m1, m2 in zip(cols, cols[1:]):
+                            gap = seg_t0[r, m2] - seg_t0[r, m1]
+                            lag_max = seg_pl[m1][0][j, r, :].max()
+                            if lag_max > gap:
+                                raise PharmsolError(
+                                    f"engine='pallas' lag support "
+                                    f"requires each dose's lag to elapse "
+                                    f"before the input's next dose (row "
+                                    f"{r}, input {j}: max lag "
+                                    f"{lag_max:.4g} > gap {gap:.4g}) — "
+                                    "use the default XLA engine"
+                                )
+            lag_seg_list = []
+            fa_seg_list = []
+            if has_lag_dyn:
+                lag_slot_rows = [[-1] * M_ for _ in range(nb_)]
+                for m in dose_cols:
+                    for k in range(nb_):
+                        lag_slot_rows[k][m] = len(lag_seg_list)
+                        lag_seg_list.append(seg_pl[m][0][sel][k])
+                lag_slots = tuple(tuple(rw) for rw in lag_slot_rows)
+                lag_planes = np.stack(lag_seg_list)
+            if has_fa_dyn:
+                fa_slot_rows = [[-1] * M_ for _ in range(nb_)]
+                for m in dose_cols:
+                    for k in range(nb_):
+                        fa_slot_rows[k][m] = len(fa_seg_list)
+                        fa_seg_list.append(seg_pl[m][1][sel][k])
+                fa_slots = tuple(tuple(rw) for rw in fa_slot_rows)
+                fa_planes = np.stack(fa_seg_list)
+        self.lag_slots = lag_slots
+        self.fa_slots = fa_slots
+
         self.R = streams[0].shape[0]
         self.S = sp.shape[0]
         self.M = streams[0].shape[1]
@@ -2150,12 +2307,12 @@ class _PallasOdePsiPlan:
 
         self.lag_planes_dev = (
             tuple(pad_plane(lag_planes[k], 0.0)
-                  for k in range(self.n_bolus_in))
+                  for k in range(len(lag_planes)))
             if lag_planes is not None else None
         )
         self.fa_planes_dev = (
             tuple(pad_plane(fa_planes[k], 1.0)
-                  for k in range(self.n_bolus_in))
+                  for k in range(len(fa_planes)))
             if fa_planes is not None else None
         )
         self.init_planes_dev = (
@@ -2214,6 +2371,7 @@ class _PallasOdePsiPlan:
                 self.cov_names, self.cov_modes,
                 self.lag_planes_dev is not None,
                 self.fa_planes_dev is not None,
+                self.lag_slots, self.fa_slots,
                 o.solver, self.merge_runs,
                 o.rtol, o.atol, o.h0, o.max_steps, str(self.fd)) + extra
 
@@ -2267,13 +2425,15 @@ class _PallasOdePsiPlan:
         cov_modes = self.cov_modes
         pass_lag = self.lag_planes_dev is not None
         pass_fa = self.fa_planes_dev is not None
+        n_lag_pl = len(self.lag_planes_dev) if pass_lag else 0
+        n_fa_pl = len(self.fa_planes_dev) if pass_fa else 0
+        lag_slots, fa_slots = self.lag_slots, self.fa_slots
         merge_runs = self.merge_runs
         nb, nr = self.n_bolus_in, self.n_rate_in
         bolus_inputs, rate_inputs = self.bolus_inputs, self.rate_inputs
         n_streams = (5 + nb + (nr if pass_inf else 0)
                      + int(pass_cens) + int(pass_outeq)
-                     + int(has_init) + (nb if pass_lag else 0)
-                     + (nb if pass_fa else 0)
+                     + int(has_init) + n_lag_pl + n_fa_pl
                      + n_init_planes
                      + sum(2 if m == "affine" else 1 for m in cov_modes))
         # ODEOptions.unroll amortizes XLA's per-while-iteration dispatch;
@@ -2296,9 +2456,9 @@ class _PallasOdePsiPlan:
                 n: ((next(it), next(it)) if m == "affine" else next(it))
                 for n, m in zip(cov_names, cov_modes)
             }
-            lagp = (tuple(next(it) for _ in range(nb))
+            lagp = (tuple(next(it) for _ in range(n_lag_pl))
                     if pass_lag else None)
-            fap = (tuple(next(it) for _ in range(nb))
+            fap = (tuple(next(it) for _ in range(n_fa_pl))
                    if pass_fa else None)
             ipl = (jnp.stack([next(it) for _ in range(n_init_planes)])
                    if n_init_planes else None)
@@ -2322,6 +2482,7 @@ class _PallasOdePsiPlan:
                 init_mask=imask,
                 cov_streams=covs, cov_names=cov_names,
                 lag_plane=lagp, fa_plane=fap,
+                lag_slots=lag_slots, fa_slots=fa_slots,
                 bolus_inputs=bolus_inputs, rate_inputs=rate_inputs,
                 merge_runs=merge_runs,
             )
@@ -2810,6 +2971,24 @@ def log_likelihood_matrix(
             except PharmsolError as e:
                 engine, reason = "xla", f"pallas plan rejected the model: {e}"
         equation._last_engine_decision = {"engine": "xla", "reason": reason}
+        # falling back to the XLA engine with an IMPLICIT solver on the
+        # tunneled TPU means an ~8-12 minute remote compile per process
+        # (CLAUDE.md) — tell the user how to reach the in-kernel stiff
+        # tier instead of letting them discover the cliff by waiting
+        solver = getattr(getattr(equation, "_opts", None), "solver", None)
+        if (solver in ("bdf", "kvaerno5")
+                and jax.devices()[0].platform == "tpu"):
+            import warnings
+
+            warnings.warn(
+                f"engine='auto' fell back to the XLA engine for solver "
+                f"'{solver}' ({reason}); implicit-solver psi programs "
+                f"compile for ~8-12 min per process on the tunneled TPU. "
+                f"For stiff psi on TPU consider "
+                f".with_solver('kvaerno3') or 'trbdf2' (fused in-kernel "
+                f"SDIRK tier, compiles in seconds).",
+                stacklevel=2,
+            )
     elif engine == "pallas":
         psi = _pallas_psi_matrix(equation, grid, sp, lowered)
         if on_error == "neg_inf":

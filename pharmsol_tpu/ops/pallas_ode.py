@@ -44,8 +44,10 @@ input (one stream + probed bolus map per active input), covariates that
 are time-constant OR piecewise-linear with every knot on a segment
 boundary (per-segment affine (a, b) streams — exact vs the reference
 interpolation), outputs linear in the state, lag/fa via the per-input
-pending-dose split march, init equations via per-support rows or
-per-(row, support) planes.
+pending-dose split march (time-dependent closures and closures reading
+a time-varying covariate ride exact per-dose-segment planes selected by
+static (input, segment)->slot tables), init equations via per-support
+rows or per-(row, support) planes.
 Compiled kernels are float32-only; off-TPU the kernel runs in interpret
 mode (which is also how the CPU/f64 parity tests exercise it).
 """
@@ -420,6 +422,8 @@ def _make_ode_kernel(
     has_cens: bool, n_out: int, has_bias: bool, has_init: bool,
     cov_names: tuple, cov_affine: tuple = (),
     has_lag: bool = False, has_fa: bool = False,
+    n_lag_planes: int = 0, n_fa_planes: int = 0,
+    lag_slots=None, fa_slots=None,
     n_bolus_in: int = 1, n_rate_in: int = 1,
     A=None, B=None, E=None, C=None, sdirk=None,
     rtol: float, atol: float, h0: float,
@@ -471,9 +475,11 @@ def _make_ode_kernel(
             ((next(it)[:, :], next(it)[:, :]) if aff else next(it)[:, :])
             for aff in cov_affine
         ]
-        lag_planes = ([next(it)[:, :] for _ in range(n_bolus_in)]
+        lag_planes = ([next(it)[:, :]
+                       for _ in range(n_lag_planes or n_bolus_in)]
                       if has_lag else None)
-        fa_planes = ([next(it)[:, :] for _ in range(n_bolus_in)]
+        fa_planes = ([next(it)[:, :]
+                      for _ in range(n_fa_planes or n_bolus_in)]
                      if has_fa else None)
         # covariate-dependent init: per-(row, support) planes instead of
         # per-support rows — same init expression, tile-shaped source
@@ -1036,9 +1042,28 @@ def _make_ode_kernel(
             f_m = make_f(cov_for_seg(m)) if any(cov_affine) else f_const
             march = integrate_sdirk if sdirk is not None else integrate
 
+            def fa_src(jb, _m=m):
+                """fa plane for input jb at segment _m (None = scale 1):
+                slot tables select the per-dose-segment plane when the fa
+                closure is time- or tv-covariate-dependent; slot -1 means
+                the host proved no bolus lands at that column."""
+                if not has_fa:
+                    return None
+                if fa_slots is not None:
+                    si = fa_slots[jb][_m]
+                    return None if si < 0 else fa_planes[si]
+                return fa_planes[jb]
+
+            def lag_src(jb, _m=m):
+                if lag_slots is not None:
+                    si = lag_slots[jb][_m]
+                    return None if si < 0 else lag_planes[si]
+                return lag_planes[jb]
+
             def amt_for(jb, _m=m, _bol=bol):
                 a = _bol if jb == 0 else col(bols_l[jb], _m)
-                return a * fa_planes[jb] if has_fa else a
+                f_ = fa_src(jb, _m)
+                return a * f_ if f_ is not None else a
 
             if m1 > m0 + 1:
                 # merged run: the host plan proved columns m0+1..m1-1 are
@@ -1100,15 +1125,20 @@ def _make_ode_kernel(
                           for s, x in enumerate(xs)]
                     pend_amt[jb] = jnp.where(fire0, zeros, pend_amt[jb])
                 # arrivals: park each input's (fa-scaled) dose with its
-                # per-lane lag
+                # per-lane lag; a None lag source means the host plan
+                # proved no bolus lands at this column (slot -1), so the
+                # arrival code is statically skipped
                 for jb in range(n_bolus_in):
+                    lp_ = lag_src(jb)
+                    if lp_ is None:
+                        continue
                     bol_j = bol if jb == 0 else col(bols_l[jb], m)
                     amt_j = amt_for(jb)
                     arrive = bol_j != 0.0
                     pend_amt[jb] = jnp.where(
                         arrive, pend_amt[jb] + amt_j, pend_amt[jb])
                     pend_rem[jb] = jnp.where(
-                        arrive, lag_planes[jb] + zeros, pend_rem[jb])
+                        arrive, lp_ + zeros, pend_rem[jb])
                 # split march: one pass per input, each advancing to the
                 # next earliest per-lane fire time (equal times fire
                 # together; for one input this is the classic two-piece
@@ -1186,6 +1216,8 @@ def psi_ode(
     cov_names=(),
     lag_plane=None,
     fa_plane=None,
+    lag_slots=None,
+    fa_slots=None,
     bolus_inputs=(0,),
     rate_inputs=(0,),
     merge_runs=None,
@@ -1216,7 +1248,11 @@ def psi_ode(
       bioavailability scale — one [R, S] plane, or a sequence of one
       plane per bolus input for multi-drug regimens (the kernel's
       per-input pending-dose split march / amount scaling; see
-      _make_ode_kernel);
+      _make_ode_kernel). With ``lag_slots`` / ``fa_slots`` (static
+      [n_bolus_inputs][M] tables of plane indices, -1 = no dose at that
+      column) the sequence is instead slot-indexed per-DOSE-SEGMENT
+      planes — the exact-evaluation path for time-dependent closures and
+      closures that read a time-varying covariate;
     - ``merge_runs``: static tuple of (m0, m1) column spans. Within a span
       the adaptive march does NOT stop at interior breakpoints — the host
       caller must have proven they are observation-only (no dose on any
@@ -1373,18 +1409,28 @@ def psi_ode(
         ob = jnp.asarray(out_bias, dtype)
         p_rows += [ob[k].reshape(1, S) for k in range(n_out)]
 
-    def as_plane_list(p, what):
-        """Normalize a plane argument to one [R, S] plane per bolus input."""
+    def as_plane_list(p, slots, what):
+        """Normalize a plane argument: one [R, S] plane per bolus input
+        (``slots`` None), or a flat slot-indexed list selected per
+        (input, segment) by the static ``slots`` table."""
         if p is None:
             return None
         lst = list(p) if isinstance(p, (list, tuple)) else [p]
-        if len(lst) == 1 and nb > 1:
+        if slots is None:
+            expect = nb
+        else:
+            if len(slots) != nb or any(len(rw) != M for rw in slots):
+                raise ValueError(
+                    f"{what} slots must be [{nb}][{M}] (input x segment)"
+                )
+            expect = max(max(rw) for rw in slots) + 1
+        if len(lst) == 1 and expect > 1:
             raise ValueError(
-                f"{what} must carry one [R, S] plane per bolus input ({nb})"
+                f"{what} must carry {expect} [R, S] planes"
             )
-        if len(lst) != nb:
+        if len(lst) != expect:
             raise ValueError(
-                f"{what} carries {len(lst)} planes, bolus_inputs names {nb}"
+                f"{what} carries {len(lst)} planes, expected {expect}"
             )
         out = []
         for arr in lst:
@@ -1396,8 +1442,12 @@ def psi_ode(
             out.append(arr)
         return out
 
-    lag_list = as_plane_list(lag_plane, "lag_plane")
-    fa_list = as_plane_list(fa_plane, "fa_plane")
+    if lag_slots is not None:
+        lag_slots = tuple(tuple(int(x) for x in rw) for rw in lag_slots)
+    if fa_slots is not None:
+        fa_slots = tuple(tuple(int(x) for x in rw) for rw in fa_slots)
+    lag_list = as_plane_list(lag_plane, lag_slots, "lag_plane")
+    fa_list = as_plane_list(fa_plane, fa_slots, "fa_plane")
     has_lag = lag_list is not None
     has_fa = fa_list is not None
     planes = []
@@ -1442,6 +1492,9 @@ def psi_ode(
         has_cens=has_cens, n_out=n_out, has_bias=has_bias, has_init=has_init,
         cov_names=cov_names, cov_affine=cov_affine,
         has_lag=has_lag, has_fa=has_fa,
+        n_lag_planes=len(lag_list) if has_lag else 0,
+        n_fa_planes=len(fa_list) if has_fa else 0,
+        lag_slots=lag_slots, fa_slots=fa_slots,
         n_bolus_in=nb, n_rate_in=nr,
         A=A, B=B, E=E, C=C, sdirk=sdirk,
         rtol=float(rtol),

@@ -182,4 +182,40 @@ px5 = log_likelihood_matrix(model5, Data(subjects5), sp5,
                                 ErrorPoly(0.5, 0.1), 1.0)), engine="xla")
 print(f"multi-input lag/fa: rel {rel(pp5, px5):.2e}  ({time.time()-t0:.0f}s)")
 assert rel(pp5, px5) < 5e-4, rel(pp5, px5)
+
+# --- dynamic lag/fa: closures reading a time-varying covariate ---------
+# (per-dose-segment slot tables; exercises the static slot codegen)
+model6 = ODE(
+    lambda x, p, t, b, rateiv, cov: jnp.stack([
+        -p[0] * x[0] + b[0],
+        p[0] * x[0] - p[1] * x[1],
+    ]),
+    lag=lambda p, t, cov: {0: p[3] * cov("wt", t) / 70.0},
+    fa=lambda p, t, cov: {0: p[4] / (1.0 + 0.05 * t)},
+    out=lambda x, p, t, cov: x[1:2] / p[2],
+    nstates=2, ndrugs=1, nout=1,
+)
+subjects6 = []
+for i in range(16):
+    sb = (SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0).bolus(6.0, 80.0, 0)
+          .covariate("wt", 0.0, 55.0 + 2.0 * i)
+          .covariate("wt", 2.0, 80.0 - 1.5 * i)
+          .covariate("wt", 10.0, 60.0 + 1.0 * i))
+    for t in (0.5, 1.0, 2.0, 4.0, 7.0, 10.0):
+        sb = sb.observation(t, float(4 * np.exp(-0.25 * t) + 0.05 * i), 0)
+    subjects6.append(sb.build())
+sp6 = np.column_stack([
+    rng.uniform(0.5, 2.0, 32), rng.uniform(0.05, 0.5, 32),
+    rng.uniform(30, 90, 32), rng.uniform(0.0, 1.1, 32),
+    rng.uniform(0.3, 1.0, 32),
+])
+t0 = time.time()
+pp6 = log_likelihood_matrix(model6, Data(subjects6), sp6,
+                            AssayErrorModels().add(0, AssayErrorModel.additive(
+                                ErrorPoly(0.5, 0.1), 1.0)), engine="pallas")
+px6 = log_likelihood_matrix(model6, Data(subjects6), sp6,
+                            AssayErrorModels().add(0, AssayErrorModel.additive(
+                                ErrorPoly(0.5, 0.1), 1.0)), engine="xla")
+print(f"dynamic lag/fa: rel {rel(pp6, px6):.2e}  ({time.time()-t0:.0f}s)")
+assert rel(pp6, px6) < 5e-4, rel(pp6, px6)
 print("TPU NEW PATHS OK")

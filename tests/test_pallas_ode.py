@@ -469,26 +469,106 @@ def test_ode_pallas_lag_with_time_varying_covariate():
     assert _rel_err(psi_p, psi_x) < 5e-5
 
 
-def test_ode_pallas_rejects_lag_reading_varying_covariate():
-    # a lag closure READING a time-varying covariate has no per-row
-    # constant value at the bolus time -> explicit fallback error
+def test_ode_pallas_lag_reading_varying_covariate_parity():
+    # a lag closure READING a time-varying covariate rides the exact
+    # per-dose-segment planes (lag evaluated at each bolus's ORIGINAL
+    # breakpoint time with the engine's CovView interpolation)
     model = ODE(
         lambda x, p, t, b, rateiv, cov: jnp.stack([
             -p[0] * x[0] + b[0],
+            p[0] * x[0] - p[1] * x[1],
         ]),
-        lag=lambda p, t, cov: {0: p[1] * cov("wt", 0.0) / 70.0},
-        out=lambda x, p, t, cov: x[0:1],
-        nstates=1, ndrugs=1, nout=1,
+        lag=lambda p, t, cov: {0: p[3] * cov("wt", t) / 70.0},
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
     )
-    sb = (SubjectBuilder("s0").bolus(0.0, 100.0, 0)
-          .covariate("wt", 0.0, 70.0)
-          .covariate("wt", 2.0, 90.0))
-    for t in (1.0, 2.0, 4.0):
-        sb = sb.observation(t, 1.0, 0)
-    sp = np.column_stack([np.full(4, 0.3), np.full(4, 0.5)])
-    with pytest.raises(PharmsolError, match="time-varying covariate"):
-        log_likelihood_matrix(model, Data([sb.build()]), sp, _ems(),
-                              engine="pallas")
+    subjects = []
+    for i in range(4):
+        sb = (SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+              .bolus(6.0, 80.0, 0)
+              .covariate("wt", 0.0, 55.0 + 3.0 * i)
+              .covariate("wt", 2.0, 85.0 - 2.0 * i)
+              .covariate("wt", 10.0, 60.0 + 1.0 * i))
+        for t in (0.5, 1.0, 2.0, 4.0, 7.0, 10.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.25 * t) + 0.05 * i), 0)
+        subjects.append(sb.build())
+    rng = np.random.default_rng(31)
+    sp = np.column_stack([
+        rng.uniform(0.5, 2.0, 8), rng.uniform(0.05, 0.5, 8),
+        rng.uniform(30, 90, 8),
+        rng.uniform(0.0, 1.1, 8),   # lag scale: effective lag varies by wt
+    ])
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 5e-5
+
+
+def test_ode_pallas_time_dependent_lag_fa_parity():
+    # time-DEPENDENT lag and fa closures: lag evaluated at each bolus's
+    # own time, fa at the lag-SHIFTED time (add_lagtime runs first —
+    # structs.rs:611-666) — both per-dose-segment planes
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+            p[0] * x[0] - p[1] * x[1],
+        ]),
+        lag=lambda p, t, cov: {0: p[3] / (1.0 + 0.1 * t)},
+        fa=lambda p, t, cov: {0: p[4] / (1.0 + 0.05 * t)},
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    subjects = []
+    for i in range(4):
+        sb = (SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+              .bolus(6.0, 80.0, 0))
+        for t in (0.5, 1.0, 2.0, 4.0, 7.0, 10.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.25 * t) + 0.05 * i), 0)
+        subjects.append(sb.build())
+    rng = np.random.default_rng(37)
+    sp = np.column_stack([
+        rng.uniform(0.5, 2.0, 8), rng.uniform(0.05, 0.5, 8),
+        rng.uniform(30, 90, 8),
+        rng.uniform(0.0, 1.4, 8),   # lag
+        rng.uniform(0.3, 1.0, 8),   # fa
+    ])
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 5e-5
+
+
+def test_ode_pallas_multi_input_time_dependent_lag_parity():
+    # per-dose-segment slot tables compose with per-input pending slots:
+    # two bolus inputs, each with a time-dependent lag
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+            -p[1] * x[1] + b[1],
+            p[0] * x[0] + p[1] * x[1] - p[2] * x[2],
+        ]),
+        lag=lambda p, t, cov: {0: p[3] / (1.0 + 0.1 * t),
+                               1: p[4] / (1.0 + 0.2 * t)},
+        out=lambda x, p, t, cov: x[2:3],
+        nstates=3, ndrugs=2, nout=1,
+    )
+    sb = (SubjectBuilder("s").bolus(0.0, 80.0, 0).bolus(0.5, 50.0, 1)
+          .bolus(8.0, 80.0, 0)
+          .observation(2.0, 1.5, 0).observation(5.0, 0.8, 0)
+          .observation(11.0, 0.4, 0))
+    rng = np.random.default_rng(7)
+    sp = np.column_stack([
+        rng.uniform(0.4, 1.5, 8), rng.uniform(0.8, 2.5, 8),
+        rng.uniform(0.05, 0.4, 8),
+        rng.uniform(0.0, 1.5, 8), rng.uniform(0.0, 1.0, 8),
+    ])
+    psi_x = log_likelihood_matrix(model, Data([sb.build()]), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data([sb.build()]), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 5e-5
 
 
 def test_ode_pallas_multi_input_bolus_parity():
