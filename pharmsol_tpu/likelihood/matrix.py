@@ -1884,10 +1884,11 @@ class _PallasOdePsiPlan:
 
         opts = equation._opts
         if (opts.solver not in _TABLEAUS
-                and opts.solver not in _SDIRK_TABLEAUS):
+                and opts.solver not in _SDIRK_TABLEAUS
+                and opts.solver != "bdf"):
             raise PharmsolError(
                 f"engine='pallas' ODE psi supports solvers "
-                f"{sorted(_TABLEAUS) + sorted(_SDIRK_TABLEAUS)} "
+                f"{sorted(_TABLEAUS) + sorted(_SDIRK_TABLEAUS) + ['bdf']} "
                 f"(model uses `{opts.solver}`; use the default XLA engine)"
             )
         self.opts = opts

@@ -266,6 +266,38 @@ _SDIRK_TABLEAUS = {
 }
 _SDIRK_TABLEAUS["esdirk34"] = _SDIRK_TABLEAUS["kvaerno3"]
 
+# Variable-order BDF (1-5) constants — same published family as
+# engine/ode.py:480-520 (SUNDIALS/ode15s fixed-leading-coefficient form):
+# kappa-stabilized alpha, gamma sums, per-order error constants, and the
+# involutory difference-array transform U = R(1).
+_BDF_MAX_ORDER = 5
+_BDF_KAPPA = (0.0, -0.1850, -1.0 / 9.0, -0.0823, -0.0415, 0.0)
+_BDF_GAMMA = tuple(
+    float(g) for g in
+    np.hstack(([0.0], np.cumsum(1.0 / np.arange(1, _BDF_MAX_ORDER + 1))))
+)
+_BDF_ALPHA = tuple(
+    (1.0 - k) * g for k, g in zip(_BDF_KAPPA, _BDF_GAMMA)
+)
+_BDF_ERROR_CONST = tuple(
+    k * g + 1.0 / (i + 1.0)
+    for i, (k, g) in enumerate(zip(_BDF_KAPPA, _BDF_GAMMA))
+)
+
+
+def _bdf_U():
+    """R(1): the involutory backward-difference transform, 6x6 floats."""
+    K = _BDF_MAX_ORDER + 1
+    U = np.zeros((K, K))
+    U[0, :] = 1.0
+    for i in range(1, K):
+        for j in range(1, K):
+            U[i, j] = U[i - 1, j] * ((i - 1.0 - j) / i)
+    return U
+
+
+_BDF_U = _bdf_U()
+
 
 def _lane_inverse(M, n: int):
     """Inverse of an n x n matrix whose entries are lane arrays.
@@ -425,11 +457,13 @@ def _make_ode_kernel(
     n_lag_planes: int = 0, n_fa_planes: int = 0,
     lag_slots=None, fa_slots=None,
     n_bolus_in: int = 1, n_rate_in: int = 1,
-    A=None, B=None, E=None, C=None, sdirk=None,
+    A=None, B=None, E=None, C=None, sdirk=None, use_bdf: bool = False,
+    bdf_max_order: int = 3, bdf_max_growth: float = 10.0,
     rtol: float, atol: float, h0: float,
     max_iters: int, unroll: int, newton_iters: int = 4,
     controller: str = "i", init_mode: str = "rows",
     runs=None, dense_P=None, lazy_capture: bool = False,
+    debug_trials: bool = False,
 ):
     """Build the fused ODE psi tile kernel.
 
@@ -603,6 +637,16 @@ def _make_ode_kernel(
             """
             target = jnp.broadcast_to(dt_col, shape)
             live0 = target > 0.0
+            # a lane whose state arrives non-finite (poisoned by an
+            # earlier segment) must NOT march: every trial would reject
+            # on the finite check, and at tau=0 the stall guard
+            # (tau + h <= tau) can never fire — the lane would silently
+            # burn the ENTIRE iteration budget in every remaining
+            # segment (measured: ~2% poisoned lanes made bdf psi ~860x
+            # slower than trbdf2). Dead-on-entry lanes exit immediately
+            # and stay NaN -> -inf downstream.
+            for s_ in range(n_states):
+                live0 = live0 & jnp.isfinite(xs[s_])
             k1_0 = f(xs, t0_col, rate)
             n_int = len(interior["T"]) if interior else 0
             if n_int:
@@ -828,6 +872,16 @@ def _make_ode_kernel(
             ns = len(sC)
             target = jnp.broadcast_to(dt_col, shape)
             live0 = target > 0.0
+            # a lane whose state arrives non-finite (poisoned by an
+            # earlier segment) must NOT march: every trial would reject
+            # on the finite check, and at tau=0 the stall guard
+            # (tau + h <= tau) can never fire — the lane would silently
+            # burn the ENTIRE iteration budget in every remaining
+            # segment (measured: ~2% poisoned lanes made bdf psi ~860x
+            # slower than trbdf2). Dead-on-entry lanes exit immediately
+            # and stay NaN -> -inf downstream.
+            for s_ in range(n_states):
+                live0 = live0 & jnp.isfinite(xs[s_])
             n_int = len(interior["T"]) if interior else 0
             if n_int:
                 T_eff, oe_int, preds0 = interior_setup(interior, target, xs)
@@ -996,12 +1050,338 @@ def _make_ode_kernel(
                 preds_f = interior_poison(interior, T_eff, tau_f, preds_f)
             return xs_out, h_out, preds_f
 
+        def integrate_bdf(f, xs, h, dt_col, rate, t0_col,
+                          estimate_h: bool, interior=None):
+            """Variable-order (1-5) BDF march, all lanes — the in-kernel
+            version of engine/ode._bdf_segment (SUNDIALS/ode15s family:
+            quasi-constant steps, backward-difference array D[8][n] as
+            per-lane state, kappa-stabilized fixed leading coefficient,
+            frozen-Jacobian Newton reusing the SDIRK lane machinery).
+            Per-lane order/step adaptation rides masked selects; the 6x6
+            difference-array rescale RU^T @ D is applied as two masked
+            static transforms (R(factor)^T then U^T), each 36*n lane FMAs.
+            No dense-output interpolant -> merged runs never reach here.
+            """
+            assert interior is None or not interior["T"]
+            MAXO = int(bdf_max_order)
+            K6 = MAXO + 1
+            target = jnp.broadcast_to(dt_col, shape)
+            live0 = target > 0.0
+            # a lane whose state arrives non-finite (poisoned by an
+            # earlier segment) must NOT march: every trial would reject
+            # on the finite check, and at tau=0 the stall guard
+            # (tau + h <= tau) can never fire — the lane would silently
+            # burn the ENTIRE iteration budget in every remaining
+            # segment (measured: ~2% poisoned lanes made bdf psi ~860x
+            # slower than trbdf2). Dead-on-entry lanes exit immediately
+            # and stay NaN -> -inf downstream.
+            for s_ in range(n_states):
+                live0 = live0 & jnp.isfinite(xs[s_])
+
+            def near(v, k):
+                # order lanes hold exact small ints, but compiled Mosaic
+                # fast-math may perturb select chains — use half-open
+                # bands instead of float equality
+                return (v > float(k) - 0.5) & (v < float(k) + 0.5)
+
+            def tab_at(table, order_l, lo, hi):
+                acc = zeros
+                for k in range(lo, hi + 1):
+                    ki = min(k, len(table) - 1)
+                    acc = acc + jnp.where(
+                        near(order_l, k), float(table[ki]), 0.0)
+                return acc
+
+            def rms_states(vs, scales):
+                r2 = zeros
+                for s in range(n_states):
+                    r2 = r2 + (vs[s] / scales[s]) ** 2
+                return jnp.sqrt(r2 / float(n_states))
+
+            def change_D(D, order_l, fac):
+                # lane R(fac): R[0][j]=1, R[i][0]=0 (i>=1),
+                # R[i][j] = R[i-1][j] * (i-1-fac*j)/i
+                R = [[None] * K6 for _ in range(K6)]
+                for i in range(1, K6):
+                    for j in range(1, K6):
+                        m_ij = (float(i - 1) - fac * float(j)) / float(i)
+                        R[i][j] = m_ij if i == 1 else R[i - 1][j] * m_ij
+
+                def act(i, j):
+                    return (order_l >= float(max(i, j)))
+
+                # tmp = Rm^T @ D[:6]
+                tmp = [[None] * n_states for _ in range(K6)]
+                for a in range(K6):
+                    for s in range(n_states):
+                        acc = D[0][s] if a == 0 else (
+                            jnp.where(act(0, a), 1.0, 0.0) * D[0][s])
+                        for b in range(1, K6):
+                            if a == 0:
+                                continue  # Rm[b][0] = 0 off-diag, diag b>0
+                            r_ba = R[b][a]
+                            ent = jnp.where(
+                                act(b, a), r_ba,
+                                1.0 if b == a else 0.0)
+                            acc = acc + ent * D[b][s]
+                        tmp[a][s] = acc
+                # out = Um^T @ tmp
+                out = [[None] * n_states for _ in range(K6)]
+                for c_ in range(K6):
+                    for s in range(n_states):
+                        acc = zeros
+                        for a in range(K6):
+                            u = float(_BDF_U[a][c_])
+                            ent = jnp.where(
+                                act(a, c_), u, 1.0 if a == c_ else 0.0)
+                            acc = acc + ent * tmp[a][s]
+                        out[c_][s] = acc
+                return out + [row[:] for row in D[K6:]]
+
+            def jac(xs_c, t_base):
+                cols = []
+                for j in range(n_states):
+                    tangent = tuple(
+                        jnp.ones(shape, dtype) if s == j else zeros
+                        for s in range(n_states)
+                    )
+                    _, jv = jax.jvp(
+                        lambda *x: f(list(x), t_base, rate),
+                        tuple(xs_c), tangent,
+                    )
+                    cols.append(list(jv))
+                return [[cols[j][i] for j in range(n_states)]
+                        for i in range(n_states)]
+
+            def one_trial(carry):
+                (tau, D, h_c, order_l, neq, live_f, it_, trials,
+                 nrej) = carry
+                live = live_f > 0.5
+                rem = target - tau
+                # clip the step to the remaining span, rescaling history
+                h_try = jnp.minimum(h_c, jnp.maximum(rem, 1e-14))
+                fac_clip = h_try / jnp.maximum(h_c, 1e-30)
+                clip = fac_clip < 1.0
+                D_cl = change_D(D, order_l, fac_clip)
+                D = [[jnp.where(clip, D_cl[i][s], D[i][s])
+                      for s in range(n_states)]
+                     for i in range(len(D))]
+                neq = jnp.where(clip, zeros, neq)
+
+                alpha_k = tab_at(_BDF_ALPHA, order_l, 1, MAXO)
+                c = h_try / jnp.maximum(alpha_k, 1e-30)
+                x_pred = [zeros] * n_states
+                psi_v = [zeros] * n_states
+                for i in range(K6):
+                    wi = (order_l >= float(i)).astype(dtype)
+                    gi = float(_BDF_GAMMA[i]) if i >= 1 else 0.0
+                    for s in range(n_states):
+                        x_pred[s] = x_pred[s] + wi * D[i][s]
+                        if i >= 1:
+                            psi_v[s] = psi_v[s] + wi * gi * D[i][s]
+                psi_v = [p / jnp.maximum(alpha_k, 1e-30) * 1.0
+                         for p in psi_v]
+                scales = [atol + rtol * jnp.abs(x_pred[s])
+                          for s in range(n_states)]
+                t_new = t0_col + tau + h_try
+
+                J = jac(x_pred, t_new)
+                A_l = [
+                    [
+                        (1.0 if i == j else 0.0) - c * J[i][j]
+                        for j in range(n_states)
+                    ]
+                    for i in range(n_states)
+                ]
+                Minv = _lane_inverse(A_l, n_states)
+                d_l = [zeros] * n_states
+                y = list(x_pred)
+                for _ in range(newton_iters):
+                    fy = f(y, t_new, rate)
+                    res = [c * fy[s] - psi_v[s] - d_l[s]
+                           for s in range(n_states)]
+                    step = [
+                        sum(Minv[s][j] * res[j] for j in range(n_states))
+                        for s in range(n_states)
+                    ]
+                    d_l = [dd + st for dd, st in zip(d_l, step)]
+                    y = [yy + st for yy, st in zip(y, step)]
+                fy = f(y, t_new, rate)
+                resid = [c * fy[s] - psi_v[s] - d_l[s]
+                         for s in range(n_states)]
+
+                ec_k = tab_at(_BDF_ERROR_CONST, order_l, 1, MAXO)
+                err_norm = rms_states(
+                    [ec_k * dd for dd in d_l], scales)
+                res_norm = rms_states(resid, scales)
+                finite = jnp.isfinite(err_norm)
+                for s in range(n_states):
+                    finite = finite & jnp.isfinite(y[s])
+                converged = res_norm <= 0.1
+                accept = live & (err_norm <= 1.0) & converged & finite
+
+                # accepted-path difference update (in registers):
+                # D[k+2] = d - D[k+1]; D[k+1] = d; D[i] += D[i+1] downward
+                d_op1 = [zeros] * n_states  # D[order+1] pre-update
+                for k in range(2, MAXO + 2):
+                    w = near(order_l + 1.0, k).astype(dtype)
+                    for s in range(n_states):
+                        d_op1[s] = d_op1[s] + w * D[k][s]
+                D_acc = []
+                for i in range(len(D)):
+                    is2 = near(order_l + 2.0, i)
+                    is1 = near(order_l + 1.0, i)
+                    D_acc.append([
+                        jnp.where(is2, d_l[s] - d_op1[s],
+                                  jnp.where(is1, d_l[s], D[i][s]))
+                        for s in range(n_states)
+                    ])
+                for i in range(MAXO, -1, -1):
+                    wi = (order_l >= float(i)).astype(dtype)
+                    for s in range(n_states):
+                        D_acc[i][s] = D_acc[i][s] + wi * D_acc[i + 1][s]
+
+                neq_acc = neq + 1.0
+                do_adapt = accept & (neq_acc > order_l)
+
+                # order adaptation: error norms at order-1/order/order+1
+                d_at_k = [zeros] * n_states    # D_acc[order]
+                d_at_k2 = [zeros] * n_states   # D_acc[order+2]
+                for k in range(1, MAXO + 1):
+                    w = near(order_l, k).astype(dtype)
+                    for s in range(n_states):
+                        d_at_k[s] = d_at_k[s] + w * D_acc[k][s]
+                        d_at_k2[s] = d_at_k2[s] + w * D_acc[k + 2][s]
+                ec_m = tab_at(_BDF_ERROR_CONST, order_l - 1.0, 0,
+                              MAXO - 1)
+                ec_p = tab_at(_BDF_ERROR_CONST, order_l + 1.0, 2,
+                              MAXO + 1)
+                err_m = rms_states([ec_m * v for v in d_at_k], scales)
+                err_p = rms_states([ec_p * v for v in d_at_k2], scales)
+                e_mid = jnp.maximum(err_norm, 1e-16)
+
+                def fac_of(e_, dord):
+                    # explicit exp/log: Mosaic's pow with a LANE-varying
+                    # exponent is the prime suspect for the compiled-only
+                    # controller traps (constant-exponent pow elsewhere
+                    # compiles fine); exp/log are known-good lowerings
+                    return jnp.exp(
+                        jnp.log(jnp.maximum(e_, 1e-16))
+                        * (-1.0 / (order_l + dord)))
+
+                f_m = fac_of(err_m, 0.0)
+                f_0 = fac_of(e_mid, 1.0)
+                f_p = fac_of(err_p, 2.0)
+                f_m = jnp.where(
+                    (order_l > 1.0) & jnp.isfinite(f_m), f_m, -1.0)
+                f_p = jnp.where(
+                    (order_l < float(MAXO))
+                    & jnp.isfinite(f_p), f_p, -1.0)
+                # argmax over {m, 0, p} with the middle winning ties
+                best_p = (f_p > f_0) & (f_p > f_m)
+                best_m = (f_m > f_0) & ~best_p
+                order_adapted = jnp.clip(
+                    order_l + jnp.where(best_p, 1.0,
+                                        jnp.where(best_m, -1.0, 0.0)),
+                    1.0, float(MAXO))
+                fac_best = jnp.where(best_p, f_p,
+                                     jnp.where(best_m, f_m, f_0))
+                factor_adapt = jnp.clip(0.9 * fac_best, 0.2,
+                                         bdf_max_growth)
+
+                factor_rej = jnp.where(
+                    finite & converged,
+                    jnp.clip(0.9 * fac_of(jnp.maximum(err_norm, 1e-16),
+                                          1.0), 0.2, 1.0),
+                    0.25,
+                )
+                factor = jnp.where(
+                    accept,
+                    jnp.where(do_adapt, factor_adapt, 1.0),
+                    factor_rej,
+                )
+                order_n = jnp.where(do_adapt, order_adapted, order_l)
+                # SUNDIALS-style robustness: a 3rd consecutive rejection
+                # hard-resets to order 1 at h/4 — clears high-order
+                # history the f32 error estimates can no longer trust
+                # (without this, ~2% of lanes fall into collapse/recover
+                # cycles that burn thousands of trials)
+                nrej_n = jnp.where(accept, zeros, nrej + 1.0)
+                hard = ~accept & (nrej >= 2.0) & live
+                order_n = jnp.where(hard, 1.0, order_n)
+                factor = jnp.where(hard, 0.25, factor)
+                nrej_n = jnp.where(hard, zeros, nrej_n)
+                # escape hatch for the f32 alternating accept/reject
+                # limit cycle: the quasi-constant policy only grows h
+                # after order+1 CONSECUTIVE accepts, so a lane whose
+                # err estimate noise-flips around 1.0 can never grow and
+                # trudges at a tiny step forever (measured: ~16k trials
+                # on ~2% of lanes, bit-identical under controller tweaks
+                # that only fire on consecutive rejections). An accept
+                # whose error is clearly small grows 1.4x immediately —
+                # the difference array is rescaled exactly either way.
+                grow_now = accept & ~do_adapt & (err_norm < 0.25)
+                factor = jnp.where(grow_now, 1.4, factor)
+                neq_n = jnp.where(
+                    accept & ~do_adapt & ~grow_now, neq_acc, zeros)
+                D_sel = [
+                    [jnp.where(accept, D_acc[i][s], D[i][s])
+                     for s in range(n_states)]
+                    for i in range(len(D))
+                ]
+                D_fac = change_D(D_sel, order_n, factor)
+                refac = factor != 1.0
+                D_n = [
+                    [jnp.where(live & refac, D_fac[i][s], D_sel[i][s])
+                     for s in range(n_states)]
+                    for i in range(len(D))
+                ]
+                tau_n = jnp.where(accept, tau + h_try, tau)
+                h_n = jnp.where(
+                    live, jnp.maximum(h_try * factor, 1e-14), h_c)
+                done_n = tau_n >= target - 1e-6 * jnp.maximum(
+                    target, 1e-30)
+                stalled = live & ((tau_n + h_n) <= tau_n) & ~done_n
+                live_n = live & ~done_n & ~stalled
+                return (tau_n, D_n, h_n, order_n, neq_n,
+                        live_n.astype(live_f.dtype), it_ + 1,
+                        trials + live_f, nrej_n)
+
+            def body(carry):
+                for _ in range(max(1, unroll)):
+                    carry = one_trial(carry)
+                return carry
+
+            def cond(carry):
+                live_f, it_ = carry[5], carry[6]
+                return (it_ < max_iters) & (jnp.max(live_f) > 0.5)
+
+            h_start = jnp.minimum(h, jnp.maximum(target, 1e-14))
+            f0 = f(xs, t0_col, rate)
+            D0 = [[zeros] * n_states
+                  for _ in range(MAXO + 3)]
+            D0[0] = [x + zeros for x in xs]
+            D0[1] = [h_start * k for k in f0]
+            init = (zeros, D0, h_start, jnp.full(shape, 1.0, dtype),
+                    zeros, live0.astype(dtype), jnp.zeros((), jnp.int32),
+                    zeros, zeros)
+            out_c = jax.lax.while_loop(cond, body, init)
+            tau_f, D_f, h_f, trials_f = out_c[0], out_c[1], out_c[2], out_c[7]
+            dbg_acc[0] = dbg_acc[0] + trials_f
+            incomplete = tau_f < target - 1e-6 * jnp.maximum(target, 1e-30)
+            nan = jnp.full(shape, jnp.nan, dtype)
+            xs_out = [jnp.where(incomplete, nan, D_f[0][s])
+                      for s in range(n_states)]
+            h_out = jnp.where(live0, h_f, h)
+            return xs_out, h_out, []
+
         if has_init:
             im = col(initm, 0)
             xs = [im * init_rows[s] + zeros for s in range(n_states)]
         else:
             xs = [zeros] * n_states
         ll = zeros
+        dbg_acc = [zeros]  # per-lane BDF trial counts (debug_trials)
         h = jnp.full(shape, h0, dtype)
         f_const = None if any(cov_affine) else make_f(const_lanes)
         if has_lag:
@@ -1040,7 +1420,9 @@ def _make_ode_kernel(
             rate = [col(r, m) for r in rates_l] if has_inf else None
             t0_col = col(t0s, m)
             f_m = make_f(cov_for_seg(m)) if any(cov_affine) else f_const
-            march = integrate_sdirk if sdirk is not None else integrate
+            march = (integrate_bdf if use_bdf
+                     else integrate_sdirk if sdirk is not None
+                     else integrate)
 
             def fa_src(jb, _m=m):
                 """fa plane for input jb at segment _m (None = scale 1):
@@ -1174,7 +1556,7 @@ def _make_ode_kernel(
                         pend_rem[jb] - dt_b, pend_rem[jb],
                     )
 
-        out_ref[:, :] = ll
+        out_ref[:, :] = dbg_acc[0] if debug_trials else ll
 
     return kernel
 
@@ -1277,16 +1659,21 @@ def psi_ode(
         raise ValueError(
             f"controller must be 'i' or 'pi' (got `{controller}`)"
         )
+    use_bdf = solver == "bdf"
     if solver in _TABLEAUS:
         A, B, E, C = _TABLEAUS[solver]
         sdirk = None
     elif solver in _SDIRK_TABLEAUS:
         A = B = E = C = None
         sdirk = _SDIRK_TABLEAUS[solver]
+    elif use_bdf:
+        A = B = E = C = None
+        sdirk = None
     else:
         raise ValueError(
             f"pallas ODE psi supports solvers "
-            f"{sorted(_TABLEAUS) + sorted(_SDIRK_TABLEAUS)} (got `{solver}`)"
+            f"{sorted(_TABLEAUS) + sorted(_SDIRK_TABLEAUS) + ['bdf']} "
+            f"(got `{solver}`)"
         )
     R, M = seg_dt.shape
     S = support.shape[0]
@@ -1496,7 +1883,17 @@ def psi_ode(
         n_fa_planes=len(fa_list) if has_fa else 0,
         lag_slots=lag_slots, fa_slots=fa_slots,
         n_bolus_in=nb, n_rate_in=nr,
-        A=A, B=B, E=E, C=C, sdirk=sdirk,
+        A=A, B=B, E=E, C=C, sdirk=sdirk, use_bdf=use_bdf,
+        # order cap 3 for the f32 in-kernel tier: orders 4-5 backward
+        # differences sit at the f32 noise floor, and the controller
+        # reading noise as error drives a near-permanent accept/reject
+        # oscillation (measured: a smooth 2-cmt lane burned the full 10k
+        # budget at cap 5, converged ~50 iters at cap 3; the f64 XLA
+        # engine keeps the full 1-5 range)
+        bdf_max_order=int(os.environ.get("PHARMSOL_BDF_MAX_ORDER", "3")),
+        bdf_max_growth=float(
+            os.environ.get("PHARMSOL_BDF_MAX_GROWTH", "10.0")),
+        debug_trials=os.environ.get("PHARMSOL_ODE_DEBUG_TRIALS") == "1",
         rtol=float(rtol),
         atol=float(atol), h0=float(h0), max_iters=int(max_iters),
         unroll=int(unroll), newton_iters=int(newton_iters),
@@ -1516,8 +1913,9 @@ def psi_ode(
     # the state count grows so the working set stays inside VMEM (the
     # measured 32x128 sweet spot covers the 1-4 state PK families)
     budget = max(ODE_TILE_BUDGET // max(1, (n_states + 3) // 4), 8 * 128)
-    if sdirk is not None:
-        # the frozen Jacobian + its inverse add ~2*n^2 live lane arrays
+    if sdirk is not None or use_bdf:
+        # the frozen Jacobian + its inverse add ~2*n^2 live lane arrays;
+        # BDF additionally carries the 8*n difference array
         budget = max(budget // 2, 8 * 128)
     while row_block * sp_block > budget and row_block > 8:
         row_block //= 2

@@ -178,10 +178,8 @@ def test_ode_pallas_multi_output_and_censoring():
     assert _rel_err(psi_p, psi_x) < 1e-4
 
 
-def test_ode_pallas_rejects_bdf_solver():
-    # bdf stays on the XLA engine (variable-order history does not fit the
-    # fixed-stage in-kernel scheme); trbdf2/kvaerno3 are the stiff kernels
-    model = _two_cmt_ode().with_solver("bdf")
+def test_ode_pallas_rejects_unknown_solver():
+    model = _two_cmt_ode().with_solver("kvaerno5")
     with pytest.raises(PharmsolError, match="supports solvers"):
         log_likelihood_matrix(
             model, _subjects(n=2), _support(4), _ems(), engine="pallas"
@@ -538,6 +536,87 @@ def test_ode_pallas_time_dependent_lag_fa_parity():
     psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
                                   engine="pallas")
     assert _rel_err(psi_p, psi_x) < 5e-5
+
+
+def test_ode_pallas_bdf_parity():
+    # in-kernel variable-order BDF (1-5): accuracy-level parity vs the
+    # XLA bdf engine (different step/order sequences, same tolerances)
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+            p[0] * x[0] - p[1] * x[1],
+        ]),
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    ).with_solver("bdf")
+    subjects = []
+    for i in range(4):
+        sb = SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0).bolus(6.0, 80.0, 0)
+        for t in (0.5, 1.0, 2.0, 4.0, 7.0, 10.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.25 * t) + 0.05 * i), 0)
+        subjects.append(sb.build())
+    rng = np.random.default_rng(3)
+    sp = np.column_stack([
+        rng.uniform(0.5, 2.0, 8), rng.uniform(0.05, 0.5, 8),
+        rng.uniform(30, 90, 8),
+    ])
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 5e-4
+
+
+def test_ode_pallas_bdf_stiff_parity():
+    # widely separated rates (ka up to 500/h vs ke ~0.3/h): the stiff
+    # regime bdf exists for — order/step adaptation must hold per lane
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+            p[0] * x[0] - p[1] * x[1],
+        ]),
+        out=lambda x, p, t, cov: x[1:2],
+        nstates=2, ndrugs=1, nout=1,
+    ).with_solver("bdf")
+    sb = SubjectBuilder("s").bolus(0.0, 50.0, 0)
+    for t in (0.1, 0.5, 1.0, 3.0, 8.0):
+        sb = sb.observation(t, 1.0, 0)
+    sp = np.column_stack([
+        np.array([50.0, 200.0, 500.0, 20.0]),
+        np.array([0.3, 0.5, 0.2, 0.4]),
+    ])
+    psi_x = log_likelihood_matrix(model, Data([sb.build()]), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data([sb.build()]), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 1e-3
+
+
+def test_ode_pallas_bdf_with_lag_and_infusion():
+    # bdf composes with the pending-dose split march and rate streams
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0] + rateiv[0],
+            p[0] * x[0] - p[1] * x[1],
+        ]),
+        lag=lambda p, t, cov: {0: p[3]},
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    ).with_solver("bdf")
+    sb = (SubjectBuilder("s").bolus(0.0, 100.0, 0)
+          .infusion(2.0, 40.0, 0, 1.5))
+    for t in (0.5, 1.0, 2.5, 4.0, 7.0):
+        sb = sb.observation(t, 1.0, 0)
+    rng = np.random.default_rng(9)
+    sp = np.column_stack([
+        rng.uniform(0.5, 2.0, 8), rng.uniform(0.05, 0.5, 8),
+        rng.uniform(30, 90, 8), rng.uniform(0.0, 1.2, 8),
+    ])
+    psi_x = log_likelihood_matrix(model, Data([sb.build()]), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data([sb.build()]), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 5e-4
 
 
 def test_ode_pallas_multi_input_time_dependent_lag_parity():
