@@ -55,6 +55,9 @@ F32_BUDGET: Dict[str, float] = {
     "ode_tv_covariate": 2e-4,    # per-segment affine covariate streams
     "ode_multi_input": 2e-4,     # per-input bolus/rate streams
     "analytical_init": 5e-5,     # per-support initial-state rows
+    # accuracy-level (different step/order sequences than the f64 golden
+    # path): in-kernel variable-order BDF, order capped at 3 in f32
+    "ode_bdf": 5e-4,
 }
 
 _NOMINAL = {
@@ -227,6 +230,30 @@ def _ode_case() -> BudgetCase:
     return BudgetCase("ode_dopri5", build, F32_BUDGET["ode_dopri5"])
 
 
+def _ode_bdf_case() -> BudgetCase:
+    def build():
+        import jax.numpy as jnp
+
+        from ..models.equation import ODE
+
+        model = ODE(
+            lambda x, p, t, b, rateiv, cov: jnp.stack([
+                -p[0] * x[0] + b[0],
+                p[0] * x[0] - p[1] * x[1] + rateiv[0],
+            ]),
+            out=lambda x, p, t, cov: x[1:2] / p[2],
+            nstates=2, ndrugs=1, nout=1,
+        ).with_solver("bdf")
+        data, rng = _workload()
+        sp = np.abs(
+            np.array([1.1, 0.2, 11.0])[None, :]
+            * (1.0 + 0.15 * rng.randn(12, 3))
+        )
+        return model, data, sp, _ems()
+
+    return BudgetCase("ode_bdf", build, F32_BUDGET["ode_bdf"])
+
+
 def _ode_lag_fa_case() -> BudgetCase:
     def build():
         import jax.numpy as jnp
@@ -367,6 +394,7 @@ def budget_cases():
     cases.append(_seq_case("segment"))
     cases.append(_censoring_case())
     cases.append(_ode_case())
+    cases.append(_ode_bdf_case())
     cases.append(_ode_lag_fa_case())
     cases.append(_ode_tv_cov_case())
     cases.append(_ode_multi_input_case())

@@ -222,6 +222,12 @@ out(cp) = central / v
 
     for case in budget_cases():
         for engine in ("pallas", "xla"):
+            if case.name == "ode_bdf" and engine == "xla":
+                # the XLA implicit psi program costs 8-12 min PER COMPILE
+                # through the tunnel (CLAUDE.md); the CPU suite gates the
+                # xla cell in interpret/f64 — on-chip only the fused
+                # kernel is asserted
+                continue
             res = run_case(case, engine=engine)
             checks.append((
                 f"f32-budget/{case.name}/{engine} "
