@@ -1811,6 +1811,12 @@ def _ode_merge_runs(streams, seg_t0, solver, *, n_bolus_in, n_rate_in,
     if (dense_P_for(solver) is None and solver not in _SDIRK_TABLEAUS) \
             or has_lag:
         return None
+    if (solver in _SDIRK_TABLEAUS
+            and _SDIRK_TABLEAUS[solver]["order"] > 3.0):
+        # the cubic-Hermite interior capture is order-matched only for
+        # the 2nd/3rd-order stiffly-accurate tableaus; kvaerno5 marches
+        # segment by segment
+        return None
     if os.environ.get("PHARMSOL_ODE_NO_MERGE") == "1":
         # perf-experiment kill switch; lives HERE (not in psi_ode) so the
         # choice is part of the plan and its cache_key

@@ -266,6 +266,24 @@ _SDIRK_TABLEAUS = {
 }
 _SDIRK_TABLEAUS["esdirk34"] = _SDIRK_TABLEAUS["kvaerno3"]
 
+
+def _kv5_tableau():
+    # published Kvaerno (2004) 7-stage stiffly-accurate ESDIRK — same
+    # constants as engine/ode.py (_KV5_*). max_growth 1.5 mirrors the
+    # XLA engine: the order-5 embedded estimator is optimistic across
+    # sharp nonlinear transitions (engine/ode.py:438-446). Order > 3, so
+    # the cubic-Hermite merge capture is NOT order-matched — the plan
+    # never merges kvaerno5 (_ode_merge_runs).
+    from ..engine.ode import _KV5_A, _KV5_B, _KV5_BHAT, _KV5_C, _KV5_GAMMA
+
+    return {
+        "A": _KV5_A, "B": _KV5_B, "BHAT": _KV5_BHAT, "C": _KV5_C,
+        "gamma": _KV5_GAMMA, "order": 5.0, "max_growth": 1.5,
+    }
+
+
+_SDIRK_TABLEAUS["kvaerno5"] = _kv5_tableau()
+
 # Variable-order BDF (1-5) constants — same published family as
 # engine/ode.py:480-520 (SUNDIALS/ode15s fixed-leading-coefficient form):
 # kappa-stabilized alpha, gamma sums, per-order error constants, and the

@@ -179,7 +179,8 @@ def test_ode_pallas_multi_output_and_censoring():
 
 
 def test_ode_pallas_rejects_unknown_solver():
-    model = _two_cmt_ode().with_solver("kvaerno5")
+    # expm is a real XLA-engine solver but has no fused-kernel tier
+    model = _two_cmt_ode().with_solver("expm")
     with pytest.raises(PharmsolError, match="supports solvers"):
         log_likelihood_matrix(
             model, _subjects(n=2), _support(4), _ems(), engine="pallas"

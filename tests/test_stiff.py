@@ -209,7 +209,7 @@ def test_tsit5_trbdf2_tableau_order_conditions():
     )
 
 
-@pytest.mark.parametrize("solver", ["bdf", "kvaerno3", "trbdf2"])
+@pytest.mark.parametrize("solver", ["bdf", "kvaerno3", "trbdf2", "kvaerno5"])
 def test_tmdd_pallas_psi_matches_xla(solver):
     # the fused stiff psi tiers (in-kernel SDIRK and variable-order BDF)
     # on the genuinely stiff TMDD corpus: accuracy-level parity vs the
