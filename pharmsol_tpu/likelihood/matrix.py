@@ -1891,10 +1891,11 @@ class _PallasOdePsiPlan:
         opts = equation._opts
         if (opts.solver not in _TABLEAUS
                 and opts.solver not in _SDIRK_TABLEAUS
-                and opts.solver != "bdf"):
+                and opts.solver not in ("bdf", "expm")):
             raise PharmsolError(
                 f"engine='pallas' ODE psi supports solvers "
-                f"{sorted(_TABLEAUS) + sorted(_SDIRK_TABLEAUS) + ['bdf']} "
+                f"{sorted(_TABLEAUS) + sorted(_SDIRK_TABLEAUS)
+                   + ['bdf', 'expm']} "
                 f"(model uses `{opts.solver}`; use the default XLA engine)"
             )
         self.opts = opts
@@ -2008,6 +2009,71 @@ class _PallasOdePsiPlan:
                 )
             bmaps.append(d_ref.T)  # [n_states, S]
         bolus_map = np.stack(bmaps, axis=0)  # [nb, n_states, S]
+
+        if opts.solver == "expm":
+            # The in-kernel expm march trusts the RHS to be affine in the
+            # state and autonomous within segments (the XLA expm path
+            # verifies this AT RUNTIME with in-jit probes + NaN poisoning,
+            # engine/ode.py:725-776; here the same contracts are verified
+            # once, host-side in f64, and violation falls back to the XLA
+            # engine — which then poisons per its own semantics).
+            def rhs_at(p, x, t, covd, rate_vec):
+                z = jnp.zeros((ninput,), jnp.float64)
+                shim = _RowCov(covd)
+                return jnp.asarray(
+                    diffeq(jnp.asarray(x, jnp.float64), p,
+                           jnp.asarray(t, jnp.float64), z,
+                           jnp.asarray(rate_vec, jnp.float64), shim),
+                    jnp.float64,
+                )
+
+            x_zero = np.zeros(n_states)
+            x_sum = x_a + x_b
+            rate_probes = [np.zeros(ninput)]
+            for j in rate_inputs:
+                rv = np.zeros(ninput)
+                rv[j] = 1.73
+                rate_probes.append(rv)
+            try:
+                with _host_cpu_device():
+                    for covd in (cov0, cov1):
+                        for rv in rate_probes:
+                            def ev(x, t, _c=covd, _r=rv):
+                                return np.asarray(jax.vmap(
+                                    lambda p: rhs_at(p, x, t, _c, _r))(
+                                        jnp.asarray(sp, jnp.float64)),
+                                    np.float64)
+
+                            f0 = ev(x_zero, 0.11)
+                            fa_p = ev(x_a, 0.11)
+                            fb_p = ev(x_b, 0.11)
+                            fab = ev(x_sum, 0.11)
+                            pscale = 1.0 + np.abs(fa_p).max() \
+                                + np.abs(fb_p).max()
+                            if (np.abs(fab + f0 - fa_p - fb_p).max()
+                                    > 1e-6 * pscale):
+                                raise PharmsolError(
+                                    "engine='pallas' expm psi requires an "
+                                    "RHS AFFINE in the state (dx = A(p, "
+                                    "cov) x + u); the superposition probe "
+                                    "failed — use an adaptive solver or "
+                                    "the default XLA engine"
+                                )
+                            fa_t = ev(x_a, 17.31)
+                            if np.abs(fa_t - fa_p).max() > 1e-6 * pscale:
+                                raise PharmsolError(
+                                    "engine='pallas' expm psi requires an "
+                                    "RHS autonomous within segments (no "
+                                    "direct t reads) — use the default "
+                                    "XLA engine"
+                                )
+            except PharmsolError:
+                raise
+            except Exception as e:
+                raise PharmsolError(
+                    f"engine='pallas' could not probe RHS affinity for "
+                    f"expm: {e}"
+                ) from e
 
         init_rows = None
         init_planes = None
@@ -2265,6 +2331,19 @@ class _PallasOdePsiPlan:
                 grid, sorted(varying_covs), seg_t0, np.asarray(streams[0])
             ) if varying_covs else {}
         )
+        if opts.solver == "expm":
+            # expm is exact only for an autonomous in-segment RHS; a
+            # covariate that interpolates LINEARLY with a nonzero slope
+            # makes it time-dependent (carry-forward / piecewise-constant
+            # covariates ride affine streams with b == 0 and stay exact)
+            for name, (_a_s, b_s) in affine_streams.items():
+                if np.any(np.asarray(b_s, np.float64) != 0.0):
+                    raise PharmsolError(
+                        f"engine='pallas' expm psi requires covariates "
+                        f"constant within segments; `{name}` interpolates "
+                        f"linearly with a nonzero slope — use an adaptive "
+                        f"solver or the default XLA engine"
+                    )
         self.cov_streams = {}
         for name in self.cov_names:
             if name in affine_streams:

@@ -39,7 +39,9 @@ the model's ODEOptions (defaults rtol=atol=1e-4, ode/mod.rs:40-41).
 
 Scope (validated by likelihood/matrix._PallasOdePsiPlan; anything else
 falls back to the general XLA engine): explicit solvers (dopri5/tsit5)
-plus the in-kernel SDIRK stiff tier, boluses and infusions into any RHS
+plus the in-kernel SDIRK stiff tier, in-kernel variable-order ``bdf``,
+and the in-kernel EXACT ``expm`` march for affine-in-state RHS (host
+affinity/autonomy probes gate it), boluses and infusions into any RHS
 input (one stream + probed bolus map per active input), covariates that
 are time-constant OR piecewise-linear with every knot on a segment
 boundary (per-segment affine (a, b) streams — exact vs the reference
@@ -316,6 +318,19 @@ def _bdf_U():
 
 _BDF_U = _bdf_U()
 
+# expm tier constants — same chain as engine/ode.py:668-669 (Taylor radius
+# 1.0 with 13 terms; 16 masked squarings cover ||[A u]|| dt up to 2^16).
+_EXPM_TAYLOR = 13
+_EXPM_SQUARINGS = 16
+
+
+def _dotn(row, col):
+    """Unrolled lane dot product (no dot_general — pure VPU FMAs)."""
+    acc = row[0] * col[0]
+    for x, y in zip(row[1:], col[1:]):
+        acc = acc + x * y
+    return acc
+
 
 def _lane_inverse(M, n: int):
     """Inverse of an n x n matrix whose entries are lane arrays.
@@ -476,6 +491,7 @@ def _make_ode_kernel(
     lag_slots=None, fa_slots=None,
     n_bolus_in: int = 1, n_rate_in: int = 1,
     A=None, B=None, E=None, C=None, sdirk=None, use_bdf: bool = False,
+    use_expm: bool = False, expm_squarings: int = _EXPM_SQUARINGS,
     bdf_max_order: int = 3, bdf_max_growth: float = 10.0,
     rtol: float, atol: float, h0: float,
     max_iters: int, unroll: int, newton_iters: int = 4,
@@ -1068,6 +1084,130 @@ def _make_ode_kernel(
                 preds_f = interior_poison(interior, T_eff, tau_f, preds_f)
             return xs_out, h_out, preds_f
 
+        def integrate_expm(f, xs, h, dt_col, rate, t0_col,
+                           estimate_h: bool, interior=None):
+            """EXACT affine-segment propagation — the in-kernel version of
+            engine/ode.expm_segment for user-written LINEAR compartment
+            ODEs (the dominant PK case outside the 12 closed forms).
+
+            Within a segment the RHS is autonomous-affine (parameters
+            fixed, rateiv constant, covariates per-segment constant —
+            the host plan validated affinity/autonomy with f64 probes, so
+            no runtime superposition guard is needed): ``dx = A x + u``
+            with ``u = f(0)`` and A columns via ``jax.jvp`` at 0 against
+            the segment's actual rate. The exact step is the matrix
+            exponential of the augmented block ``[[A, u], [0, 0]]``,
+            evaluated in the (P, q) affine form with a Taylor-Horner
+            chain plus a static MASKED squaring chain (the count is
+            data-dependent under jit) — a fixed, loop-free op chain: no
+            while_loop, no step-count divergence, no tolerance error.
+            Lanes whose scaled norm exceeds the squaring budget or that
+            go non-finite are NaN-poisoned (-> -inf downstream), the
+            same degradation as the XLA expm path. ``dt == 0`` lanes get
+            P = I, q = 0 exactly; NaN-on-entry lanes stay NaN through
+            the FMAs at no extra cost (no iteration budget to burn).
+            """
+            assert interior is None or not interior["T"], \
+                "expm never merges (each capture costs a full propagation)"
+            target = jnp.broadcast_to(dt_col, shape)
+            t_base = t0_col + zeros
+            u = f([zeros] * n_states, t_base, rate)
+            cols = []
+            for j in range(n_states):
+                tangent = tuple(
+                    jnp.ones(shape, dtype) if s == j else zeros
+                    for s in range(n_states)
+                )
+                _, jv = jax.jvp(
+                    lambda *x: f(list(x), t_base, rate),
+                    tuple(zeros for _ in range(n_states)), tangent,
+                )
+                cols.append(list(jv))
+            # Adt[i][j] = dt * df_i/dx_j, udt[i] = dt * f_i(0)
+            Adt = [[cols[j][i] * target for j in range(n_states)]
+                   for i in range(n_states)]
+            udt = [u[i] * target for i in range(n_states)]
+            norm = None
+            for i in range(n_states):
+                row = jnp.abs(udt[i])
+                for j in range(n_states):
+                    row = row + jnp.abs(Adt[i][j])
+                norm = row if norm is None else jnp.maximum(norm, row)
+            norm = jnp.maximum(norm, 1e-30)
+            s_cnt = jnp.ceil(jnp.maximum(
+                jnp.log2(norm), jnp.zeros_like(norm)))
+            sc = jnp.exp2(-s_cnt)
+            As = [[Adt[i][j] * sc for j in range(n_states)]
+                  for i in range(n_states)]
+            us = [udt[i] * sc for i in range(n_states)]
+
+            def mm(X, Y):
+                return [[_dotn(X[i], [Y[l][j] for l in range(n_states)])
+                         for j in range(n_states)]
+                        for i in range(n_states)]
+
+            def mv(X, v):
+                return [_dotn(X[i], v) for i in range(n_states)]
+
+            # Taylor-Horner on the affine block form (engine/ode.py:706):
+            # (P, q) <- (I + A P / d, (A q + u) / d). Both chains ride
+            # lax.fori_loop: fully unrolling 13 + 16 matrix products per
+            # segment multiplies the trace by ~30x and stalls compilation
+            # (minutes on the CPU interpreter for a 10-subject test);
+            # the loop bodies are tiny and loop overhead is negligible
+            # next to the adaptive solvers' while_loops.
+            def flat(Pm, qv):
+                return tuple(e for row in Pm for e in row) + tuple(qv)
+
+            def unflat(t):
+                Pm = [[t[i * n_states + j] for j in range(n_states)]
+                      for i in range(n_states)]
+                return Pm, list(t[n_states * n_states:])
+
+            inv_d = 1.0 / float(_EXPM_TAYLOR)
+            P = [[As[i][j] * inv_d + (1.0 if i == j else 0.0)
+                  for j in range(n_states)] for i in range(n_states)]
+            q = [us[i] * inv_d for i in range(n_states)]
+
+            def taylor_body(it_t, carry):
+                Pm, qv = unflat(carry)
+                d = float(_EXPM_TAYLOR - 1) - it_t.astype(dtype)
+                inv = 1.0 / d
+                AP = mm(As, Pm)
+                Aq = mv(As, qv)
+                Pn = [[AP[i][j] * inv + (1.0 if i == j else 0.0)
+                       for j in range(n_states)] for i in range(n_states)]
+                qn = [(Aq[i] + us[i]) * inv for i in range(n_states)]
+                return flat(Pn, qn)
+
+            P, q = unflat(jax.lax.fori_loop(
+                0, _EXPM_TAYLOR - 1, taylor_body, flat(P, q)))
+
+            def square_body(it_sq, carry):
+                Pm, qv = unflat(carry)
+                PP = mm(Pm, Pm)
+                Pq = mv(Pm, qv)
+                on = s_cnt > it_sq.astype(dtype)
+                Pn = [[jnp.where(on, PP[i][j], Pm[i][j])
+                       for j in range(n_states)] for i in range(n_states)]
+                qn = [jnp.where(on, Pq[i] + qv[i], qv[i])
+                      for i in range(n_states)]
+                return flat(Pn, qn)
+
+            P, q = unflat(jax.lax.fori_loop(
+                0, expm_squarings, square_body, flat(P, q)))
+            xs_new = [mv(P, list(xs))[i] + q[i] for i in range(n_states)]
+            bad = s_cnt > float(expm_squarings)
+            for i in range(n_states):
+                bad = bad | ~jnp.isfinite(xs_new[i])
+            live = target > 0.0
+            nan = jnp.full(shape, jnp.nan, dtype)
+            xs_out = [
+                jnp.where(live, jnp.where(bad, nan, xn), x)
+                for xn, x in zip(xs_new, xs)
+            ]
+            return xs_out, h, []
+
         def integrate_bdf(f, xs, h, dt_col, rate, t0_col,
                           estimate_h: bool, interior=None):
             """Variable-order (1-5) BDF march, all lanes — the in-kernel
@@ -1438,7 +1578,8 @@ def _make_ode_kernel(
             rate = [col(r, m) for r in rates_l] if has_inf else None
             t0_col = col(t0s, m)
             f_m = make_f(cov_for_seg(m)) if any(cov_affine) else f_const
-            march = (integrate_bdf if use_bdf
+            march = (integrate_expm if use_expm
+                     else integrate_bdf if use_bdf
                      else integrate_sdirk if sdirk is not None
                      else integrate)
 
@@ -1678,20 +1819,21 @@ def psi_ode(
             f"controller must be 'i' or 'pi' (got `{controller}`)"
         )
     use_bdf = solver == "bdf"
+    use_expm = solver == "expm"
     if solver in _TABLEAUS:
         A, B, E, C = _TABLEAUS[solver]
         sdirk = None
     elif solver in _SDIRK_TABLEAUS:
         A = B = E = C = None
         sdirk = _SDIRK_TABLEAUS[solver]
-    elif use_bdf:
+    elif use_bdf or use_expm:
         A = B = E = C = None
         sdirk = None
     else:
         raise ValueError(
             f"pallas ODE psi supports solvers "
-            f"{sorted(_TABLEAUS) + sorted(_SDIRK_TABLEAUS) + ['bdf']} "
-            f"(got `{solver}`)"
+            f"{sorted(_TABLEAUS) + sorted(_SDIRK_TABLEAUS) + ['bdf', 'expm']}"
+            f" (got `{solver}`)"
         )
     R, M = seg_dt.shape
     S = support.shape[0]
@@ -1902,6 +2044,7 @@ def psi_ode(
         lag_slots=lag_slots, fa_slots=fa_slots,
         n_bolus_in=nb, n_rate_in=nr,
         A=A, B=B, E=E, C=C, sdirk=sdirk, use_bdf=use_bdf,
+        use_expm=use_expm,
         # order cap 3 for the f32 in-kernel tier: orders 4-5 backward
         # differences sit at the f32 noise floor, and the controller
         # reading noise as error drives a near-permanent accept/reject

@@ -62,6 +62,9 @@ F32_BUDGET: Dict[str, float] = {
     # 1.4e-3 (its own step sequence) — budget set above the compiled
     # number
     "ode_bdf": 2e-3,
+    # exact propagator (no controller): pure f32 roundoff through the
+    # Taylor/squaring chain (~30 tiny matmuls per segment)
+    "ode_expm": 5e-5,
 }
 
 _NOMINAL = {
@@ -258,6 +261,30 @@ def _ode_bdf_case() -> BudgetCase:
     return BudgetCase("ode_bdf", build, F32_BUDGET["ode_bdf"])
 
 
+def _ode_expm_case() -> BudgetCase:
+    def build():
+        import jax.numpy as jnp
+
+        from ..models.equation import ODE
+
+        model = ODE(
+            lambda x, p, t, b, rateiv, cov: jnp.stack([
+                -p[0] * x[0] + b[0],
+                p[0] * x[0] - p[1] * x[1] + rateiv[0],
+            ]),
+            out=lambda x, p, t, cov: x[1:2] / p[2],
+            nstates=2, ndrugs=1, nout=1,
+        ).with_solver("expm")
+        data, rng = _workload()
+        sp = np.abs(
+            np.array([1.1, 0.2, 11.0])[None, :]
+            * (1.0 + 0.15 * rng.randn(12, 3))
+        )
+        return model, data, sp, _ems()
+
+    return BudgetCase("ode_expm", build, F32_BUDGET["ode_expm"])
+
+
 def _ode_lag_fa_case() -> BudgetCase:
     def build():
         import jax.numpy as jnp
@@ -399,6 +426,7 @@ def budget_cases():
     cases.append(_censoring_case())
     cases.append(_ode_case())
     cases.append(_ode_bdf_case())
+    cases.append(_ode_expm_case())
     cases.append(_ode_lag_fa_case())
     cases.append(_ode_tv_cov_case())
     cases.append(_ode_multi_input_case())

@@ -179,12 +179,166 @@ def test_ode_pallas_multi_output_and_censoring():
 
 
 def test_ode_pallas_rejects_unknown_solver():
-    # expm is a real XLA-engine solver but has no fused-kernel tier
-    model = _two_cmt_ode().with_solver("expm")
+    model = _two_cmt_ode().with_solver("bogus")
     with pytest.raises(PharmsolError, match="supports solvers"):
         log_likelihood_matrix(
             model, _subjects(n=2), _support(4), _ems(), engine="pallas"
         )
+
+
+def test_ode_pallas_expm_exact_parity():
+    # the fused expm march is EXACT (same Taylor/squaring chain as the
+    # XLA expm path, engine/ode.py:706-776) — parity is machine-level,
+    # not tolerance-level
+    model = _two_cmt_ode().with_solver("expm")
+    data = _subjects()
+    sp = _support()
+    psi_x = log_likelihood_matrix(model, data, sp, _ems(), engine="xla")
+    psi_p = log_likelihood_matrix(model, data, sp, _ems(), engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 1e-10
+
+
+def test_ode_pallas_expm_lag_fa_parity():
+    # the pending-dose split march composes with the exact propagator:
+    # each sub-span is one expm, so parity stays machine-level
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+            p[0] * x[0] - p[1] * x[1],
+        ]),
+        lag=lambda p, t, cov: {0: p[3]},
+        fa=lambda p, t, cov: {0: p[4]},
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    ).with_solver("expm")
+    subjects = []
+    for i in range(6):
+        sb = (SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+              .bolus(6.0, 80.0, 0))
+        for t in (0.5, 1.0, 2.0, 4.0, 7.0, 10.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.25 * t) + 0.05 * i), 0)
+        subjects.append(sb.build())
+    rng = np.random.default_rng(23)
+    sp = np.column_stack([
+        rng.uniform(0.5, 2.0, 12), rng.uniform(0.05, 0.5, 12),
+        rng.uniform(30, 90, 12),
+        rng.uniform(0.0, 1.5, 12),   # lag
+        rng.uniform(0.3, 1.0, 12),   # fa
+    ])
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 1e-9
+
+
+def test_ode_pallas_expm_step_covariate_parity():
+    # carry-forward covariates are constant within segments (affine
+    # streams with b == 0): the RHS stays autonomous and expm stays exact
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+            p[0] * x[0] - p[1] * (1.0 + 0.5 * cov("phase", t)) * x[1],
+        ]),
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    ).with_solver("expm")
+    subjects = []
+    for i in range(6):
+        sb = (SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+              .covariate("phase!", 0.0, 0.0)
+              .covariate("phase!", 3.0, 1.0))
+        for t in (1.0, 3.0, 5.0, 9.0):
+            sb = sb.observation(t, float(3 * np.exp(-0.2 * t)), 0)
+        subjects.append(sb.build())
+    sp = _support(12, seed=29)
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 1e-9
+
+
+def test_ode_pallas_expm_multi_output_and_init():
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+            p[0] * x[0] - p[1] * x[1],
+        ]),
+        init=lambda p, t, cov: jnp.stack([0.0, p[3]]),
+        out=lambda x, p, t, cov: jnp.stack([x[1] / p[2], x[0]]),
+        nstates=2, ndrugs=1, nout=2,
+    ).with_solver("expm")
+    subjects = []
+    for i in range(6):
+        sb = SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+        for t in (0.5, 2.0, 6.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.25 * t)), 0)
+            sb = sb.observation(t + 0.25, float(30 * np.exp(-0.9 * t)), 1)
+        subjects.append(sb.build())
+    ems = AssayErrorModels().add(
+        0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0)
+    ).add(1, AssayErrorModel.additive(ErrorPoly(1.0, 0.05), 1.0))
+    rng = np.random.default_rng(31)
+    sp = np.column_stack([
+        rng.uniform(0.5, 2.0, 12), rng.uniform(0.05, 0.5, 12),
+        rng.uniform(30, 90, 12), rng.uniform(0.0, 10.0, 12),
+    ])
+    psi_x = log_likelihood_matrix(model, Data(subjects), sp, ems,
+                                  engine="xla")
+    psi_p = log_likelihood_matrix(model, Data(subjects), sp, ems,
+                                  engine="pallas")
+    assert _rel_err(psi_p, psi_x) < 1e-10
+
+
+def test_ode_pallas_expm_rejects_nonlinear_rhs():
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] / (p[1] + x[0]) + b[0],
+        ]),
+        out=lambda x, p, t, cov: x[0:1] / p[2],
+        nstates=1, ndrugs=1, nout=1,
+    ).with_solver("expm")
+    sp = np.array([[10.0, 15.0, 30.0]])
+    with pytest.raises(PharmsolError, match="AFFINE"):
+        log_likelihood_matrix(model, _subjects(n=2), sp, _ems(),
+                              engine="pallas")
+
+
+def test_ode_pallas_expm_rejects_time_dependent_rhs():
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * (1.0 + 0.1 * t) * x[0] + b[0],
+        ]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    ).with_solver("expm")
+    sp = np.array([[0.3, 20.0]])
+    with pytest.raises(PharmsolError, match="autonomous"):
+        log_likelihood_matrix(model, _subjects(n=2), sp, _ems(),
+                              engine="pallas")
+
+
+def test_ode_pallas_expm_rejects_linear_covariate():
+    # a linearly-interpolating covariate makes the in-segment RHS
+    # time-dependent — expm falls back even though every knot sits on a
+    # segment boundary (the adaptive tiers would accept this model)
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * (cov("wt", t) / 70.0) * x[0] + b[0],
+        ]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    ).with_solver("expm")
+    sb = (SubjectBuilder("s0").bolus(0.0, 100.0, 0)
+          .covariate("wt", 0.0, 60.0)
+          .covariate("wt", 2.0, 80.0))
+    for t in (1.0, 2.0, 4.0):
+        sb = sb.observation(t, 1.0, 0)
+    sp = np.array([[0.3, 20.0]])
+    with pytest.raises(PharmsolError, match="constant within segments"):
+        log_likelihood_matrix(model, Data([sb.build()]), sp, _ems(),
+                              engine="pallas")
 
 
 def test_ode_pallas_lag_fa_parity():
