@@ -1428,9 +1428,15 @@ class _PallasPsiPlan:
                     except PharmsolError as plane_err:
                         raise affine_err or plane_err or level_err
         # lag/fa: per-(row, support) planes via the kernel's pending-dose /
-        # amount-scale mechanism (structs.rs:611-666)
+        # amount-scale mechanism (structs.rs:611-666). Time-dependent
+        # closures and closures that READ a time-varying covariate switch
+        # to exact per-DOSE-SEGMENT planes (built after the streams below,
+        # same mechanism as the ODE tier's slot tables).
         self.lag_plane = None
         self.fa_plane = None
+        self.lag_slots = None
+        self.fa_slots = None
+        lag_fa_dynamic = False
         ninput = int(equation.ndrugs())
         if equation._lag is not None:
             # a lag-shifted dose inserts a real-event seq-reset breakpoint.
@@ -1448,18 +1454,30 @@ class _PallasPsiPlan:
                     "host-side segment schedule cannot express) — use the "
                     "default XLA engine"
                 )
-            lp = _decompose_input_plane(
-                equation._lag, sp, grid, ninput, 0.0, "lag"
-            )
-            if np.any(lp != 0.0):
-                _validate_lag_no_overlap(lp, grid)
-                self.lag_plane = lp
-        if equation._fa is not None:
-            fp = _decompose_input_plane(
-                equation._fa, sp, grid, ninput, 1.0, "fa"
-            )
-            if np.any(fp != 1.0):
-                self.fa_plane = fp
+            try:
+                lp = _decompose_input_plane(
+                    equation._lag, sp, grid, ninput, 0.0, "lag"
+                )
+            except _InputPlaneDynamic:
+                lag_fa_dynamic = True
+            else:
+                if np.any(lp != 0.0):
+                    _validate_lag_no_overlap(lp, grid)
+                    self.lag_plane = lp
+        if equation._fa is not None and not lag_fa_dynamic:
+            try:
+                fp = _decompose_input_plane(
+                    equation._fa, sp, grid, ninput, 1.0, "fa"
+                )
+            except _InputPlaneDynamic:
+                # the seg-plane path re-evaluates BOTH closures per dose
+                # segment (fa is defined at the lag-shifted time, so the
+                # two are coupled)
+                lag_fa_dynamic = True
+                self.lag_plane = None
+            else:
+                if np.any(fp != 1.0):
+                    self.fa_plane = fp
         if grid.cov_names and equation._out is not None:
             # covariates may only act through seq; the out() closure must be
             # support-only for the per-support linear extraction to hold.
@@ -1486,6 +1504,65 @@ class _PallasPsiPlan:
         self.R = streams[0].shape[0]
         self.S = sp.shape[0]
         self.M = streams[0].shape[1]
+        lag_seg_planes = None
+        fa_seg_planes = None
+        if lag_fa_dynamic:
+            # exact per-dose-segment planes: evaluate the closures host-side
+            # with the engine's CovView at each bolus's breakpoint time
+            # (lag at the ORIGINAL time, fa at the lag-shifted time —
+            # structs.rs:629 / engine/grid.py:502-512), selected statically
+            # in the kernel by (segment) -> plane-slot tables
+            from ..config import BIG_TIME
+            from ..ops.pallas_psi import segment_schedule
+
+            _, t_sorted, _, _ = segment_schedule(grid.rows)
+            real = t_sorted < BIG_TIME / 2
+            t_real_max = np.max(np.where(real, t_sorted, -np.inf), axis=1)
+            t_real_max = np.where(np.isfinite(t_real_max), t_real_max, 0.0)
+            seg_t0_np = np.minimum(t_sorted, t_real_max[:, None])
+            bol_np = np.asarray(streams[1], np.float64)
+            dose_cols = [m for m in range(self.M)
+                         if np.any(bol_np[:, m] != 0.0)]
+            seg_pl = _decompose_input_seg_planes(
+                equation, sp, grid, ninput, dose_cols, seg_t0_np
+            )
+            has_lag_dyn = equation._lag is not None and any(
+                np.any(seg_pl[m][0][0] != 0.0) for m in dose_cols
+            )
+            has_fa_dyn = equation._fa is not None and any(
+                np.any(seg_pl[m][1][0] != 1.0) for m in dose_cols
+            )
+            if has_lag_dyn:
+                # pairwise no-overlap per row: each dose's lag (max over
+                # supports) must elapse before the row's NEXT dose arrives
+                # — the kernel holds ONE pending slot
+                for r in range(self.R):
+                    cols = [m for m in dose_cols if bol_np[r, m] != 0.0]
+                    cols.sort(key=lambda m: seg_t0_np[r, m])
+                    for m1, m2 in zip(cols, cols[1:]):
+                        gap = seg_t0_np[r, m2] - seg_t0_np[r, m1]
+                        lag_max = seg_pl[m1][0][0, r, :].max()
+                        if lag_max > gap:
+                            raise PharmsolError(
+                                f"engine='pallas' lag support requires "
+                                f"each dose's lag to elapse before the "
+                                f"next dose (row {r}: max lag "
+                                f"{lag_max:.4g} > gap {gap:.4g}) — use "
+                                f"the default XLA engine"
+                            )
+                slots = [-1] * self.M
+                lag_seg_planes = []
+                for m in dose_cols:
+                    slots[m] = len(lag_seg_planes)
+                    lag_seg_planes.append(seg_pl[m][0][0])
+                self.lag_slots = tuple(slots)
+            if has_fa_dyn:
+                slots = [-1] * self.M
+                fa_seg_planes = []
+                for m in dose_cols:
+                    slots[m] = len(fa_seg_planes)
+                    fa_seg_planes.append(seg_pl[m][1][0])
+                self.fa_slots = tuple(slots)
         self.Rp = ((self.R + row_multiple - 1) // row_multiple) * row_multiple
         self.Sp = ((self.S + SP_TILE - 1) // SP_TILE) * SP_TILE
         # compiled Mosaic kernels are float32-only; the CPU interpret path
@@ -1546,14 +1623,23 @@ class _PallasPsiPlan:
                 )
             return jnp.asarray(a, dtype=fd)
 
-        self.lag_plane_dev = (
-            pad_plane(self.lag_plane, 0.0) if self.lag_plane is not None
-            else None
-        )
-        self.fa_plane_dev = (
-            pad_plane(self.fa_plane, 1.0) if self.fa_plane is not None
-            else None
-        )
+        # lag/fa ride as tuples of [Rp, Sp] planes: one plane (constant
+        # closures, slots None) or one per dose segment (slot tables)
+        if lag_seg_planes is not None:
+            self.lag_plane_dev = tuple(
+                pad_plane(p, 0.0) for p in lag_seg_planes)
+        elif self.lag_plane is not None:
+            self.lag_plane_dev = (pad_plane(self.lag_plane, 0.0),)
+        else:
+            self.lag_plane_dev = None
+        if fa_seg_planes is not None:
+            self.fa_plane_dev = tuple(
+                pad_plane(p, 1.0) for p in fa_seg_planes)
+        elif self.fa_plane is not None:
+            self.fa_plane_dev = (pad_plane(self.fa_plane, 1.0),)
+        else:
+            self.fa_plane_dev = None
+
         def pad_support(a):
             if self.Sp == self.S:
                 return a
@@ -1663,8 +1749,11 @@ class _PallasPsiPlan:
                 None if pp is None else tuple(int(d) for d in pp.shape[:2]),
                 self.init_rows_dev is not None,
                 self.init_planes_dev is not None,
-                self.lag_plane_dev is not None,
-                self.fa_plane_dev is not None, str(self.fd)) + extra
+                None if self.lag_plane_dev is None
+                else len(self.lag_plane_dev),
+                None if self.fa_plane_dev is None
+                else len(self.fa_plane_dev),
+                self.lag_slots, self.fa_slots, str(self.fd)) + extra
 
     def stream_args(self):
         """The row-axis streams ([Rp, M] segments + [Rp, ...] seq factors
@@ -1675,9 +1764,12 @@ class _PallasPsiPlan:
         out = tuple(a for a, inc in zip(p, include) if inc)
         for a in (self.mult_dev, self.mult_off_dev, self.mult_seg_dev,
                   self.mult_seg_off_dev, self.seg_depth_dev,
-                  self.init_mask_dev, self.lag_plane_dev, self.fa_plane_dev):
+                  self.init_mask_dev):
             if a is not None:
                 out = out + (a,)
+        for planes in (self.lag_plane_dev, self.fa_plane_dev):
+            if planes is not None:
+                out = out + tuple(planes)
         if self.init_planes_dev is not None:
             # one [Rp, Sp] plane per state (rows leading, so the sharded
             # driver's subjects-axis specs apply uniformly)
@@ -1729,12 +1821,15 @@ class _PallasPsiPlan:
         pass_init = pass_init_rows or n_init_planes > 0
         pass_lag = self.lag_plane_dev is not None
         pass_fa = self.fa_plane_dev is not None
+        n_lag_pl = len(self.lag_plane_dev) if pass_lag else 0
+        n_fa_pl = len(self.fa_plane_dev) if pass_fa else 0
+        lag_slots, fa_slots = self.lag_slots, self.fa_slots
         has_bias = self.out_bias is not None
         n_streams = (5 + int(pass_inf) + int(pass_cens) + int(pass_outeq)
                      + int(pass_mult) + int(pass_mult_off)
                      + int(pass_mult_seg) + int(pass_mult_seg_off)
                      + int(pass_depth) + int(pass_init)
-                     + int(pass_lag) + int(pass_fa) + n_init_planes
+                     + n_lag_pl + n_fa_pl + n_init_planes
                      + n_param_planes)
 
         def run(*args):
@@ -1750,8 +1845,10 @@ class _PallasPsiPlan:
             mult_seg_off = next(it) if pass_mult_seg_off else None
             depth = next(it) if pass_depth else None
             initm = next(it) if pass_init else None
-            lagp = next(it) if pass_lag else None
-            fap = next(it) if pass_fa else None
+            lagp = (tuple(next(it) for _ in range(n_lag_pl))
+                    if pass_lag else None)
+            fap = (tuple(next(it) for _ in range(n_fa_pl))
+                   if pass_fa else None)
             ipl = (jnp.stack([next(it) for _ in range(n_init_planes)])
                    if n_init_planes else None)
             ppl = None
@@ -1773,6 +1870,7 @@ class _PallasPsiPlan:
                             param_levels=levels, param_planes=ppl,
                             seg_depth=depth,
                             lag_plane=lagp, fa_plane=fap,
+                            lag_slots=lag_slots, fa_slots=fa_slots,
                             init_rows=init_r, init_planes=ipl,
                             init_mask=initm)
 

@@ -1183,19 +1183,32 @@ def _make_ode_kernel(
             P, q = unflat(jax.lax.fori_loop(
                 0, _EXPM_TAYLOR - 1, taylor_body, flat(P, q)))
 
-            def square_body(it_sq, carry):
-                Pm, qv = unflat(carry)
+            # tile-adaptive squaring: lanes are masked per squaring exactly
+            # like the XLA chain (engine/ode.py:765-769), but the loop runs
+            # only to the TILE's max count (typical PK segments need 2-6 of
+            # the worst-case 16) — lanes needing more than the budget are
+            # poisoned below, identical to the XLA path's s > 16 guard
+            s_tile = jnp.minimum(jnp.max(s_cnt), float(expm_squarings))
+
+            def square_cond(carry):
+                return carry[0] < s_tile
+
+            def square_body(carry):
+                it_sq = carry[0]
+                Pm, qv = unflat(carry[1:])
                 PP = mm(Pm, Pm)
                 Pq = mv(Pm, qv)
-                on = s_cnt > it_sq.astype(dtype)
+                on = s_cnt > it_sq
                 Pn = [[jnp.where(on, PP[i][j], Pm[i][j])
                        for j in range(n_states)] for i in range(n_states)]
                 qn = [jnp.where(on, Pq[i] + qv[i], qv[i])
                       for i in range(n_states)]
-                return flat(Pn, qn)
+                return (it_sq + 1.0,) + flat(Pn, qn)
 
-            P, q = unflat(jax.lax.fori_loop(
-                0, expm_squarings, square_body, flat(P, q)))
+            out_sq = jax.lax.while_loop(
+                square_cond, square_body,
+                (jnp.zeros((), dtype),) + flat(P, q))
+            P, q = unflat(out_sq[1:])
             xs_new = [mv(P, list(xs))[i] + q[i] for i in range(n_states)]
             bad = s_cnt > float(expm_squarings)
             for i in range(n_states):

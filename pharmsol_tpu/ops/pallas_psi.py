@@ -433,7 +433,9 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
                  n_out: int, has_bias: bool, n_param_rows: int,
                  mult_mode: Optional[str] = None, has_lag: bool = False,
                  has_fa: bool = False, n_levels: int = 0,
-                 has_offsets: bool = False, has_init: bool = False):
+                 has_offsets: bool = False, has_init: bool = False,
+                 n_lag_planes: int = 0, n_fa_planes: int = 0,
+                 lag_slots=None, fa_slots=None):
     """Build the psi tile kernel for one structure + feature combination.
 
     Ref layout (in order): segment streams (dt, bolus, [rateiv], mask, value,
@@ -491,6 +493,14 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
     breakpoint is applied after that breakpoint's observation
     (observation-before-dose parity). The plan validates that no two doses
     of a row are ever pending simultaneously.
+
+    ``lag_slots`` / ``fa_slots`` (static length-``n_seg`` tuples of plane
+    indices, -1 = the host proved no dose lands at that column) switch the
+    single [row_block, sp_block] plane to per-DOSE-SEGMENT planes — the
+    exact-evaluation path for time-dependent lag/fa closures and closures
+    that READ a time-varying covariate (same mechanism as the ODE tier's
+    slot tables; each dose's lag/fa is evaluated host-side at ITS OWN
+    breakpoint time with the engine's CovView, structs.rs:629 semantics).
     """
     prepare = sdef["prepare"]
     propagate = sdef["propagate"]
@@ -521,8 +531,10 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
         )
         depths = next(it)[:, :] if mult_mode in ("levels", "planes") else None
         initm = next(it)[:, :] if has_init else None
-        lag_plane = next(it)[:, :] if has_lag else None
-        fa_plane = next(it)[:, :] if has_fa else None
+        lag_planes = ([next(it)[:, :] for _ in range(max(n_lag_planes, 1))]
+                      if has_lag else None)
+        fa_planes = ([next(it)[:, :] for _ in range(max(n_fa_planes, 1))]
+                     if has_fa else None)
         if mult_mode in ("levels", "planes"):
             level_params = [
                 [next(it)[:, :] for _ in range(n_param_rows)]
@@ -599,11 +611,26 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
             s_c = col(censs) if has_cens else None
             ll = ll + _obs_ll(val, pred, sig, mask, s_c, has_cens)
 
-            bol_eff = bol * fa_plane if has_fa else bol
+            # plane selection: slot tables pick the per-dose-segment plane
+            # (slot -1 = no dose lands at this column on any row, so the
+            # arrival code is statically skipped); without slots the single
+            # per-(row, support) plane applies to every dose
+            fap_m = None
+            if has_fa:
+                fap_m = (fa_planes[0] if fa_slots is None
+                         else (None if fa_slots[m] < 0
+                               else fa_planes[fa_slots[m]]))
+            lagp_m = None
             if has_lag:
-                has_new = bol != 0.0
-                pend_amt = jnp.where(has_new, bol_eff, pend_amt)
-                pend_rem = jnp.where(has_new, lag_plane, pend_rem)
+                lagp_m = (lag_planes[0] if lag_slots is None
+                          else (None if lag_slots[m] < 0
+                                else lag_planes[lag_slots[m]]))
+            bol_eff = bol * fap_m if fap_m is not None else bol
+            if has_lag:
+                if lagp_m is not None:
+                    has_new = bol != 0.0
+                    pend_amt = jnp.where(has_new, bol_eff, pend_amt)
+                    pend_rem = jnp.where(has_new, lagp_m, pend_rem)
             else:
                 xs[dose_state] = xs[dose_state] + bol_eff
             rate = col(rates) if has_inf else None
@@ -687,6 +714,8 @@ def psi_oral(
     seg_depth=None,
     lag_plane=None,
     fa_plane=None,
+    lag_slots=None,
+    fa_slots=None,
     init_rows=None,
     init_planes=None,
     init_mask=None,
@@ -712,7 +741,11 @@ def psi_oral(
     shifts / bioavailability scales (structs.rs:611-666); boluses with lag
     ride the kernel's pending-dose mechanism (see _make_kernel). The
     caller must guarantee no two doses of a row are pending simultaneously
-    (max lag < the row's minimum inter-bolus gap).
+    (max lag < the row's minimum inter-bolus gap). With ``lag_slots`` /
+    ``fa_slots`` (static [M] tuples of plane indices, -1 = no dose at that
+    column) the argument is instead a SEQUENCE of [R, S] planes selected
+    per dose segment — the exact path for time-dependent closures and
+    closures that read a time-varying covariate.
 
     ``param_mult`` [R, n_params] carries per-row multiplicative covariate
     effects on the RAW support columns (the seq-eq decomposition built by
@@ -977,23 +1010,55 @@ def psi_oral(
             )
         init_plane_list = [ip[s] for s in range(n_states)]
 
-    has_lag = lag_plane is not None
-    has_fa = _static_any(fa_plane)
-    planes = []
-    for pname, plane, present in (("lag_plane", lag_plane, has_lag),
-                                  ("fa_plane", fa_plane, has_fa)):
-        if not present:
-            continue
-        pa = jnp.asarray(plane, dtype)
-        if pa.shape != (R, S):
-            raise ValueError(f"{pname} must be [{R}, {S}], got {pa.shape}")
-        planes.append(pa)
+    def _norm_planes(p, slots, pname):
+        if p is None:
+            return None
+        lst = list(p) if isinstance(p, (list, tuple)) else [p]
+        if slots is not None:
+            slots_t = tuple(int(x) for x in slots)
+            if len(slots_t) != M:
+                raise ValueError(
+                    f"{pname} slots must have length {M}, got {len(slots_t)}"
+                )
+            if max(slots_t) + 1 != len(lst):
+                raise ValueError(
+                    f"{pname} carries {len(lst)} planes, slots expect "
+                    f"{max(slots_t) + 1}"
+                )
+        elif len(lst) != 1:
+            raise ValueError(f"{pname} without slots must be one plane")
+        out = []
+        for arr in lst:
+            pa = jnp.asarray(arr, dtype)
+            if pa.shape != (R, S):
+                raise ValueError(
+                    f"{pname} must be [{R}, {S}], got {pa.shape}"
+                )
+            out.append(pa)
+        return out
+
+    if lag_slots is not None:
+        lag_slots = tuple(int(x) for x in lag_slots)
+    if fa_slots is not None:
+        fa_slots = tuple(int(x) for x in fa_slots)
+    lag_list = _norm_planes(lag_plane, lag_slots, "lag_plane")
+    fa_present = fa_plane is not None and (
+        isinstance(fa_plane, (list, tuple)) or _static_any(fa_plane)
+    )
+    fa_list = _norm_planes(fa_plane, fa_slots, "fa_plane") if fa_present \
+        else None
+    has_lag = lag_list is not None
+    has_fa = fa_list is not None
+    planes = (lag_list or []) + (fa_list or [])
 
     kernel = _make_kernel(
         sdef, n_seg=M, has_inf=has_inf, has_cens=has_cens, n_out=n_out,
         has_bias=has_bias, n_param_rows=len(base_rows), mult_mode=mult_mode,
         has_lag=has_lag, has_fa=has_fa, n_levels=n_levels,
         has_offsets=has_offsets, has_init=has_init,
+        n_lag_planes=len(lag_list) if has_lag else 0,
+        n_fa_planes=len(fa_list) if has_fa else 0,
+        lag_slots=lag_slots, fa_slots=fa_slots,
     )
     # all-zero optional streams are dropped from the pipeline entirely
     # (no DMA, no VMEM block); the kernel never reads those refs
@@ -1009,6 +1074,8 @@ def psi_oral(
     budget = TILE_BUDGET // 4 if mult_mode is not None else TILE_BUDGET
     if has_lag:  # pending-dose lanes + a second propagate's intermediates
         budget = min(budget, TILE_BUDGET // 4)
+    if len(planes) > 2:  # per-dose-segment plane tiles live in VMEM
+        budget = min(budget, TILE_BUDGET // max(4, len(planes)))
     if level_plane_list:  # L x n_rows extra [rb, sb] tiles live in VMEM
         budget = min(budget, TILE_BUDGET // max(4, len(level_plane_list)))
     while row_block * sp_block > budget and row_block > 8:

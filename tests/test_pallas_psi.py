@@ -1322,6 +1322,103 @@ def test_pallas_engine_lag_fa_planes():
     _seq_check(model, Data(subjects), sp)
 
 
+def test_pallas_engine_time_dependent_lag_fa():
+    # time-dependent closures ride exact per-DOSE-SEGMENT planes selected
+    # by static slot tables (lag evaluated at each dose's ORIGINAL time,
+    # fa at the lag-shifted time — structs.rs:629 semantics)
+    rng = np.random.RandomState(33)
+    model = Analytical(
+        pst.one_compartment_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        lag=lambda p, t, cov: {0: p[3] * (1.0 + 0.04 * t)},
+        fa=lambda p, t, cov: {0: p[4] / (1.0 + 0.02 * t)},
+        nstates=2, ndrugs=1, nout=1,
+    )
+    subjects = []
+    for i in range(8):
+        sb = Subject.builder(f"s{i}").bolus(0.0, 100.0, 0).bolus(12.0, 80.0, 0)
+        for t in (0.5, 1.5, 3.0, 6.0, 10.0, 13.0, 16.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.2 * t) + 0.05 * i), 0)
+        subjects.append(sb.build())
+    sp = np.column_stack([
+        rng.uniform(0.8, 2.0, 12), rng.uniform(0.1, 0.3, 12),
+        rng.uniform(8, 15, 12), rng.uniform(0.0, 1.0, 12),
+        rng.uniform(0.4, 0.9, 12),
+    ])
+    _seq_check(model, Data(subjects), sp)
+
+
+def test_pallas_engine_lag_reading_varying_covariate():
+    # a lag/fa closure that READS a time-varying covariate: each dose's
+    # plane is evaluated host-side with the engine's CovView at that
+    # dose's time — exact, not approximated
+    rng = np.random.RandomState(35)
+    model = Analytical(
+        pst.one_compartment_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        lag=lambda p, t, cov: {0: p[3] * cov("meal", t)},
+        fa=lambda p, t, cov: {0: p[4] * (2.0 - cov("meal", t)) / 2.0},
+        nstates=2, ndrugs=1, nout=1,
+    )
+    subjects = []
+    for i in range(8):
+        sb = (Subject.builder(f"s{i}")
+              .bolus(0.0, 100.0, 0).bolus(12.0, 80.0, 0)
+              .covariate("meal!", 0.0, 1.0)
+              .covariate("meal!", 6.0, 0.4 + 0.05 * i))
+        for t in (0.5, 1.5, 3.0, 6.0, 10.0, 13.0, 16.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.2 * t) + 0.05 * i), 0)
+        subjects.append(sb.build())
+    sp = np.column_stack([
+        rng.uniform(0.8, 2.0, 12), rng.uniform(0.1, 0.3, 12),
+        rng.uniform(8, 15, 12), rng.uniform(0.0, 1.2, 12),
+        rng.uniform(0.5, 1.0, 12),
+    ])
+    _seq_check(model, Data(subjects), sp)
+
+
+def test_pallas_engine_dynamic_fa_only():
+    # fa-only dynamic closure (no lag): doses apply immediately with the
+    # per-dose-segment scale
+    rng = np.random.RandomState(37)
+    model = Analytical(
+        pst.one_compartment,
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        fa=lambda p, t, cov: {0: p[2] / (1.0 + 0.1 * t)},
+        nstates=1, ndrugs=1, nout=1,
+    )
+    subjects = []
+    for i in range(6):
+        sb = Subject.builder(f"s{i}").bolus(0.0, 100.0, 0).bolus(8.0, 60.0, 0)
+        for t in (1.0, 3.0, 6.0, 9.0, 14.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.2 * t) + 0.05 * i), 0)
+        subjects.append(sb.build())
+    sp = np.column_stack([
+        rng.uniform(0.1, 0.3, 12), rng.uniform(8, 15, 12),
+        rng.uniform(0.4, 1.0, 12),
+    ])
+    _seq_check(model, Data(subjects), sp)
+
+
+def test_pallas_engine_dynamic_lag_overlap_rejected():
+    import pytest
+
+    model = Analytical(
+        pst.one_compartment,
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        lag=lambda p, t, cov: {0: p[2] * (1.0 + t)},
+        nstates=1, ndrugs=1, nout=1,
+    )
+    s = (Subject.builder("s0").bolus(0.0, 50.0, 0).bolus(1.0, 50.0, 0)
+         .observation(6.0, 1.0, 0).build())
+    sp = np.array([[0.2, 10.0, 3.0], [0.3, 12.0, 0.2]])
+    ems = AssayErrorModels().add(
+        0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0)
+    )
+    with pytest.raises(Exception, match="lag"):
+        log_likelihood_matrix(model, Data([s]), sp, ems, engine="pallas")
+
+
 def test_pallas_engine_lag_overlap_rejected():
     import pytest
 
