@@ -26,6 +26,7 @@ CPU_EXAMPLES = [
     "expm_linear_ode.py",
     "compare_solvers.py",
     "sde_readme.py",
+    "map_fit.py",
 ]
 
 
