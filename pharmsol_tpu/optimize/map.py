@@ -11,8 +11,11 @@ population psi path.
 
 Engine support follows log_likelihood_fn: analytical kernels and the
 exact ``expm`` solver are reverse-mode differentiable; adaptive ODE
-solvers are forward-mode only (jax.grad raises), so fit_map rejects them
-with a pointer at ``with_solver('expm')`` for linear models.
+solvers integrate under ``lax.while_loop`` (forward-mode only), so for
+them fit_map computes gradients with ``jax.jacfwd`` behind a
+``custom_vjp`` shim — exact discrete sensitivities of the adaptive
+march, n-parameter tangent cost, L-BFGS machinery unchanged. SDE
+likelihoods (discrete resampling) are rejected.
 """
 
 from __future__ import annotations
@@ -79,15 +82,16 @@ def fit_map(
     import jax.numpy as jnp
     import optax
 
+    if getattr(equation, "kind", None) == "sde":
+        raise PharmsolError(
+            "fit_map cannot differentiate SDE likelihoods (discrete "
+            "particle resampling); use the derivative-free "
+            "ParameterOptimizer"
+        )
     opts = getattr(equation, "_opts", None)
     solver = getattr(opts, "solver", None)
-    if solver not in _REVERSE_DIFF_SOLVERS:
-        raise PharmsolError(
-            f"fit_map needs a reverse-mode differentiable engine; solver "
-            f"`{solver}` integrates under lax.while_loop (forward-mode "
-            f"only). Linear compartment models: .with_solver('expm'); "
-            f"otherwise use the derivative-free ParameterOptimizer"
-        )
+    # adaptive steppers integrate under lax.while_loop: forward-mode only
+    forward_mode = solver not in _REVERSE_DIFF_SOLVERS
 
     ll_fn = equation.log_likelihood_fn(data, error_models)
     x0 = np.asarray(x0, dtype=np.float64)
@@ -100,12 +104,33 @@ def fit_map(
     def unpack(z):
         return jnp.exp(z) if log_space else z
 
-    def neg_log_post(z):
+    def _neg_log_post(z):
         p = unpack(z)
         val = ll_fn(p)
         if prior_logpdf is not None:
             val = val + prior_logpdf(p)
         return -val
+
+    if forward_mode:
+        # optax's zoom linesearch calls jax.value_and_grad on the
+        # objective; route that reverse-mode request through jacfwd so
+        # while_loop-based solvers differentiate (scalar output, so the
+        # cotangent is just a scale on the forward-mode gradient)
+        _fwd_grad = jax.jacfwd(_neg_log_post)
+
+        @jax.custom_vjp
+        def neg_log_post(z):
+            return _neg_log_post(z)
+
+        def _nlp_fwd(z):
+            return _neg_log_post(z), _fwd_grad(z)
+
+        def _nlp_bwd(saved_grad, ct):
+            return (ct * saved_grad,)
+
+        neg_log_post.defvjp(_nlp_fwd, _nlp_bwd)
+    else:
+        neg_log_post = _neg_log_post
 
     z0 = jnp.asarray(np.log(x0) if log_space else x0)
     f0 = float(neg_log_post(z0))
@@ -150,7 +175,9 @@ def fit_map(
     covariance = None
     ses = None
     try:
-        H = np.asarray(jax.hessian(neg_log_post)(z), dtype=np.float64)
+        hess = (jax.jacfwd(jax.jacfwd(_neg_log_post)) if forward_mode
+                else jax.hessian(neg_log_post))
+        H = np.asarray(hess(z), dtype=np.float64)
         cov_z = np.linalg.inv(H)
         if log_space:
             # delta method: p = exp(z) -> cov_p = diag(p) cov_z diag(p)

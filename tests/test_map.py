@@ -103,14 +103,35 @@ def test_fit_map_expm_ode_engine():
     assert np.all(np.abs(res.parameters - TRUE_P) / TRUE_P < 0.15)
 
 
-def test_fit_map_rejects_adaptive_solver_and_bad_x0():
+@pytest.mark.slow
+def test_fit_map_adaptive_solver_forward_mode():
+    # dopri5 integrates under lax.while_loop: fit_map must route its
+    # gradients through the jacfwd custom_vjp shim and still converge
     model = ODE(
-        lambda x, p, t, b, rateiv, cov: jnp.stack([-p[0] * x[0] + b[0]]),
-        out=lambda x, p, t, cov: x[0:1] / p[1],
-        nstates=1, ndrugs=1, nout=1,
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0],
+            p[0] * x[0] - p[1] * x[1],
+        ]),
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
     )
-    with pytest.raises(PharmsolError, match="expm"):
-        fit_map(model, _synth_data(1), _ems(), [0.3, 10.0])
+    res = fit_map(model, _synth_data(3), _ems(), [0.8, 0.4, 8.0])
+    assert res.converged
+    assert np.all(np.abs(res.parameters - TRUE_P) / TRUE_P < 0.15)
+    assert res.standard_errors is not None
+
+
+def test_fit_map_rejects_sde_and_bad_x0():
+    from pharmsol_tpu import SDE
+
+    sde = SDE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([-p[0] * x[0] + b[0]]),
+        diffusion=lambda p: jnp.asarray([0.1]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1, nparticles=8,
+    )
+    with pytest.raises(PharmsolError, match="SDE"):
+        fit_map(sde, _synth_data(1), _ems(), [0.3, 10.0])
     with pytest.raises(PharmsolError, match="positive"):
         fit_map(_model(), _synth_data(1), _ems(), [0.8, -0.4, 8.0])
     # ka == ke is the flip-flop singularity of the oral kernel: the
