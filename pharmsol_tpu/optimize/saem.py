@@ -1,0 +1,449 @@
+"""Parametric population estimation (SAEM) on the batch-likelihood path.
+
+The reference library is the simulation/likelihood engine UNDER population
+estimators: its prediction-based ``ResidualErrorModels`` surface
+(residual_error.rs:69-220, "the surfaces a SAEM/FOCE layer consumes") and
+per-subject batch likelihood exist so an external SAEM driver can loop over
+them. This module closes that loop in-framework, the parametric sibling of
+``optimize.npag.fit_population``:
+
+  model:   phi_i = T(theta_i) ~ N(mu, diag(omega^2)),  T = log or identity
+           y_ij ~ N(f(theta_i), sigma(f)^2)   per-outeq residual models
+  E-step:  random-walk Metropolis on phi_i, vmapped over subjects, with
+           per-subject Robbins-Monro proposal adaptation (target 0.3)
+  SA:      sufficient statistics smoothed with gamma_k = 1 (burn-in phase)
+           then 1/k (estimation phase) — the classic two-phase schedule
+  M-step:  mu, omega from the smoothed first/second moments; residual
+           a/b from smoothed per-observation squared residuals (closed
+           form for constant/proportional/exponential; an MM fixed point
+           for combined's joint (a, b))
+
+TPU-native design: the ENTIRE fit — every MH proposal, likelihood
+evaluation, and M-step — is one jitted ``lax.scan`` over iterations; the
+inner likelihood is the same vmapped per-occasion-row kernel the batch-LL
+entry point uses (likelihood/matrix.py `_batch_fn`), so subjects evaluate
+in parallel lanes and nothing round-trips to the host until the fit ends.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import float_dtype
+from ..data.residual_error import (
+    RESIDUAL_KIND_CODE,
+    ResidualErrorModel,
+    ResidualErrorModels,
+    ResidualKind,
+    residual_sigma_array,
+)
+from ..data.structs import Data
+from ..errors import PharmsolError
+
+_LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+class SaemResult(NamedTuple):
+    """Population estimates from a SAEM fit."""
+
+    theta: np.ndarray            # [n_params] typical values, natural scale
+    omega: np.ndarray            # [n_params] random-effect SDs (transformed scale)
+    residual_models: ResidualErrorModels  # a/b updated when est_sigma
+    individual_parameters: np.ndarray     # [n_subjects, n_params] natural scale
+    ll_trace: np.ndarray         # [n_iters] total conditional LL per iteration
+    accept_rate: float           # mean MH acceptance over the estimation phase
+    log_likelihood: Optional[float]  # IS estimate (ll_draws>0) else None
+    parameter_names: Optional[tuple]
+    transform: tuple             # per-parameter 'log' / 'identity'
+
+    def summary(self) -> str:
+        names = self.parameter_names or tuple(
+            f"p[{i}]" for i in range(len(self.theta))
+        )
+        lines = [
+            f"SAEM fit: {len(self.theta)} parameters, "
+            f"final conditional LL {self.ll_trace[-1]:.6g}, "
+            f"MH acceptance {self.accept_rate:.2f}"
+            + (
+                f", IS log-likelihood {self.log_likelihood:.6g}"
+                if self.log_likelihood is not None
+                else ""
+            )
+        ]
+        for i, nm in enumerate(names):
+            lines.append(
+                f"  {nm}: typical {self.theta[i]:.6g}, "
+                f"omega {self.omega[i]:.4g} ({self.transform[i]})"
+            )
+        return "\n".join(lines)
+
+
+def _resolve_transform(transform, p: int) -> tuple:
+    if isinstance(transform, str):
+        transform = (transform,) * p
+    transform = tuple(transform)
+    if len(transform) != p or any(t not in ("log", "identity") for t in transform):
+        raise PharmsolError(
+            "transform must be 'log', 'identity', or a per-parameter "
+            "sequence of those"
+        )
+    return transform
+
+
+def fit_saem(
+    equation,
+    data,
+    residual_error_models: ResidualErrorModels,
+    theta0,
+    *,
+    omega0=0.3,
+    transform="log",
+    n_burn: int = 200,
+    n_iters: int = 100,
+    mh_steps: int = 5,
+    est_sigma: bool = True,
+    ll_draws: int = 0,
+    seed: int = 0,
+    progress: bool = False,
+) -> SaemResult:
+    """Fit a parametric mixed-effects population model by SAEM.
+
+    ``theta0``: initial typical values — a dict ``{name: value}`` (needs
+    model metadata) or a sequence in model order. ``omega0``: initial
+    random-effect SD on the TRANSFORMED scale (scalar or per-parameter).
+    ``transform='log'`` fits log-normal random effects (the PK default;
+    typical value reported is the median ``exp(mu)``); ``'identity'``
+    fits normal effects. ``n_burn`` iterations run with gamma=1 (the
+    exploratory phase), then ``n_iters`` with gamma=1/k (estimation).
+    ``ll_draws``: if >0, estimate the marginal log-likelihood at the
+    final estimates by importance sampling from the fitted population
+    distribution with this many draws.
+    """
+    names: Optional[tuple] = None
+    if isinstance(theta0, dict):
+        metadata = getattr(equation, "metadata", None)
+        metadata = metadata() if callable(metadata) else metadata
+        if metadata is None:
+            raise PharmsolError("named theta0 requires model metadata")
+        model_names = list(metadata.parameter_names)
+        missing = [n for n in model_names if n not in theta0]
+        extra = [n for n in theta0 if n not in model_names]
+        if missing or extra:
+            raise PharmsolError(
+                f"theta0 must cover the model parameters exactly "
+                f"(missing: {missing or '-'}, unknown: {extra or '-'})"
+            )
+        names = tuple(model_names)
+        theta0 = [theta0[n] for n in model_names]
+    theta0 = np.asarray(theta0, dtype=np.float64)
+    if theta0.ndim != 1:
+        raise PharmsolError("theta0 must be a vector of typical values")
+    p = theta0.shape[0]
+    transform = _resolve_transform(transform, p)
+    is_log = np.asarray([t == "log" for t in transform])
+    if np.any(is_log & (theta0 <= 0.0)):
+        raise PharmsolError("log-transformed parameters need theta0 > 0")
+    omega0 = np.broadcast_to(np.asarray(omega0, dtype=np.float64), (p,)).copy()
+    if np.any(omega0 <= 0.0):
+        raise PharmsolError("omega0 must be positive")
+    if n_burn < 1 or n_iters < 1 or mh_steps < 1:
+        raise PharmsolError("n_burn, n_iters, and mh_steps must be >= 1")
+
+    data = data if isinstance(data, Data) else Data(list(data))
+    subjects = list(data.subjects())
+    n_sub = len(subjects)
+    if n_sub < 2:
+        raise PharmsolError("SAEM needs at least 2 subjects")
+    grid = equation.lower(subjects)
+    lowered = residual_error_models.lower(
+        equation.resolve_output_label, equation.nouteqs()
+    )
+    kinds_np = np.asarray(lowered.kind)
+
+    fd = float_dtype()
+    rows = grid.rows
+    row_subject = jnp.asarray(np.asarray(grid.row_subject))
+    pred_one = equation._pred_one_fn(tuple(grid.cov_names))
+    n_rows = int(np.asarray(grid.row_subject).shape[0])
+
+    obs_outeq = rows.obs_outeq
+    obs_value = rows.obs_value.astype(fd)
+    active = rows.obs_valid & rows.obs_has_value
+    # a modeled observation on an outeq with no residual model is a user
+    # error (parity with log_likelihood_batch's -inf contract)
+    act_np = np.asarray(active)
+    oe_np = np.asarray(obs_outeq)
+    used = np.unique(oe_np[act_np]) if act_np.any() else np.asarray([], int)
+    unmodeled = [int(o) for o in used if kinds_np[o] == 0]
+    if unmodeled:
+        raise PharmsolError(
+            f"outeq(s) {unmodeled} have observations but no residual error "
+            f"model"
+        )
+    nout = int(kinds_np.shape[0])
+    n_obs_per_outeq = np.zeros(nout, dtype=np.float64)
+    for o in range(nout):
+        n_obs_per_outeq[o] = float(np.sum(act_np & (oe_np == o)))
+
+    kind_per_obs = jnp.asarray(kinds_np)[obs_outeq]
+    is_log_j = jnp.asarray(is_log)
+    mu0 = jnp.asarray(np.where(is_log, np.log(theta0), theta0), dtype=fd)
+    tiny = jnp.asarray(np.finfo(np.float64).eps, dtype=fd)
+
+    def to_natural(phi):
+        return jnp.where(is_log_j, jnp.exp(phi), phi)
+
+    def ll_parts(phi_rows, sig_a, sig_b):
+        """Conditional LL per subject + per-observation (r2, f2) arrays."""
+        theta_rows = to_natural(phi_rows)
+        p_per_row = theta_rows[row_subject]
+        preds = jax.vmap(pred_one, in_axes=(0, 0, 0))(
+            rows, p_per_row, jnp.arange(n_rows)
+        )
+        a = sig_a[obs_outeq].astype(fd)
+        b = sig_b[obs_outeq].astype(fd)
+        sigma = residual_sigma_array(kind_per_obs, a, b, preds)
+        z = (obs_value - preds) / sigma
+        ll = -0.5 * (_LOG_2PI + 2.0 * jnp.log(sigma) + z * z)
+        ll_i = jax.ops.segment_sum(
+            jnp.sum(jnp.where(active, ll, 0.0), axis=-1),
+            row_subject,
+            num_segments=n_sub,
+        )
+        r2 = jnp.where(active, (obs_value - preds) ** 2, 0.0)
+        f2 = jnp.where(active, preds * preds, 0.0)
+        return ll_i, r2, f2
+
+    def log_prior(phi, mu, om_var):
+        d = phi - mu[None, :]
+        return -0.5 * jnp.sum(d * d / om_var[None, :], axis=-1)
+
+    def sigma_m_step(sr2, swsr, sf2, sig_a, sig_b):
+        """Per-outeq residual updates from the smoothed statistics."""
+        oe_flat = obs_outeq.reshape(-1)
+        act_f = active.reshape(-1)
+        sum_r2 = jax.ops.segment_sum(
+            jnp.where(act_f, sr2.reshape(-1), 0.0), oe_flat, num_segments=nout
+        )
+        sum_wsr = jax.ops.segment_sum(
+            jnp.where(act_f, swsr.reshape(-1), 0.0), oe_flat, num_segments=nout
+        )
+        n_o = jnp.asarray(np.maximum(n_obs_per_outeq, 1.0), dtype=fd)
+        kinds = jnp.asarray(kinds_np)
+        a_cand = jnp.sqrt(jnp.maximum(sum_r2 / n_o, tiny))
+        b_cand = jnp.sqrt(jnp.maximum(sum_wsr / n_o, tiny))
+        new_a = jnp.where(
+            (kinds == RESIDUAL_KIND_CODE[ResidualKind.CONSTANT])
+            | (kinds == RESIDUAL_KIND_CODE[ResidualKind.EXPONENTIAL]),
+            a_cand,
+            sig_a,
+        )
+        new_b = jnp.where(
+            kinds == RESIDUAL_KIND_CODE[ResidualKind.PROPORTIONAL],
+            b_cand,
+            sig_b,
+        )
+        if int(np.sum(kinds_np == RESIDUAL_KIND_CODE[ResidualKind.COMBINED])):
+            # joint (a, b) via the MM fixed point for heteroscedastic
+            # variance components: with s_j = va + vb*f2_j,
+            #   va <- va * sqrt(sum r2_j/s_j^2 / sum 1/s_j)
+            # and symmetrically for vb (each update solves its own
+            # stationarity condition with the other held fixed)
+            oe_mask = act_f[None, :] & (oe_flat[None, :] == jnp.arange(nout)[:, None])
+            r2_o = jnp.where(oe_mask, sr2.reshape(-1)[None, :], 0.0)
+            f2_o = jnp.where(oe_mask, sf2.reshape(-1)[None, :], 0.0)
+
+            def mm(carry, _):
+                va, vb = carry
+                s = jnp.where(oe_mask, va[:, None] + vb[:, None] * f2_o, 1.0)
+                num_a = jnp.sum(jnp.where(oe_mask, r2_o / (s * s), 0.0), axis=1)
+                den_a = jnp.sum(jnp.where(oe_mask, 1.0 / s, 0.0), axis=1)
+                va = va * jnp.sqrt(
+                    jnp.maximum(num_a, tiny) / jnp.maximum(den_a, tiny)
+                )
+                s = jnp.where(oe_mask, va[:, None] + vb[:, None] * f2_o, 1.0)
+                num_b = jnp.sum(
+                    jnp.where(oe_mask, f2_o * r2_o / (s * s), 0.0), axis=1
+                )
+                den_b = jnp.sum(jnp.where(oe_mask, f2_o / s, 0.0), axis=1)
+                vb = vb * jnp.sqrt(
+                    jnp.maximum(num_b, tiny) / jnp.maximum(den_b, tiny)
+                )
+                return (va, vb), None
+
+            va0 = jnp.maximum(sig_a * sig_a, tiny)
+            vb0 = jnp.maximum(sig_b * sig_b, tiny)
+            (va, vb), _ = jax.lax.scan(mm, (va0, vb0), None, length=30)
+            comb = kinds == RESIDUAL_KIND_CODE[ResidualKind.COMBINED]
+            new_a = jnp.where(comb, jnp.sqrt(va), new_a)
+            new_b = jnp.where(comb, jnp.sqrt(vb), new_b)
+        return new_a, new_b
+
+    n_total = n_burn + n_iters
+    gammas = np.ones(n_total, dtype=np.float64)
+    gammas[n_burn:] = 1.0 / (np.arange(n_iters, dtype=np.float64) + 1.0)
+    gammas = jnp.asarray(gammas, dtype=fd)
+    est_phase = jnp.asarray(
+        np.arange(n_total) >= n_burn, dtype=fd
+    )
+
+    def mh_sweep(carry, key, mu, om_var, sig_a, sig_b):
+        phi, ll_i, r2, f2, c = carry
+        om_sd = jnp.sqrt(om_var)
+        lp = log_prior(phi, mu, om_var)
+
+        def one(inner, k):
+            phi, ll_i, lp, r2, f2, c, acc = inner
+            k1, k2 = jax.random.split(k)
+            step = c[:, None] * om_sd[None, :]
+            prop = phi + step * jax.random.normal(k1, phi.shape, dtype=fd)
+            llp, r2p, f2p = ll_parts(prop, sig_a, sig_b)
+            lpp = log_prior(prop, mu, om_var)
+            logr = (llp + lpp) - (ll_i + lp)
+            u = jnp.log(jax.random.uniform(k2, (n_sub,), dtype=fd))
+            take = (u < logr) & jnp.isfinite(llp)
+            phi = jnp.where(take[:, None], prop, phi)
+            ll_i = jnp.where(take, llp, ll_i)
+            lp = jnp.where(take, lpp, lp)
+            # r2/f2 are per-occasion-ROW arrays; gate each row by its
+            # subject's accept decision
+            take_row = take[row_subject]
+            tk = take_row[(...,) + (None,) * (r2.ndim - 1)]
+            r2 = jnp.where(tk, r2p, r2)
+            f2 = jnp.where(tk, f2p, f2)
+            # Robbins-Monro proposal adaptation toward 0.3 acceptance
+            c = jnp.clip(
+                c * jnp.exp(0.4 * (take.astype(fd) - 0.3)), 1e-3, 10.0
+            )
+            acc = acc + take.astype(fd)
+            return (phi, ll_i, lp, r2, f2, c, acc), None
+
+        keys = jax.random.split(key, mh_steps)
+        (phi, ll_i, lp, r2, f2, c, acc), _ = jax.lax.scan(
+            one, (phi, ll_i, lp, r2, f2, c, jnp.zeros(n_sub, dtype=fd)), keys
+        )
+        return (phi, ll_i, r2, f2, c), acc / mh_steps
+
+    def iteration(state, inp):
+        gamma, in_est, key = inp
+        (phi, c, mu, om_var, sig_a, sig_b,
+         s1, s2, sphi, sr2, swsr, sf2, acc_sum, acc_n) = state
+        ll_i, r2, f2 = ll_parts(phi, sig_a, sig_b)
+        (phi, ll_i, r2, f2, c), acc = mh_sweep(
+            (phi, ll_i, r2, f2, c), key, mu, om_var, sig_a, sig_b
+        )
+        # stochastic-approximation update of the sufficient statistics
+        s1 = s1 + gamma * (jnp.mean(phi, axis=0) - s1)
+        s2 = s2 + gamma * (jnp.mean(phi * phi, axis=0) - s2)
+        sphi = sphi + gamma * (phi - sphi)
+        sr2 = sr2 + gamma * (r2 - sr2)
+        swsr = swsr + gamma * (r2 / jnp.maximum(f2, tiny) - swsr)
+        sf2 = sf2 + gamma * (f2 - sf2)
+        # M-step
+        mu = s1
+        om_var = jnp.maximum(s2 - s1 * s1, 1e-8)
+        if est_sigma:
+            sig_a, sig_b = sigma_m_step(sr2, swsr, sf2, sig_a, sig_b)
+        acc_sum = acc_sum + in_est * jnp.mean(acc)
+        acc_n = acc_n + in_est
+        new_state = (phi, c, mu, om_var, sig_a, sig_b,
+                     s1, s2, sphi, sr2, swsr, sf2, acc_sum, acc_n)
+        return new_state, jnp.sum(ll_i)
+
+    @jax.jit
+    def run(key):
+        phi = jnp.tile(mu0[None, :], (n_sub, 1))
+        c = jnp.full((n_sub,), 0.4, dtype=fd)
+        om_var0 = jnp.asarray(omega0 * omega0, dtype=fd)
+        sig_a0 = jnp.asarray(lowered.a, dtype=fd)
+        sig_b0 = jnp.asarray(lowered.b, dtype=fd)
+        zero_obs = jnp.zeros_like(obs_value)
+        state = (
+            phi, c, mu0, om_var0, sig_a0, sig_b0,
+            mu0, mu0 * mu0 + om_var0, phi, zero_obs, zero_obs, zero_obs,
+            jnp.zeros((), fd), jnp.zeros((), fd),
+        )
+        keys = jax.random.split(key, n_total)
+        state, ll_trace = jax.lax.scan(
+            iteration, state, (gammas, est_phase, keys)
+        )
+        return state, ll_trace
+
+    ll0, _, _ = jax.jit(ll_parts)(
+        jnp.tile(mu0[None, :], (n_sub, 1)),
+        jnp.asarray(lowered.a, dtype=fd),
+        jnp.asarray(lowered.b, dtype=fd),
+    )
+    ll0 = np.asarray(ll0)
+    if not np.all(np.isfinite(ll0)):
+        bad = [subjects[i].id for i in np.nonzero(~np.isfinite(ll0))[0][:5]]
+        raise PharmsolError(
+            f"theta0 gives non-finite likelihood for subject(s) {bad}; "
+            f"adjust theta0 or the residual error models"
+        )
+
+    state, ll_trace = run(jax.random.PRNGKey(seed))
+    (phi, _c, mu, om_var, sig_a, sig_b,
+     _s1, _s2, sphi, _sr2, _swsr, _sf2, acc_sum, acc_n) = state
+    mu = np.asarray(mu, dtype=np.float64)
+    om_sd = np.sqrt(np.asarray(om_var, dtype=np.float64))
+    theta = np.where(is_log, np.exp(mu), mu)
+    indiv = np.asarray(sphi, dtype=np.float64)
+    indiv = np.where(is_log[None, :], np.exp(indiv), indiv)
+    accept = float(np.asarray(acc_sum) / max(float(np.asarray(acc_n)), 1.0))
+
+    out_models = ResidualErrorModels()
+    a_np = np.asarray(sig_a, dtype=np.float64)
+    b_np = np.asarray(sig_b, dtype=np.float64)
+    for label in residual_error_models.labels():
+        model = residual_error_models.get(label)
+        idx = equation.resolve_output_label(label)
+        if model.kind is ResidualKind.CONSTANT:
+            new = ResidualErrorModel.constant(a_np[idx])
+        elif model.kind is ResidualKind.PROPORTIONAL:
+            new = ResidualErrorModel.proportional(b_np[idx])
+        elif model.kind is ResidualKind.COMBINED:
+            new = ResidualErrorModel.combined(a_np[idx], b_np[idx])
+        else:
+            new = ResidualErrorModel.exponential(a_np[idx])
+        out_models = out_models.add(label, new if est_sigma else model)
+
+    marginal = None
+    if ll_draws > 0:
+        key = jax.random.PRNGKey(seed + 1)
+        draws = mu[None, :] + om_sd[None, :] * np.asarray(
+            jax.random.normal(key, (ll_draws, p), dtype=fd)
+        )
+
+        @jax.jit
+        def ll_at(phi_pop):
+            ll_i, _, _ = ll_parts(
+                jnp.tile(phi_pop[None, :], (n_sub, 1)), sig_a, sig_b
+            )
+            return ll_i
+
+        lls = np.stack([np.asarray(ll_at(jnp.asarray(d, dtype=fd)))
+                        for d in draws])  # [M, n_sub]
+        m = np.max(lls, axis=0)
+        marginal = float(np.sum(
+            np.log(np.mean(np.exp(lls - m[None, :]), axis=0)) + m
+        ))
+
+    result = SaemResult(
+        theta=theta,
+        omega=om_sd,
+        residual_models=out_models,
+        individual_parameters=indiv,
+        ll_trace=np.asarray(ll_trace, dtype=np.float64),
+        accept_rate=accept,
+        log_likelihood=marginal,
+        parameter_names=names,
+        transform=transform,
+    )
+    if progress:
+        print(result.summary())
+    return result
