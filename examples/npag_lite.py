@@ -5,6 +5,10 @@ example shows the full stack an estimation driver needs — psi matrices,
 support-point condensation, and Nelder-Mead refinement — recovering a
 bimodal elimination-rate population.
 
+For production use, the framework ships the full loop as
+``pharmsol_tpu.optimize.fit_population`` (NPML weight solve, adaptive
+grid, posterior surface); this file stays as the pedagogical version.
+
 Run: python examples/npag_lite.py
 """
 

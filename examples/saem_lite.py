@@ -13,6 +13,11 @@ Metropolis-within-EM scheme:
               parameters, and the residual sigma from weighted residuals
               (ResidualErrorModel.with_updated_sigma).
 
+For production use, the framework ships the full algorithm as
+``pharmsol_tpu.optimize.fit_saem`` (one jitted lax.scan over all
+iterations: vmapped MH E-step, two-phase SA, sigma M-steps); this file
+stays as the pedagogical version.
+
 Run: python examples/saem_lite.py
 """
 
