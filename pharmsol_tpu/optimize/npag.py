@@ -146,6 +146,7 @@ def fit_population(
     max_support: int = 4096,
     refine: Optional[str] = None,
     engine: str = "auto",
+    mesh=None,
     progress: bool = False,
 ) -> PopulationResult:
     """Fit a nonparametric population distribution over the parameters.
@@ -158,6 +159,9 @@ def fit_population(
     log-likelihood gain. ``refine='nm'`` polishes the final support with
     the reference's shallow Nelder-Mead point refinement
     (optimize/parameters.rs:19-120) before the last weight solve.
+    ``mesh``: a ``jax.sharding.Mesh`` routes every psi evaluation through
+    the sharded driver (parallel/mesh.py) — the fit runs multi-chip with
+    no other change.
     """
     names: Optional[tuple] = None
     if isinstance(ranges, dict):
@@ -188,9 +192,17 @@ def fit_population(
     span = hi - lo
 
     def psi_of(support: np.ndarray, require_finite: bool = True):
-        log_psi = log_likelihood_matrix(
-            equation, data, support, error_models, engine=engine
-        )
+        if mesh is not None:
+            from ..parallel.mesh import log_likelihood_matrix_sharded
+
+            log_psi = log_likelihood_matrix_sharded(
+                equation, data, support, error_models, mesh=mesh,
+                engine="xla" if engine == "auto" else engine,
+            )
+        else:
+            log_psi = log_likelihood_matrix(
+                equation, data, support, error_models, engine=engine
+            )
         # row-shift before exponentiating: weights are scale-invariant
         # per row and the shifts add back into the reported loglik
         shift = np.max(log_psi, axis=1)

@@ -130,6 +130,25 @@ def test_fit_population_named_ranges_and_refine():
     assert res.support.shape[1] == 2
 
 
+@pytest.mark.slow
+def test_fit_population_sharded_matches_unsharded():
+    from pharmsol_tpu.parallel.mesh import population_mesh
+
+    data = _population(n_per_mode=3)
+    kwargs = dict(init_points=32, max_cycles=12)
+    base = fit_population(_model(), data, _ems(),
+                          [(0.05, 0.8), (5.0, 20.0)], **kwargs)
+    shard = fit_population(_model(), data, _ems(),
+                           [(0.05, 0.8), (5.0, 20.0)],
+                           mesh=population_mesh(shape=(4, 2)), **kwargs)
+    # psi sharded == unsharded numerically, so the whole deterministic
+    # fit must agree
+    assert base.support.shape == shard.support.shape
+    np.testing.assert_allclose(base.support, shard.support, rtol=1e-10)
+    np.testing.assert_allclose(base.weights, shard.weights, rtol=1e-8)
+    assert np.isclose(base.log_likelihood, shard.log_likelihood)
+
+
 def test_fit_population_validates_inputs():
     with pytest.raises(PharmsolError, match="hi > lo"):
         fit_population(_model(), _population(1), _ems(),
