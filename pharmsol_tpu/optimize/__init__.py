@@ -1,6 +1,7 @@
 from .effect import find_m0, get_e2
 from .map import MapResult, fit_map
 from .nelder_mead import NelderMeadResult, initial_simplex, nelder_mead
+from .laplace import LaplaceResult, fit_laplace
 from .npag import PopulationResult, fit_population
 from .saem import SaemResult, fit_saem
 from .parameters import ParameterOptimizer

@@ -1,0 +1,473 @@
+"""Conditional maximum-likelihood population estimation (Laplace/FOCE class).
+
+The third leg of the estimation layer, next to the nonparametric grid
+(optimize/npag.py) and stochastic EM (optimize/saem.py): the NONMEM-style
+conditional approach that maximizes the Laplace approximation of the
+marginal likelihood
+
+  log p(y_i) ~= ll_i(phi_hat_i) - 0.5*eta_hat' D^-1 eta_hat
+                - 0.5*log det D - 0.5*log det H_i,
+  H_i = -grad^2_eta [ ll_i(mu + eta) - 0.5 eta' D^-1 eta ]  at eta_hat_i
+
+over the population parameters (mu, omega, sigma). Where NONMEM's FOCE
+linearizes because it cannot differentiate the model, this rebuild's
+engines are jax-differentiable end-to-end, so every ingredient is EXACT:
+
+- the inner mode eta_hat_i comes from a fixed-length damped-Newton scan
+  with exact per-subject gradients and Hessians — per-subject gradients
+  fall out of one reverse pass over the summed conditional LL (subjects
+  are independent, so the [n_sub, p] gradient of the sum IS the stack of
+  per-subject gradients), and all n_sub Hessians come from p
+  Hessian-vector products with broadcast basis vectors;
+- the outer objective differentiates THROUGH the unrolled inner solver
+  (no FOCE interaction-term approximations), and L-BFGS with zoom
+  linesearch (the fit_map machinery) drives it;
+- standard errors come from the exact Hessian of the Laplace objective
+  at the optimum (delta method back to the natural scale).
+
+Engine support matches ``Equation.log_likelihood_fn``: analytical
+kernels and the exact ``expm`` solver (reverse-mode engines). Adaptive
+ODE solvers and SDE models are rejected with a pointer to ``fit_saem``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from ..data.residual_error import (
+    RESIDUAL_KIND_CODE,
+    ResidualErrorModel,
+    ResidualErrorModels,
+    ResidualKind,
+)
+from ..errors import PharmsolError
+from ._condll import build_cond_ll, resolve_transform
+
+_LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+class LaplaceResult(NamedTuple):
+    """Population estimates from a Laplace conditional-ML fit."""
+
+    theta: np.ndarray            # [n_params] typical values, natural scale
+    omega: np.ndarray            # [n_params] random-effect SDs (transformed scale)
+    residual_models: ResidualErrorModels
+    individual_parameters: np.ndarray  # [n_subjects, n_params] conditional modes
+    eta: np.ndarray              # [n_subjects, n_params] random-effect modes
+    log_likelihood: float        # Laplace marginal log-likelihood at the optimum
+    converged: bool
+    iterations: int
+    gradient_norm: float
+    standard_errors: Optional[np.ndarray]  # SEs of theta (natural scale)
+    omega_standard_errors: Optional[np.ndarray]
+    parameter_names: Optional[tuple]
+    transform: tuple
+    omega_cov: Optional[np.ndarray] = None  # [p, p] random-effect covariance
+
+    def correlation(self) -> Optional[np.ndarray]:
+        """Random-effect correlation matrix (None for diagonal fits)."""
+        if self.omega_cov is None:
+            return None
+        sd = np.sqrt(np.diag(self.omega_cov))
+        return self.omega_cov / np.outer(sd, sd)
+
+    def summary(self) -> str:
+        names = self.parameter_names or tuple(
+            f"p[{i}]" for i in range(len(self.theta))
+        )
+        lines = [
+            f"Laplace fit: loglik={self.log_likelihood:.6g}, "
+            f"{'converged' if self.converged else 'NOT converged'} in "
+            f"{self.iterations} iters, |grad|={self.gradient_norm:.3g}"
+        ]
+        for i, nm in enumerate(names):
+            se = (f" +- {self.standard_errors[i]:.4g}"
+                  if self.standard_errors is not None else "")
+            lines.append(
+                f"  {nm}: typical {self.theta[i]:.6g}{se}, "
+                f"omega {self.omega[i]:.4g} ({self.transform[i]})"
+            )
+        corr = self.correlation()
+        if corr is not None:
+            for i in range(len(names)):
+                for j in range(i):
+                    lines.append(
+                        f"  corr({names[j]}, {names[i]}) = {corr[j, i]:.3f}"
+                    )
+        return "\n".join(lines)
+
+
+def _sigma_param_layout(kinds_np, est_sigma):
+    """(outeq, field) slots exposed as free log-parameters."""
+    slots = []
+    if not est_sigma:
+        return slots
+    for o, k in enumerate(kinds_np):
+        if k == RESIDUAL_KIND_CODE[ResidualKind.CONSTANT]:
+            slots.append((o, "a"))
+        elif k == RESIDUAL_KIND_CODE[ResidualKind.PROPORTIONAL]:
+            slots.append((o, "b"))
+        elif k == RESIDUAL_KIND_CODE[ResidualKind.COMBINED]:
+            slots.append((o, "a"))
+            slots.append((o, "b"))
+        elif k == RESIDUAL_KIND_CODE[ResidualKind.EXPONENTIAL]:
+            slots.append((o, "a"))
+    return slots
+
+
+def fit_laplace(
+    equation,
+    data,
+    residual_error_models: ResidualErrorModels,
+    theta0,
+    *,
+    omega0=0.3,
+    omega: str = "diagonal",
+    transform="log",
+    est_sigma: bool = True,
+    inner_steps: int = 25,
+    max_iters: int = 100,
+    grad_tol: float = 1e-4,
+    compute_se: bool = True,
+    _introspect: Optional[dict] = None,
+) -> LaplaceResult:
+    """Fit a parametric mixed-effects model by exact-Hessian Laplace ML.
+
+    ``theta0``: initial typical values — dict (needs metadata) or a
+    sequence in model order. ``omega0``: initial random-effect SD on the
+    transformed scale. ``omega='full'`` estimates the full random-effect
+    covariance (correlated effects, NONMEM OMEGA BLOCK semantics) via an
+    unconstrained Cholesky parameterization — log-diagonal plus free
+    off-diagonal entries; ``'diagonal'`` (default) fits independent
+    effects. ``inner_steps``: fixed damped-Newton iterations for the
+    per-subject conditional modes (the outer gradient differentiates
+    through them implicitly). Intended for the reverse-differentiable
+    engines (analytical / ``expm``); for adaptive-ODE or SDE population
+    models use :func:`pharmsol_tpu.optimize.fit_saem`.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.scipy.linalg import solve_triangular
+
+    from ..config import float_dtype
+
+    names: Optional[tuple] = None
+    if isinstance(theta0, dict):
+        metadata = getattr(equation, "metadata", None)
+        metadata = metadata() if callable(metadata) else metadata
+        if metadata is None:
+            raise PharmsolError("named theta0 requires model metadata")
+        model_names = list(metadata.parameter_names)
+        missing = [n for n in model_names if n not in theta0]
+        extra = [n for n in theta0 if n not in model_names]
+        if missing or extra:
+            raise PharmsolError(
+                f"theta0 must cover the model parameters exactly "
+                f"(missing: {missing or '-'}, unknown: {extra or '-'})"
+            )
+        names = tuple(model_names)
+        theta0 = [theta0[n] for n in model_names]
+    theta0 = np.asarray(theta0, dtype=np.float64)
+    if theta0.ndim != 1:
+        raise PharmsolError("theta0 must be a vector of typical values")
+    p = theta0.shape[0]
+    transform = resolve_transform(transform, p)
+    is_log = np.asarray([t == "log" for t in transform])
+    if np.any(is_log & (theta0 <= 0.0)):
+        raise PharmsolError("log-transformed parameters need theta0 > 0")
+    omega0 = np.broadcast_to(np.asarray(omega0, dtype=np.float64), (p,)).copy()
+    if np.any(omega0 <= 0.0):
+        raise PharmsolError("omega0 must be positive")
+    if omega not in ("diagonal", "full"):
+        raise PharmsolError("omega must be 'diagonal' or 'full'")
+    full_omega = omega == "full"
+    n_off = p * (p - 1) // 2 if full_omega else 0
+    tril_r, tril_c = np.tril_indices(p, -1)
+    if inner_steps < 1:
+        raise PharmsolError("inner_steps must be >= 1")
+
+    cond = build_cond_ll(
+        equation, data, residual_error_models, require_reverse_diff=True
+    )
+    n_sub = cond.n_sub
+    if n_sub < 2:
+        raise PharmsolError("population fitting needs at least 2 subjects")
+    slots = _sigma_param_layout(cond.kinds_np, est_sigma)
+    n_sig = len(slots)
+    if est_sigma:
+        for o, field in slots:
+            v = (cond.lowered_a if field == "a" else cond.lowered_b)[o]
+            if v <= 0.0:
+                raise PharmsolError(
+                    f"est_sigma needs positive initial residual "
+                    f"parameters (outeq {o} {field} = {v})"
+                )
+
+    fd = float_dtype()
+    is_log_j = jnp.asarray(is_log)
+    base_a = jnp.asarray(cond.lowered_a, dtype=fd)
+    base_b = jnp.asarray(cond.lowered_b, dtype=fd)
+    a_idx = np.asarray([o for o, f in slots if f == "a"], dtype=np.int64)
+    b_idx = np.asarray([o for o, f in slots if f == "b"], dtype=np.int64)
+    a_pos = np.asarray([i for i, (_, f) in enumerate(slots) if f == "a"])
+    b_pos = np.asarray([i for i, (_, f) in enumerate(slots) if f == "b"])
+
+    def to_natural(phi):
+        return jnp.where(is_log_j, jnp.exp(phi), phi)
+
+    eye = jnp.eye(p, dtype=fd)
+
+    def unpack(psi):
+        """psi -> (mu, L, sig_a, sig_b) with D = L L' (Cholesky omega)."""
+        mu = psi[:p]
+        L = jnp.diag(jnp.exp(psi[p:2 * p]))
+        if n_off:
+            L = L.at[tril_r, tril_c].set(psi[2 * p:2 * p + n_off])
+        sig_a, sig_b = base_a, base_b
+        if n_sig:
+            sig = jnp.exp(psi[2 * p + n_off:])
+            if a_idx.size:
+                sig_a = sig_a.at[a_idx].set(sig[a_pos])
+            if b_idx.size:
+                sig_b = sig_b.at[b_idx].set(sig[b_pos])
+        return mu, L, sig_a, sig_b
+
+    def precision(L):
+        l_inv = solve_triangular(L, eye, lower=True)
+        return l_inv.T @ l_inv
+
+    def cond_ll(eta, mu, sig_a, sig_b):
+        ll_i, _, _ = cond.ll_parts(to_natural(mu[None, :] + eta), sig_a, sig_b)
+        return ll_i
+
+    def joint_grad_hess(eta, mu, prec, sig_a, sig_b):
+        """Per-subject gradient and Hessian of the joint log-density.
+
+        Subjects are independent, so grad of the SUM over subjects is the
+        stack of per-subject gradients, and the Hessian's diagonal blocks
+        come from p HVPs with subject-broadcast basis vectors.
+        """
+
+        def total(e):
+            return jnp.sum(cond_ll(e, mu, sig_a, sig_b)) - 0.5 * jnp.sum(
+                (e @ prec) * e
+            )
+
+        g = jax.grad(total)
+
+        def hvp(v):
+            return jax.jvp(g, (eta,), (v,))[1]  # [n_sub, p]
+
+        cols = jax.vmap(
+            lambda e: hvp(jnp.tile(e[None, :], (n_sub, 1)))
+        )(eye)  # [p, n_sub, p]
+        H = -jnp.transpose(cols, (1, 0, 2))  # negative: precision blocks
+        return g(eta), H
+
+    ridge = jnp.asarray(1e-9, dtype=fd)
+
+    def _newton(mu, prec, sig_a, sig_b):
+        """Per-subject Levenberg–Marquardt damped Newton to the modes.
+
+        Plain clipped Newton oscillates here (proportional error makes
+        the conditional log-density strongly non-quadratic far from the
+        mode: measured residual ~2e2 after 15 clipped steps, which
+        poisons the IFT gradient). LM with per-subject accept/reject
+        keeps the objective monotone, so the scan converges whenever the
+        conditional posterior is unimodal.
+        """
+
+        def obj(e):
+            ll = cond_ll(e, mu, sig_a, sig_b)
+            return ll - 0.5 * jnp.sum((e @ prec) * e, axis=-1)
+
+        def step(carry, _):
+            eta, lam, f = carry
+            g, H = joint_grad_hess(eta, mu, prec, sig_a, sig_b)
+            Hd = H + (ridge + lam[:, None, None]) * eye[None]
+            delta = jnp.linalg.solve(Hd, g[..., None])[..., 0]
+            # overflow guard only — LM damping does the real step control
+            norm = jnp.sqrt(jnp.sum(delta * delta, axis=-1, keepdims=True))
+            delta = delta * jnp.minimum(1.0, 6.0 / jnp.maximum(norm, 1e-12))
+            cand = eta + delta
+            fc = obj(cand)
+            better = jnp.isfinite(fc) & (fc >= f)
+            eta = jnp.where(better[:, None], cand, eta)
+            f = jnp.where(better, fc, f)
+            lam = jnp.clip(
+                jnp.where(better, lam * 0.25, lam * 8.0), 1e-10, 1e10
+            )
+            return (eta, lam, f), None
+
+        eta0 = jnp.zeros((n_sub, p), dtype=fd)
+        lam0 = jnp.full((n_sub,), 1e-2, dtype=fd)
+        (eta, _, _), _ = jax.lax.scan(
+            step, (eta0, lam0, obj(eta0)), None, length=inner_steps
+        )
+        return eta
+
+    # implicit differentiation (IFT) of the inner modes: at the fixed
+    # point grad_eta G(eta*, args) = 0, so deta*/dargs = H^-1 d(grad)/dargs
+    # with H = -hess_eta G. The backward pass is ONE block solve plus one
+    # mixed vjp — instead of reverse-mode through the unrolled Newton
+    # scan, which is both slow to compile and numerically fragile far
+    # from the optimum.
+    @jax.custom_vjp
+    def inner_modes(mu, prec, sig_a, sig_b):
+        return _newton(mu, prec, sig_a, sig_b)
+
+    def _inner_fwd(mu, prec, sig_a, sig_b):
+        eta = _newton(mu, prec, sig_a, sig_b)
+        return eta, (eta, mu, prec, sig_a, sig_b)
+
+    def _inner_bwd(res, w):
+        eta, mu, prec, sig_a, sig_b = res
+        _, H = joint_grad_hess(eta, mu, prec, sig_a, sig_b)
+        H = H + ridge * eye[None]
+        u = jnp.linalg.solve(H, w[..., None])[..., 0]  # H symmetric
+
+        def r_of_args(mu_, prec_, sa_, sb_):
+            def total(e):
+                return jnp.sum(cond_ll(e, mu_, sa_, sb_)) - 0.5 * jnp.sum(
+                    (e @ prec_) * e
+                )
+
+            return jax.grad(total)(eta)
+
+        _, vjp = jax.vjp(r_of_args, mu, prec, sig_a, sig_b)
+        return vjp(u)
+
+    inner_modes.defvjp(_inner_fwd, _inner_bwd)
+
+    def neg_laplace(psi):
+        mu, L, sig_a, sig_b = unpack(psi)
+        prec = precision(L)
+        eta = inner_modes(mu, prec, sig_a, sig_b)
+        ll_i = cond_ll(eta, mu, sig_a, sig_b)
+        _, H = joint_grad_hess(eta, mu, prec, sig_a, sig_b)
+        H = H + ridge * eye[None]
+        chol = jnp.linalg.cholesky(H)
+        logdet_h = 2.0 * jnp.sum(
+            jnp.log(jnp.maximum(jnp.diagonal(chol, axis1=1, axis2=2), 1e-300)),
+            axis=-1,
+        )
+        quad = 0.5 * jnp.sum((eta @ prec) * eta, axis=-1)
+        logdet_d = 2.0 * jnp.sum(psi[p:2 * p])  # log det(L L') = 2 tr log L
+        obj_i = ll_i - quad - 0.5 * logdet_d - 0.5 * logdet_h
+        return -jnp.sum(obj_i)
+
+    mu0 = np.where(is_log, np.log(theta0), theta0)
+    sig0 = []
+    for o, f in slots:
+        sig0.append(np.log((cond.lowered_a if f == "a" else cond.lowered_b)[o]))
+    psi0 = jnp.asarray(
+        np.concatenate(
+            [mu0, np.log(omega0), np.zeros(n_off), np.asarray(sig0)]
+        ),
+        dtype=fd,
+    )
+    if _introspect is not None:
+        _introspect.update(
+            neg_laplace=neg_laplace, psi0=psi0, unpack=unpack,
+            inner_modes=inner_modes, cond=cond, cond_ll=cond_ll,
+            joint_grad_hess=joint_grad_hess,
+        )
+    f0 = float(neg_laplace(psi0))
+    if not np.isfinite(f0):
+        raise PharmsolError(
+            f"Laplace objective is non-finite at theta0 (value {f0}); "
+            f"adjust theta0/omega0 or the residual error models"
+        )
+
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(neg_laplace)
+
+    @jax.jit
+    def step(z, state):
+        value, grad = value_and_grad(z, state=state)
+        updates, state = opt.update(
+            grad, state, z, value=value, grad=grad, value_fn=neg_laplace
+        )
+        z = optax.apply_updates(z, updates)
+        return z, state, value, grad
+
+    z = psi0
+    state = opt.init(psi0)
+    gnorm = np.inf
+    converged = False
+    it = 0
+    for it in range(1, max_iters + 1):
+        z, state, value, grad = step(z, state)
+        gnorm = float(jnp.max(jnp.abs(grad)))
+        if not np.isfinite(gnorm):
+            break
+        if gnorm < grad_tol:
+            converged = True
+            break
+
+    mu, L, sig_a, sig_b = unpack(z)
+    prec = precision(L)
+    eta = np.asarray(inner_modes(mu, prec, sig_a, sig_b), dtype=np.float64)
+    loglik = -float(neg_laplace(z))
+    mu_np = np.asarray(mu, dtype=np.float64)
+    theta = np.where(is_log, np.exp(mu_np), mu_np)
+    L_np = np.asarray(L, dtype=np.float64)
+    om_cov = L_np @ L_np.T
+    om_sd = np.sqrt(np.diag(om_cov))
+    phi = mu_np[None, :] + eta
+    indiv = np.where(is_log[None, :], np.exp(phi), phi)
+
+    ses = None
+    om_ses = None
+    if compute_se:
+        try:
+            H = np.asarray(jax.hessian(neg_laplace)(z), dtype=np.float64)
+            cov = np.linalg.inv(H)
+            d = np.diag(cov)
+            if np.all(np.isfinite(d)) and np.all(d > -1e-12):
+                sd = np.sqrt(np.maximum(d, 0.0))
+                # delta method: theta = exp(mu) on log-transformed axes,
+                # omega = exp(z_omega). The full-omega SD is a nonlinear
+                # mix of Cholesky entries — only the diagonal fit exposes
+                # omega SEs directly.
+                ses = np.where(is_log, theta * sd[:p], sd[:p])
+                if not full_omega:
+                    om_ses = om_sd * sd[p:2 * p]
+        except Exception:  # singular Hessian: report point estimates only
+            pass
+
+    out_models = ResidualErrorModels()
+    a_np = np.asarray(sig_a, dtype=np.float64)
+    b_np = np.asarray(sig_b, dtype=np.float64)
+    for label in residual_error_models.labels():
+        model = residual_error_models.get(label)
+        idx = equation.resolve_output_label(label)
+        if model.kind is ResidualKind.CONSTANT:
+            new = ResidualErrorModel.constant(a_np[idx])
+        elif model.kind is ResidualKind.PROPORTIONAL:
+            new = ResidualErrorModel.proportional(b_np[idx])
+        elif model.kind is ResidualKind.COMBINED:
+            new = ResidualErrorModel.combined(a_np[idx], b_np[idx])
+        else:
+            new = ResidualErrorModel.exponential(a_np[idx])
+        out_models = out_models.add(label, new if est_sigma else model)
+
+    return LaplaceResult(
+        theta=theta,
+        omega=om_sd,
+        residual_models=out_models,
+        individual_parameters=indiv,
+        eta=eta,
+        log_likelihood=loglik,
+        converged=converged,
+        iterations=it,
+        gradient_norm=gnorm,
+        standard_errors=ses,
+        omega_standard_errors=om_ses,
+        parameter_names=names,
+        transform=transform,
+        omega_cov=om_cov if full_omega else None,
+    )

@@ -32,6 +32,7 @@ from typing import NamedTuple, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.scipy.linalg import solve_triangular
 
 from ..config import float_dtype
 from ..data.residual_error import (
@@ -39,10 +40,9 @@ from ..data.residual_error import (
     ResidualErrorModel,
     ResidualErrorModels,
     ResidualKind,
-    residual_sigma_array,
 )
-from ..data.structs import Data
 from ..errors import PharmsolError
+from ._condll import build_cond_ll, resolve_transform
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
 
@@ -59,6 +59,14 @@ class SaemResult(NamedTuple):
     log_likelihood: Optional[float]  # IS estimate (ll_draws>0) else None
     parameter_names: Optional[tuple]
     transform: tuple             # per-parameter 'log' / 'identity'
+    omega_cov: Optional[np.ndarray] = None  # [p, p] random-effect covariance
+
+    def correlation(self) -> Optional[np.ndarray]:
+        """Random-effect correlation matrix (None for diagonal fits)."""
+        if self.omega_cov is None:
+            return None
+        sd = np.sqrt(np.diag(self.omega_cov))
+        return self.omega_cov / np.outer(sd, sd)
 
     def summary(self) -> str:
         names = self.parameter_names or tuple(
@@ -79,19 +87,14 @@ class SaemResult(NamedTuple):
                 f"  {nm}: typical {self.theta[i]:.6g}, "
                 f"omega {self.omega[i]:.4g} ({self.transform[i]})"
             )
+        corr = self.correlation()
+        if corr is not None:
+            for i in range(len(names)):
+                for j in range(i):
+                    lines.append(
+                        f"  corr({names[j]}, {names[i]}) = {corr[j, i]:.3f}"
+                    )
         return "\n".join(lines)
-
-
-def _resolve_transform(transform, p: int) -> tuple:
-    if isinstance(transform, str):
-        transform = (transform,) * p
-    transform = tuple(transform)
-    if len(transform) != p or any(t not in ("log", "identity") for t in transform):
-        raise PharmsolError(
-            "transform must be 'log', 'identity', or a per-parameter "
-            "sequence of those"
-        )
-    return transform
 
 
 def fit_saem(
@@ -101,6 +104,7 @@ def fit_saem(
     theta0,
     *,
     omega0=0.3,
+    omega: str = "diagonal",
     transform="log",
     n_burn: int = 200,
     n_iters: int = 100,
@@ -115,6 +119,10 @@ def fit_saem(
     ``theta0``: initial typical values — a dict ``{name: value}`` (needs
     model metadata) or a sequence in model order. ``omega0``: initial
     random-effect SD on the TRANSFORMED scale (scalar or per-parameter).
+    ``omega='full'`` estimates the full random-effect covariance matrix
+    (correlated effects, NONMEM OMEGA BLOCK semantics) — the M-step's
+    smoothed second moment supplies it in closed form; ``'diagonal'``
+    (default) constrains it to independent effects.
     ``transform='log'`` fits log-normal random effects (the PK default;
     typical value reported is the median ``exp(mu)``); ``'identity'``
     fits normal effects. ``n_burn`` iterations run with gamma=1 (the
@@ -143,53 +151,31 @@ def fit_saem(
     if theta0.ndim != 1:
         raise PharmsolError("theta0 must be a vector of typical values")
     p = theta0.shape[0]
-    transform = _resolve_transform(transform, p)
+    transform = resolve_transform(transform, p)
     is_log = np.asarray([t == "log" for t in transform])
     if np.any(is_log & (theta0 <= 0.0)):
         raise PharmsolError("log-transformed parameters need theta0 > 0")
     omega0 = np.broadcast_to(np.asarray(omega0, dtype=np.float64), (p,)).copy()
     if np.any(omega0 <= 0.0):
         raise PharmsolError("omega0 must be positive")
+    if omega not in ("diagonal", "full"):
+        raise PharmsolError("omega must be 'diagonal' or 'full'")
+    full_omega = omega == "full"
     if n_burn < 1 or n_iters < 1 or mh_steps < 1:
         raise PharmsolError("n_burn, n_iters, and mh_steps must be >= 1")
 
-    data = data if isinstance(data, Data) else Data(list(data))
-    subjects = list(data.subjects())
-    n_sub = len(subjects)
+    cond = build_cond_ll(equation, data, residual_error_models)
+    subjects = cond.subjects
+    n_sub = cond.n_sub
     if n_sub < 2:
         raise PharmsolError("SAEM needs at least 2 subjects")
-    grid = equation.lower(subjects)
-    lowered = residual_error_models.lower(
-        equation.resolve_output_label, equation.nouteqs()
-    )
-    kinds_np = np.asarray(lowered.kind)
+    kinds_np = cond.kinds_np
+    nout = cond.nout
+    n_obs_per_outeq = cond.n_obs_per_outeq
+    obs_outeq, obs_value, active = cond.obs_outeq, cond.obs_value, cond.active
+    row_subject = cond.row_subject
 
     fd = float_dtype()
-    rows = grid.rows
-    row_subject = jnp.asarray(np.asarray(grid.row_subject))
-    pred_one = equation._pred_one_fn(tuple(grid.cov_names))
-    n_rows = int(np.asarray(grid.row_subject).shape[0])
-
-    obs_outeq = rows.obs_outeq
-    obs_value = rows.obs_value.astype(fd)
-    active = rows.obs_valid & rows.obs_has_value
-    # a modeled observation on an outeq with no residual model is a user
-    # error (parity with log_likelihood_batch's -inf contract)
-    act_np = np.asarray(active)
-    oe_np = np.asarray(obs_outeq)
-    used = np.unique(oe_np[act_np]) if act_np.any() else np.asarray([], int)
-    unmodeled = [int(o) for o in used if kinds_np[o] == 0]
-    if unmodeled:
-        raise PharmsolError(
-            f"outeq(s) {unmodeled} have observations but no residual error "
-            f"model"
-        )
-    nout = int(kinds_np.shape[0])
-    n_obs_per_outeq = np.zeros(nout, dtype=np.float64)
-    for o in range(nout):
-        n_obs_per_outeq[o] = float(np.sum(act_np & (oe_np == o)))
-
-    kind_per_obs = jnp.asarray(kinds_np)[obs_outeq]
     is_log_j = jnp.asarray(is_log)
     mu0 = jnp.asarray(np.where(is_log, np.log(theta0), theta0), dtype=fd)
     tiny = jnp.asarray(np.finfo(np.float64).eps, dtype=fd)
@@ -198,29 +184,24 @@ def fit_saem(
         return jnp.where(is_log_j, jnp.exp(phi), phi)
 
     def ll_parts(phi_rows, sig_a, sig_b):
-        """Conditional LL per subject + per-observation (r2, f2) arrays."""
-        theta_rows = to_natural(phi_rows)
-        p_per_row = theta_rows[row_subject]
-        preds = jax.vmap(pred_one, in_axes=(0, 0, 0))(
-            rows, p_per_row, jnp.arange(n_rows)
-        )
-        a = sig_a[obs_outeq].astype(fd)
-        b = sig_b[obs_outeq].astype(fd)
-        sigma = residual_sigma_array(kind_per_obs, a, b, preds)
-        z = (obs_value - preds) / sigma
-        ll = -0.5 * (_LOG_2PI + 2.0 * jnp.log(sigma) + z * z)
-        ll_i = jax.ops.segment_sum(
-            jnp.sum(jnp.where(active, ll, 0.0), axis=-1),
-            row_subject,
-            num_segments=n_sub,
-        )
-        r2 = jnp.where(active, (obs_value - preds) ** 2, 0.0)
-        f2 = jnp.where(active, preds * preds, 0.0)
-        return ll_i, r2, f2
+        return cond.ll_parts(to_natural(phi_rows), sig_a, sig_b)
 
-    def log_prior(phi, mu, om_var):
+    eye_p = jnp.eye(p, dtype=fd)
+
+    def om_factors(om):
+        """Cholesky factor and precision of the [p, p] covariance.
+
+        The omega state is a full matrix in BOTH modes (diagonal mode
+        just zeroes the off-diagonal in the M-step), so one code path
+        serves correlated and independent random effects.
+        """
+        L = jnp.linalg.cholesky(om)
+        l_inv = solve_triangular(L, eye_p, lower=True)
+        return L, l_inv.T @ l_inv
+
+    def log_prior(phi, mu, prec):
         d = phi - mu[None, :]
-        return -0.5 * jnp.sum(d * d / om_var[None, :], axis=-1)
+        return -0.5 * jnp.einsum("np,pq,nq->n", d, prec, d)
 
     def sigma_m_step(sr2, swsr, sf2, sig_a, sig_b):
         """Per-outeq residual updates from the smoothed statistics."""
@@ -291,18 +272,18 @@ def fit_saem(
         np.arange(n_total) >= n_burn, dtype=fd
     )
 
-    def mh_sweep(carry, key, mu, om_var, sig_a, sig_b):
+    def mh_sweep(carry, key, mu, om_chol, prec, sig_a, sig_b):
         phi, ll_i, r2, f2, c = carry
-        om_sd = jnp.sqrt(om_var)
-        lp = log_prior(phi, mu, om_var)
+        lp = log_prior(phi, mu, prec)
 
         def one(inner, k):
             phi, ll_i, lp, r2, f2, c, acc = inner
             k1, k2 = jax.random.split(k)
-            step = c[:, None] * om_sd[None, :]
-            prop = phi + step * jax.random.normal(k1, phi.shape, dtype=fd)
+            noise = jax.random.normal(k1, phi.shape, dtype=fd)
+            # proposal shaped like the current population covariance
+            prop = phi + c[:, None] * (noise @ om_chol.T)
             llp, r2p, f2p = ll_parts(prop, sig_a, sig_b)
-            lpp = log_prior(prop, mu, om_var)
+            lpp = log_prior(prop, mu, prec)
             logr = (llp + lpp) - (ll_i + lp)
             u = jnp.log(jax.random.uniform(k2, (n_sub,), dtype=fd))
             take = (u < logr) & jnp.isfinite(llp)
@@ -330,27 +311,35 @@ def fit_saem(
 
     def iteration(state, inp):
         gamma, in_est, key = inp
-        (phi, c, mu, om_var, sig_a, sig_b,
+        (phi, c, mu, om, sig_a, sig_b,
          s1, s2, sphi, sr2, swsr, sf2, acc_sum, acc_n) = state
+        om_chol, prec = om_factors(om)
         ll_i, r2, f2 = ll_parts(phi, sig_a, sig_b)
         (phi, ll_i, r2, f2, c), acc = mh_sweep(
-            (phi, ll_i, r2, f2, c), key, mu, om_var, sig_a, sig_b
+            (phi, ll_i, r2, f2, c), key, mu, om_chol, prec, sig_a, sig_b
         )
         # stochastic-approximation update of the sufficient statistics
         s1 = s1 + gamma * (jnp.mean(phi, axis=0) - s1)
-        s2 = s2 + gamma * (jnp.mean(phi * phi, axis=0) - s2)
+        s2 = s2 + gamma * (phi.T @ phi / n_sub - s2)
         sphi = sphi + gamma * (phi - sphi)
         sr2 = sr2 + gamma * (r2 - sr2)
         swsr = swsr + gamma * (r2 / jnp.maximum(f2, tiny) - swsr)
         sf2 = sf2 + gamma * (f2 - sf2)
-        # M-step
+        # M-step: the smoothed moments give the covariance in closed form
         mu = s1
-        om_var = jnp.maximum(s2 - s1 * s1, 1e-8)
+        om_full = s2 - jnp.outer(s1, s1)
+        om_full = 0.5 * (om_full + om_full.T)
+        diag_clamped = jnp.maximum(jnp.diag(om_full), 1e-8)
+        if full_omega:
+            om = (om_full - jnp.diag(jnp.diag(om_full))
+                  + jnp.diag(diag_clamped) + 1e-10 * eye_p)
+        else:
+            om = jnp.diag(diag_clamped)
         if est_sigma:
             sig_a, sig_b = sigma_m_step(sr2, swsr, sf2, sig_a, sig_b)
         acc_sum = acc_sum + in_est * jnp.mean(acc)
         acc_n = acc_n + in_est
-        new_state = (phi, c, mu, om_var, sig_a, sig_b,
+        new_state = (phi, c, mu, om, sig_a, sig_b,
                      s1, s2, sphi, sr2, swsr, sf2, acc_sum, acc_n)
         return new_state, jnp.sum(ll_i)
 
@@ -358,13 +347,14 @@ def fit_saem(
     def run(key):
         phi = jnp.tile(mu0[None, :], (n_sub, 1))
         c = jnp.full((n_sub,), 0.4, dtype=fd)
-        om_var0 = jnp.asarray(omega0 * omega0, dtype=fd)
-        sig_a0 = jnp.asarray(lowered.a, dtype=fd)
-        sig_b0 = jnp.asarray(lowered.b, dtype=fd)
+        om0 = jnp.diag(jnp.asarray(omega0 * omega0, dtype=fd))
+        sig_a0 = jnp.asarray(cond.lowered_a, dtype=fd)
+        sig_b0 = jnp.asarray(cond.lowered_b, dtype=fd)
         zero_obs = jnp.zeros_like(obs_value)
         state = (
-            phi, c, mu0, om_var0, sig_a0, sig_b0,
-            mu0, mu0 * mu0 + om_var0, phi, zero_obs, zero_obs, zero_obs,
+            phi, c, mu0, om0, sig_a0, sig_b0,
+            mu0, jnp.outer(mu0, mu0) + om0, phi,
+            zero_obs, zero_obs, zero_obs,
             jnp.zeros((), fd), jnp.zeros((), fd),
         )
         keys = jax.random.split(key, n_total)
@@ -375,8 +365,8 @@ def fit_saem(
 
     ll0, _, _ = jax.jit(ll_parts)(
         jnp.tile(mu0[None, :], (n_sub, 1)),
-        jnp.asarray(lowered.a, dtype=fd),
-        jnp.asarray(lowered.b, dtype=fd),
+        jnp.asarray(cond.lowered_a, dtype=fd),
+        jnp.asarray(cond.lowered_b, dtype=fd),
     )
     ll0 = np.asarray(ll0)
     if not np.all(np.isfinite(ll0)):
@@ -387,10 +377,11 @@ def fit_saem(
         )
 
     state, ll_trace = run(jax.random.PRNGKey(seed))
-    (phi, _c, mu, om_var, sig_a, sig_b,
+    (phi, _c, mu, om, sig_a, sig_b,
      _s1, _s2, sphi, _sr2, _swsr, _sf2, acc_sum, acc_n) = state
     mu = np.asarray(mu, dtype=np.float64)
-    om_sd = np.sqrt(np.asarray(om_var, dtype=np.float64))
+    om_np = np.asarray(om, dtype=np.float64)
+    om_sd = np.sqrt(np.diag(om_np))
     theta = np.where(is_log, np.exp(mu), mu)
     indiv = np.asarray(sphi, dtype=np.float64)
     indiv = np.where(is_log[None, :], np.exp(indiv), indiv)
@@ -415,9 +406,10 @@ def fit_saem(
     marginal = None
     if ll_draws > 0:
         key = jax.random.PRNGKey(seed + 1)
-        draws = mu[None, :] + om_sd[None, :] * np.asarray(
+        chol = np.linalg.cholesky(om_np)
+        draws = mu[None, :] + np.asarray(
             jax.random.normal(key, (ll_draws, p), dtype=fd)
-        )
+        ) @ chol.T
 
         @jax.jit
         def ll_at(phi_pop):
@@ -443,6 +435,7 @@ def fit_saem(
         log_likelihood=marginal,
         parameter_names=names,
         transform=transform,
+        omega_cov=om_np if full_omega else None,
     )
     if progress:
         print(result.summary())

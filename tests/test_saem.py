@@ -52,6 +52,27 @@ def _prop(b=0.2):
     return ResidualErrorModels().add(0, ResidualErrorModel.proportional(b))
 
 
+def _correlated_population(n=24, corr=0.6, b_noise=0.08, seed=9):
+    """Log-normal (ke, v) with correlated random effects."""
+    rng = np.random.default_rng(seed)
+    cov = np.array([
+        [OMEGA[0] ** 2, corr * OMEGA[0] * OMEGA[1]],
+        [corr * OMEGA[0] * OMEGA[1], OMEGA[1] ** 2],
+    ])
+    etas = rng.multivariate_normal(np.zeros(2), cov, size=n)
+    subjects, truth = [], []
+    for i in range(n):
+        ke = KE * np.exp(etas[i, 0])
+        v = V * np.exp(etas[i, 1])
+        truth.append((ke, v))
+        sb = Subject.builder(f"s{i}").bolus(0.0, 100.0, 0)
+        for t in (0.5, 2.0, 6.0, 12.0, 24.0):
+            c = 100.0 * np.exp(-ke * t) / v
+            sb = sb.observation(float(t), float(c * (1 + b_noise * rng.standard_normal())), 0)
+        subjects.append(sb.build())
+    return Data(subjects), np.asarray(truth)
+
+
 @pytest.mark.slow
 def test_saem_recovers_lognormal_population():
     data, truth = _population()
@@ -112,6 +133,30 @@ def test_saem_named_theta0_and_fixed_sigma():
     assert abs(res.theta[0] - KE) / KE < 0.25
 
 
+@pytest.mark.slow
+def test_saem_full_omega_recovers_correlation():
+    """omega='full' recovers the REALIZED correlation of the simulated
+    random effects (NONMEM OMEGA BLOCK semantics)."""
+    data, truth = _correlated_population()
+    log_t = np.log(truth)
+    sample_corr = np.corrcoef(log_t.T)[0, 1]
+    res = fit_saem(_model(), data, _prop(), [0.4, 8.0], omega="full",
+                   n_burn=200, n_iters=150, mh_steps=4, seed=0)
+    assert res.omega_cov is not None and res.omega_cov.shape == (2, 2)
+    corr = res.correlation()
+    assert abs(corr[0, 1] - sample_corr) < 0.25, res.summary()
+    # diagonal moments still recovered
+    sample_mu = np.exp(np.mean(log_t, axis=0))
+    sample_sd = np.std(log_t, axis=0)
+    assert np.all(np.abs(res.theta / sample_mu - 1) < 0.06), res.summary()
+    assert np.all(np.abs(res.omega - sample_sd) < 0.09), res.summary()
+    assert "corr(" in res.summary()
+    # diagonal mode on the same data reports no covariance
+    res_d = fit_saem(_model(), data, _prop(), [0.4, 8.0],
+                     n_burn=60, n_iters=40, mh_steps=3, seed=0)
+    assert res_d.omega_cov is None and res_d.correlation() is None
+
+
 def test_saem_identity_transform_runs():
     data, _ = _population(n=6, seed=2)
     res = fit_saem(_model(), data, _prop(), [0.3, 10.0],
@@ -136,3 +181,5 @@ def test_saem_validates_inputs():
         fit_saem(_model(), data, _prop(), [0.3, 10.0], omega0=0.0)
     with pytest.raises(PharmsolError, match="residual error"):
         fit_saem(_model(), data, ResidualErrorModels(), [0.3, 10.0])
+    with pytest.raises(PharmsolError, match="'diagonal' or 'full'"):
+        fit_saem(_model(), data, _prop(), [0.3, 10.0], omega="block")
