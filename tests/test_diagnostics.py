@@ -1,0 +1,135 @@
+"""Simulation-based population diagnostics (optimize/diagnostics.py).
+
+VPC and NPDE re-simulate the observed design under a fitted population;
+the oracles are statistical: under the TRUE data-generating population
+the observed percentiles sit inside the simulated bands and the pooled
+npde moments match N(0, 1); under a deliberately wrong population both
+diagnostics flag the misfit. The reference library has no diagnostics
+layer (it stops at simulation surfaces) — this is the rebuild's
+downstream-workflow completion, NONMEM/Pmetrics VPC semantics.
+"""
+
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import pharmsol_tpu as pst
+from pharmsol_tpu import Analytical, Data, Subject
+from pharmsol_tpu.data.residual_error import (
+    ResidualErrorModel,
+    ResidualErrorModels,
+)
+from pharmsol_tpu.errors import PharmsolError
+from pharmsol_tpu.optimize import npde, vpc
+
+KE, V = 0.25, 10.0
+OMEGA = (0.3, 0.15)
+B_NOISE = 0.08
+
+
+def _model():
+    return Analytical(
+        pst.one_compartment,
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+
+
+def _population(n=24, seed=3):
+    rng = np.random.default_rng(seed)
+    subjects = []
+    for i in range(n):
+        ke = KE * np.exp(OMEGA[0] * rng.standard_normal())
+        v = V * np.exp(OMEGA[1] * rng.standard_normal())
+        sb = Subject.builder(f"s{i}").bolus(0.0, 100.0, 0)
+        for t in (0.5, 2.0, 6.0, 12.0, 24.0):
+            c = 100.0 * np.exp(-ke * t) / v
+            sb = sb.observation(float(t), float(c * (1 + B_NOISE * rng.standard_normal())), 0)
+        subjects.append(sb.build())
+    return Data(subjects)
+
+
+def _prop(b=B_NOISE):
+    return ResidualErrorModels().add(0, ResidualErrorModel.proportional(b))
+
+
+def _truth():
+    return SimpleNamespace(
+        theta=np.asarray([KE, V]),
+        omega=np.asarray(OMEGA),
+        omega_cov=None,
+        transform=("log", "log"),
+    )
+
+
+def test_vpc_correct_model_covers():
+    data = _population()
+    res = vpc(_model(), data, _prop(), _truth(), n_rep=300, seed=1)
+    # 5 unique times -> one bin per time
+    assert len(res.bin_times) == 5
+    assert int(res.n_obs.sum()) == 24 * 5
+    assert res.observed.shape == (3, 5)
+    # under the true population most observed percentiles sit in-band
+    assert res.coverage() >= 0.7, res.summary()
+    # simulated medians track observed medians to population-sampling error
+    rel = np.abs(res.predicted[1] / res.observed[1] - 1)
+    assert np.all(rel < 0.35), res.summary()
+    assert np.all(res.pi_low <= res.pi_high)
+    assert "VPC" in res.summary()
+
+
+def test_vpc_wrong_model_flags_misfit():
+    data = _population()
+    wrong = SimpleNamespace(
+        theta=np.asarray([3.0 * KE, V]), omega=np.asarray(OMEGA),
+        omega_cov=None, transform=("log", "log"),
+    )
+    res = vpc(_model(), data, _prop(), wrong, n_rep=300, seed=1)
+    assert res.coverage() < 0.5, res.summary()
+
+
+def test_vpc_nonparametric_population_runs():
+    data = _population(n=12)
+    pop = SimpleNamespace(
+        support=np.asarray([[KE * 0.8, V], [KE * 1.25, V]]),
+        weights=np.asarray([0.5, 0.5]),
+    )
+    res = vpc(_model(), data, _prop(), pop, n_rep=200, seed=0, bins=3)
+    assert len(res.bin_times) <= 3 or len(res.bin_times) == 5
+    assert np.all(res.n_obs > 0)
+    assert np.isfinite(res.predicted).all()
+
+
+def test_npde_correct_model_is_standard_normal():
+    data = _population()
+    res = npde(_model(), data, _prop(), _truth(), n_rep=1000, seed=2)
+    assert len(res.npde) == 24 * 5
+    assert len(res.subject_ids) == len(res.npde)
+    assert abs(res.z_mean) < 3.0, res.summary()
+    assert abs(res.z_var) < 3.5, res.summary()
+    assert "NPDE" in res.summary()
+
+
+def test_npde_wrong_model_rejects():
+    data = _population()
+    wrong = SimpleNamespace(
+        theta=np.asarray([2.0 * KE, V]), omega=np.asarray(OMEGA),
+        omega_cov=None, transform=("log", "log"),
+    )
+    res = npde(_model(), data, _prop(), wrong, n_rep=500, seed=2)
+    assert abs(res.z_mean) > 4.0, res.summary()
+
+
+def test_diagnostics_validation():
+    data = _population(n=4)
+    with pytest.raises(PharmsolError, match="n_rep"):
+        vpc(_model(), data, _prop(), _truth(), n_rep=5)
+    with pytest.raises(PharmsolError, match="ci"):
+        vpc(_model(), data, _prop(), _truth(), ci=1.5)
+    with pytest.raises(PharmsolError, match="outeq"):
+        vpc(_model(), data, _prop(), _truth(), outeq=3, n_rep=20)
+    with pytest.raises(PharmsolError, match="n_rep"):
+        npde(_model(), data, _prop(), _truth(), n_rep=10)
+    with pytest.raises(PharmsolError, match="population"):
+        vpc(_model(), data, _prop(), object(), n_rep=20)
