@@ -44,6 +44,7 @@ from ..data.residual_error import (
 )
 from ..errors import PharmsolError
 from ._condll import build_cond_ll, resolve_transform
+from ._coveffects import resolve_covariate_effects
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
 
@@ -65,6 +66,10 @@ class LaplaceResult(NamedTuple):
     parameter_names: Optional[tuple]
     transform: tuple
     omega_cov: Optional[np.ndarray] = None  # [p, p] random-effect covariance
+    beta: Optional[np.ndarray] = None       # [n_eff] covariate coefficients
+    beta_standard_errors: Optional[np.ndarray] = None
+    covariate_labels: Optional[tuple] = None
+    covariate_effects: Optional[tuple] = None  # resolved (j, cov, form, ref)
 
     def correlation(self) -> Optional[np.ndarray]:
         """Random-effect correlation matrix (None for diagonal fits)."""
@@ -96,6 +101,11 @@ class LaplaceResult(NamedTuple):
                     lines.append(
                         f"  corr({names[j]}, {names[i]}) = {corr[j, i]:.3f}"
                     )
+        if self.beta is not None and self.covariate_labels:
+            for k, lbl in enumerate(self.covariate_labels):
+                se = (f" +- {self.beta_standard_errors[k]:.4g}"
+                      if self.beta_standard_errors is not None else "")
+                lines.append(f"  {lbl}: beta {self.beta[k]:.4g}{se}")
         return "\n".join(lines)
 
 
@@ -126,6 +136,7 @@ def fit_laplace(
     omega0=0.3,
     omega: str = "diagonal",
     transform="log",
+    covariate_effects=None,
     est_sigma: bool = True,
     inner_steps: int = 25,
     max_iters: int = 100,
@@ -141,7 +152,13 @@ def fit_laplace(
     covariance (correlated effects, NONMEM OMEGA BLOCK semantics) via an
     unconstrained Cholesky parameterization — log-diagonal plus free
     off-diagonal entries; ``'diagonal'`` (default) fits independent
-    effects. ``inner_steps``: fixed damped-Newton iterations for the
+    effects. ``covariate_effects``: NONMEM-style effects of baseline
+    covariates on typical values — a sequence of
+    ``(parameter, covariate, form[, reference])`` with form ``'power'``
+    (``theta*(cov/ref)**beta`` on log parameters) or ``'linear'``
+    (additive ``beta*(cov-ref)`` on the transformed scale); each adds one
+    fitted ``beta`` coefficient (free psi coordinate, exact SEs like
+    everything else). ``inner_steps``: fixed damped-Newton iterations for the
     per-subject conditional modes (the outer gradient differentiates
     through them implicitly). Intended for the reverse-differentiable
     engines (analytical / ``expm``); for adaptive-ODE or SDE population
@@ -195,6 +212,8 @@ def fit_laplace(
     n_sub = cond.n_sub
     if n_sub < 2:
         raise PharmsolError("population fitting needs at least 2 subjects")
+    ce = resolve_covariate_effects(covariate_effects, cond.subjects, p, names)
+    n_eff = ce.n_eff if ce is not None else 0
     slots = _sigma_param_layout(cond.kinds_np, est_sigma)
     n_sig = len(slots)
     if est_sigma:
@@ -219,31 +238,44 @@ def fit_laplace(
         return jnp.where(is_log_j, jnp.exp(phi), phi)
 
     eye = jnp.eye(p, dtype=fd)
+    # psi layout: [mu(p), beta(n_eff), log-diag-L(p), offdiag(n_off), sig]
+    o_ld = p + n_eff
+    o_off = o_ld + p
+    o_sig = o_off + n_off
+    if ce is not None:
+        x_eff = jnp.asarray(ce.x, dtype=fd)
+        onehot_eff = jnp.asarray(ce.onehot, dtype=fd)
 
     def unpack(psi):
-        """psi -> (mu, L, sig_a, sig_b) with D = L L' (Cholesky omega)."""
+        """psi -> (m, L, sig_a, sig_b): per-subject transformed-scale
+        prior means [n_sub, p] and D = L L' (Cholesky omega)."""
         mu = psi[:p]
-        L = jnp.diag(jnp.exp(psi[p:2 * p]))
+        if n_eff:
+            beta = psi[p:o_ld]
+            m = mu[None, :] + (x_eff * beta[None, :]) @ onehot_eff
+        else:
+            m = jnp.broadcast_to(mu[None, :], (n_sub, p))
+        L = jnp.diag(jnp.exp(psi[o_ld:o_off]))
         if n_off:
-            L = L.at[tril_r, tril_c].set(psi[2 * p:2 * p + n_off])
+            L = L.at[tril_r, tril_c].set(psi[o_off:o_sig])
         sig_a, sig_b = base_a, base_b
         if n_sig:
-            sig = jnp.exp(psi[2 * p + n_off:])
+            sig = jnp.exp(psi[o_sig:])
             if a_idx.size:
                 sig_a = sig_a.at[a_idx].set(sig[a_pos])
             if b_idx.size:
                 sig_b = sig_b.at[b_idx].set(sig[b_pos])
-        return mu, L, sig_a, sig_b
+        return m, L, sig_a, sig_b
 
     def precision(L):
         l_inv = solve_triangular(L, eye, lower=True)
         return l_inv.T @ l_inv
 
-    def cond_ll(eta, mu, sig_a, sig_b):
-        ll_i, _, _ = cond.ll_parts(to_natural(mu[None, :] + eta), sig_a, sig_b)
+    def cond_ll(eta, m, sig_a, sig_b):
+        ll_i, _, _ = cond.ll_parts(to_natural(m + eta), sig_a, sig_b)
         return ll_i
 
-    def joint_grad_hess(eta, mu, prec, sig_a, sig_b):
+    def joint_grad_hess(eta, m, prec, sig_a, sig_b):
         """Per-subject gradient and Hessian of the joint log-density.
 
         Subjects are independent, so grad of the SUM over subjects is the
@@ -252,7 +284,7 @@ def fit_laplace(
         """
 
         def total(e):
-            return jnp.sum(cond_ll(e, mu, sig_a, sig_b)) - 0.5 * jnp.sum(
+            return jnp.sum(cond_ll(e, m, sig_a, sig_b)) - 0.5 * jnp.sum(
                 (e @ prec) * e
             )
 
@@ -269,7 +301,7 @@ def fit_laplace(
 
     ridge = jnp.asarray(1e-9, dtype=fd)
 
-    def _newton(mu, prec, sig_a, sig_b):
+    def _newton(m, prec, sig_a, sig_b):
         """Per-subject Levenberg–Marquardt damped Newton to the modes.
 
         Plain clipped Newton oscillates here (proportional error makes
@@ -281,12 +313,12 @@ def fit_laplace(
         """
 
         def obj(e):
-            ll = cond_ll(e, mu, sig_a, sig_b)
+            ll = cond_ll(e, m, sig_a, sig_b)
             return ll - 0.5 * jnp.sum((e @ prec) * e, axis=-1)
 
         def step(carry, _):
             eta, lam, f = carry
-            g, H = joint_grad_hess(eta, mu, prec, sig_a, sig_b)
+            g, H = joint_grad_hess(eta, m, prec, sig_a, sig_b)
             Hd = H + (ridge + lam[:, None, None]) * eye[None]
             delta = jnp.linalg.solve(Hd, g[..., None])[..., 0]
             # overflow guard only — LM damping does the real step control
@@ -316,38 +348,38 @@ def fit_laplace(
     # scan, which is both slow to compile and numerically fragile far
     # from the optimum.
     @jax.custom_vjp
-    def inner_modes(mu, prec, sig_a, sig_b):
-        return _newton(mu, prec, sig_a, sig_b)
+    def inner_modes(m, prec, sig_a, sig_b):
+        return _newton(m, prec, sig_a, sig_b)
 
-    def _inner_fwd(mu, prec, sig_a, sig_b):
-        eta = _newton(mu, prec, sig_a, sig_b)
-        return eta, (eta, mu, prec, sig_a, sig_b)
+    def _inner_fwd(m, prec, sig_a, sig_b):
+        eta = _newton(m, prec, sig_a, sig_b)
+        return eta, (eta, m, prec, sig_a, sig_b)
 
     def _inner_bwd(res, w):
-        eta, mu, prec, sig_a, sig_b = res
-        _, H = joint_grad_hess(eta, mu, prec, sig_a, sig_b)
+        eta, m, prec, sig_a, sig_b = res
+        _, H = joint_grad_hess(eta, m, prec, sig_a, sig_b)
         H = H + ridge * eye[None]
         u = jnp.linalg.solve(H, w[..., None])[..., 0]  # H symmetric
 
-        def r_of_args(mu_, prec_, sa_, sb_):
+        def r_of_args(m_, prec_, sa_, sb_):
             def total(e):
-                return jnp.sum(cond_ll(e, mu_, sa_, sb_)) - 0.5 * jnp.sum(
+                return jnp.sum(cond_ll(e, m_, sa_, sb_)) - 0.5 * jnp.sum(
                     (e @ prec_) * e
                 )
 
             return jax.grad(total)(eta)
 
-        _, vjp = jax.vjp(r_of_args, mu, prec, sig_a, sig_b)
+        _, vjp = jax.vjp(r_of_args, m, prec, sig_a, sig_b)
         return vjp(u)
 
     inner_modes.defvjp(_inner_fwd, _inner_bwd)
 
     def neg_laplace(psi):
-        mu, L, sig_a, sig_b = unpack(psi)
+        m, L, sig_a, sig_b = unpack(psi)
         prec = precision(L)
-        eta = inner_modes(mu, prec, sig_a, sig_b)
-        ll_i = cond_ll(eta, mu, sig_a, sig_b)
-        _, H = joint_grad_hess(eta, mu, prec, sig_a, sig_b)
+        eta = inner_modes(m, prec, sig_a, sig_b)
+        ll_i = cond_ll(eta, m, sig_a, sig_b)
+        _, H = joint_grad_hess(eta, m, prec, sig_a, sig_b)
         H = H + ridge * eye[None]
         chol = jnp.linalg.cholesky(H)
         logdet_h = 2.0 * jnp.sum(
@@ -355,7 +387,7 @@ def fit_laplace(
             axis=-1,
         )
         quad = 0.5 * jnp.sum((eta @ prec) * eta, axis=-1)
-        logdet_d = 2.0 * jnp.sum(psi[p:2 * p])  # log det(L L') = 2 tr log L
+        logdet_d = 2.0 * jnp.sum(psi[o_ld:o_off])  # log det(L L') = 2 tr log L
         obj_i = ll_i - quad - 0.5 * logdet_d - 0.5 * logdet_h
         return -jnp.sum(obj_i)
 
@@ -365,7 +397,8 @@ def fit_laplace(
         sig0.append(np.log((cond.lowered_a if f == "a" else cond.lowered_b)[o]))
     psi0 = jnp.asarray(
         np.concatenate(
-            [mu0, np.log(omega0), np.zeros(n_off), np.asarray(sig0)]
+            [mu0, np.zeros(n_eff), np.log(omega0), np.zeros(n_off),
+             np.asarray(sig0)]
         ),
         dtype=fd,
     )
@@ -408,20 +441,23 @@ def fit_laplace(
             converged = True
             break
 
-    mu, L, sig_a, sig_b = unpack(z)
+    m, L, sig_a, sig_b = unpack(z)
     prec = precision(L)
-    eta = np.asarray(inner_modes(mu, prec, sig_a, sig_b), dtype=np.float64)
+    eta = np.asarray(inner_modes(m, prec, sig_a, sig_b), dtype=np.float64)
     loglik = -float(neg_laplace(z))
-    mu_np = np.asarray(mu, dtype=np.float64)
+    z_np = np.asarray(z, dtype=np.float64)
+    mu_np = z_np[:p]
+    beta_np = z_np[p:o_ld] if n_eff else None
     theta = np.where(is_log, np.exp(mu_np), mu_np)
     L_np = np.asarray(L, dtype=np.float64)
     om_cov = L_np @ L_np.T
     om_sd = np.sqrt(np.diag(om_cov))
-    phi = mu_np[None, :] + eta
+    phi = np.asarray(m, dtype=np.float64) + eta
     indiv = np.where(is_log[None, :], np.exp(phi), phi)
 
     ses = None
     om_ses = None
+    beta_ses = None
     if compute_se:
         try:
             H = np.asarray(jax.hessian(neg_laplace)(z), dtype=np.float64)
@@ -434,8 +470,10 @@ def fit_laplace(
                 # mix of Cholesky entries — only the diagonal fit exposes
                 # omega SEs directly.
                 ses = np.where(is_log, theta * sd[:p], sd[:p])
+                if n_eff:
+                    beta_ses = sd[p:o_ld]
                 if not full_omega:
-                    om_ses = om_sd * sd[p:2 * p]
+                    om_ses = om_sd * sd[o_ld:o_off]
         except Exception:  # singular Hessian: report point estimates only
             pass
 
@@ -470,4 +508,8 @@ def fit_laplace(
         parameter_names=names,
         transform=transform,
         omega_cov=om_cov if full_omega else None,
+        beta=beta_np,
+        beta_standard_errors=beta_ses,
+        covariate_labels=ce.labels if ce is not None else None,
+        covariate_effects=ce.specs if ce is not None else None,
     )

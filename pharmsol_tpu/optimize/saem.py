@@ -43,6 +43,7 @@ from ..data.residual_error import (
 )
 from ..errors import PharmsolError
 from ._condll import build_cond_ll, resolve_transform
+from ._coveffects import resolve_covariate_effects
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
 
@@ -60,6 +61,9 @@ class SaemResult(NamedTuple):
     parameter_names: Optional[tuple]
     transform: tuple             # per-parameter 'log' / 'identity'
     omega_cov: Optional[np.ndarray] = None  # [p, p] random-effect covariance
+    beta: Optional[np.ndarray] = None       # [n_eff] covariate coefficients
+    covariate_labels: Optional[tuple] = None
+    covariate_effects: Optional[tuple] = None  # resolved (j, cov, form, ref)
 
     def correlation(self) -> Optional[np.ndarray]:
         """Random-effect correlation matrix (None for diagonal fits)."""
@@ -94,6 +98,9 @@ class SaemResult(NamedTuple):
                     lines.append(
                         f"  corr({names[j]}, {names[i]}) = {corr[j, i]:.3f}"
                     )
+        if self.beta is not None and self.covariate_labels:
+            for k, lbl in enumerate(self.covariate_labels):
+                lines.append(f"  {lbl}: beta {self.beta[k]:.4g}")
         return "\n".join(lines)
 
 
@@ -106,6 +113,7 @@ def fit_saem(
     omega0=0.3,
     omega: str = "diagonal",
     transform="log",
+    covariate_effects=None,
     n_burn: int = 200,
     n_iters: int = 100,
     mh_steps: int = 5,
@@ -125,7 +133,14 @@ def fit_saem(
     (default) constrains it to independent effects.
     ``transform='log'`` fits log-normal random effects (the PK default;
     typical value reported is the median ``exp(mu)``); ``'identity'``
-    fits normal effects. ``n_burn`` iterations run with gamma=1 (the
+    fits normal effects. ``covariate_effects``: NONMEM-style effects of
+    baseline covariates on typical values — a sequence of
+    ``(parameter, covariate, form[, reference])`` with form ``'power'``
+    (``theta*(cov/ref)**beta`` on log parameters) or ``'linear'``
+    (additive ``beta*(cov-ref)`` on the transformed scale); the M-step
+    then solves the joint (mu, beta) GLS normal equations in closed form
+    from the smoothed sufficient statistics. ``n_burn`` iterations run
+    with gamma=1 (the
     exploratory phase), then ``n_iters`` with gamma=1/k (estimation).
     ``ll_draws``: if >0, estimate the marginal log-likelihood at the
     final estimates by importance sampling from the fitted population
@@ -169,6 +184,8 @@ def fit_saem(
     n_sub = cond.n_sub
     if n_sub < 2:
         raise PharmsolError("SAEM needs at least 2 subjects")
+    ce = resolve_covariate_effects(covariate_effects, subjects, p, names)
+    n_eff = ce.n_eff if ce is not None else 0
     kinds_np = cond.kinds_np
     nout = cond.nout
     n_obs_per_outeq = cond.n_obs_per_outeq
@@ -187,6 +204,18 @@ def fit_saem(
         return cond.ll_parts(to_natural(phi_rows), sig_a, sig_b)
 
     eye_p = jnp.eye(p, dtype=fd)
+    if n_eff:
+        x_eff = jnp.asarray(ce.x, dtype=fd)              # [n_sub, n_eff]
+        onehot_eff = jnp.asarray(ce.onehot, dtype=fd)    # [n_eff, p]
+        xbar = jnp.asarray(ce.x.mean(axis=0), dtype=fd)  # [n_eff]
+        sxx = jnp.asarray(ce.x.T @ ce.x / n_sub, dtype=fd)
+        eye_g = jnp.eye(p + n_eff, dtype=fd)
+
+    def prior_means(mu, beta):
+        """Per-subject transformed-scale prior means m_i = mu + W_i beta."""
+        if n_eff:
+            return mu[None, :] + (x_eff * beta[None, :]) @ onehot_eff
+        return jnp.broadcast_to(mu[None, :], (n_sub, p))
 
     def om_factors(om):
         """Cholesky factor and precision of the [p, p] covariance.
@@ -199,8 +228,8 @@ def fit_saem(
         l_inv = solve_triangular(L, eye_p, lower=True)
         return L, l_inv.T @ l_inv
 
-    def log_prior(phi, mu, prec):
-        d = phi - mu[None, :]
+    def log_prior(phi, m, prec):
+        d = phi - m
         return -0.5 * jnp.einsum("np,pq,nq->n", d, prec, d)
 
     def sigma_m_step(sr2, swsr, sf2, sig_a, sig_b):
@@ -272,9 +301,9 @@ def fit_saem(
         np.arange(n_total) >= n_burn, dtype=fd
     )
 
-    def mh_sweep(carry, key, mu, om_chol, prec, sig_a, sig_b):
+    def mh_sweep(carry, key, m, om_chol, prec, sig_a, sig_b):
         phi, ll_i, r2, f2, c = carry
-        lp = log_prior(phi, mu, prec)
+        lp = log_prior(phi, m, prec)
 
         def one(inner, k):
             phi, ll_i, lp, r2, f2, c, acc = inner
@@ -283,7 +312,7 @@ def fit_saem(
             # proposal shaped like the current population covariance
             prop = phi + c[:, None] * (noise @ om_chol.T)
             llp, r2p, f2p = ll_parts(prop, sig_a, sig_b)
-            lpp = log_prior(prop, mu, prec)
+            lpp = log_prior(prop, m, prec)
             logr = (llp + lpp) - (ll_i + lp)
             u = jnp.log(jax.random.uniform(k2, (n_sub,), dtype=fd))
             take = (u < logr) & jnp.isfinite(llp)
@@ -311,12 +340,13 @@ def fit_saem(
 
     def iteration(state, inp):
         gamma, in_est, key = inp
-        (phi, c, mu, om, sig_a, sig_b,
-         s1, s2, sphi, sr2, swsr, sf2, acc_sum, acc_n) = state
+        (phi, c, mu, beta, om, sig_a, sig_b,
+         s1, s2, sxphi, sphi, sr2, swsr, sf2, acc_sum, acc_n) = state
         om_chol, prec = om_factors(om)
+        m = prior_means(mu, beta)
         ll_i, r2, f2 = ll_parts(phi, sig_a, sig_b)
         (phi, ll_i, r2, f2, c), acc = mh_sweep(
-            (phi, ll_i, r2, f2, c), key, mu, om_chol, prec, sig_a, sig_b
+            (phi, ll_i, r2, f2, c), key, m, om_chol, prec, sig_a, sig_b
         )
         # stochastic-approximation update of the sufficient statistics
         s1 = s1 + gamma * (jnp.mean(phi, axis=0) - s1)
@@ -326,8 +356,31 @@ def fit_saem(
         swsr = swsr + gamma * (r2 / jnp.maximum(f2, tiny) - swsr)
         sf2 = sf2 + gamma * (f2 - sf2)
         # M-step: the smoothed moments give the covariance in closed form
-        mu = s1
-        om_full = s2 - jnp.outer(s1, s1)
+        if n_eff:
+            # joint (mu, beta) GLS: with design Z_i = [I_p, W_i] and
+            # precision P, solve (mean_i Z_i' P Z_i) g = mean_i Z_i' P phi_i.
+            # All blocks reduce to the smoothed cross-moment sxphi[k, j] =
+            # mean_i x_ik phi_ij plus the constant covariate moments.
+            sxphi = sxphi + gamma * (x_eff.T @ phi / n_sub - sxphi)
+            po = prec @ onehot_eff.T                   # [p, n_eff]
+            a12 = po * xbar[None, :]
+            a22 = sxx * (onehot_eff @ po)
+            b2 = jnp.sum((onehot_eff @ prec) * sxphi, axis=1)
+            A = jnp.block([[prec, a12], [a12.T, a22]])
+            rhs = jnp.concatenate([prec @ s1, b2])
+            sol = jnp.linalg.solve(A + 1e-10 * eye_g, rhs)
+            mu, beta = sol[:p], sol[p:]
+            # E[(phi - m)(phi - m)'] via the same moments
+            wb_phi = onehot_eff.T @ (beta[:, None] * sxphi)
+            mwb = onehot_eff.T @ (xbar * beta)
+            wbwb = onehot_eff.T @ (jnp.outer(beta, beta) * sxx) @ onehot_eff
+            cross = jnp.outer(mu, s1) + wb_phi         # mean_i m_i phi_i'
+            mm = (jnp.outer(mu, mu) + jnp.outer(mu, mwb)
+                  + jnp.outer(mwb, mu) + wbwb)
+            om_full = s2 - cross - cross.T + mm
+        else:
+            mu = s1
+            om_full = s2 - jnp.outer(s1, s1)
         om_full = 0.5 * (om_full + om_full.T)
         diag_clamped = jnp.maximum(jnp.diag(om_full), 1e-8)
         if full_omega:
@@ -339,21 +392,24 @@ def fit_saem(
             sig_a, sig_b = sigma_m_step(sr2, swsr, sf2, sig_a, sig_b)
         acc_sum = acc_sum + in_est * jnp.mean(acc)
         acc_n = acc_n + in_est
-        new_state = (phi, c, mu, om, sig_a, sig_b,
-                     s1, s2, sphi, sr2, swsr, sf2, acc_sum, acc_n)
+        new_state = (phi, c, mu, beta, om, sig_a, sig_b,
+                     s1, s2, sxphi, sphi, sr2, swsr, sf2, acc_sum, acc_n)
         return new_state, jnp.sum(ll_i)
 
     @jax.jit
     def run(key):
         phi = jnp.tile(mu0[None, :], (n_sub, 1))
         c = jnp.full((n_sub,), 0.4, dtype=fd)
+        beta0 = jnp.zeros((n_eff,), dtype=fd)
         om0 = jnp.diag(jnp.asarray(omega0 * omega0, dtype=fd))
         sig_a0 = jnp.asarray(cond.lowered_a, dtype=fd)
         sig_b0 = jnp.asarray(cond.lowered_b, dtype=fd)
         zero_obs = jnp.zeros_like(obs_value)
+        sxphi0 = (xbar[:, None] * mu0[None, :] if n_eff
+                  else jnp.zeros((0, p), dtype=fd))
         state = (
-            phi, c, mu0, om0, sig_a0, sig_b0,
-            mu0, jnp.outer(mu0, mu0) + om0, phi,
+            phi, c, mu0, beta0, om0, sig_a0, sig_b0,
+            mu0, jnp.outer(mu0, mu0) + om0, sxphi0, phi,
             zero_obs, zero_obs, zero_obs,
             jnp.zeros((), fd), jnp.zeros((), fd),
         )
@@ -377,8 +433,10 @@ def fit_saem(
         )
 
     state, ll_trace = run(jax.random.PRNGKey(seed))
-    (phi, _c, mu, om, sig_a, sig_b,
-     _s1, _s2, sphi, _sr2, _swsr, _sf2, acc_sum, acc_n) = state
+    (phi, _c, mu, beta, om, sig_a, sig_b,
+     _s1, _s2, _sxphi, sphi, _sr2, _swsr, _sf2, acc_sum, acc_n) = state
+    beta_np = np.asarray(beta, dtype=np.float64) if n_eff else None
+    m_final = prior_means(mu, beta)  # [n_sub, p] transformed-scale means
     mu = np.asarray(mu, dtype=np.float64)
     om_np = np.asarray(om, dtype=np.float64)
     om_sd = np.sqrt(np.diag(om_np))
@@ -407,19 +465,18 @@ def fit_saem(
     if ll_draws > 0:
         key = jax.random.PRNGKey(seed + 1)
         chol = np.linalg.cholesky(om_np)
-        draws = mu[None, :] + np.asarray(
+        etas = np.asarray(
             jax.random.normal(key, (ll_draws, p), dtype=fd)
         ) @ chol.T
 
         @jax.jit
-        def ll_at(phi_pop):
-            ll_i, _, _ = ll_parts(
-                jnp.tile(phi_pop[None, :], (n_sub, 1)), sig_a, sig_b
-            )
+        def ll_at(eta):
+            # per-subject prior means shift the shared eta draw
+            ll_i, _, _ = ll_parts(m_final + eta[None, :], sig_a, sig_b)
             return ll_i
 
         lls = np.stack([np.asarray(ll_at(jnp.asarray(d, dtype=fd)))
-                        for d in draws])  # [M, n_sub]
+                        for d in etas])  # [M, n_sub]
         m = np.max(lls, axis=0)
         marginal = float(np.sum(
             np.log(np.mean(np.exp(lls - m[None, :]), axis=0)) + m
@@ -436,6 +493,9 @@ def fit_saem(
         parameter_names=names,
         transform=transform,
         omega_cov=om_np if full_omega else None,
+        beta=beta_np,
+        covariate_labels=ce.labels if ce is not None else None,
+        covariate_effects=ce.specs if ce is not None else None,
     )
     if progress:
         print(result.summary())
