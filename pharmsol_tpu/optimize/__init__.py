@@ -1,4 +1,4 @@
-from .diagnostics import NpdeResult, VpcResult, npde, vpc
+from .diagnostics import GofResult, NpdeResult, VpcResult, gof, npde, vpc
 from .effect import find_m0, get_e2
 from .map import MapResult, fit_map
 from .nelder_mead import NelderMeadResult, initial_simplex, nelder_mead

@@ -388,3 +388,210 @@ def _tri_solve(L, b):
     from scipy.linalg import solve_triangular
 
     return solve_triangular(L, b, lower=True)
+
+
+class GofResult(NamedTuple):
+    """Goodness-of-fit table: one row per active observation.
+
+    ``pred`` is the population prediction (random effects at zero, any
+    fitted covariate effects applied); ``ipred`` the individual
+    prediction; ``iwres`` the individual weighted residual
+    ``(y - ipred) / sigma(ipred)``; ``cwres`` the FOCE-linearized
+    conditional weighted residual (Hooker/Staatz/Karlsson 2007): per
+    subject, decorrelate ``y - (F(eta_hat) - G eta_hat)`` with
+    ``V = G Omega G' + diag(sigma^2)`` where ``G = dF/deta`` at the
+    conditional estimate. Under a correct model cwres ~ N(0, 1).
+    """
+
+    subject_ids: tuple           # [n_sub] ids in data order
+    obs_subject: np.ndarray      # [N] subject index per observation
+    time: np.ndarray             # [N]
+    outeq: np.ndarray            # [N]
+    observed: np.ndarray         # [N]
+    pred: np.ndarray             # [N]
+    ipred: np.ndarray            # [N]
+    iwres: np.ndarray            # [N]
+    cwres: np.ndarray            # [N]
+    eta: np.ndarray              # [n_sub, p] transformed-scale deviations
+    eta_shrinkage: np.ndarray    # [p] 1 - sd(eta_j)/omega_j
+    epsilon_shrinkage: float     # 1 - sd(iwres)
+    parameter_names: Optional[tuple]
+
+    def summary(self) -> str:
+        names = self.parameter_names or tuple(
+            f"p[{j}]" for j in range(self.eta.shape[1])
+        )
+        n = len(self.observed)
+        lines = [
+            f"GOF: {n} observations, {self.eta.shape[0]} subjects; "
+            f"cwres mean {np.mean(self.cwres):.3f} "
+            f"var {np.var(self.cwres, ddof=1):.3f}, "
+            f"iwres sd {np.std(self.iwres, ddof=1):.3f}"
+        ]
+        for j, nm in enumerate(names):
+            lines.append(
+                f"  eta-shrinkage {nm}: {100 * self.eta_shrinkage[j]:.1f}%"
+            )
+        lines.append(
+            f"  epsilon-shrinkage: {100 * self.epsilon_shrinkage:.1f}%"
+        )
+        return "\n".join(lines)
+
+
+def gof(
+    equation,
+    data,
+    residual_error_models: ResidualErrorModels,
+    population,
+    *,
+    parameter_names=None,
+) -> GofResult:
+    """Goodness-of-fit diagnostics for a fitted population model.
+
+    ``population`` is any estimation-layer result. Parametric fits
+    (``fit_saem`` / ``fit_laplace``) use their MVN random-effect model
+    exactly — transformed scale, full ``omega_cov`` and fitted
+    ``covariate_effects`` honored. Nonparametric fits
+    (``fit_population``) are moment-matched on the natural scale (mu /
+    Omega = weighted mean / covariance of the support; individual
+    parameters = posterior means) — cwres is then a normal
+    approximation to a discrete mixture, fine for residual screening.
+    Fitted residual sigmas on the result (``residual_models``) take
+    precedence over ``residual_error_models``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import float_dtype
+
+    rems = getattr(population, "residual_models", None) or residual_error_models
+    cond = build_cond_ll(equation, data, rems)
+    n_sub = cond.n_sub
+
+    theta = getattr(population, "theta", None)
+    support = getattr(population, "support", None)
+    if theta is not None and getattr(population, "transform", None) is not None:
+        theta = np.asarray(theta, dtype=np.float64)
+        p = theta.shape[0]
+        transform = population.transform
+        is_log = np.asarray([t == "log" for t in transform])
+        mu = np.where(is_log, np.log(theta), theta)
+        omega_cov = getattr(population, "omega_cov", None)
+        if omega_cov is None:
+            sd = np.asarray(population.omega, dtype=np.float64)
+            omega_cov = np.diag(sd * sd)
+        omega_cov = np.asarray(omega_cov, dtype=np.float64)
+        m = np.broadcast_to(mu[None, :], (n_sub, p)).copy()
+        beta = getattr(population, "beta", None)
+        specs = getattr(population, "covariate_effects", None)
+        if beta is not None and specs:
+            from ._coveffects import resolve_covariate_effects
+
+            ce = resolve_covariate_effects(specs, cond.subjects, p, None)
+            m += (ce.x * np.asarray(beta)[None, :]) @ ce.onehot
+        indiv = np.asarray(population.individual_parameters, dtype=np.float64)
+        phi_hat = np.where(is_log[None, :], np.log(indiv), indiv)
+        if parameter_names is None:
+            parameter_names = getattr(population, "parameter_names", None)
+    elif support is not None:
+        support = np.asarray(support, dtype=np.float64)
+        w = np.asarray(population.weights, dtype=np.float64)
+        w = w / w.sum()
+        p = support.shape[1]
+        is_log = np.zeros(p, dtype=bool)  # natural scale throughout
+        mu = w @ support
+        d = support - mu[None, :]
+        omega_cov = (d * w[:, None]).T @ d
+        omega_cov[np.diag_indices_from(omega_cov)] += 1e-12
+        m = np.broadcast_to(mu[None, :], (n_sub, p)).copy()
+        phi_hat = np.asarray(
+            population.individual_posterior_means(), dtype=np.float64
+        )
+    else:
+        raise PharmsolError(
+            "population must be a fit result (fit_saem/fit_laplace/"
+            "fit_population) with individual parameter estimates"
+        )
+
+    fd = float_dtype()
+    is_log_j = jnp.asarray(is_log)
+
+    def pred_phi(phi_rows):
+        nat = jnp.where(is_log_j[None, :], jnp.exp(phi_rows), phi_rows)
+        return cond.pred_rows(nat)
+
+    phi_j = jnp.asarray(phi_hat, dtype=fd)
+    ipred_f = None
+    g_cols = []
+    for j in range(p):
+        tang = jnp.zeros_like(phi_j).at[:, j].set(1.0)
+        f, df = jax.jvp(pred_phi, (phi_j,), (tang,))
+        ipred_f = f
+        g_cols.append(df)
+    G = np.stack([np.asarray(c, dtype=np.float64) for c in g_cols], axis=-1)
+    ipred_all = np.asarray(ipred_f, dtype=np.float64)          # [R, O]
+    pred_all = np.asarray(
+        pred_phi(jnp.asarray(m, dtype=fd)), dtype=np.float64
+    )
+
+    # residual sigma at the individual predictions (FOCEI interaction)
+    lowered = rems.lower(equation.resolve_output_label, equation.nouteqs())
+    kind_per_obs = jnp.asarray(np.asarray(lowered.kind))[cond.obs_outeq]
+    sig_a = jnp.asarray(np.asarray(lowered.a), dtype=fd)[cond.obs_outeq]
+    sig_b = jnp.asarray(np.asarray(lowered.b), dtype=fd)[cond.obs_outeq]
+    sigma_all = np.asarray(
+        residual_sigma_array(
+            kind_per_obs, sig_a, sig_b, jnp.asarray(ipred_all, dtype=fd)
+        ),
+        dtype=np.float64,
+    )
+
+    active = np.asarray(cond.active)
+    row_subject = np.asarray(cond.row_subject)
+    y_all = np.asarray(cond.obs_value, dtype=np.float64)
+    t_all = np.asarray(cond.obs_time, dtype=np.float64)
+    oe_all = np.asarray(cond.obs_outeq)
+    eta = phi_hat - m
+
+    obs_sub, times, outeqs = [], [], []
+    obs, preds, ipreds, iwres, cwres = [], [], [], [], []
+    for i in range(n_sub):
+        msk = active & (row_subject[:, None] == i)
+        k = int(msk.sum())
+        if k == 0:
+            continue
+        y = y_all[msk]
+        f_i = ipred_all[msk]
+        sig = np.maximum(sigma_all[msk], 1e-12)
+        g_i = G[msk]                                  # [k, p]
+        e_i = f_i - g_i @ eta[i]                      # FOCE population mean
+        V = g_i @ omega_cov @ g_i.T + np.diag(sig * sig)
+        V[np.diag_indices_from(V)] += 1e-10 * max(1.0, np.trace(V) / k)
+        L = np.linalg.cholesky(V)
+        cwres.append(_tri_solve(L, y - e_i))
+        obs_sub.append(np.full(k, i))
+        times.append(t_all[msk])
+        outeqs.append(oe_all[msk])
+        obs.append(y)
+        preds.append(pred_all[msk])
+        ipreds.append(f_i)
+        iwres.append((y - f_i) / sig)
+
+    iwres_flat = np.concatenate(iwres)
+    eta_sd = np.std(eta, axis=0, ddof=1)
+    om_sd = np.sqrt(np.maximum(np.diag(omega_cov), 1e-300))
+    return GofResult(
+        subject_ids=tuple(s.id for s in cond.subjects),
+        obs_subject=np.concatenate(obs_sub),
+        time=np.concatenate(times),
+        outeq=np.concatenate(outeqs),
+        observed=np.concatenate(obs),
+        pred=np.concatenate(preds),
+        ipred=np.concatenate(ipreds),
+        iwres=iwres_flat,
+        cwres=np.concatenate(cwres),
+        eta=eta,
+        eta_shrinkage=1.0 - eta_sd / om_sd,
+        epsilon_shrinkage=float(1.0 - np.std(iwres_flat, ddof=1)),
+        parameter_names=parameter_names,
+    )

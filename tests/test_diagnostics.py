@@ -133,3 +133,71 @@ def test_diagnostics_validation():
         npde(_model(), data, _prop(), _truth(), n_rep=10)
     with pytest.raises(PharmsolError, match="population"):
         vpc(_model(), data, _prop(), object(), n_rep=20)
+
+
+@pytest.mark.slow
+def test_gof_correct_model_cwres_standard_normal():
+    """CWRES from a Laplace fit of the true model ~ N(0, 1); shrinkage
+    is small under this rich design; IPRED beats PRED."""
+    from pharmsol_tpu.optimize import fit_laplace, gof
+
+    data = _population(n=20, seed=3)
+    lap = fit_laplace(_model(), data, _prop(0.2), [0.35, 9.0])
+    g = gof(_model(), data, _prop(0.2), lap)
+    assert len(g.observed) == 20 * 5
+    assert abs(np.mean(g.cwres)) < 0.3, g.summary()
+    assert 0.5 < np.var(g.cwres, ddof=1) < 1.7, g.summary()
+    # rich design: eta-shrinkage near zero
+    assert np.all(np.abs(g.eta_shrinkage) < 0.25), g.summary()
+    rmse_pred = np.sqrt(np.mean((g.observed - g.pred) ** 2))
+    rmse_ipred = np.sqrt(np.mean((g.observed - g.ipred) ** 2))
+    assert rmse_ipred < rmse_pred
+    # the fitted sigma (not the passed-in starting value) weights iwres
+    assert 0.5 < np.std(g.iwres, ddof=1) < 1.5
+    assert "eta-shrinkage" in g.summary()
+    # eta deviations reproduce the individual estimates exactly
+    back = np.exp(np.log(lap.theta)[None, :] + g.eta)
+    assert np.allclose(back, lap.individual_parameters, rtol=1e-8)
+
+
+@pytest.mark.slow
+def test_gof_covariate_effects_enter_pred():
+    """With a fitted covariate model, PRED varies between subjects of
+    different weight while eta stays the covariate-adjusted residual."""
+    from test_covariate_effects import _population as _cov_population
+    from pharmsol_tpu.optimize import fit_laplace, gof
+
+    data, truth = _cov_population(n=20, seed=5)
+    lap = fit_laplace(_model(), data, _prop(0.2), [0.3, 9.0],
+                      covariate_effects=[(0, "wt", "power", 70.0)])
+    g = gof(_model(), data, _prop(0.2), lap)
+    # PRED at the first observation time differs across weights
+    first = g.time == 0.5
+    assert np.std(g.pred[first]) > 0.05
+    assert abs(np.mean(g.cwres)) < 0.35, g.summary()
+    assert 0.4 < np.var(g.cwres, ddof=1) < 1.8, g.summary()
+
+
+@pytest.mark.slow
+def test_gof_nonparametric_moment_matched():
+    from pharmsol_tpu import AssayErrorModel, AssayErrorModels, ErrorPoly
+    from pharmsol_tpu.optimize import fit_population, gof
+
+    data = _population(n=20, seed=3)
+    ems = AssayErrorModels().add(
+        0, AssayErrorModel.proportional(ErrorPoly(0.05, 0.1), 2.0)
+    )
+    pop = fit_population(_model(), data, ems, [(0.05, 0.8), (5.0, 20.0)])
+    g = gof(_model(), data, _prop(0.2), pop)
+    assert abs(np.mean(g.cwres)) < 0.5
+    rmse_pred = np.sqrt(np.mean((g.observed - g.pred) ** 2))
+    rmse_ipred = np.sqrt(np.mean((g.observed - g.ipred) ** 2))
+    assert rmse_ipred < rmse_pred
+
+
+def test_gof_validates_population():
+    from pharmsol_tpu.optimize import gof
+
+    data = _population(n=4, seed=2)
+    with pytest.raises(PharmsolError, match="fit result"):
+        gof(_model(), data, _prop(), SimpleNamespace(theta=None, support=None))
