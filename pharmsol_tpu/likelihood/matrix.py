@@ -609,38 +609,97 @@ _MAX_SEQ_LEVELS = 8
 _MAX_PLANE_FLOATS = 1 << 27  # 128M doubles = 1 GiB host / 512 MiB device f32
 
 
-def _seq_depth_stream(grid):
+def _seq_depth_stream(grid, lag_mode: bool = False):
     """Chain depth per (row, segment) from the engine's reset/carry rule.
 
     ``p_base`` resets to the raw support point at real events and carries
     across infusion-end sub-splits; spanned segments apply seq once more
     (engine/sim.py step, analytical/mod.rs:331,360). Returns
     (depth [R, M] 1-based / 0 on dead segments, L = max depth >= 1).
+
+    ``lag_mode=True`` (lag + seq chain depth > 1): a lag-shifted bolus
+    moves its seq-reset breakpoint to the per-(row, support) fire time, so
+    a host-side depth stream cannot exist. Instead return
+    (evcode [R, M], L): per-column event codes 1 = reset boundary
+    (observation / infusion-start — these never move), 2 = infusion-end
+    sub-split (compound), 0 = bolus column (a PHANTOM split under lag: the
+    engine's segment continues through it with unchanged parameters) or
+    dead/padding. The kernel replays the engine's reset/carry recurrence
+    on these codes with an in-kernel depth counter and resets at each
+    per-lane dose fire. L is the no-fire upper bound on the counter —
+    exact when no dose fires, and fires only ever RESET the chain (to
+    depth 1), so no lane can exceed it.
     """
+    from ..config import BIG_TIME
     from ..ops.pallas_psi import segment_schedule
 
-    _, t_sorted, seg_dt, is_event = segment_schedule(grid.rows)
+    if not lag_mode:
+        _, t_sorted, seg_dt, is_event = segment_schedule(grid.rows)
+        R, M = t_sorted.shape
+        depth = np.zeros((R, M), dtype=np.float64)
+        d_cur = np.zeros(R, dtype=np.int64)
+        for m in range(M):
+            base = np.where(is_event[:, m], 0, d_cur)
+            span = seg_dt[:, m] > 0
+            d_seg = np.where(span, base + 1, base)
+            depth[:, m] = np.where(span, d_seg, 0)
+            d_cur = d_seg
+        L = int(depth.max())
+        if L == 0:
+            L = 1  # no spanned segments: one trivial level keeps shapes valid
+        if L > _MAX_SEQ_LEVELS:
+            raise PharmsolError(
+                f"engine='pallas' seq chain depth {L} exceeds "
+                f"{_MAX_SEQ_LEVELS} — use the default XLA engine"
+            )
+        return depth, L
+
+    _, t_sorted, seg_dt, _, rank = segment_schedule(grid.rows,
+                                                    with_ranks=True)
     R, M = t_sorted.shape
-    depth = np.zeros((R, M), dtype=np.float64)
-    d_cur = np.zeros(R, dtype=np.int64)
-    for m in range(M):
-        base = np.where(is_event[:, m], 0, d_cur)
-        span = seg_dt[:, m] > 0
-        d_seg = np.where(span, base + 1, base)
-        depth[:, m] = np.where(span, d_seg, 0)
-        d_cur = d_seg
-    L = int(depth.max())
-    if L == 0:
-        L = 1  # no spanned segments: one trivial level keeps shapes valid
-    if L > _MAX_SEQ_LEVELS:
+    real = t_sorted < BIG_TIME / 2
+    evcode = np.zeros((R, M), dtype=np.float64)
+    evcode[real & ((rank == 1.0) | (rank == 3.0))] = 1.0  # obs / inf-start
+    evcode[real & (rank == 0.0)] = 2.0  # infusion-end sub-split
+    # a real zero-amount bolus is still a seq-reset event in the engine but
+    # carries no dose the kernel's pending mechanism could fire (and reset)
+    # on — reject rather than silently diverge
+    b_t = np.asarray(grid.rows.bolus_t, np.float64)
+    b_a = np.asarray(grid.rows.bolus_amt, np.float64)
+    if np.any((b_t < BIG_TIME / 2) & (b_a == 0.0)):
         raise PharmsolError(
-            f"engine='pallas' seq chain depth {L} exceeds "
-            f"{_MAX_SEQ_LEVELS} — use the default XLA engine"
+            "engine='pallas' lag with seq chain depth > 1 does not support "
+            "zero-amount bolus records (their seq-reset breakpoint moves "
+            "with the lag but no dose ever fires) — use the default XLA "
+            "engine"
         )
-    return depth, L
+    # no-fire upper-bound simulation of the in-kernel counter: fires only
+    # reset the chain (depth 1 <= any applied depth), so never-firing doses
+    # maximize every column's depth
+    dc = np.zeros(R, dtype=np.int64)
+    app = np.zeros(R, dtype=bool)
+    max_d = 1
+    for m in range(M):
+        span = seg_dt[:, m] > 0
+        code = evcode[:, m]
+        dc = np.where(
+            code == 1.0, np.where(span, 1, 0),
+            np.where(code == 2.0, dc + span,
+                     dc + (span & ~app)),
+        )
+        app = np.where(code == 1.0, span,
+                       np.where(code == 2.0, span, app | span))
+        max_d = max(max_d, int(np.where(span, dc, 0).max(initial=0)))
+    if max_d > _MAX_SEQ_LEVELS:
+        raise PharmsolError(
+            f"engine='pallas' seq chain depth {max_d} (lag no-fire bound) "
+            f"exceeds {_MAX_SEQ_LEVELS} — use the default XLA engine"
+        )
+    return evcode, max_d
 
 
-def _decompose_seq_levels(seq, sp, grid, sdef, n_kernel_params: int):
+def _decompose_seq_levels(seq, sp, grid, sdef, n_kernel_params: int,
+                          lag_mode: bool = False):
     """Chain-depth level tables for covariate-free, time-independent seq.
 
     The engine evaluates ``p_seg = seq(p_base, t+dt, cov)`` per spanned
@@ -654,7 +713,9 @@ def _decompose_seq_levels(seq, sp, grid, sdef, n_kernel_params: int):
 
     Returns (param_levels [L, n_base, S] in the structure's micro-constant
     parameterization, seg_depth [R, M] with 1-based level indices, 0 on
-    dead segments).
+    dead segments). With ``lag_mode=True`` the second element is instead
+    the evcode stream and L the no-fire depth bound (see
+    :func:`_seq_depth_stream`) — the kernel then tracks depth in-kernel.
     """
     from ..config import float_dtype
     from ..ops.pallas_psi import segment_schedule
@@ -699,7 +760,7 @@ def _decompose_seq_levels(seq, sp, grid, sdef, n_kernel_params: int):
         )
 
     # chain depth per (row, segment) from the engine's reset/carry rule
-    depth, L = _seq_depth_stream(grid)
+    depth, L = _seq_depth_stream(grid, lag_mode)
 
     # iterated level tables on the full declared support width
     k = n_kernel_params
@@ -733,7 +794,8 @@ def _decompose_seq_levels(seq, sp, grid, sdef, n_kernel_params: int):
     return np.ascontiguousarray(param_levels), np.ascontiguousarray(depth)
 
 
-def _decompose_seq_planes(seq, sp, grid, sdef, n_kernel_params: int):
+def _decompose_seq_planes(seq, sp, grid, sdef, n_kernel_params: int,
+                          lag_mode: bool = False):
     """Per-(row, support) parameter planes for covariate-dependent seq.
 
     The exact generalization of :func:`_decompose_seq_levels` to seq
@@ -748,7 +810,8 @@ def _decompose_seq_planes(seq, sp, grid, sdef, n_kernel_params: int):
     micro-constant parameterization, seg_depth [R, M] 1-based, 0 on dead
     segments). Raises PharmsolError (-> XLA fallback) for time-dependent
     seq, seq reading a time-varying covariate, or a plane volume past the
-    host-memory cap.
+    host-memory cap. ``lag_mode=True``: second element is the evcode
+    stream, L the no-fire bound (see :func:`_seq_depth_stream`).
     """
     fd = float_dtype()
     tol = 1e-9 if np.dtype(fd) == np.float64 else 1e-5
@@ -793,7 +856,7 @@ def _decompose_seq_planes(seq, sp, grid, sdef, n_kernel_params: int):
             "read a time-varying covariate — use the default XLA engine"
         )
 
-    depth, L = _seq_depth_stream(grid)
+    depth, L = _seq_depth_stream(grid, lag_mode)
     R = grid.n_rows
     S = sp.shape[0]
     k = n_kernel_params
@@ -1357,8 +1420,26 @@ class _PallasPsiPlan:
         self.param_levels = None
         self.param_planes = None
         self.seg_depth = None
+        self.seg_evcode = None
         self.sp_kernel = None
         cov_values = {}
+        # probe the lag closure FIRST: an active lag moves the seq-reset
+        # breakpoints to per-(row, support) fire times, which changes how
+        # the seq chain depth must be decomposed below (lag_mode)
+        ninput = int(equation.ndrugs())
+        lag_probe = None
+        lag_fa_dynamic = False
+        lag_active = False
+        if equation._lag is not None:
+            try:
+                lag_probe = _decompose_input_plane(
+                    equation._lag, sp, grid, ninput, 0.0, "lag"
+                )
+            except _InputPlaneDynamic:
+                lag_fa_dynamic = True
+                lag_active = True
+            else:
+                lag_active = bool(np.any(lag_probe != 0.0))
         if kernel_inputs is not None:
             (self.sp_kernel, self.mult, self.mult_off, self.mult_seg,
              self.mult_seg_off) = _decompose_kernel_inputs(
@@ -1383,10 +1464,15 @@ class _PallasPsiPlan:
                         # per-segment factors: time-varying covariates,
                         # and/or the engine's seq compounding across
                         # infusion-end sub-splits (a single per-row
-                        # multiplier is wrong there)
-                        self.mult_seg, self.mult_seg_off = _decompose_seq_tv(
-                            equation._seq, sp, grid, n_kernel_params
-                        )
+                        # multiplier is wrong there). With an active lag
+                        # the baked chain cannot express the moving reset
+                        # — fall through to the levels/planes tier, whose
+                        # in-kernel depth counter can (lag_mode).
+                        if not lag_active:
+                            self.mult_seg, self.mult_seg_off = \
+                                _decompose_seq_tv(
+                                    equation._seq, sp, grid, n_kernel_params
+                                )
                     else:
                         cov_values = (
                             _constant_covariate_values(grid)
@@ -1398,7 +1484,7 @@ class _PallasPsiPlan:
                                 n_kernel_params, n_rows_total=grid.n_rows,
                             )
                         except PharmsolError as e:
-                            if "time-independent" not in str(e):
+                            if "time-independent" not in str(e) or lag_active:
                                 raise
                             # time-dependent but (potentially) affine:
                             # per-segment factors at each segment end
@@ -1412,21 +1498,35 @@ class _PallasPsiPlan:
                 # covariate-free time-independent seq of ANY form (incl.
                 # parameter mixing and 3-cmt structures): chain-depth levels
                 try:
-                    self.param_levels, self.seg_depth = _decompose_seq_levels(
-                        equation._seq, sp, grid, sdef, n_kernel_params
+                    self.param_levels, seq_stream = _decompose_seq_levels(
+                        equation._seq, sp, grid, sdef, n_kernel_params,
+                        lag_mode=lag_active,
                     )
                 except PharmsolError as level_err:
                     # covariate-DEPENDENT time-independent seq of any form
                     # over time-constant covariates: exact per-(row, support)
                     # parameter planes, one set per chain depth
                     try:
-                        self.param_planes, self.seg_depth = \
+                        self.param_planes, seq_stream = \
                             _decompose_seq_planes(
                                 equation._seq, sp, grid, sdef,
-                                n_kernel_params,
+                                n_kernel_params, lag_mode=lag_active,
                             )
                     except PharmsolError as plane_err:
                         raise affine_err or plane_err or level_err
+                n_lv = (self.param_levels if self.param_levels is not None
+                        else self.param_planes).shape[0]
+                if lag_active and n_lv > 1:
+                    # lag + depth > 1: in-kernel depth counter on evcodes
+                    self.seg_evcode = seq_stream
+                elif lag_active:
+                    # depth never exceeds 1 even without fires: every
+                    # spanned segment uses seq^1 regardless of where the
+                    # dose lands — the plain (cheaper, superposition-fire)
+                    # lag path is exact; rebuild the ordinary depth stream
+                    self.seg_depth, _ = _seq_depth_stream(grid)
+                else:
+                    self.seg_depth = seq_stream
         # lag/fa: per-(row, support) planes via the kernel's pending-dose /
         # amount-scale mechanism (structs.rs:611-666). Time-dependent
         # closures and closures that READ a time-varying covariate switch
@@ -1436,34 +1536,23 @@ class _PallasPsiPlan:
         self.fa_plane = None
         self.lag_slots = None
         self.fa_slots = None
-        lag_fa_dynamic = False
-        ninput = int(equation.ndrugs())
-        if equation._lag is not None:
+        if lag_active:
             # a lag-shifted dose inserts a real-event seq-reset breakpoint.
-            # Per-segment affine streams cannot express it; depth-selected
-            # levels/planes CAN when the chain depth is 1 everywhere (the
-            # reset is then a no-op: every spanned segment already applies
-            # seq exactly once to the raw support point).
-            depth_gt1 = (self.seg_depth is not None
-                         and float(np.max(self.seg_depth)) > 1.0)
-            if self.mult_seg is not None or depth_gt1:
+            # Per-segment affine streams cannot express it (the baked
+            # compounding chain would need per-reset-position stream sets);
+            # depth-selected levels/planes ride the in-kernel depth counter
+            # (seg_evcode above) — and when the chain depth is 1 everywhere
+            # the reset is a no-op and the plain superposition path holds.
+            if self.mult_seg is not None:
                 raise PharmsolError(
                     "engine='pallas' does not support lag together with "
-                    "per-segment seq streams or seq chain depth > 1 (a "
-                    "lag-shifted dose adds a seq-reset breakpoint the "
-                    "host-side segment schedule cannot express) — use the "
-                    "default XLA engine"
+                    "per-segment seq streams (a lag-shifted dose adds a "
+                    "seq-reset breakpoint the host-side affine chain "
+                    "cannot express) — use the default XLA engine"
                 )
-            try:
-                lp = _decompose_input_plane(
-                    equation._lag, sp, grid, ninput, 0.0, "lag"
-                )
-            except _InputPlaneDynamic:
-                lag_fa_dynamic = True
-            else:
-                if np.any(lp != 0.0):
-                    _validate_lag_no_overlap(lp, grid)
-                    self.lag_plane = lp
+            if lag_probe is not None and np.any(lag_probe != 0.0):
+                _validate_lag_no_overlap(lag_probe, grid)
+                self.lag_plane = lag_probe
         if equation._fa is not None and not lag_fa_dynamic:
             try:
                 fp = _decompose_input_plane(
@@ -1563,6 +1652,15 @@ class _PallasPsiPlan:
                     slots[m] = len(fa_seg_planes)
                     fa_seg_planes.append(seg_pl[m][1][0])
                 self.fa_slots = tuple(slots)
+        if (self.seg_evcode is not None and self.lag_plane is None
+                and self.lag_slots is None):
+            # the lag probe was dynamic but every per-dose lag came back
+            # zero: no dose ever fires in-kernel, so boluses DO reset the
+            # chain at their original breakpoints — use the ordinary
+            # host-side depth stream (levels beyond the engine's max are
+            # simply never selected)
+            self.seg_evcode = None
+            self.seg_depth, _ = _seq_depth_stream(grid)
         self.Rp = ((self.R + row_multiple - 1) // row_multiple) * row_multiple
         self.Sp = ((self.S + SP_TILE - 1) // SP_TILE) * SP_TILE
         # compiled Mosaic kernels are float32-only; the CPU interpret path
@@ -1609,6 +1707,10 @@ class _PallasPsiPlan:
         self.seg_depth_dev = (
             pad_rows_fill(self.seg_depth, 0.0)
             if self.seg_depth is not None else None
+        )
+        self.seg_evcode_dev = (
+            pad_rows_fill(self.seg_evcode, 0.0)
+            if self.seg_evcode is not None else None
         )
 
         def pad_plane(a, fill):
@@ -1753,6 +1855,7 @@ class _PallasPsiPlan:
                 else len(self.lag_plane_dev),
                 None if self.fa_plane_dev is None
                 else len(self.fa_plane_dev),
+                self.seg_evcode_dev is not None,
                 self.lag_slots, self.fa_slots, str(self.fd)) + extra
 
     def stream_args(self):
@@ -1764,7 +1867,7 @@ class _PallasPsiPlan:
         out = tuple(a for a, inc in zip(p, include) if inc)
         for a in (self.mult_dev, self.mult_off_dev, self.mult_seg_dev,
                   self.mult_seg_off_dev, self.seg_depth_dev,
-                  self.init_mask_dev):
+                  self.seg_evcode_dev, self.init_mask_dev):
             if a is not None:
                 out = out + (a,)
         for planes in (self.lag_plane_dev, self.fa_plane_dev):
@@ -1811,6 +1914,7 @@ class _PallasPsiPlan:
         pass_mult_seg = self.mult_seg_dev is not None
         pass_mult_seg_off = self.mult_seg_off_dev is not None
         pass_depth = self.seg_depth_dev is not None
+        pass_evcode = self.seg_evcode_dev is not None
         pass_levels = self.param_levels_dev is not None
         plane_dims = (tuple(int(d) for d in self.param_planes_dev.shape[:2])
                       if self.param_planes_dev is not None else None)
@@ -1828,7 +1932,7 @@ class _PallasPsiPlan:
         n_streams = (5 + int(pass_inf) + int(pass_cens) + int(pass_outeq)
                      + int(pass_mult) + int(pass_mult_off)
                      + int(pass_mult_seg) + int(pass_mult_seg_off)
-                     + int(pass_depth) + int(pass_init)
+                     + int(pass_depth) + int(pass_evcode) + int(pass_init)
                      + n_lag_pl + n_fa_pl + n_init_planes
                      + n_param_planes)
 
@@ -1844,6 +1948,7 @@ class _PallasPsiPlan:
             mult_seg = next(it) if pass_mult_seg else None
             mult_seg_off = next(it) if pass_mult_seg_off else None
             depth = next(it) if pass_depth else None
+            evc = next(it) if pass_evcode else None
             initm = next(it) if pass_init else None
             lagp = (tuple(next(it) for _ in range(n_lag_pl))
                     if pass_lag else None)
@@ -1868,7 +1973,7 @@ class _PallasPsiPlan:
                             param_mult_seg=mult_seg, param_offset=mult_off,
                             param_offset_seg=mult_seg_off,
                             param_levels=levels, param_planes=ppl,
-                            seg_depth=depth,
+                            seg_depth=depth, seg_evcode=evc,
                             lag_plane=lagp, fa_plane=fap,
                             lag_slots=lag_slots, fa_slots=fa_slots,
                             init_rows=init_r, init_planes=ipl,

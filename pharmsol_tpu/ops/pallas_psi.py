@@ -435,7 +435,7 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
                  has_fa: bool = False, n_levels: int = 0,
                  has_offsets: bool = False, has_init: bool = False,
                  n_lag_planes: int = 0, n_fa_planes: int = 0,
-                 lag_slots=None, fa_slots=None):
+                 lag_slots=None, fa_slots=None, lag_depth: bool = False):
     """Build the psi tile kernel for one structure + feature combination.
 
     Ref layout (in order): segment streams (dt, bolus, [rateiv], mask, value,
@@ -501,6 +501,20 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
     that READ a time-varying covariate (same mechanism as the ODE tier's
     slot tables; each dose's lag/fa is evaluated host-side at ITS OWN
     breakpoint time with the engine's CovView, structs.rs:629 semantics).
+
+    ``lag_depth`` (requires ``has_lag`` and a levels/planes mult_mode):
+    lag composed with seq chain depth > 1. A lag-shifted bolus moves the
+    engine's seq-reset breakpoint to the (per-lane!) shifted fire time, so
+    the host's seg_depth stream is replaced by an IN-KERNEL depth counter
+    driven by an event-code stream (1 = obs/infusion-start: reset the
+    chain — those breakpoints never move; 2 = infusion-end sub-split:
+    compound; 0 = bolus column — a PHANTOM split whose event moved away
+    with the lag: the engine segment continues through it, applying seq
+    at most once, tracked by the ``app`` flag). Superposition no longer
+    holds across the fire (parameters change there), so the segment
+    becomes a TRUE split march: propagate to the fire offset at the
+    pre-fire depth, apply the pending dose, reset the chain, and
+    propagate the remainder with depth-1 parameters (``aux_fire``).
     """
     prepare = sdef["prepare"]
     propagate = sdef["propagate"]
@@ -529,7 +543,12 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
             [next(it)[:, :] for _ in range(n_param_rows)]
             if mult_mode == "segment" and has_offsets else None
         )
-        depths = next(it)[:, :] if mult_mode in ("levels", "planes") else None
+        depths = evcodes = None
+        if mult_mode in ("levels", "planes"):
+            if lag_depth:
+                evcodes = next(it)[:, :]
+            else:
+                depths = next(it)[:, :]
         initm = next(it)[:, :] if has_init else None
         lag_planes = ([next(it)[:, :] for _ in range(max(n_lag_planes, 1))]
                       if has_lag else None)
@@ -578,6 +597,16 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
         ll = zeros
         pend_amt = zeros if has_lag else None
         pend_rem = zeros if has_lag else None
+        if lag_depth:
+            # in-kernel seq chain state: dc = applied depth of the ongoing
+            # engine segment, app = 1 once that segment's seq application
+            # has happened (both per-LANE: fires are per-(row, support))
+            dc = zeros
+            app = zeros
+            # post-fire parameters: the fire is a real bolus event, so the
+            # remainder of its segment runs at chain depth 1
+            aux_fire = prepare([level_params[0][i]
+                                for i in range(n_param_rows)])
 
         for m in range(n_seg):
             sel = (lane == np.int32(m)).astype(dts.dtype)
@@ -640,7 +669,27 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
                     eff = [e + col(seg_offs[i]) for i, e in enumerate(eff)]
                 aux_m = prepare(remap(eff) if remap else eff)
             elif mult_mode in ("levels", "planes"):
-                d = col(depths)  # [rows, 1]
+                if lag_depth:
+                    # replay the engine's reset/carry recurrence on the
+                    # event codes (1 = obs/inf-start boundary: reset;
+                    # 2 = infusion-end sub-split: compound; 0 = phantom
+                    # bolus split / dead): the engine segment continues
+                    # through phantom columns, applying seq at most once
+                    code = col(evcodes)
+                    span = (dt > 0.0).astype(dt.dtype)
+                    is_ev = code == 1.0
+                    is_ie = code == 2.0
+                    dc = jnp.where(
+                        is_ev, span + jnp.zeros_like(dc),
+                        jnp.where(is_ie, dc + span,
+                                  dc + span * (1.0 - app)),
+                    )
+                    app = jnp.where(is_ev | is_ie,
+                                    span + jnp.zeros_like(app),
+                                    jnp.maximum(app, span))
+                    d = dc  # [rows, sp]
+                else:
+                    d = col(depths)  # [rows, 1]
                 eff = []
                 for i in range(n_param_rows):
                     e_i = (d == 1.0).astype(d.dtype) * level_params[0][i]
@@ -652,9 +701,39 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
             else:
                 aux_m = aux
             live = dt > 0.0
-            nxs = propagate(aux_m, xs, dt, rate)
-            xs = [jnp.where(live, nx, x) for nx, x in zip(nxs, xs)]
-            if has_lag:
+            if lag_depth:
+                # TRUE split march: the fire is a seq-reset event, so
+                # superposition does not hold across it — propagate to the
+                # fire offset at the pre-fire depth, apply the dose, then
+                # run the remainder at chain depth 1 (aux_fire). Infusion
+                # forcing rides both halves (rate is segment-constant).
+                fire = ((pend_amt != 0.0) & (pend_rem < dt)
+                        if has_lag else None)
+                dt1 = jnp.where(fire, pend_rem, dt) if has_lag else dt
+                live1 = dt1 > 0.0
+                nxs = propagate(aux_m, xs, dt1, rate)
+                xs = [jnp.where(live1, nx, x) for nx, x in zip(nxs, xs)]
+                if has_lag:
+                    xs[dose_state] = xs[dose_state] + jnp.where(
+                        fire, pend_amt, zeros
+                    )
+                    dt2 = jnp.where(fire, dt - pend_rem, zeros)
+                    live2 = dt2 > 0.0
+                    nxs2 = propagate(aux_fire, xs, dt2, rate)
+                    xs = [jnp.where(live2, nx, x)
+                          for nx, x in zip(nxs2, xs)]
+                    dc = jnp.where(fire, jnp.ones_like(dc), dc)
+                    app = jnp.where(fire, jnp.ones_like(app), app)
+                    pend_amt = jnp.where(fire, zeros, pend_amt)
+                    pend_rem = jnp.where(
+                        fire, zeros,
+                        jnp.where(live, jnp.maximum(pend_rem - dt, 0.0),
+                                  pend_rem),
+                    )
+            else:
+                nxs = propagate(aux_m, xs, dt, rate)
+                xs = [jnp.where(live, nx, x) for nx, x in zip(nxs, xs)]
+            if has_lag and not lag_depth:
                 # the pending dose materializes once its remaining lag
                 # elapses within this segment: homogeneous propagation over
                 # the residual span dt - rem (superposition; infusion
@@ -712,6 +791,7 @@ def psi_oral(
     param_levels=None,
     param_planes=None,
     seg_depth=None,
+    seg_evcode=None,
     lag_plane=None,
     fa_plane=None,
     lag_slots=None,
@@ -763,6 +843,12 @@ def psi_oral(
     structure's MICRO-CONSTANT parameterization (remap applied host-side);
     eigen extras for 3-cmt structures are prepared here per level. Depth
     values are 1-based level indices (0 on dead segments).
+
+    ``seg_evcode`` [R, M] replaces ``seg_depth`` when an active lag
+    coexists with seq chain depth > 1: per-column event codes
+    (1 = obs/inf-start reset, 2 = inf-end compound, 0 = phantom bolus /
+    dead) drive an in-kernel depth counter that resets at each per-lane
+    dose fire (see _make_kernel ``lag_depth``). Requires lag_plane.
 
     ``param_planes`` [L, n_base, R, S] + ``seg_depth``: the per-(row,
     support) generalization of ``param_levels`` for COVARIATE-dependent
@@ -921,16 +1007,25 @@ def psi_oral(
             for i in range(n_params):
                 full.append(_pad_lanes(pos[:, i, :], SEG_PAD))
     elif mult_mode in ("levels", "planes"):
-        if seg_depth is None:
+        if (seg_depth is None) == (seg_evcode is None):
             raise ValueError(
-                "param_levels/param_planes require the seg_depth stream"
+                "param_levels/param_planes require exactly one of the "
+                "seg_depth or seg_evcode streams"
             )
-        sd = jnp.asarray(seg_depth, dtype)
+        sd = jnp.asarray(
+            seg_depth if seg_depth is not None else seg_evcode, dtype
+        )
         if sd.shape != (R, M):
             raise ValueError(
-                f"seg_depth must be [{R}, {M}], got {sd.shape}"
+                f"seg_depth/seg_evcode must be [{R}, {M}], got {sd.shape}"
             )
         full.append(_pad_lanes(sd, SEG_PAD))
+    if seg_evcode is not None and (
+            mult_mode not in ("levels", "planes") or lag_plane is None):
+        raise ValueError(
+            "seg_evcode (lag + seq depth > 1) requires param_levels/"
+            "param_planes and a lag_plane"
+        )
     # init equation: per-support initial-state rows gated by the per-row
     # occasion-0 flag (lane 0 of the init_mask stream)
     if init_rows is not None and init_planes is not None:
@@ -1059,6 +1154,7 @@ def psi_oral(
         n_lag_planes=len(lag_list) if has_lag else 0,
         n_fa_planes=len(fa_list) if has_fa else 0,
         lag_slots=lag_slots, fa_slots=fa_slots,
+        lag_depth=seg_evcode is not None,
     )
     # all-zero optional streams are dropped from the pipeline entirely
     # (no DMA, no VMEM block); the kernel never reads those refs
@@ -1074,6 +1170,8 @@ def psi_oral(
     budget = TILE_BUDGET // 4 if mult_mode is not None else TILE_BUDGET
     if has_lag:  # pending-dose lanes + a second propagate's intermediates
         budget = min(budget, TILE_BUDGET // 4)
+    if seg_evcode is not None:  # split-march second propagate + dc/app tiles
+        budget = min(budget, TILE_BUDGET // 8)
     if len(planes) > 2:  # per-dose-segment plane tiles live in VMEM
         budget = min(budget, TILE_BUDGET // max(4, len(planes)))
     if level_plane_list:  # L x n_rows extra [rb, sb] tiles live in VMEM
@@ -1220,7 +1318,7 @@ def psi_2cmt_oral(seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma,
                     interpret=interpret)
 
 
-def segment_schedule(rows):
+def segment_schedule(rows, with_ranks: bool = False):
     """Host-side replica of the engine's breakpoint sort (grid.build_segments).
 
     Valid because the pallas path rejects lag/fa (the only
@@ -1229,6 +1327,10 @@ def segment_schedule(rows):
     times, segment spans, and the engine's seq-reset flag (real events reset
     seq parameters; infusion-end sub-splits carry them —
     grid.build_segments is_event = rank >= RANK_OBSERVATION).
+    ``with_ranks=True`` appends ``rank_sorted`` [R, M] (engine ranks:
+    inf-end 0, obs 1, bolus 2, inf-start 3) — the lag+seq-depth path needs
+    to tell bolus columns (whose event moves with the lag) apart from
+    obs/infusion boundaries (which stay put).
     """
     from ..config import BIG_TIME
 
@@ -1255,6 +1357,8 @@ def segment_schedule(rows):
     t_next = np.concatenate([t_sorted[:, 1:], t_sorted[:, -1:]], axis=1)
     live = t_next < BIG_TIME / 2
     seg_dt = np.where(live, np.maximum(t_next - t_sorted, 0.0), 0.0)
+    if with_ranks:
+        return order, t_sorted, seg_dt, rank_sorted >= 1.0, rank_sorted
     return order, t_sorted, seg_dt, rank_sorted >= 1.0
 
 

@@ -48,6 +48,9 @@ F32_BUDGET: Dict[str, float] = {
     # feature variants (on one_compartment_with_absorption unless noted)
     "seq_multiplier_row": 5e-5,
     "seq_multiplier_segment": 5e-5,
+    # lag + seq chain depth > 1: in-kernel depth counter + split-march
+    # fire (two propagates per segment instead of one)
+    "lag_seq_depth": 1e-4,
     "censoring_heavy": 2e-4,
     "ode_dopri5": 2e-4,  # adaptive stepping compounds controller decisions
     # round-3 kernel paths (all on the ode_dopri5-style workload)
@@ -179,6 +182,46 @@ def _seq_case(mode: str) -> BudgetCase:
 
     return BudgetCase(f"seq_multiplier_{mode}", build,
                       F32_BUDGET[f"seq_multiplier_{mode}"])
+
+
+def _lag_seq_depth_case() -> BudgetCase:
+    def build():
+        import jax.numpy as jnp
+
+        from ..data.structs import Data, Subject
+        from ..engine.analytical import one_compartment
+        from ..models.equation import Analytical
+
+        # support-dependent lag + covariate-free seq; the infusion's end
+        # sub-split compounds the chain past depth 1, so the plan takes
+        # the in-kernel depth-counter (seg_evcode) path
+        model = Analytical(
+            one_compartment,
+            out=lambda x, p, t, cov: x[0:1] / p[1],
+            seq_eq=lambda p, t, cov: jnp.stack(
+                [p[0] * (1.0 + 0.15 * p[2]), p[1], p[2]]
+            ),
+            lag=lambda p, t, cov: {0: p[2]},
+            nstates=1, ndrugs=1, nout=1,
+        )
+        rng = np.random.RandomState(41)
+        subjects = []
+        for i in range(8):
+            b = (Subject.builder(f"g{i}").bolus(0.0, 100.0, 0)
+                 .infusion(1.0, 50.0, 0, 1.5))
+            if i % 2 == 0:
+                b = b.bolus(2.0, 60.0, 0)
+            for t in (0.5, 1.2, 2.1, 3.0, 4.5, 6.0, 10.0):
+                b = b.observation(float(t), float(np.abs(3 + rng.randn())), 0)
+            subjects.append(b.build())
+        sp = np.abs(np.column_stack([
+            0.2 * (1.0 + 0.15 * rng.randn(12)),
+            11.0 * (1.0 + 0.15 * rng.randn(12)),
+            rng.uniform(0.0, 1.8, 12),
+        ]))
+        return model, Data(subjects), sp, _ems()
+
+    return BudgetCase("lag_seq_depth", build, F32_BUDGET["lag_seq_depth"])
 
 
 def _censoring_case() -> BudgetCase:
@@ -423,6 +466,7 @@ def budget_cases():
     cases = [_kernel_case(n) for n in _NOMINAL]
     cases.append(_seq_case("row"))
     cases.append(_seq_case("segment"))
+    cases.append(_lag_seq_depth_case())
     cases.append(_censoring_case())
     cases.append(_ode_case())
     cases.append(_ode_bdf_case())

@@ -1294,6 +1294,115 @@ def test_pallas_engine_lag_with_depth1_seq():
     _seq_check(model, Data(subjects), sp)
 
 
+def _lag_depth_subjects(n=8, lag_crosses_infusion=True):
+    """Bolus + infusion regimens where inf-end sub-splits compound the seq
+    chain to depth > 1 and the (support-dependent) lag pushes dose fires
+    across observations and — for some subjects — across the infusion-end
+    boundary itself."""
+    out = []
+    for i in range(n):
+        sb = (Subject.builder(f"s{i}")
+              .bolus(0.0, 100.0, 0)
+              .infusion(1.0, 50.0, 0, 1.5)
+              .covariate("wt", 0.0, 55.0 + 4.0 * i))
+        if lag_crosses_infusion and i % 2 == 0:
+            # second bolus whose lag can fire inside the post-infusion
+            # compounded region
+            sb = sb.bolus(2.0, 60.0, 0)
+        for t in (0.5, 1.2, 2.1, 3.0, 4.5, 6.0, 10.0):
+            sb = sb.observation(t, float(5 * np.exp(-0.2 * t) + 0.05 * i), 0)
+        out.append(sb.build())
+    return Data(out)
+
+
+def test_pallas_engine_lag_with_seq_depth_gt1_levels():
+    # lag + covariate-free seq with infusion-end compounding (chain depth
+    # > 1): the in-kernel depth counter + split-march fire must replay the
+    # engine's per-lane reset exactly (the fire moves the seq-reset
+    # breakpoint to the support-dependent shifted dose time)
+    rng = np.random.RandomState(31)
+    model = Analytical(
+        pst.one_compartment,
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        seq_eq=lambda p, t, cov: jnp.stack(
+            [p[0] * (1.0 + 0.15 * p[2]), p[1], p[2]]
+        ),
+        lag=lambda p, t, cov: {0: p[2]},
+        nstates=1, ndrugs=1, nout=1,
+    )
+    sp = np.column_stack([
+        rng.uniform(0.1, 0.3, 12), rng.uniform(8, 15, 12),
+        rng.uniform(0.0, 1.8, 12),
+    ])
+    _seq_check(model, _lag_depth_subjects(), sp)
+
+
+def test_pallas_engine_lag_with_seq_depth_gt1_planes():
+    # lag + covariate-DEPENDENT seq (per-(row, support) planes) at chain
+    # depth > 1: fires select depth-1 planes per lane
+    rng = np.random.RandomState(32)
+    model = Analytical(
+        pst.one_compartment,
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        seq_eq=lambda p, t, cov: jnp.stack([
+            p[0] * (cov("wt", t) / 70.0) ** p[2], p[1], p[2],
+        ]),
+        lag=lambda p, t, cov: {0: 1.2 * p[2]},
+        nstates=1, ndrugs=1, nout=1,
+    )
+    sp = np.column_stack([
+        rng.uniform(0.1, 0.3, 12), rng.uniform(8, 15, 12),
+        rng.uniform(0.2, 1.2, 12),
+    ])
+    _seq_check(model, _lag_depth_subjects(), sp)
+
+
+def test_pallas_engine_lag_fa_with_seq_depth_gt1():
+    # lag + fa + depth>1 seq on a 2-cmt absorption structure: fa scales the
+    # pending amount at park time; the split march handles the reset
+    rng = np.random.RandomState(33)
+    model = Analytical(
+        pst.two_compartments_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[4],
+        seq_eq=lambda p, t, cov: jnp.stack([
+            p[0], p[1] * (1.0 + 0.1 * p[5]), p[2], p[3], p[4], p[5],
+        ]),
+        lag=lambda p, t, cov: {0: p[5]},
+        fa=lambda p, t, cov: {0: 1.0 / (1.0 + 0.3 * p[5])},
+        nstates=3, ndrugs=1, nout=1,
+    )
+    sp = np.column_stack([
+        rng.uniform(0.8, 2.0, 12), rng.uniform(0.1, 0.3, 12),
+        rng.uniform(0.1, 0.3, 12), rng.uniform(0.05, 0.2, 12),
+        rng.uniform(8, 15, 12), rng.uniform(0.0, 1.5, 12),
+    ])
+    _seq_check(model, _lag_depth_subjects(lag_crosses_infusion=False), sp)
+
+
+def test_pallas_engine_lag_depth_zero_lag_lanes_match_plain():
+    # a lag closure that is zero on some support lanes and positive on
+    # others: zero-lag lanes fire at offset 0 of their bolus column (the
+    # bolus IS the reset there), positive lanes fire later — both must
+    # match the engine within one psi call
+    rng = np.random.RandomState(34)
+    model = Analytical(
+        pst.one_compartment,
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        seq_eq=lambda p, t, cov: jnp.stack(
+            [p[0] * (1.0 + 0.2 * p[2]), p[1], p[2]]
+        ),
+        lag=lambda p, t, cov: {0: jnp.maximum(p[2] - 0.5, 0.0)},
+        nstates=1, ndrugs=1, nout=1,
+    )
+    lag_col = np.concatenate([
+        np.zeros(4), rng.uniform(0.6, 1.9, 8),  # mix of zero/positive lag
+    ])
+    sp = np.column_stack([
+        rng.uniform(0.1, 0.3, 12), rng.uniform(8, 15, 12), lag_col,
+    ])
+    _seq_check(model, _lag_depth_subjects(), sp)
+
+
 def test_pallas_engine_lag_fa_planes():
     # lag shifts doses across observations (pending-dose mechanism); fa
     # scales amounts; both per (row, support)
