@@ -1,3 +1,4 @@
+from .bootstrap import BootstrapResult, bootstrap, bootstrap_laplace
 from .diagnostics import GofResult, NpdeResult, VpcResult, gof, npde, vpc
 from .effect import find_m0, get_e2
 from .map import MapResult, fit_map

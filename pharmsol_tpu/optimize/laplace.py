@@ -374,7 +374,14 @@ def fit_laplace(
 
     inner_modes.defvjp(_inner_fwd, _inner_bwd)
 
-    def neg_laplace(psi):
+    def neg_laplace_w(psi, w):
+        """Weighted marginal objective: w_i scales subject i's contribution.
+
+        Integer weights make this the likelihood of a case-bootstrap
+        replicate (a subject drawn k times contributes k times), which is
+        what lets optimize.bootstrap_laplace refit every replicate as one
+        vmapped program instead of rebuilding Data per draw.
+        """
         m, L, sig_a, sig_b = unpack(psi)
         prec = precision(L)
         eta = inner_modes(m, prec, sig_a, sig_b)
@@ -389,7 +396,12 @@ def fit_laplace(
         quad = 0.5 * jnp.sum((eta @ prec) * eta, axis=-1)
         logdet_d = 2.0 * jnp.sum(psi[o_ld:o_off])  # log det(L L') = 2 tr log L
         obj_i = ll_i - quad - 0.5 * logdet_d - 0.5 * logdet_h
-        return -jnp.sum(obj_i)
+        return -jnp.sum(w * obj_i)
+
+    ones_w = jnp.ones((n_sub,), dtype=fd)
+
+    def neg_laplace(psi):
+        return neg_laplace_w(psi, ones_w)
 
     mu0 = np.where(is_log, np.log(theta0), theta0)
     sig0 = []
@@ -407,6 +419,10 @@ def fit_laplace(
             neg_laplace=neg_laplace, psi0=psi0, unpack=unpack,
             inner_modes=inner_modes, cond=cond, cond_ll=cond_ll,
             joint_grad_hess=joint_grad_hess,
+            neg_laplace_w=neg_laplace_w,
+            layout=dict(p=p, n_eff=n_eff, o_ld=o_ld, o_off=o_off,
+                        n_off=n_off, is_log=is_log, full_omega=full_omega,
+                        n_sub=n_sub, tril=(tril_r, tril_c)),
         )
     f0 = float(neg_laplace(psi0))
     if not np.isfinite(f0):
@@ -446,6 +462,8 @@ def fit_laplace(
     eta = np.asarray(inner_modes(m, prec, sig_a, sig_b), dtype=np.float64)
     loglik = -float(neg_laplace(z))
     z_np = np.asarray(z, dtype=np.float64)
+    if _introspect is not None:
+        _introspect["z_opt"] = z_np
     mu_np = z_np[:p]
     beta_np = z_np[p:o_ld] if n_eff else None
     theta = np.where(is_log, np.exp(mu_np), mu_np)
