@@ -27,6 +27,7 @@ CPU_EXAMPLES = [
     "compare_solvers.py",
     "sde_readme.py",
     "map_fit.py",
+    "bootstrap_ci.py",
 ]
 
 
