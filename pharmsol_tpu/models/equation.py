@@ -412,6 +412,34 @@ class EquationBase:
         linear models to ``with_solver('expm')``. SDE likelihoods are
         not differentiable (discrete particle resampling).
         """
+        ll_rows, (rows, kind, factor, poly), row_subject, n_subjects, _ = \
+            self._ll_fn_parts(data, error_models)
+
+        def fn(p):
+            p = jnp.asarray(p, dtype=float_dtype())
+            lls = ll_rows(rows, p, kind, factor, poly)
+            if per_subject:
+                return jax.ops.segment_sum(
+                    lls, row_subject, num_segments=n_subjects
+                )
+            return jnp.sum(lls)
+
+        return fn
+
+    def _ll_fn_parts(self, data, error_models: AssayErrorModels):
+        """Shared lowering behind :meth:`log_likelihood_fn` and the
+        gradient-based fitters.
+
+        Returns ``(ll_rows, operands, row_subject, n_subjects, key)``:
+        ``ll_rows(rows, p, kind, factor, poly) -> per-row lls`` is a PURE
+        function of its operands — the lowered data rides as ARGUMENTS,
+        so a caller that jits around it and feeds a different Data of the
+        same padded shapes reuses the compiled program instead of paying
+        a full retrace (the bootstrap / cross-validation workflow).
+        ``operands = (rows, kind, factor, poly)`` for THIS data;
+        ``key`` identifies the program structure (engine variant +
+        covariate layout) for caller-side jit caches kept on this model.
+        """
         import copy
 
         from ..data.structs import Data
@@ -422,15 +450,19 @@ class EquationBase:
         if opts is not None and getattr(opts, "solver", None) == "expm":
             # reverse-mode through the fully-unrolled expm chain explodes
             # XLA's compile (271 s vs 2.6 s measured); substitute the
-            # mathematically identical rolled-loop variant on a copy so
-            # the caller's model (and its jit caches) stay untouched
-            eq = copy.copy(self)
-            eq._opts = opts._replace(solver="expm_rolled")
-            eq._lower_cache = {}
-            eq._spec_cache = None
-            for k in ("_jit_sim_rows", "_jit_ll_rows", "_jit_psi",
-                      "_jit_batch"):
-                eq.__dict__.pop(k, None)
+            # mathematically identical rolled-loop variant on a cached
+            # copy so the caller's model (and its jit caches) stay
+            # untouched — cached so repeat fits share one program key
+            eq = self.__dict__.get("_expm_rolled_variant")
+            if eq is None:
+                eq = copy.copy(self)
+                eq._opts = opts._replace(solver="expm_rolled")
+                eq._lower_cache = {}
+                eq._spec_cache = None
+                for k in ("_jit_sim_rows", "_jit_ll_rows", "_jit_psi",
+                          "_jit_batch"):
+                    eq.__dict__.pop(k, None)
+                self.__dict__["_expm_rolled_variant"] = eq
 
         subjects = list(data.subjects()) if isinstance(data, Data) else [data]
         grid = eq.lower(subjects)
@@ -445,17 +477,9 @@ class EquationBase:
         rows = grid.rows
         row_subject = jnp.asarray(np.asarray(grid.row_subject))
         n_subjects = int(grid.n_subjects)
-
-        def fn(p):
-            p = jnp.asarray(p, dtype=float_dtype())
-            lls = ll_rows(rows, p, kind, factor, poly)
-            if per_subject:
-                return jax.ops.segment_sum(
-                    lls, row_subject, num_segments=n_subjects
-                )
-            return jnp.sum(lls)
-
-        return fn
+        key = (eq is not self, tuple(grid.cov_names))
+        return (ll_rows, (rows, kind, factor, poly), row_subject,
+                n_subjects, key)
 
     # -- host assembly ---------------------------------------------------------------------
     def _assemble_subject_predictions(

@@ -93,7 +93,14 @@ def fit_map(
     # adaptive steppers integrate under lax.while_loop: forward-mode only
     forward_mode = solver not in _REVERSE_DIFF_SOLVERS
 
-    ll_fn = equation.log_likelihood_fn(data, error_models)
+    # lowered data rides as jit OPERANDS: refitting a different Data of
+    # the same padded shapes (bootstrap replicates, cross-validation
+    # folds) reuses the compiled optimizer instead of re-paying the full
+    # trace+compile — the jitted programs are cached on the model, keyed
+    # by program structure; jax.jit handles shape-level retraces
+    ll_rows, operands, _, _, pkey = equation._ll_fn_parts(
+        data, error_models
+    )
     x0 = np.asarray(x0, dtype=np.float64)
     if log_space and np.any(x0 <= 0.0):
         raise PharmsolError(
@@ -101,56 +108,85 @@ def fit_map(
             "(pass log_space=False for sign-free parameters)"
         )
 
-    def unpack(z):
-        return jnp.exp(z) if log_space else z
+    cache = equation.__dict__.setdefault("_fit_map_jit", {})
+    # key on the prior OBJECT (hashable by identity; held alive by the
+    # cache so its id cannot be recycled onto a different prior)
+    key = (pkey, log_space, forward_mode, prior_logpdf)
+    progs = cache.get(key)
+    if progs is None:
+        def unpack(z):
+            return jnp.exp(z) if log_space else z
 
-    def _neg_log_post(z):
-        p = unpack(z)
-        val = ll_fn(p)
-        if prior_logpdf is not None:
-            val = val + prior_logpdf(p)
-        return -val
+        def _neg_log_post(z, rows, kind, factor, poly):
+            p = unpack(z)
+            val = jnp.sum(ll_rows(rows, p, kind, factor, poly))
+            if prior_logpdf is not None:
+                val = val + prior_logpdf(p)
+            return -val
 
-    if forward_mode:
-        # optax's zoom linesearch calls jax.value_and_grad on the
-        # objective; route that reverse-mode request through jacfwd so
-        # while_loop-based solvers differentiate (scalar output, so the
-        # cotangent is just a scale on the forward-mode gradient)
-        _fwd_grad = jax.jacfwd(_neg_log_post)
+        if forward_mode:
+            # optax's zoom linesearch calls jax.value_and_grad on the
+            # objective; route that reverse-mode request through jacfwd
+            # so while_loop-based solvers differentiate (scalar output,
+            # so the cotangent is just a scale on the forward gradient)
+            _fwd_grad = jax.jacfwd(_neg_log_post)
 
-        @jax.custom_vjp
-        def neg_log_post(z):
-            return _neg_log_post(z)
+            @jax.custom_vjp
+            def neg_log_post(z, rows, kind, factor, poly):
+                return _neg_log_post(z, rows, kind, factor, poly)
 
-        def _nlp_fwd(z):
-            return _neg_log_post(z), _fwd_grad(z)
+            def _nlp_fwd(z, rows, kind, factor, poly):
+                return (_neg_log_post(z, rows, kind, factor, poly),
+                        _fwd_grad(z, rows, kind, factor, poly))
 
-        def _nlp_bwd(saved_grad, ct):
-            return (ct * saved_grad,)
+            def _nlp_bwd(saved_grad, ct):
+                return (ct * saved_grad, None, None, None, None)
 
-        neg_log_post.defvjp(_nlp_fwd, _nlp_bwd)
-    else:
-        neg_log_post = _neg_log_post
+            neg_log_post.defvjp(_nlp_fwd, _nlp_bwd)
+        else:
+            neg_log_post = _neg_log_post
+
+        opt = optax.lbfgs()
+
+        @jax.jit
+        def value_fn(z, rows, kind, factor, poly):
+            return neg_log_post(z, rows, kind, factor, poly)
+
+        @jax.jit
+        def step(z, state, rows, kind, factor, poly):
+            def f(zz):
+                return neg_log_post(zz, rows, kind, factor, poly)
+
+            value, grad = optax.value_and_grad_from_state(f)(z, state=state)
+            updates, state = opt.update(
+                grad, state, z, value=value, grad=grad, value_fn=f
+            )
+            z = optax.apply_updates(z, updates)
+            return z, state, value, grad
+
+        @jax.jit
+        def hess_fn(z, rows, kind, factor, poly):
+            # differentiate the RAW objective: jvp cannot pass through
+            # the custom_vjp wrapper, and forward-over-forward is the
+            # only mode while_loop solvers support
+            def f(zz):
+                return _neg_log_post(zz, rows, kind, factor, poly)
+
+            return (jax.jacfwd(jax.jacfwd(f)) if forward_mode
+                    else jax.hessian(f))(z)
+
+        progs = (unpack, value_fn, step, hess_fn, opt)
+        cache[key] = progs
+    unpack, value_fn, step, hess_fn, opt = progs
 
     z0 = jnp.asarray(np.log(x0) if log_space else x0)
-    f0 = float(neg_log_post(z0))
+    f0 = float(value_fn(z0, *operands))
     if not np.isfinite(f0):
         raise PharmsolError(
             f"fit_map objective is non-finite at x0={list(map(float, x0))} "
             f"(neg log posterior = {f0}); pick a starting point off the "
             f"model's singular set (e.g. ka == ke in absorption kernels)"
         )
-    opt = optax.lbfgs()
-    value_and_grad = optax.value_and_grad_from_state(neg_log_post)
-
-    @jax.jit
-    def step(z, state):
-        value, grad = value_and_grad(z, state=state)
-        updates, state = opt.update(
-            grad, state, z, value=value, grad=grad, value_fn=neg_log_post
-        )
-        z = optax.apply_updates(z, updates)
-        return z, state, value, grad
 
     z = z0
     state = opt.init(z0)
@@ -158,7 +194,7 @@ def fit_map(
     converged = False
     it = 0
     for it in range(1, max_iters + 1):
-        z, state, value, grad = step(z, state)
+        z, state, value, grad = step(z, state, *operands)
         gnorm = float(jnp.max(jnp.abs(grad)))
         if not np.isfinite(gnorm):
             break
@@ -167,17 +203,15 @@ def fit_map(
             break
 
     p_hat = np.asarray(unpack(z), dtype=np.float64)
-    loglik = float(ll_fn(jnp.asarray(p_hat)))
-    logpost = loglik + (
+    logpost = -float(value_fn(z, *operands))
+    loglik = logpost - (
         float(prior_logpdf(jnp.asarray(p_hat))) if prior_logpdf else 0.0
     )
 
     covariance = None
     ses = None
     try:
-        hess = (jax.jacfwd(jax.jacfwd(_neg_log_post)) if forward_mode
-                else jax.hessian(neg_log_post))
-        H = np.asarray(hess(z), dtype=np.float64)
+        H = np.asarray(hess_fn(z, *operands), dtype=np.float64)
         cov_z = np.linalg.inv(H)
         if log_space:
             # delta method: p = exp(z) -> cov_p = diag(p) cov_z diag(p)

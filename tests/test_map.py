@@ -138,3 +138,23 @@ def test_fit_map_rejects_sde_and_bad_x0():
     # objective is non-finite there and fit_map must say so up front
     with pytest.raises(PharmsolError, match="non-finite"):
         fit_map(_model(), _synth_data(1), _ems(), [0.5, 0.5, 8.0])
+
+
+def test_fit_map_reuses_compiled_programs_across_same_shaped_data():
+    # bootstrap / cross-validation workflow: refitting a different Data
+    # of the same padded shapes must NOT retrace — the lowered data rides
+    # as jit operands and the compiled optimizer lives in a cache on the
+    # model keyed by program structure
+    m = _model()
+    ems = _ems()
+    r1 = fit_map(m, _synth_data(seed=0), ems, [0.8, 0.4, 8.0])
+    cache = m.__dict__["_fit_map_jit"]
+    assert len(cache) == 1
+    _, value_fn, step, _, _ = next(iter(cache.values()))
+    traces = (value_fn._cache_size(), step._cache_size())
+    r2 = fit_map(m, _synth_data(seed=1), ems, [0.8, 0.4, 8.0])
+    assert len(cache) == 1
+    assert (value_fn._cache_size(), step._cache_size()) == traces
+    assert r1.converged and r2.converged
+    # different noise realizations -> different optima (really refit)
+    assert not np.allclose(r1.parameters, r2.parameters)
