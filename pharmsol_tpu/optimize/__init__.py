@@ -1,4 +1,5 @@
 from .bootstrap import BootstrapResult, bootstrap, bootstrap_laplace
+from .sse import SseResult, sse
 from .diagnostics import GofResult, NpdeResult, VpcResult, gof, npde, vpc
 from .effect import find_m0, get_e2
 from .map import MapResult, fit_map
