@@ -63,6 +63,12 @@ class SDESpec(NamedTuple):
     bolus_dest: Optional[tuple] = None
     # 'stratified' (reference-exact, sde/mod.rs:747-768) | 'systematic'
     resampling: str = "stratified"
+    # 'independent' (reference-exact, em.rs: fresh draws for the full and
+    # half steps — the error estimate is noise-dominated, ~g*sqrt(2h)) |
+    # 'coupled' (dW_full = dW_1 + dW_2: the estimate measures actual
+    # truncation error, so the controller takes the steps the scheme
+    # earns — often far larger; same EM law per accepted step)
+    em_control: str = "independent"
 
 
 class SDESim(NamedTuple):
@@ -72,15 +78,24 @@ class SDESim(NamedTuple):
     log_likelihood: jnp.ndarray  # scalar: sum over obs of log(mean weight)
 
 
-def _em_segment(drift_fn, diffusion_fn, X, t0, t1, key):
-    """Advance the particle cloud [P, ns] from t0 to t1 with adaptive EM."""
+def _em_segment(drift_fn, diffusion_fn, X, t0, t1, key, coupled=False):
+    """Advance the particle cloud [P, ns] from t0 to t1 with adaptive EM.
 
-    def em_step(X, t, dt, key):
-        # one EM step for the whole cloud with fresh noise
+    ``coupled=False`` is reference-exact (em.rs: the full step and the two
+    half steps draw INDEPENDENT noise, so the error estimate carries a
+    pure-noise term ~g*sqrt(2h) and the controller pins h near
+    (tol/g)^2). ``coupled=True`` shares the increments (dW_full =
+    dW_1 + dW_2): the estimate then measures the scheme's actual
+    truncation error, and steps grow to what Euler–Maruyama earns — the
+    accepted path is the same EM law either way, only the step-size
+    sequence differs.
+    """
+
+    def em_step(X, t, dt, dW):
+        # one EM step for the whole cloud with the given increment [P, ns]
         D = jax.vmap(lambda x: drift_fn(x, t))(X)
         g = diffusion_fn(t)  # [ns]
-        noise = jax.random.normal(key, X.shape, dtype=X.dtype)
-        return X + D * dt + g[None, :] * noise * jnp.sqrt(dt)
+        return X + D * dt + g[None, :] * dW
 
     def cond(carry):
         t, X, dt, key, iters = carry
@@ -94,9 +109,20 @@ def _em_segment(drift_fn, diffusion_fn, X, t0, t1, key):
         t, X, dt, key, iters = carry
         dt = jnp.minimum(dt, t1 - t)
         key, k1, k2, k3 = jax.random.split(key, 4)
-        y1 = em_step(X, t, dt, k1)
-        y2 = em_step(X, t, dt / 2.0, k2)
-        y2 = em_step(y2, t + dt / 2.0, dt / 2.0, k3)
+        half = jnp.sqrt(dt / 2.0)
+        if coupled:
+            n1 = jax.random.normal(k1, X.shape, dtype=X.dtype)
+            n2 = jax.random.normal(k2, X.shape, dtype=X.dtype)
+            w_full, w1, w2 = (n1 + n2) * half, n1 * half, n2 * half
+        else:
+            # key order matches the pre-option code exactly (k1 full,
+            # k2/k3 halves) so fixed-seed runs stay bit-reproducible
+            w_full = jax.random.normal(k1, X.shape, X.dtype) * jnp.sqrt(dt)
+            w1 = jax.random.normal(k2, X.shape, X.dtype) * half
+            w2 = jax.random.normal(k3, X.shape, X.dtype) * half
+        y1 = em_step(X, t, dt, w_full)
+        y2 = em_step(X, t, dt / 2.0, w1)
+        y2 = em_step(y2, t + dt / 2.0, dt / 2.0, w2)
         tol = EM_ATOL + EM_RTOL * jnp.abs(X)
         err = jnp.max(jnp.abs(y1 - y2) / tol)
         accept = err <= 1.0
@@ -253,7 +279,10 @@ def simulate_occasion_sde(
         def diffusion_t(tt):
             return jnp.asarray(spec.diffusion(p, tt, cov), dtype=fd)
 
-        X_prop = _em_segment(drift_one, diffusion_t, X, t, t + dt, k_em)
+        X_prop = _em_segment(
+            drift_one, diffusion_t, X, t, t + dt, k_em,
+            coupled=getattr(spec, "em_control", "independent") == "coupled",
+        )
         X = jnp.where(dt > 0.0, X_prop, X)
         return (X, step_idx + 1), (y, jnp.mean(X, axis=0) * 0.0 + 0.0, ll_contrib)
 

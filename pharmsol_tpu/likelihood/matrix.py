@@ -2826,6 +2826,7 @@ class _PallasSdePsiPlan:
         self.n_out = int(spec.nout)
         self.n_particles = int(spec.nparticles)
         self.seed = int(getattr(equation, "_seed", 0))
+        self.em_control = str(getattr(spec, "em_control", "independent"))
         self.ninput = int(spec.ninput)
         n_states = self.n_states
         self.n_params = sp.shape[1]
@@ -3045,7 +3046,8 @@ class _PallasSdePsiPlan:
                 self.pass_inf, self.pass_outeq, self.n_out,
                 self.out_bias is not None, self.init_rows is not None,
                 self.init_planes_dev is not None,
-                self.cov_names, self.dose_state, str(self.fd)) + extra
+                self.cov_names, self.dose_state, str(self.fd),
+                self.em_control) + extra
 
     def stream_args(self):
         p = self.padded
@@ -3081,6 +3083,7 @@ class _PallasSdePsiPlan:
         ninput = self.ninput
         dose_state = self.dose_state
         seed = self.seed
+        em_control = self.em_control
         drift, diffusion = self.drift, self.diffusion
         pass_inf = self.pass_inf
         pass_outeq = self.pass_outeq
@@ -3116,6 +3119,7 @@ class _PallasSdePsiPlan:
                 out_coef=coef, out_bias=bias, init_rows=irows,
                 init_planes=ipl,
                 init_mask=imask, cov_streams=covs, cov_names=cov_names,
+                em_control=em_control,
             )
 
         run.n_streams = n_streams

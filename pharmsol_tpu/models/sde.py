@@ -18,6 +18,14 @@ default the same key is shared across support points (common random numbers,
 lower psi variance); ``with_noise('independent')`` additionally keys on the
 parameter vector, matching the reference's per-call RNG semantics
 (sde/mod.rs:175 fresh rng per simulation).
+
+Step control: ``with_em_control('coupled')`` shares the Brownian
+increments between the full step and the two half steps of the adaptive
+EM error estimate (dW_full = dW_1 + dW_2), so the controller measures
+truncation error instead of fresh-noise difference and takes the steps
+the scheme earns — often far larger, same EM law per accepted step. The
+default ``'independent'`` is reference-exact (em.rs:144-152 draws fresh
+normals inside every euler_maruyama_step call).
 """
 
 from __future__ import annotations
@@ -52,6 +60,7 @@ class SDE(EquationBase):
         seed: int = 0,
         noise: str = "common",
         resampling: str = "stratified",
+        em_control: str = "independent",
     ):
         super().__init__(nstates, ndrugs, nout)
         self._drift = drift
@@ -68,6 +77,9 @@ class SDE(EquationBase):
         if resampling not in ("stratified", "systematic"):
             raise ValueError("resampling must be 'stratified' or 'systematic'")
         self._resampling = resampling
+        if em_control not in ("independent", "coupled"):
+            raise ValueError("em_control must be 'independent' or 'coupled'")
+        self._em_control = em_control
 
     def _model_kind(self) -> ModelKind:
         return ModelKind.SDE
@@ -113,6 +125,25 @@ class SDE(EquationBase):
         self._invalidate()
         return self
 
+    def with_em_control(self, em_control: str):
+        """Step-doubling noise coupling inside the adaptive EM stepper.
+
+        ``'independent'`` (default) is reference-exact (em.rs: the full
+        step and the two half steps each draw fresh noise) — the error
+        estimate then carries a pure-noise term ~``g*sqrt(2h)`` and the
+        controller pins ``h ~ (tol/g)^2`` regardless of the drift.
+        ``'coupled'`` shares the Brownian increments (``dW_full = dW_1 +
+        dW_2``), so the estimate measures the scheme's actual truncation
+        error and steps grow to what Euler–Maruyama earns — typically far
+        fewer trials for the same tolerance. The accepted path follows
+        the same EM law either way; only the step-size sequence differs.
+        """
+        if em_control not in ("independent", "coupled"):
+            raise ValueError("em_control must be 'independent' or 'coupled'")
+        self._em_control = em_control
+        self._invalidate()
+        return self
+
     def nparticles(self) -> int:
         return self._nparticles
 
@@ -155,6 +186,7 @@ class SDE(EquationBase):
             fa=self._fa,
             bolus_dest=bolus_dest,
             resampling=self._resampling,
+            em_control=self._em_control,
         )
 
     @property

@@ -108,7 +108,7 @@ def _make_sde_kernel(
     n_particles: int, p_pad: int, has_inf: bool, n_out: int, has_bias: bool,
     has_init: bool, cov_names: tuple, dose_state: int, seed: int,
     filter_on: bool, interpret: bool, rows_per_step: int = 8,
-    init_mode: str = "rows",
+    init_mode: str = "rows", coupled: bool = False,
 ):
     """Build the fused SDE particle-filter psi kernel.
 
@@ -256,12 +256,11 @@ def _make_sde_kernel(
                 target = jnp.broadcast_to(dt_col, (1, sp))
                 live0 = (target > 0.0).astype(dtype)
 
-                def em_step(xs_c, t, h, salt):
+                def em_step(xs_c, t, h, dws):
                     d = drift(xs_c, t, rate)
                     g = diffusion(t)
-                    sq = jnp.sqrt(jnp.maximum(h, 0.0))
                     return [
-                        x + dd * h + g[s] * normals(salt) * sq
+                        x + dd * h + g[s] * dws[s]
                         for s, (x, dd) in enumerate(zip(xs_c, d))
                     ]
 
@@ -270,9 +269,24 @@ def _make_sde_kernel(
                     live = live_f > 0.5
                     h_try = jnp.minimum(h_c, jnp.maximum(target - tau, 1e-14))
                     t_abs = t0_col + tau
-                    y1 = em_step(xs_c, t_abs, h_try, it_)
-                    y2 = em_step(xs_c, t_abs, h_try * 0.5, it_)
-                    y2 = em_step(y2, t_abs + h_try * 0.5, h_try * 0.5, it_)
+                    sq_h = jnp.sqrt(jnp.maximum(h_try * 0.5, 0.0))
+                    if coupled:
+                        # dW_full = dW_1 + dW_2: the error estimate measures
+                        # truncation, not fresh-noise difference — steps
+                        # grow to what the EM scheme earns
+                        n1 = [normals(it_) for _ in range(n_states)]
+                        n2 = [normals(it_) for _ in range(n_states)]
+                        w_full = [(a + b) * sq_h for a, b in zip(n1, n2)]
+                        w1 = [a * sq_h for a in n1]
+                        w2 = [b * sq_h for b in n2]
+                    else:
+                        sq = jnp.sqrt(jnp.maximum(h_try, 0.0))
+                        w_full = [normals(it_) * sq for _ in range(n_states)]
+                        w1 = [normals(it_) * sq_h for _ in range(n_states)]
+                        w2 = [normals(it_) * sq_h for _ in range(n_states)]
+                    y1 = em_step(xs_c, t_abs, h_try, w_full)
+                    y2 = em_step(xs_c, t_abs, h_try * 0.5, w1)
+                    y2 = em_step(y2, t_abs + h_try * 0.5, h_try * 0.5, w2)
                     err = zrow
                     for s in range(n_states):
                         tol = EM_ATOL + EM_RTOL * jnp.abs(xs_c[s])
@@ -398,6 +412,7 @@ def psi_sde(
     cov_streams=None,
     cov_names=(),
     interpret: Optional[bool] = None,
+    em_control: str = "independent",
 ):
     """Fused particle-filter psi for SDE models.
 
@@ -517,7 +532,7 @@ def psi_sde(
         has_bias=has_bias, has_init=has_init, cov_names=cov_names,
         dose_state=dose_state, seed=seed, filter_on=True,
         interpret=interpret, rows_per_step=ROWS_PER_STEP,
-        init_mode=init_mode,
+        init_mode=init_mode, coupled=(em_control == "coupled"),
     )
     sp_block = SDE_SP_BLOCK
     row_spec = pl.BlockSpec((ROWS_PER_STEP, SEG_PAD), lambda i, j: (i, 0))

@@ -175,3 +175,38 @@ def test_sde_pallas_covariate_dependent_init_zero_diffusion():
     pp = log_likelihood_matrix(sde, Data(subs), sp, _ems(), engine="pallas")
     rel = np.max(np.abs(pp - px) / np.maximum(np.abs(px), 1.0))
     assert rel < 1e-9, rel
+
+
+def test_sde_pallas_coupled_em_control():
+    # coupled controller threads through the plan: zero-diffusion exact
+    # vs the XLA engine in the same mode
+    def make(sig, em_control):
+        return SDE(
+            drift=lambda x, p, t, rateiv, cov: jnp.stack([-p[0] * x[0]]),
+            diffusion=lambda p, t, cov: jnp.stack([sig]),
+            out=lambda x, p, t, cov: x[0:1] / p[1],
+            nparticles=64, nstates=1, ndrugs=1, nout=1, seed=3,
+            em_control=em_control,
+        )
+
+    subs = []
+    for i in range(5):
+        sb = SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+        for t in (0.3, 0.8, 1.5):
+            sb = sb.observation(t, float(8 * np.exp(-0.3 * t) + 0.1 * i), 0)
+        subs.append(sb.build())
+    rng = np.random.default_rng(4)
+    sp = np.column_stack([rng.uniform(0.2, 0.6, 6), rng.uniform(8, 14, 6)])
+    px = log_likelihood_matrix(make(0.0, "coupled"), Data(subs), sp, _ems(),
+                               engine="xla")
+    pp = log_likelihood_matrix(make(0.0, "coupled"), Data(subs), sp, _ems(),
+                               engine="pallas")
+    rel = np.max(np.abs(pp - px) / np.maximum(np.abs(px), 1.0))
+    assert rel < 1e-9, rel
+    # stochastic: coupled pallas within filter noise of coupled XLA
+    ll_x = float(log_likelihood_matrix(make(0.3, "coupled"), Data(subs[:1]),
+                                       sp[:1], _ems(), engine="xla")[0, 0])
+    ll_p = float(log_likelihood_matrix(make(0.3, "coupled"), Data(subs[:1]),
+                                       sp[:1], _ems(), engine="pallas")[0, 0])
+    assert np.isfinite(ll_x) and np.isfinite(ll_p)
+    assert abs(ll_x - ll_p) < 1.0, (ll_x, ll_p)

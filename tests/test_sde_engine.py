@@ -333,3 +333,58 @@ def test_systematic_resampling_likelihood_consistent():
         lls[scheme] = np.mean(vals)
     # same filter, same model: means agree within particle-filter noise
     assert abs(lls["stratified"] - lls["systematic"]) < 0.5, lls
+
+
+def test_coupled_em_control_zero_diffusion_exact():
+    # with g = 0 the Brownian increments never enter: coupled and
+    # independent controllers walk identical deterministic marches
+    s = subject()
+    ems = AssayErrorModels().add(
+        0, AssayErrorModel.additive(ErrorPoly(0.5, 0.0, 0.0, 0.0), 2.0)
+    )
+    p = [0.2, 10.0, 0.0]
+    ll_ind = decay_sde(8, seed=1).estimate_log_likelihood(s, p, ems)
+    ll_cpl = decay_sde(8, seed=1).with_em_control("coupled") \
+        .estimate_log_likelihood(s, p, ems)
+    assert ll_cpl == pytest.approx(ll_ind, abs=1e-10)
+    with pytest.raises(ValueError, match="em_control"):
+        decay_sde(8).with_em_control("bogus")
+
+
+def test_coupled_em_control_statistical_parity():
+    """dW_full = dW_1 + dW_2 changes only the step-size sequence: the
+    accepted path follows the same EM law, so the PF likelihood agrees
+    with the reference-exact independent controller within filter noise."""
+    from pharmsol_tpu import SDE, Subject
+
+    def make(em_control, seed):
+        return SDE(
+            drift=lambda x, p, t, rateiv, cov: jnp.stack(
+                [-x[0] * x[1], -x[1] + p[0]]
+            ),
+            diffusion=lambda p, t, cov: jnp.stack([1.0, 0.01]),
+            init=lambda p, t, cov: jnp.stack([0.0, 1.0]),
+            out=lambda x, p, t, cov: x[0:1],
+            nparticles=3000,
+            nstates=2, ndrugs=1, nout=1, seed=seed,
+            em_control=em_control,
+        )
+
+    s = (
+        Subject.builder("id1").bolus(0.0, 20.0, 0)
+        .observation(0.2, 16.6434, 0).observation(0.4, 14.3233, 0)
+        .observation(0.6, 9.8468, 0).observation(0.8, 9.4177, 0)
+        .observation(1.0, 7.5170, 0).build()
+    )
+    ems = AssayErrorModels().add(
+        0, AssayErrorModel.additive(ErrorPoly(0.5, 0.0, 0.0, 0.0), 0.0)
+    )
+    lls = {}
+    for mode in ("independent", "coupled"):
+        vals = [
+            make(mode, seed).estimate_log_likelihood(s, np.array([1.0]), ems)
+            for seed in range(5)
+        ]
+        assert all(np.isfinite(v) for v in vals), (mode, vals)
+        lls[mode] = np.mean(vals)
+    assert abs(lls["independent"] - lls["coupled"]) < 0.8, lls
