@@ -32,7 +32,8 @@ class CondLL(NamedTuple):
     """Device conditional-LL function plus the host context around it."""
 
     # (theta_rows [n_sub, p] natural scale, sig_a [nout], sig_b [nout])
-    #   -> (ll_i [n_sub], r2 [R, O], f2 [R, O])
+    #   -> (ll_i [n_sub], r2 [R, O], f2 [R, O]); pass per_row=True to hand
+    #   it [R, p] per-occasion-row parameters instead (the IOV hook)
     ll_parts: Callable
     # theta_rows [n_sub, p] natural scale -> predictions [R, O]
     pred_rows: Callable
@@ -48,6 +49,9 @@ class CondLL(NamedTuple):
     obs_time: jnp.ndarray         # [R, O]
     active: jnp.ndarray           # [R, O] bool
     row_subject: jnp.ndarray      # [R]
+    row_occasion: jnp.ndarray = None   # [R] within-subject occasion index
+    n_occ: np.ndarray = None           # [n_sub] occasion counts
+    n_occ_max: int = 1                 # max occasions over subjects
 
 
 def build_cond_ll(
@@ -128,29 +132,48 @@ def build_cond_ll(
 
     kind_per_obs = jnp.asarray(kinds_np)[obs_outeq]
 
-    def pred_rows(theta_rows):
-        """Raw predictions [R, O] at per-subject parameter rows."""
-        p_per_row = theta_rows[row_subject]
+    def _pred_at(p_per_row):
+        """Raw predictions [R, O] at per-occasion-row parameters [R, p]."""
         return jax.vmap(pred_one, in_axes=(0, 0, 0))(
             rows, p_per_row, jnp.arange(n_rows)
         )
 
-    def ll_parts(theta_rows, sig_a, sig_b):
-        """Conditional LL per subject + per-observation (r2, f2) arrays."""
-        preds = pred_rows(theta_rows)
+    def pred_rows(theta_rows):
+        """Raw predictions [R, O] at per-subject parameter rows."""
+        return _pred_at(theta_rows[row_subject])
+
+    def ll_parts(theta_rows, sig_a, sig_b, y=None, per_row=False):
+        """Conditional LL per subject + per-observation (r2, f2) arrays.
+
+        ``y [R, O]`` overrides the baked observation values — the hook
+        that lets simulation–re-estimation refit every simulated
+        replicate through ONE compiled program (y rides as a vmapped
+        operand instead of being re-lowered into a new Data).
+        ``per_row=True`` reads ``theta_rows`` as per-occasion-row
+        parameters ``[R, p]`` (already gathered) — the hook that lets
+        inter-occasion variability (kappa per occasion) flow through the
+        same kernel.
+        """
+        obs = obs_value if y is None else y
+        preds = _pred_at(theta_rows if per_row else theta_rows[row_subject])
         a = sig_a[obs_outeq].astype(fd)
         b = sig_b[obs_outeq].astype(fd)
         sigma = residual_sigma_array(kind_per_obs, a, b, preds)
-        z = (obs_value - preds) / sigma
+        z = (obs - preds) / sigma
         ll = -0.5 * (_LOG_2PI + 2.0 * jnp.log(sigma) + z * z)
         ll_i = jax.ops.segment_sum(
             jnp.sum(jnp.where(active, ll, 0.0), axis=-1),
             row_subject,
             num_segments=n_sub,
         )
-        r2 = jnp.where(active, (obs_value - preds) ** 2, 0.0)
+        r2 = jnp.where(active, (obs - preds) ** 2, 0.0)
         f2 = jnp.where(active, preds * preds, 0.0)
         return ll_i, r2, f2
+
+    occ_np = np.asarray(rows.occasion_index).reshape(-1).astype(np.int64)
+    sub_np = np.asarray(grid.row_subject).astype(np.int64)
+    n_occ = np.zeros(n_sub, dtype=np.int64)
+    np.maximum.at(n_occ, sub_np, occ_np + 1)
 
     return CondLL(
         ll_parts=ll_parts,
@@ -167,6 +190,9 @@ def build_cond_ll(
         obs_time=rows.obs_t.astype(fd),
         active=active,
         row_subject=row_subject,
+        row_occasion=jnp.asarray(occ_np.astype(np.int32)),
+        n_occ=n_occ,
+        n_occ_max=int(n_occ.max()) if n_sub else 1,
     )
 
 

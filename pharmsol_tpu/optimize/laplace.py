@@ -70,6 +70,22 @@ class LaplaceResult(NamedTuple):
     beta_standard_errors: Optional[np.ndarray] = None
     covariate_labels: Optional[tuple] = None
     covariate_effects: Optional[tuple] = None  # resolved (j, cov, form, ref)
+    n_free: int = 0              # fitted psi coordinates (mu+beta+omega+sigma)
+    n_obs: int = 0               # active observations in the fit
+    omega_iov: Optional[np.ndarray] = None  # [q] occasion-level SDs
+    omega_iov_standard_errors: Optional[np.ndarray] = None
+    iov_parameters: Optional[tuple] = None  # parameter indices with IOV
+    kappa: Optional[np.ndarray] = None      # [n_sub, K_max, q] occasion modes
+
+    def aic(self) -> float:
+        """Akaike information criterion: -2 LL + 2 k."""
+        return -2.0 * self.log_likelihood + 2.0 * self.n_free
+
+    def bic(self) -> float:
+        """Bayesian information criterion: -2 LL + k log(n_obs)."""
+        return -2.0 * self.log_likelihood + self.n_free * float(
+            np.log(max(self.n_obs, 1))
+        )
 
     def correlation(self) -> Optional[np.ndarray]:
         """Random-effect correlation matrix (None for diagonal fits)."""
@@ -106,6 +122,13 @@ class LaplaceResult(NamedTuple):
                 se = (f" +- {self.beta_standard_errors[k]:.4g}"
                       if self.beta_standard_errors is not None else "")
                 lines.append(f"  {lbl}: beta {self.beta[k]:.4g}{se}")
+        if self.omega_iov is not None and self.iov_parameters:
+            for k, j in enumerate(self.iov_parameters):
+                se = (f" +- {self.omega_iov_standard_errors[k]:.4g}"
+                      if self.omega_iov_standard_errors is not None else "")
+                lines.append(
+                    f"  {names[j]}: omega_iov {self.omega_iov[k]:.4g}{se}"
+                )
         return "\n".join(lines)
 
 
@@ -127,6 +150,32 @@ def _sigma_param_layout(kinds_np, est_sigma):
     return slots
 
 
+def _resolve_iov(iov, p: int, names) -> tuple:
+    """Normalize the IOV spec to sorted unique parameter indices."""
+    if iov is None:
+        return ()
+    idx = []
+    for item in (iov if isinstance(iov, (list, tuple)) else (iov,)):
+        if isinstance(item, str):
+            if names is not None and item in names:
+                j = names.index(item)
+            elif item.startswith("p[") and item.endswith("]"):
+                j = int(item[2:-1])
+            else:
+                raise PharmsolError(
+                    f"unknown IOV parameter {item!r} "
+                    f"(known: {list(names) if names else f'p[0..{p - 1}]'})"
+                )
+        else:
+            j = int(item)
+        if not 0 <= j < p:
+            raise PharmsolError(f"IOV parameter index {j} out of range")
+        idx.append(j)
+    if len(set(idx)) != len(idx):
+        raise PharmsolError("duplicate IOV parameters")
+    return tuple(sorted(idx))
+
+
 def fit_laplace(
     equation,
     data,
@@ -137,12 +186,15 @@ def fit_laplace(
     omega: str = "diagonal",
     transform="log",
     covariate_effects=None,
+    iov=None,
+    omega_iov0=0.1,
     est_sigma: bool = True,
     inner_steps: int = 25,
     max_iters: int = 100,
     grad_tol: float = 1e-4,
     compute_se: bool = True,
     _introspect: Optional[dict] = None,
+    _build_only: bool = False,
 ) -> LaplaceResult:
     """Fit a parametric mixed-effects model by exact-Hessian Laplace ML.
 
@@ -158,7 +210,16 @@ def fit_laplace(
     (``theta*(cov/ref)**beta`` on log parameters) or ``'linear'``
     (additive ``beta*(cov-ref)`` on the transformed scale); each adds one
     fitted ``beta`` coefficient (free psi coordinate, exact SEs like
-    everything else). ``inner_steps``: fixed damped-Newton iterations for the
+    everything else). ``iov``: parameter names/indices that get
+    inter-occasion variability (NONMEM IOV / OMEGA-per-occasion): each
+    listed parameter receives an occasion-level random effect
+    ``kappa_ik ~ N(0, omega_iov^2)`` on the transformed scale on top of
+    the subject-level ``eta_i`` — the inner Newton solves the joint
+    (eta, kappa) conditional modes per subject (padded to the maximum
+    occasion count; a padded kappa's Gaussian integral cancels exactly,
+    so unbalanced occasion designs are unbiased), and the ``omega_iov``
+    SDs are free psi coordinates with exact SEs. ``omega_iov0``:
+    initial occasion-level SD. ``inner_steps``: fixed damped-Newton iterations for the
     per-subject conditional modes (the outer gradient differentiates
     through them implicitly). Intended for the reverse-differentiable
     engines (analytical / ``expm``); for adaptive-ODE or SDE population
@@ -212,6 +273,19 @@ def fit_laplace(
     n_sub = cond.n_sub
     if n_sub < 2:
         raise PharmsolError("population fitting needs at least 2 subjects")
+    iov_idx = _resolve_iov(iov, p, names)
+    q = len(iov_idx)
+    k_max = int(cond.n_occ_max) if q else 1
+    if q and k_max < 2:
+        raise PharmsolError(
+            "iov requested but no subject has more than one occasion "
+            "(occasion-level effects are unidentifiable)"
+        )
+    omega_iov0 = np.broadcast_to(
+        np.asarray(omega_iov0, dtype=np.float64), (q,)
+    ).copy()
+    if np.any(omega_iov0 <= 0.0):
+        raise PharmsolError("omega_iov0 must be positive")
     ce = resolve_covariate_effects(covariate_effects, cond.subjects, p, names)
     n_eff = ce.n_eff if ce is not None else 0
     slots = _sigma_param_layout(cond.kinds_np, est_sigma)
@@ -238,26 +312,47 @@ def fit_laplace(
         return jnp.where(is_log_j, jnp.exp(phi), phi)
 
     eye = jnp.eye(p, dtype=fd)
-    # psi layout: [mu(p), beta(n_eff), log-diag-L(p), offdiag(n_off), sig]
+    # inner variable per subject: u = [eta(p), kappa_1..kappa_Kmax (q each)]
+    d_in = p + (k_max * q if q else 0)
+    eye_d = jnp.eye(d_in, dtype=fd)
+    if q:
+        onehot_iov = jnp.asarray(
+            np.eye(p, dtype=np.float64)[list(iov_idx)], dtype=fd
+        )  # [q, p]
+        row_sub = cond.row_subject
+        row_occ = cond.row_occasion
+    # psi layout:
+    #   [mu(p), beta(n_eff), log-diag-L(p), offdiag(n_off), log-om-iov(q), sig]
     o_ld = p + n_eff
     o_off = o_ld + p
-    o_sig = o_off + n_off
+    o_iov = o_off + n_off
+    o_sig = o_iov + q
     if ce is not None:
         x_eff = jnp.asarray(ce.x, dtype=fd)
         onehot_eff = jnp.asarray(ce.onehot, dtype=fd)
 
-    def unpack(psi):
-        """psi -> (m, L, sig_a, sig_b): per-subject transformed-scale
-        prior means [n_sub, p] and D = L L' (Cholesky omega)."""
+    def unpack(psi, x=None, onehot=None):
+        """psi -> (m, L, om_iov, sig_a, sig_b): per-subject transformed-
+        scale prior means [n_sub, p], D = L L' (Cholesky omega), and the
+        occasion-level SDs [q].
+
+        ``x [n_sub, n_eff]`` / ``onehot [n_eff, p]`` override the baked
+        covariate design — the hook that lets stepwise covariate search
+        (optimize/scm.py) fit every same-shaped candidate design as one
+        vmapped program.
+        """
         mu = psi[:p]
         if n_eff:
             beta = psi[p:o_ld]
-            m = mu[None, :] + (x_eff * beta[None, :]) @ onehot_eff
+            xd = x_eff if x is None else x
+            oh = onehot_eff if onehot is None else onehot
+            m = mu[None, :] + (xd * beta[None, :]) @ oh
         else:
             m = jnp.broadcast_to(mu[None, :], (n_sub, p))
         L = jnp.diag(jnp.exp(psi[o_ld:o_off]))
         if n_off:
-            L = L.at[tril_r, tril_c].set(psi[o_off:o_sig])
+            L = L.at[tril_r, tril_c].set(psi[o_off:o_iov])
+        om_iov = jnp.exp(psi[o_iov:o_sig])
         sig_a, sig_b = base_a, base_b
         if n_sig:
             sig = jnp.exp(psi[o_sig:])
@@ -265,43 +360,65 @@ def fit_laplace(
                 sig_a = sig_a.at[a_idx].set(sig[a_pos])
             if b_idx.size:
                 sig_b = sig_b.at[b_idx].set(sig[b_pos])
-        return m, L, sig_a, sig_b
+        return m, L, om_iov, sig_a, sig_b
 
     def precision(L):
         l_inv = solve_triangular(L, eye, lower=True)
         return l_inv.T @ l_inv
 
-    def cond_ll(eta, m, sig_a, sig_b):
-        ll_i, _, _ = cond.ll_parts(to_natural(m + eta), sig_a, sig_b)
+    def cond_ll(u, m, sig_a, sig_b, y=None):
+        # y [R, O] overrides the baked observation values (the SSE /
+        # replicate-refit hook; None = the lowered data's own values).
+        # u [n_sub, d_in] = [eta | kappa-per-occasion] when IOV is on.
+        if q:
+            phi = m + u[:, :p]
+            kap = u[:, p:].reshape(n_sub, k_max, q)
+            phi_rows = phi[row_sub] + kap[row_sub, row_occ] @ onehot_iov
+            ll_i, _, _ = cond.ll_parts(
+                to_natural(phi_rows), sig_a, sig_b, y, per_row=True
+            )
+        else:
+            ll_i, _, _ = cond.ll_parts(to_natural(m + u), sig_a, sig_b, y)
         return ll_i
 
-    def joint_grad_hess(eta, m, prec, sig_a, sig_b):
+    def prior_quad(u, prec, prec_iov):
+        """Per-subject 0.5 * u' P u under the block-diagonal prior."""
+        eta = u[:, :p]
+        quad = 0.5 * jnp.sum((eta @ prec) * eta, axis=-1)
+        if q:
+            kap = u[:, p:].reshape(n_sub, k_max, q)
+            quad = quad + 0.5 * jnp.sum(
+                kap * kap * prec_iov[None, None, :], axis=(1, 2)
+            )
+        return quad
+
+    def joint_grad_hess(u, m, prec, prec_iov, sig_a, sig_b, y=None):
         """Per-subject gradient and Hessian of the joint log-density.
 
         Subjects are independent, so grad of the SUM over subjects is the
         stack of per-subject gradients, and the Hessian's diagonal blocks
-        come from p HVPs with subject-broadcast basis vectors.
+        come from d HVPs with subject-broadcast basis vectors.
         """
 
         def total(e):
-            return jnp.sum(cond_ll(e, m, sig_a, sig_b)) - 0.5 * jnp.sum(
-                (e @ prec) * e
+            return jnp.sum(cond_ll(e, m, sig_a, sig_b, y)) - jnp.sum(
+                prior_quad(e, prec, prec_iov)
             )
 
         g = jax.grad(total)
 
         def hvp(v):
-            return jax.jvp(g, (eta,), (v,))[1]  # [n_sub, p]
+            return jax.jvp(g, (u,), (v,))[1]  # [n_sub, d]
 
         cols = jax.vmap(
             lambda e: hvp(jnp.tile(e[None, :], (n_sub, 1)))
-        )(eye)  # [p, n_sub, p]
+        )(eye_d)  # [d, n_sub, d]
         H = -jnp.transpose(cols, (1, 0, 2))  # negative: precision blocks
-        return g(eta), H
+        return g(u), H
 
     ridge = jnp.asarray(1e-9, dtype=fd)
 
-    def _newton(m, prec, sig_a, sig_b):
+    def _newton(m, prec, prec_iov, sig_a, sig_b, y=None):
         """Per-subject Levenberg–Marquardt damped Newton to the modes.
 
         Plain clipped Newton oscillates here (proportional error makes
@@ -313,95 +430,111 @@ def fit_laplace(
         """
 
         def obj(e):
-            ll = cond_ll(e, m, sig_a, sig_b)
-            return ll - 0.5 * jnp.sum((e @ prec) * e, axis=-1)
+            ll = cond_ll(e, m, sig_a, sig_b, y)
+            return ll - prior_quad(e, prec, prec_iov)
 
         def step(carry, _):
-            eta, lam, f = carry
-            g, H = joint_grad_hess(eta, m, prec, sig_a, sig_b)
-            Hd = H + (ridge + lam[:, None, None]) * eye[None]
+            u, lam, f = carry
+            g, H = joint_grad_hess(u, m, prec, prec_iov, sig_a, sig_b, y)
+            Hd = H + (ridge + lam[:, None, None]) * eye_d[None]
             delta = jnp.linalg.solve(Hd, g[..., None])[..., 0]
             # overflow guard only — LM damping does the real step control
             norm = jnp.sqrt(jnp.sum(delta * delta, axis=-1, keepdims=True))
             delta = delta * jnp.minimum(1.0, 6.0 / jnp.maximum(norm, 1e-12))
-            cand = eta + delta
+            cand = u + delta
             fc = obj(cand)
             better = jnp.isfinite(fc) & (fc >= f)
-            eta = jnp.where(better[:, None], cand, eta)
+            u = jnp.where(better[:, None], cand, u)
             f = jnp.where(better, fc, f)
             lam = jnp.clip(
                 jnp.where(better, lam * 0.25, lam * 8.0), 1e-10, 1e10
             )
-            return (eta, lam, f), None
+            return (u, lam, f), None
 
-        eta0 = jnp.zeros((n_sub, p), dtype=fd)
+        u0 = jnp.zeros((n_sub, d_in), dtype=fd)
         lam0 = jnp.full((n_sub,), 1e-2, dtype=fd)
-        (eta, _, _), _ = jax.lax.scan(
-            step, (eta0, lam0, obj(eta0)), None, length=inner_steps
+        (u, _, _), _ = jax.lax.scan(
+            step, (u0, lam0, obj(u0)), None, length=inner_steps
         )
-        return eta
+        return u
 
     # implicit differentiation (IFT) of the inner modes: at the fixed
-    # point grad_eta G(eta*, args) = 0, so deta*/dargs = H^-1 d(grad)/dargs
-    # with H = -hess_eta G. The backward pass is ONE block solve plus one
+    # point grad_u G(u*, args) = 0, so du*/dargs = H^-1 d(grad)/dargs
+    # with H = -hess_u G. The backward pass is ONE block solve plus one
     # mixed vjp — instead of reverse-mode through the unrolled Newton
     # scan, which is both slow to compile and numerically fragile far
     # from the optimum.
     @jax.custom_vjp
-    def inner_modes(m, prec, sig_a, sig_b):
-        return _newton(m, prec, sig_a, sig_b)
+    def inner_modes(m, prec, prec_iov, sig_a, sig_b, y):
+        return _newton(m, prec, prec_iov, sig_a, sig_b, y)
 
-    def _inner_fwd(m, prec, sig_a, sig_b):
-        eta = _newton(m, prec, sig_a, sig_b)
-        return eta, (eta, m, prec, sig_a, sig_b)
+    def _inner_fwd(m, prec, prec_iov, sig_a, sig_b, y):
+        u = _newton(m, prec, prec_iov, sig_a, sig_b, y)
+        return u, (u, m, prec, prec_iov, sig_a, sig_b, y)
 
     def _inner_bwd(res, w):
-        eta, m, prec, sig_a, sig_b = res
-        _, H = joint_grad_hess(eta, m, prec, sig_a, sig_b)
-        H = H + ridge * eye[None]
-        u = jnp.linalg.solve(H, w[..., None])[..., 0]  # H symmetric
+        u, m, prec, prec_iov, sig_a, sig_b, y = res
+        _, H = joint_grad_hess(u, m, prec, prec_iov, sig_a, sig_b, y)
+        H = H + ridge * eye_d[None]
+        uu = jnp.linalg.solve(H, w[..., None])[..., 0]  # H symmetric
 
-        def r_of_args(m_, prec_, sa_, sb_):
+        def r_of_args(m_, prec_, pio_, sa_, sb_):
             def total(e):
-                return jnp.sum(cond_ll(e, m_, sa_, sb_)) - 0.5 * jnp.sum(
-                    (e @ prec_) * e
+                return jnp.sum(cond_ll(e, m_, sa_, sb_, y)) - jnp.sum(
+                    prior_quad(e, prec_, pio_)
                 )
 
-            return jax.grad(total)(eta)
+            return jax.grad(total)(u)
 
-        _, vjp = jax.vjp(r_of_args, m, prec, sig_a, sig_b)
-        return vjp(u)
+        _, vjp = jax.vjp(r_of_args, m, prec, prec_iov, sig_a, sig_b)
+        # y is data, never differentiated: zero (None) cotangent
+        return vjp(uu) + (None,)
 
     inner_modes.defvjp(_inner_fwd, _inner_bwd)
 
-    def neg_laplace_w(psi, w):
+    def neg_laplace_wxy(psi, w, y, x=None, onehot=None):
         """Weighted marginal objective: w_i scales subject i's contribution.
 
         Integer weights make this the likelihood of a case-bootstrap
         replicate (a subject drawn k times contributes k times), which is
         what lets optimize.bootstrap_laplace refit every replicate as one
-        vmapped program instead of rebuilding Data per draw.
+        vmapped program instead of rebuilding Data per draw. ``y`` swaps
+        the observation values the same way for simulation–re-estimation
+        replicates (None = the observed data), and ``(x, onehot)`` swap
+        the covariate design for stepwise covariate search.
         """
-        m, L, sig_a, sig_b = unpack(psi)
+        m, L, om_iov, sig_a, sig_b = unpack(psi, x, onehot)
         prec = precision(L)
-        eta = inner_modes(m, prec, sig_a, sig_b)
-        ll_i = cond_ll(eta, m, sig_a, sig_b)
-        _, H = joint_grad_hess(eta, m, prec, sig_a, sig_b)
-        H = H + ridge * eye[None]
+        prec_iov = 1.0 / (om_iov * om_iov)
+        u = inner_modes(m, prec, prec_iov, sig_a, sig_b, y)
+        ll_i = cond_ll(u, m, sig_a, sig_b, y)
+        _, H = joint_grad_hess(u, m, prec, prec_iov, sig_a, sig_b, y)
+        H = H + ridge * eye_d[None]
         chol = jnp.linalg.cholesky(H)
         logdet_h = 2.0 * jnp.sum(
             jnp.log(jnp.maximum(jnp.diagonal(chol, axis1=1, axis2=2), 1e-300)),
             axis=-1,
         )
-        quad = 0.5 * jnp.sum((eta @ prec) * eta, axis=-1)
-        logdet_d = 2.0 * jnp.sum(psi[o_ld:o_off])  # log det(L L') = 2 tr log L
+        quad = prior_quad(u, prec, prec_iov)
+        # log det of the block-diagonal prior covariance per subject:
+        # log det(L L') = 2 tr log L, plus K_max occasion blocks (padded
+        # kappas cancel exactly against their prior block in logdet_h)
+        logdet_d = 2.0 * jnp.sum(psi[o_ld:o_off]) + (
+            2.0 * k_max * jnp.sum(psi[o_iov:o_sig]) if q else 0.0
+        )
         obj_i = ll_i - quad - 0.5 * logdet_d - 0.5 * logdet_h
         return -jnp.sum(w * obj_i)
 
     ones_w = jnp.ones((n_sub,), dtype=fd)
 
+    def neg_laplace_wy(psi, w, y):
+        return neg_laplace_wxy(psi, w, y)
+
+    def neg_laplace_w(psi, w):
+        return neg_laplace_wxy(psi, w, None)
+
     def neg_laplace(psi):
-        return neg_laplace_w(psi, ones_w)
+        return neg_laplace_wxy(psi, ones_w, None)
 
     mu0 = np.where(is_log, np.log(theta0), theta0)
     sig0 = []
@@ -410,7 +543,7 @@ def fit_laplace(
     psi0 = jnp.asarray(
         np.concatenate(
             [mu0, np.zeros(n_eff), np.log(omega0), np.zeros(n_off),
-             np.asarray(sig0)]
+             np.log(omega_iov0), np.asarray(sig0)]
         ),
         dtype=fd,
     )
@@ -420,10 +553,18 @@ def fit_laplace(
             inner_modes=inner_modes, cond=cond, cond_ll=cond_ll,
             joint_grad_hess=joint_grad_hess,
             neg_laplace_w=neg_laplace_w,
+            neg_laplace_wy=neg_laplace_wy,
+            neg_laplace_wxy=neg_laplace_wxy,
             layout=dict(p=p, n_eff=n_eff, o_ld=o_ld, o_off=o_off,
                         n_off=n_off, is_log=is_log, full_omega=full_omega,
-                        n_sub=n_sub, tril=(tril_r, tril_c)),
+                        n_sub=n_sub, tril=(tril_r, tril_c),
+                        q_iov=q, o_iov=o_iov, o_sig=o_sig, k_max=k_max,
+                        iov_idx=iov_idx),
         )
+    if _build_only:
+        # machinery-only mode for callers that run their own (vectorized)
+        # optimization over the introspected objective, e.g. optimize/scm.py
+        return None
     f0 = float(neg_laplace(psi0))
     if not np.isfinite(f0):
         raise PharmsolError(
@@ -457,9 +598,13 @@ def fit_laplace(
             converged = True
             break
 
-    m, L, sig_a, sig_b = unpack(z)
+    m, L, om_iov, sig_a, sig_b = unpack(z)
     prec = precision(L)
-    eta = np.asarray(inner_modes(m, prec, sig_a, sig_b), dtype=np.float64)
+    prec_iov = 1.0 / (om_iov * om_iov)
+    u_opt = np.asarray(inner_modes(m, prec, prec_iov, sig_a, sig_b, None),
+                       dtype=np.float64)
+    eta = u_opt[:, :p]
+    kappa = u_opt[:, p:].reshape(n_sub, k_max, q) if q else None
     loglik = -float(neg_laplace(z))
     z_np = np.asarray(z, dtype=np.float64)
     if _introspect is not None:
@@ -470,12 +615,14 @@ def fit_laplace(
     L_np = np.asarray(L, dtype=np.float64)
     om_cov = L_np @ L_np.T
     om_sd = np.sqrt(np.diag(om_cov))
+    om_iov_np = np.exp(z_np[o_iov:o_sig]) if q else None
     phi = np.asarray(m, dtype=np.float64) + eta
     indiv = np.where(is_log[None, :], np.exp(phi), phi)
 
     ses = None
     om_ses = None
     beta_ses = None
+    om_iov_ses = None
     if compute_se:
         try:
             H = np.asarray(jax.hessian(neg_laplace)(z), dtype=np.float64)
@@ -492,6 +639,8 @@ def fit_laplace(
                     beta_ses = sd[p:o_ld]
                 if not full_omega:
                     om_ses = om_sd * sd[o_ld:o_off]
+                if q:
+                    om_iov_ses = om_iov_np * sd[o_iov:o_sig]
         except Exception:  # singular Hessian: report point estimates only
             pass
 
@@ -530,4 +679,10 @@ def fit_laplace(
         beta_standard_errors=beta_ses,
         covariate_labels=ce.labels if ce is not None else None,
         covariate_effects=ce.specs if ce is not None else None,
+        n_free=int(psi0.shape[0]),
+        n_obs=int(np.asarray(cond.active).sum()),
+        omega_iov=om_iov_np,
+        omega_iov_standard_errors=om_iov_ses,
+        iov_parameters=iov_idx if q else None,
+        kappa=kappa,
     )
