@@ -233,6 +233,81 @@ def bootstrap(
     )
 
 
+def _vectorized_refits(obj_of, z0, batched, refit_iters: int):
+    """All replicate refits as ONE jitted vmap(lax.scan(L-BFGS step)).
+
+    ``obj_of(z, arg) -> scalar`` is the replicate objective; ``batched``
+    stacks each replicate's ``arg`` on axis 0 (frequency weights for the
+    case bootstrap, simulated observation arrays for SSE, covariate
+    designs for stepwise covariate search). ``batched`` may be any
+    pytree with a common leading axis. Warm-started at ``z0`` — one
+    shared ``[dim]`` vector or per-replicate ``[B, dim]`` starts; a fixed
+    step count keeps the program data-independent. Returns numpy
+    ``(Z [B, dim], G [B], F [B])`` with G the final inf-norm gradient
+    and F the final objective value per replicate.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    opt = optax.lbfgs()
+    z0 = jnp.asarray(z0)
+
+    def fit_one(z_init, arg):
+        def f(z):
+            return obj_of(z, arg)
+
+        vg = optax.value_and_grad_from_state(f)
+
+        def step(carry, _):
+            z, st = carry
+            value, grad = vg(z, state=st)
+            updates, st = opt.update(
+                grad, st, z, value=value, grad=grad, value_fn=f
+            )
+            return (optax.apply_updates(z, updates), st), None
+
+        (z, _), _ = jax.lax.scan(
+            step, (z_init, opt.init(z_init)), None, length=refit_iters
+        )
+        return z, jnp.max(jnp.abs(jax.grad(f)(z))), f(z)
+
+    Z, G, F = jax.jit(
+        jax.vmap(fit_one, in_axes=(0 if z0.ndim == 2 else None, 0))
+    )(z0, batched)
+    return (np.asarray(Z, dtype=np.float64),
+            np.asarray(G, dtype=np.float64),
+            np.asarray(F, dtype=np.float64))
+
+
+def _decode_psi_samples(Zk, lay) -> Dict[str, np.ndarray]:
+    """Decode stacked Laplace psi vectors into named natural-scale samples."""
+    p = int(lay["p"])
+    n_eff = int(lay["n_eff"])
+    o_ld, o_off = int(lay["o_ld"]), int(lay["o_off"])
+    is_log = np.asarray(lay["is_log"])
+    full_omega = bool(lay["full_omega"])
+    tril_r, tril_c = lay["tril"]
+    mu = Zk[:, :p]
+    samples: Dict[str, np.ndarray] = {
+        "theta": np.where(is_log[None, :], np.exp(mu), mu)
+    }
+    ld = Zk[:, o_ld:o_ld + p]
+    if full_omega:
+        B = Zk.shape[0]
+        om_sd = np.empty((B, p))
+        for i in range(B):
+            L = np.diag(np.exp(ld[i]))
+            L[tril_r, tril_c] = Zk[i, o_ld + p:o_off]
+            om_sd[i] = np.sqrt(np.diag(L @ L.T))
+        samples["omega"] = om_sd
+    else:
+        samples["omega"] = np.exp(ld)
+    if n_eff:
+        samples["beta"] = Zk[:, p:p + n_eff]
+    return samples
+
+
 def bootstrap_laplace(
     equation,
     data: Data,
@@ -284,12 +359,6 @@ def bootstrap_laplace(
     neg_w = intro["neg_laplace_w"]
     lay = intro["layout"]
     n = int(lay["n_sub"])
-    p = int(lay["p"])
-    n_eff = int(lay["n_eff"])
-    o_ld, o_off = int(lay["o_ld"]), int(lay["o_off"])
-    is_log = np.asarray(lay["is_log"])
-    full_omega = bool(lay["full_omega"])
-    tril_r, tril_c = lay["tril"]
 
     rng = np.random.default_rng(seed)
     draws = rng.integers(0, n, size=(n_boot, n))
@@ -299,30 +368,9 @@ def bootstrap_laplace(
 
     fd = float_dtype()
     z0 = jnp.asarray(intro["z_opt"], dtype=fd)
-    opt = optax.lbfgs()
-
-    def fit_one(w):
-        def f(z):
-            return neg_w(z, w)
-
-        vg = optax.value_and_grad_from_state(f)
-
-        def step(carry, _):
-            z, st = carry
-            value, grad = vg(z, state=st)
-            updates, st = opt.update(
-                grad, st, z, value=value, grad=grad, value_fn=f
-            )
-            return (optax.apply_updates(z, updates), st), None
-
-        (z, _), _ = jax.lax.scan(
-            step, (z0, opt.init(z0)), None, length=refit_iters
-        )
-        return z, jnp.max(jnp.abs(jax.grad(f)(z)))
-
-    Z, G = jax.jit(jax.vmap(fit_one))(jnp.asarray(W, dtype=fd))
-    Z = np.asarray(Z, dtype=np.float64)
-    G = np.asarray(G, dtype=np.float64)
+    Z, G, _ = _vectorized_refits(
+        lambda z, w: neg_w(z, w), z0, jnp.asarray(W, dtype=fd), refit_iters
+    )
     ok = np.isfinite(Z).all(axis=1) & np.isfinite(G)
     if int(ok.sum()) < 2:
         raise PharmsolError(
@@ -330,24 +378,7 @@ def bootstrap_laplace(
             "vectorized refits went non-finite — raise refit_iters or "
             "check the model"
         )
-    Zk = Z[ok]
-    mu = Zk[:, :p]
-    samples: Dict[str, np.ndarray] = {
-        "theta": np.where(is_log[None, :], np.exp(mu), mu)
-    }
-    ld = Zk[:, o_ld:o_ld + p]
-    if full_omega:
-        B = Zk.shape[0]
-        om_sd = np.empty((B, p))
-        for i in range(B):
-            L = np.diag(np.exp(ld[i]))
-            L[tril_r, tril_c] = Zk[i, o_ld + p:o_off]
-            om_sd[i] = np.sqrt(np.diag(L @ L.T))
-        samples["omega"] = om_sd
-    else:
-        samples["omega"] = np.exp(ld)
-    if n_eff:
-        samples["beta"] = Zk[:, p:p + n_eff]
+    samples: Dict[str, np.ndarray] = _decode_psi_samples(Z[ok], lay)
 
     estimate = {"theta": np.asarray(full.theta, dtype=np.float64),
                 "omega": np.asarray(full.omega, dtype=np.float64)}

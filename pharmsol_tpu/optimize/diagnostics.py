@@ -96,12 +96,14 @@ class NpdeResult(NamedTuple):
         )
 
 
-def _population_sampler(population, p: int):
+def _population_sampler(population, p: int, shift=None):
     """Return draw(key_seed, n_rep, n_sub) -> natural-scale [n_rep, n_sub, p].
 
     Duck-types the estimation-layer results: nonparametric fits carry
     (support, weights); parametric fits carry (theta, omega, transform)
-    with an optional full covariance.
+    with an optional full covariance. ``shift [n_sub, p]`` adds
+    per-subject transformed-scale mean offsets (covariate effects on
+    typical values); parametric branch only.
     """
     import jax
     import jax.numpy as jnp
@@ -144,10 +146,15 @@ def _population_sampler(population, p: int):
         mu_j = jnp.asarray(mu)
         chol_j = jnp.asarray(chol)
         is_log_j = jnp.asarray(is_log)
+        shift_j = None if shift is None else jnp.asarray(
+            np.asarray(shift, dtype=np.float64)
+        )
 
         def draw(key, n_rep, n_sub):
             z = jax.random.normal(key, (n_rep, n_sub, p), dtype=mu_j.dtype)
             phi = mu_j[None, None, :] + z @ chol_j.T
+            if shift_j is not None:
+                phi = phi + shift_j[None, :, :]
             return jnp.where(is_log_j[None, None, :], jnp.exp(phi), phi)
 
         return draw
@@ -183,7 +190,23 @@ def _simulate(equation, data, residual_error_models, population, n_rep,
             "fit_population) or expose (support, weights) or "
             "(theta, omega, transform)"
         )
-    draw = _population_sampler(population, nparams)
+    # covariate effects on typical values: replicate subjects keep their
+    # OWN baseline covariates, so the sampler centers each subject at
+    # mu + W_i beta on the transformed scale (same design the fitters use)
+    beta = getattr(population, "beta", None)
+    shift = None
+    if beta is not None and np.any(np.asarray(beta) != 0.0):
+        specs = getattr(population, "covariate_effects", None)
+        if not specs:
+            raise PharmsolError(
+                "population carries nonzero beta but no covariate_effects "
+                "specs — cannot reconstruct the per-subject design"
+            )
+        from ._coveffects import resolve_covariate_effects
+
+        ce = resolve_covariate_effects(specs, cond.subjects, nparams, None)
+        shift = (ce.x * np.asarray(beta, dtype=np.float64)[None, :]) @ ce.onehot
+    draw = _population_sampler(population, nparams, shift=shift)
 
     fd = float_dtype()
     kind_per_obs = jnp.asarray(cond.kinds_np)[cond.obs_outeq]

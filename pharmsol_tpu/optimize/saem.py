@@ -64,6 +64,22 @@ class SaemResult(NamedTuple):
     beta: Optional[np.ndarray] = None       # [n_eff] covariate coefficients
     covariate_labels: Optional[tuple] = None
     covariate_effects: Optional[tuple] = None  # resolved (j, cov, form, ref)
+    n_free: int = 0              # fitted scalars (mu+beta+omega+sigma)
+    n_obs: int = 0               # active observations in the fit
+
+    def aic(self) -> float:
+        """AIC from the IS marginal LL (nan unless ll_draws > 0)."""
+        if self.log_likelihood is None:
+            return float("nan")
+        return -2.0 * self.log_likelihood + 2.0 * self.n_free
+
+    def bic(self) -> float:
+        """BIC from the IS marginal LL (nan unless ll_draws > 0)."""
+        if self.log_likelihood is None:
+            return float("nan")
+        return -2.0 * self.log_likelihood + self.n_free * float(
+            np.log(max(self.n_obs, 1))
+        )
 
     def correlation(self) -> Optional[np.ndarray]:
         """Random-effect correlation matrix (None for diagonal fits)."""
@@ -482,6 +498,14 @@ def fit_saem(
             np.log(np.mean(np.exp(lls - m[None, :]), axis=0)) + m
         ))
 
+    n_sig_free = 0
+    if est_sigma:
+        for label in residual_error_models.labels():
+            kind = residual_error_models.get(label).kind
+            n_sig_free += 2 if kind is ResidualKind.COMBINED else 1
+    n_free = (p + n_eff + (p + p * (p - 1) // 2 if full_omega else p)
+              + n_sig_free)
+
     result = SaemResult(
         theta=theta,
         omega=om_sd,
@@ -496,6 +520,8 @@ def fit_saem(
         beta=beta_np,
         covariate_labels=ce.labels if ce is not None else None,
         covariate_effects=ce.specs if ce is not None else None,
+        n_free=n_free,
+        n_obs=int(np.asarray(cond.active).sum()),
     )
     if progress:
         print(result.summary())

@@ -201,3 +201,37 @@ def test_gof_validates_population():
     data = _population(n=4, seed=2)
     with pytest.raises(PharmsolError, match="fit result"):
         gof(_model(), data, _prop(), SimpleNamespace(theta=None, support=None))
+
+
+@pytest.mark.slow
+def test_npde_covariate_effects_shift_replicates():
+    """Replicate simulation applies typical-value covariate shifts.
+
+    Data generated with a strong ke~wt power effect: simulating from the
+    TRUE (theta, omega, beta) population is calibrated, while the same
+    marginals with beta dropped put the wrong means on the wrong
+    subjects and the pooled npde variance blows up.
+    """
+    from test_covariate_effects import _population as _cov_population
+
+    data, _ = _cov_population(n=24, seed=3, beta_true=0.75)
+    pop = SimpleNamespace(
+        theta=np.asarray([KE, V]),
+        omega=np.asarray([0.12, 0.15]),
+        omega_cov=None,
+        transform=("log", "log"),
+        beta=np.asarray([0.75]),
+        covariate_effects=((0, "wt", "power", 70.0),),
+    )
+    res = npde(_model(), data, _prop(0.06), pop, n_rep=400, seed=1)
+    assert abs(res.z_mean) < 3.0, res.summary()
+    assert abs(res.z_var) < 3.5, res.summary()
+
+    pop0 = SimpleNamespace(**{**pop.__dict__, "beta": None})
+    res0 = npde(_model(), data, _prop(0.06), pop0, n_rep=400, seed=1)
+    assert res0.z_var > 3.5, res0.summary()
+
+    # beta without the specs cannot reconstruct the design
+    bad = SimpleNamespace(**{**pop.__dict__, "covariate_effects": None})
+    with pytest.raises(PharmsolError, match="covariate_effects"):
+        npde(_model(), data, _prop(0.06), bad, n_rep=4, seed=1)

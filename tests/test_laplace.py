@@ -175,3 +175,29 @@ def test_laplace_validates_inputs():
     )
     with pytest.raises(PharmsolError, match="forward-mode"):
         fit_laplace(ode, data, _prop(), [0.3, 10.0])
+
+
+def test_information_criteria_surface():
+    # aic/bic are pure arithmetic on (log_likelihood, n_free, n_obs)
+    import numpy as np
+    from pharmsol_tpu.optimize.laplace import LaplaceResult
+    from pharmsol_tpu.optimize.saem import SaemResult
+
+    r = LaplaceResult(
+        theta=np.ones(2), omega=np.ones(2), residual_models=None,
+        individual_parameters=np.ones((2, 2)), eta=np.zeros((2, 2)),
+        log_likelihood=-100.0, converged=True, iterations=3,
+        gradient_norm=0.0, standard_errors=None,
+        omega_standard_errors=None, parameter_names=None,
+        transform=("log", "log"), n_free=5, n_obs=50,
+    )
+    assert r.aic() == pytest.approx(210.0)
+    assert r.bic() == pytest.approx(200.0 + 5 * np.log(50))
+    s = SaemResult(
+        theta=np.ones(2), omega=np.ones(2), residual_models=None,
+        individual_parameters=np.ones((2, 2)),
+        ll_trace=np.zeros(3), accept_rate=0.4, log_likelihood=None,
+        parameter_names=None, transform=("log", "log"),
+        n_free=5, n_obs=50,
+    )
+    assert np.isnan(s.aic()) and np.isnan(s.bic())

@@ -142,3 +142,65 @@ def test_sse_rejects_censored_and_bad_args():
     with pytest.raises(PharmsolError, match="on_error"):
         sse(_model(), _design(2), rems, pop, lambda d: None, n_sim=2,
             on_error="bogus")
+
+
+@pytest.mark.slow
+def test_sse_laplace_vectorized_refits_recover_population():
+    # device-vectorized SSE: one vmapped scan-L-BFGS program refits every
+    # simulated replicate through the y-parameterized Laplace objective
+    from pharmsol_tpu.optimize.sse import sse_laplace
+
+    rng = np.random.default_rng(3)
+    KE, V, OM, SIG = 0.25, 10.0, 0.25, 0.08
+    subjects = []
+    for i in range(10):
+        ke = KE * np.exp(OM * rng.standard_normal())
+        v = V * np.exp(0.15 * rng.standard_normal())
+        b = Subject.builder(f"s{i}").bolus(0.0, 100.0, 0)
+        for t in (0.5, 2.0, 6.0, 12.0, 24.0):
+            c = 100.0 / v * np.exp(-ke * t)
+            b = b.observation(
+                float(t), float(c * (1 + SIG * rng.standard_normal())), 0
+            )
+        subjects.append(b.build())
+    data = Data(subjects)
+    model = Analytical(
+        pst.one_compartment,
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    rems = ResidualErrorModels().add(0, ResidualErrorModel.proportional(SIG))
+    r = sse_laplace(model, data, rems, [0.4, 8.0], n_sim=8, seed=5,
+                    refit_iters=20, max_iters=40)
+    assert r.n_ok == 8 and r.n_failed == 0
+    # replicate refits recover the GENERATING (full-fit) theta closely;
+    # omega replicates carry the well-known small-sample ML downward
+    # bias, so only bound it loosely
+    rb = r.relative_bias()
+    assert np.all(np.abs(rb["theta"]) < 0.10), rb
+    assert np.all(np.abs(rb["omega"]) < 0.50), rb
+    assert set(r.samples) >= {"theta", "omega"}
+    assert "relbias" in r.summary()
+
+
+@pytest.mark.slow
+def test_sse_laplace_covariate_effects():
+    # the replicate simulator applies the fitted typical-value covariate
+    # shifts and every vectorized refit re-estimates beta
+    from test_covariate_effects import _population as _cov_population
+    from pharmsol_tpu.optimize.sse import sse_laplace
+
+    data, _ = _cov_population(n=16, seed=7, beta_true=0.75)
+    model = Analytical(
+        pst.one_compartment,
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    rems = ResidualErrorModels().add(0, ResidualErrorModel.proportional(0.06))
+    r = sse_laplace(model, data, rems, [0.4, 8.0], n_sim=6, seed=2,
+                    refit_iters=25, max_iters=60,
+                    covariate_effects=[(0, "wt", "power", 70.0)])
+    assert r.n_failed == 0 and "beta" in r.samples
+    rb = r.relative_bias()
+    assert np.all(np.abs(rb["theta"]) < 0.15), rb
+    assert np.all(np.abs(rb["beta"]) < 0.25), rb
