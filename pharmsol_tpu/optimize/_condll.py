@@ -52,6 +52,8 @@ class CondLL(NamedTuple):
     row_occasion: jnp.ndarray = None   # [R] within-subject occasion index
     n_occ: np.ndarray = None           # [n_sub] occasion counts
     n_occ_max: int = 1                 # max occasions over subjects
+    # per-occasion-row params [R, p] natural scale -> predictions [R, O]
+    pred_rows_at: Callable = None
 
 
 def build_cond_ll(
@@ -193,6 +195,7 @@ def build_cond_ll(
         row_occasion=jnp.asarray(occ_np.astype(np.int32)),
         n_occ=n_occ,
         n_occ_max=int(n_occ.max()) if n_sub else 1,
+        pred_rows_at=_pred_at,
     )
 
 

@@ -208,17 +208,60 @@ def _simulate(equation, data, residual_error_models, population, n_rep,
         shift = (ce.x * np.asarray(beta, dtype=np.float64)[None, :]) @ ce.onehot
     draw = _population_sampler(population, nparams, shift=shift)
 
+    # occasion-level (IOV) effects: draw kappa ~ N(0, omega_iov^2) per
+    # replicate x subject x occasion and apply it on the TRANSFORMED
+    # scale per occasion row (exp-multiplicative on log parameters,
+    # additive on identity ones) — exactly how the fitters model it
+    om_iov = getattr(population, "omega_iov", None)
+    q = 0
+    if om_iov is not None:
+        iov_idx = getattr(population, "iov_parameters", None)
+        if not iov_idx:
+            raise PharmsolError(
+                "population carries omega_iov but no iov_parameters — "
+                "cannot reconstruct the occasion-level effects"
+            )
+        transform = getattr(population, "transform", None)
+        if transform is None:
+            raise PharmsolError(
+                "IOV replicate simulation needs the fit's transform"
+            )
+        q = len(iov_idx)
+        k_max = int(cond.n_occ_max)
+        om_iov = np.asarray(om_iov, dtype=np.float64)
+
     fd = float_dtype()
     kind_per_obs = jnp.asarray(cond.kinds_np)[cond.obs_outeq]
     sig_a = jnp.asarray(cond.lowered_a, dtype=fd)[cond.obs_outeq]
     sig_b = jnp.asarray(cond.lowered_b, dtype=fd)[cond.obs_outeq]
+    if q:
+        onehot_iov = jnp.asarray(
+            np.eye(nparams, dtype=np.float64)[list(iov_idx)], dtype=fd
+        )
+        is_log_row = jnp.asarray(
+            np.asarray([t == "log" for t in transform])[None, :]
+        )
+        row_sub, row_occ = cond.row_subject, cond.row_occasion
+        om_iov_j = jnp.asarray(om_iov, dtype=fd)
 
     chunk = int(min(max(rep_chunk, 1), n_rep))
 
     @jax.jit
     def sim_chunk(theta_chunk, key):
         def one(theta_i, k):
-            f = cond.pred_rows(theta_i)
+            if q:
+                kk, k = jax.random.split(k)
+                kap = (jax.random.normal(
+                    kk, (cond.n_sub, k_max, q), dtype=fd
+                ) * om_iov_j[None, None, :])
+                adj = kap[row_sub, row_occ] @ onehot_iov  # [R, p]
+                rows = theta_i[row_sub]
+                rows = jnp.where(
+                    is_log_row, rows * jnp.exp(adj), rows + adj
+                )
+                f = cond.pred_rows_at(rows)
+            else:
+                f = cond.pred_rows(theta_i)
             if not include_residual:
                 return f
             sigma = residual_sigma_array(kind_per_obs, sig_a, sig_b, f)

@@ -174,7 +174,8 @@ def laplace_standard_errors(
                 omega_se = np.asarray(fit.omega) * sd[o_ld:o_off]
             if sig_vals:
                 # sigma = exp(psi): delta method on the natural scale
-                sigma_se = np.exp(np.asarray(sig_vals)) * sd[o_off + n_off:]
+                o_sig = int(lay.get("o_sig", o_off + n_off))
+                sigma_se = np.exp(np.asarray(sig_vals)) * sd[o_sig:]
             with np.errstate(invalid="ignore", divide="ignore"):
                 corr = cov / np.outer(sd, sd)
         else:

@@ -66,6 +66,9 @@ class SaemResult(NamedTuple):
     covariate_effects: Optional[tuple] = None  # resolved (j, cov, form, ref)
     n_free: int = 0              # fitted scalars (mu+beta+omega+sigma)
     n_obs: int = 0               # active observations in the fit
+    omega_iov: Optional[np.ndarray] = None  # [q] occasion-level SDs
+    iov_parameters: Optional[tuple] = None  # parameter indices with IOV
+    kappa: Optional[np.ndarray] = None      # [n_sub, K_max, q] smoothed draws
 
     def aic(self) -> float:
         """AIC from the IS marginal LL (nan unless ll_draws > 0)."""
@@ -117,6 +120,9 @@ class SaemResult(NamedTuple):
         if self.beta is not None and self.covariate_labels:
             for k, lbl in enumerate(self.covariate_labels):
                 lines.append(f"  {lbl}: beta {self.beta[k]:.4g}")
+        if self.omega_iov is not None and self.iov_parameters:
+            for k, j in enumerate(self.iov_parameters):
+                lines.append(f"  {names[j]}: omega_iov {self.omega_iov[k]:.4g}")
         return "\n".join(lines)
 
 
@@ -130,6 +136,8 @@ def fit_saem(
     omega: str = "diagonal",
     transform="log",
     covariate_effects=None,
+    iov=None,
+    omega_iov0=0.1,
     n_burn: int = 200,
     n_iters: int = 100,
     mh_steps: int = 5,
@@ -155,8 +163,16 @@ def fit_saem(
     (``theta*(cov/ref)**beta`` on log parameters) or ``'linear'``
     (additive ``beta*(cov-ref)`` on the transformed scale); the M-step
     then solves the joint (mu, beta) GLS normal equations in closed form
-    from the smoothed sufficient statistics. ``n_burn`` iterations run
-    with gamma=1 (the
+    from the smoothed sufficient statistics. ``iov``: parameter
+    names/indices that get inter-occasion variability — each listed
+    parameter receives an occasion-level effect
+    ``kappa_ik ~ N(0, omega_iov^2)`` on the transformed scale on top of
+    eta; the E-step runs a second MH block over the kappa draws
+    (padded occasions are masked and never move), and the M-step sets
+    ``omega_iov^2`` to the smoothed mean of ``kappa^2`` over the real
+    occasions. Works with EVERY engine SAEM supports (including
+    adaptive-ODE and SDE models, where :func:`fit_laplace` cannot go).
+    ``n_burn`` iterations run with gamma=1 (the
     exploratory phase), then ``n_iters`` with gamma=1/k (estimation).
     ``ll_draws``: if >0, estimate the marginal log-likelihood at the
     final estimates by importance sampling from the fitted population
@@ -200,6 +216,21 @@ def fit_saem(
     n_sub = cond.n_sub
     if n_sub < 2:
         raise PharmsolError("SAEM needs at least 2 subjects")
+    from .laplace import _resolve_iov
+
+    iov_idx = _resolve_iov(iov, p, names)
+    q = len(iov_idx)
+    k_max = int(cond.n_occ_max) if q else 1
+    if q and k_max < 2:
+        raise PharmsolError(
+            "iov requested but no subject has more than one occasion "
+            "(occasion-level effects are unidentifiable)"
+        )
+    omega_iov0 = np.broadcast_to(
+        np.asarray(omega_iov0, dtype=np.float64), (q,)
+    ).copy()
+    if q and np.any(omega_iov0 <= 0.0):
+        raise PharmsolError("omega_iov0 must be positive")
     ce = resolve_covariate_effects(covariate_effects, subjects, p, names)
     n_eff = ce.n_eff if ce is not None else 0
     kinds_np = cond.kinds_np
@@ -216,7 +247,26 @@ def fit_saem(
     def to_natural(phi):
         return jnp.where(is_log_j, jnp.exp(phi), phi)
 
-    def ll_parts(phi_rows, sig_a, sig_b):
+    if q:
+        onehot_iov = jnp.asarray(
+            np.eye(p, dtype=np.float64)[list(iov_idx)], dtype=fd
+        )  # [q, p]
+        row_occ = cond.row_occasion
+        # [n_sub, k_max] 1.0 on real occasions, 0.0 on padded slots
+        occ_valid = jnp.asarray(
+            (np.arange(k_max)[None, :]
+             < np.asarray(cond.n_occ)[:, None]).astype(np.float64),
+            dtype=fd,
+        )
+        n_occ_total = float(np.sum(cond.n_occ))
+
+    def ll_parts(phi_rows, sig_a, sig_b, kap=None):
+        if q and kap is not None:
+            rows = (phi_rows[cond.row_subject]
+                    + kap[cond.row_subject, row_occ] @ onehot_iov)
+            return cond.ll_parts(
+                to_natural(rows), sig_a, sig_b, per_row=True
+            )
         return cond.ll_parts(to_natural(phi_rows), sig_a, sig_b)
 
     eye_p = jnp.eye(p, dtype=fd)
@@ -317,17 +367,22 @@ def fit_saem(
         np.arange(n_total) >= n_burn, dtype=fd
     )
 
-    def mh_sweep(carry, key, m, om_chol, prec, sig_a, sig_b):
-        phi, ll_i, r2, f2, c = carry
+    def kap_log_prior(kap, om_iov):
+        # padded slots hold 0 and contribute 0 (occ_valid masks proposals)
+        pk = kap / om_iov[None, None, :]
+        return -0.5 * jnp.sum(pk * pk, axis=(1, 2))
+
+    def mh_sweep(carry, key, m, om_chol, prec, sig_a, sig_b, om_iov):
+        phi, kap, ll_i, r2, f2, c, ck = carry
         lp = log_prior(phi, m, prec)
 
         def one(inner, k):
-            phi, ll_i, lp, r2, f2, c, acc = inner
-            k1, k2 = jax.random.split(k)
+            phi, kap, ll_i, lp, r2, f2, c, ck, acc = inner
+            k1, k2, k3, k4 = jax.random.split(k, 4)
             noise = jax.random.normal(k1, phi.shape, dtype=fd)
             # proposal shaped like the current population covariance
             prop = phi + c[:, None] * (noise @ om_chol.T)
-            llp, r2p, f2p = ll_parts(prop, sig_a, sig_b)
+            llp, r2p, f2p = ll_parts(prop, sig_a, sig_b, kap if q else None)
             lpp = log_prior(prop, m, prec)
             logr = (llp + lpp) - (ll_i + lp)
             u = jnp.log(jax.random.uniform(k2, (n_sub,), dtype=fd))
@@ -346,23 +401,47 @@ def fit_saem(
                 c * jnp.exp(0.4 * (take.astype(fd) - 0.3)), 1e-3, 10.0
             )
             acc = acc + take.astype(fd)
-            return (phi, ll_i, lp, r2, f2, c, acc), None
+            if q:
+                # second MH block: occasion-level kappa at fixed phi (the
+                # phi-prior terms cancel; only the kappa prior enters)
+                kn = jax.random.normal(k3, kap.shape, dtype=fd)
+                kprop = kap + (ck[:, None, None] * kn
+                               * om_iov[None, None, :]) * occ_valid[:, :, None]
+                llk, r2k, f2k = ll_parts(phi, sig_a, sig_b, kprop)
+                logrk = (llk + kap_log_prior(kprop, om_iov)) - (
+                    ll_i + kap_log_prior(kap, om_iov)
+                )
+                uk = jnp.log(jax.random.uniform(k4, (n_sub,), dtype=fd))
+                takek = (uk < logrk) & jnp.isfinite(llk)
+                kap = jnp.where(takek[:, None, None], kprop, kap)
+                ll_i = jnp.where(takek, llk, ll_i)
+                tkk = takek[row_subject][(...,) + (None,) * (r2.ndim - 1)]
+                r2 = jnp.where(tkk, r2k, r2)
+                f2 = jnp.where(tkk, f2k, f2)
+                ck = jnp.clip(
+                    ck * jnp.exp(0.4 * (takek.astype(fd) - 0.3)), 1e-3, 10.0
+                )
+            return (phi, kap, ll_i, lp, r2, f2, c, ck, acc), None
 
         keys = jax.random.split(key, mh_steps)
-        (phi, ll_i, lp, r2, f2, c, acc), _ = jax.lax.scan(
-            one, (phi, ll_i, lp, r2, f2, c, jnp.zeros(n_sub, dtype=fd)), keys
+        (phi, kap, ll_i, lp, r2, f2, c, ck, acc), _ = jax.lax.scan(
+            one,
+            (phi, kap, ll_i, lp, r2, f2, c, ck, jnp.zeros(n_sub, dtype=fd)),
+            keys,
         )
-        return (phi, ll_i, r2, f2, c), acc / mh_steps
+        return (phi, kap, ll_i, r2, f2, c, ck), acc / mh_steps
 
     def iteration(state, inp):
         gamma, in_est, key = inp
-        (phi, c, mu, beta, om, sig_a, sig_b,
-         s1, s2, sxphi, sphi, sr2, swsr, sf2, acc_sum, acc_n) = state
+        (phi, c, kap, ck, mu, beta, om, om_iov, sig_a, sig_b,
+         s1, s2, sxphi, sphi, sr2, swsr, sf2, skap2, skap,
+         acc_sum, acc_n) = state
         om_chol, prec = om_factors(om)
         m = prior_means(mu, beta)
-        ll_i, r2, f2 = ll_parts(phi, sig_a, sig_b)
-        (phi, ll_i, r2, f2, c), acc = mh_sweep(
-            (phi, ll_i, r2, f2, c), key, m, om_chol, prec, sig_a, sig_b
+        ll_i, r2, f2 = ll_parts(phi, sig_a, sig_b, kap if q else None)
+        (phi, kap, ll_i, r2, f2, c, ck), acc = mh_sweep(
+            (phi, kap, ll_i, r2, f2, c, ck), key, m, om_chol, prec,
+            sig_a, sig_b, om_iov,
         )
         # stochastic-approximation update of the sufficient statistics
         s1 = s1 + gamma * (jnp.mean(phi, axis=0) - s1)
@@ -371,6 +450,12 @@ def fit_saem(
         sr2 = sr2 + gamma * (r2 - sr2)
         swsr = swsr + gamma * (r2 / jnp.maximum(f2, tiny) - swsr)
         sf2 = sf2 + gamma * (f2 - sf2)
+        if q:
+            # mean of kappa^2 over the REAL occasions, per IOV parameter
+            k2m = jnp.sum(kap * kap, axis=(0, 1)) / n_occ_total
+            skap2 = skap2 + gamma * (k2m - skap2)
+            skap = skap + gamma * (kap - skap)
+            om_iov = jnp.sqrt(jnp.maximum(skap2, 1e-8))
         # M-step: the smoothed moments give the covariance in closed form
         if n_eff:
             # joint (mu, beta) GLS: with design Z_i = [I_p, W_i] and
@@ -408,14 +493,18 @@ def fit_saem(
             sig_a, sig_b = sigma_m_step(sr2, swsr, sf2, sig_a, sig_b)
         acc_sum = acc_sum + in_est * jnp.mean(acc)
         acc_n = acc_n + in_est
-        new_state = (phi, c, mu, beta, om, sig_a, sig_b,
-                     s1, s2, sxphi, sphi, sr2, swsr, sf2, acc_sum, acc_n)
+        new_state = (phi, c, kap, ck, mu, beta, om, om_iov, sig_a, sig_b,
+                     s1, s2, sxphi, sphi, sr2, swsr, sf2, skap2, skap,
+                     acc_sum, acc_n)
         return new_state, jnp.sum(ll_i)
 
     @jax.jit
     def run(key):
         phi = jnp.tile(mu0[None, :], (n_sub, 1))
         c = jnp.full((n_sub,), 0.4, dtype=fd)
+        kap0 = jnp.zeros((n_sub, k_max, q), dtype=fd)
+        ck0 = jnp.full((n_sub,), 0.4, dtype=fd)
+        om_iov_0 = jnp.asarray(omega_iov0, dtype=fd)
         beta0 = jnp.zeros((n_eff,), dtype=fd)
         om0 = jnp.diag(jnp.asarray(omega0 * omega0, dtype=fd))
         sig_a0 = jnp.asarray(cond.lowered_a, dtype=fd)
@@ -424,9 +513,10 @@ def fit_saem(
         sxphi0 = (xbar[:, None] * mu0[None, :] if n_eff
                   else jnp.zeros((0, p), dtype=fd))
         state = (
-            phi, c, mu0, beta0, om0, sig_a0, sig_b0,
+            phi, c, kap0, ck0, mu0, beta0, om0, om_iov_0, sig_a0, sig_b0,
             mu0, jnp.outer(mu0, mu0) + om0, sxphi0, phi,
             zero_obs, zero_obs, zero_obs,
+            om_iov_0 * om_iov_0, kap0,
             jnp.zeros((), fd), jnp.zeros((), fd),
         )
         keys = jax.random.split(key, n_total)
@@ -449,8 +539,10 @@ def fit_saem(
         )
 
     state, ll_trace = run(jax.random.PRNGKey(seed))
-    (phi, _c, mu, beta, om, sig_a, sig_b,
-     _s1, _s2, _sxphi, sphi, _sr2, _swsr, _sf2, acc_sum, acc_n) = state
+    (phi, _c, kap, _ck, mu, beta, om, om_iov, sig_a, sig_b,
+     _s1, _s2, _sxphi, sphi, _sr2, _swsr, _sf2, _skap2, skap,
+     acc_sum, acc_n) = state
+    om_iov_np = np.asarray(om_iov, dtype=np.float64) if q else None
     beta_np = np.asarray(beta, dtype=np.float64) if n_eff else None
     m_final = prior_means(mu, beta)  # [n_sub, p] transformed-scale means
     mu = np.asarray(mu, dtype=np.float64)
@@ -484,15 +576,33 @@ def fit_saem(
         etas = np.asarray(
             jax.random.normal(key, (ll_draws, p), dtype=fd)
         ) @ chol.T
+        if q:
+            kdraws = np.asarray(jax.random.normal(
+                jax.random.PRNGKey(seed + 2), (ll_draws, k_max, q), dtype=fd
+            )) * om_iov_np[None, None, :]
 
         @jax.jit
-        def ll_at(eta):
+        def ll_at(eta, kd=None):
             # per-subject prior means shift the shared eta draw
-            ll_i, _, _ = ll_parts(m_final + eta[None, :], sig_a, sig_b)
+            if q:
+                kap_d = (jnp.broadcast_to(kd[None], (n_sub, k_max, q))
+                         * occ_valid[:, :, None])
+                ll_i, _, _ = ll_parts(
+                    m_final + eta[None, :], sig_a, sig_b, kap_d
+                )
+            else:
+                ll_i, _, _ = ll_parts(m_final + eta[None, :], sig_a, sig_b)
             return ll_i
 
-        lls = np.stack([np.asarray(ll_at(jnp.asarray(d, dtype=fd)))
-                        for d in etas])  # [M, n_sub]
+        if q:
+            lls = np.stack([
+                np.asarray(ll_at(jnp.asarray(d, dtype=fd),
+                                 jnp.asarray(kd, dtype=fd)))
+                for d, kd in zip(etas, kdraws)
+            ])  # [M, n_sub]
+        else:
+            lls = np.stack([np.asarray(ll_at(jnp.asarray(d, dtype=fd)))
+                            for d in etas])  # [M, n_sub]
         m = np.max(lls, axis=0)
         marginal = float(np.sum(
             np.log(np.mean(np.exp(lls - m[None, :]), axis=0)) + m
@@ -504,7 +614,7 @@ def fit_saem(
             kind = residual_error_models.get(label).kind
             n_sig_free += 2 if kind is ResidualKind.COMBINED else 1
     n_free = (p + n_eff + (p + p * (p - 1) // 2 if full_omega else p)
-              + n_sig_free)
+              + n_sig_free + q)
 
     result = SaemResult(
         theta=theta,
@@ -522,6 +632,9 @@ def fit_saem(
         covariate_effects=ce.specs if ce is not None else None,
         n_free=n_free,
         n_obs=int(np.asarray(cond.active).sum()),
+        omega_iov=om_iov_np,
+        iov_parameters=iov_idx if q else None,
+        kappa=np.asarray(skap, dtype=np.float64) if q else None,
     )
     if progress:
         print(result.summary())

@@ -114,13 +114,76 @@ class TestIovRecovery:
         assert abs(r.kappa[6, 1, 0]) < 1e-6 and abs(r.kappa[6, 2, 0]) < 1e-6
 
     def test_fim_reproduces_iov_ses(self):
-        data, _ = _population(n_sub=8, n_occ=2, seed=3)
+        # BOTH parameters need real between-subject variability here or
+        # the omega of the degenerate one collapses to the boundary and
+        # the psi Hessian goes singular (SEs legitimately unavailable)
+        rng = np.random.default_rng(3)
+        subs = []
+        for i in range(10):
+            eta_ke = 0.20 * rng.standard_normal()
+            eta_v = 0.15 * rng.standard_normal()
+            v = V * np.exp(eta_v)
+            sb = Subject.builder(f"s{i}")
+            for occ in range(2):
+                if occ:
+                    sb = sb.reset()
+                ke = KE * np.exp(eta_ke + 0.3 * rng.standard_normal())
+                sb = sb.bolus(0.0, 100.0, 0)
+                for t in (0.5, 2.0, 6.0, 12.0):
+                    c = 100.0 * np.exp(-ke * t) / v
+                    sb = sb.observation(
+                        float(t),
+                        float(c * (1 + 0.05 * rng.standard_normal())), 0)
+            subs.append(sb.build())
+        data = Data(subs)
         r = fit_laplace(_model(), data, _rems(), [0.3, 9.0],
-                        iov=[0], max_iters=80)
+                        iov=[0], max_iters=100)
+        assert r.standard_errors is not None
         fim = laplace_standard_errors(_model(), data, _rems(), r)
         assert fim.gradient_norm < 1e-2
         assert any("omega_iov" in nm for nm in fim.names)
         np.testing.assert_allclose(fim.theta_se, r.standard_errors, rtol=1e-3)
+        np.testing.assert_allclose(
+            fim.omega_se, r.omega_standard_errors, rtol=1e-3
+        )
+
+
+class TestSaemIov:
+    def test_saem_recovers_realized_kappa_sd(self):
+        from pharmsol_tpu.optimize import fit_saem
+
+        data, kaps = _population(n_sub=16, n_occ=3)
+        r0 = fit_saem(_model(), data, _rems(), [0.3, 9.0],
+                      n_burn=100, n_iters=80, seed=2)
+        assert r0.omega_iov is None
+        r1 = fit_saem(_model(), data, _rems(), [0.3, 9.0], iov=[0],
+                      omega_iov0=0.2, n_burn=250, n_iters=150, seed=2)
+        assert r1.kappa.shape == (16, 3, 1)
+        realized = kaps.std(ddof=1)
+        assert abs(r1.omega_iov[0] - realized) < 0.12
+        assert abs(r1.theta[0] - KE) < 0.05
+        corr = np.corrcoef(r1.kappa[:, :, 0].reshape(-1), kaps)[0, 1]
+        assert corr > 0.6
+        # the kappa MH block adapts toward the same 0.3 target
+        assert 0.15 < r1.accept_rate < 0.45
+
+    def test_vpc_npde_draw_kappa(self):
+        # replicate simulation draws kappa per (replicate, subject,
+        # occasion) and applies it on the transformed scale, so the
+        # predictive checks calibrate on IOV-generated data under the
+        # IOV fit
+        from pharmsol_tpu.optimize import npde, vpc
+
+        data, _ = _population(n_sub=12, n_occ=3, seed=7)
+        r = fit_laplace(_model(), data, _rems(), [0.3, 9.0],
+                        iov=[0], max_iters=60, compute_se=False)
+        v = vpc(_model(), data, _rems(), r, n_rep=200, seed=1)
+        assert v.coverage() >= 0.6
+        d = npde(_model(), data, _rems(), r, n_rep=400, seed=1)
+        # suite convention: z_mean/z_var are moment-test z-statistics
+        assert abs(d.z_mean) < 3.0, d.summary()
+        assert abs(d.z_var) < 3.5, d.summary()
+        assert 0.6 < d.variance < 1.6, d.summary()
 
 
 class TestIovValidation:
