@@ -35,6 +35,8 @@ def main() -> int:
     ap.add_argument("--k-lo", type=int, default=2)
     ap.add_argument("--k-hi", type=int, default=8)
     ap.add_argument("--engine", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--em-control", default="independent",
+                    choices=["independent", "coupled"])
     args = ap.parse_args()
 
     import jax
@@ -59,7 +61,7 @@ def main() -> int:
         out=lambda x, p, t, cov: x[0:1],
         nparticles=args.particles,
         nstates=2, ndrugs=1, nout=1,
-    )
+    ).with_em_control(args.em_control)
     obs = [(0.2, 16.6434), (0.4, 14.3233), (0.6, 9.8468), (0.8, 9.4177),
            (1.0, 7.5170)]
     b = Subject.builder("s0").bolus(0.0, 20.0, 0)
@@ -144,6 +146,7 @@ def main() -> int:
             "detail": {
                 "platform": platform,
                 "engine": "pallas",
+                "em_control": args.em_control,
                 "subjects": args.subjects,
                 "supports": args.supports,
                 "particles": args.particles,
@@ -212,6 +215,7 @@ def main() -> int:
         "unit": "sims/s",
         "detail": {
             "platform": platform,
+            "em_control": args.em_control,
             "subjects": args.subjects,
             "supports": args.supports,
             "particles": args.particles,
