@@ -526,26 +526,35 @@ def _decompose_seq_tv(seq, sp, grid, n_kernel_params: int):
     te = np.minimum(t_sorted + seg_dt, t_real_max[:, None])  # [R, M]
 
     names = list(grid.cov_names)
+    # evaluate through each row's REAL CovView (not a fixed-value shim) so
+    # closures that read a covariate at a time OTHER than the t they are
+    # handed — e.g. a baseline read cov("wt", 0.0) against a time-varying
+    # wt — see exactly what the engine's view returns
+    from ..engine.grid import CovView
+
+    kt_r = np.asarray(grid.rows.cov_t, np.float64)
+    kv_r = np.asarray(grid.rows.cov_v, np.float64)
+    fx_r = np.asarray(grid.rows.cov_fixed)
+    if fx_r.ndim == 1 and kt_r.ndim == 3:
+        fx_r = np.broadcast_to(fx_r[None, :], kt_r.shape[:2])
+    if not names:
+        kt_r = np.zeros((R, 0, 1), np.float64)
+        kv_r = np.zeros((R, 0, 1), np.float64)
+        fx_r = np.zeros((R, 0), bool)
+    kt_j = jnp.asarray(kt_r, dtype=fd)
+    kv_j = jnp.asarray(kv_r, dtype=fd)
+    fx_j = jnp.asarray(fx_r)
 
     def values_at(p, m):
-        vals = _host_cov_values(grid, te[:, m])
         p_j = jnp.asarray(p, dtype=fd)
         t_j = jnp.asarray(te[:, m], dtype=fd)
-        if vals:
-            stacked = jnp.stack(
-                [jnp.asarray(vals[n], dtype=fd) for n in names], axis=1
-            )  # [R, C]
 
-            def one(row, t_r):
-                shim = _RowCov({n: row[i] for i, n in enumerate(names)})
-                return jnp.asarray(seq(p_j, t_r, shim), dtype=fd)
+        def one(ct, cv, cf, t_r):
+            view = CovView(ct, cv, cf, names)
+            return jnp.asarray(seq(p_j, t_r, view), dtype=fd)
 
-            out = np.asarray(jax.vmap(one)(stacked, t_j), dtype=np.float64)
-        else:
-            out = np.asarray(
-                jax.vmap(lambda t_r: jnp.asarray(seq(p_j, t_r, _RowCov({})), dtype=fd))(t_j),
-                dtype=np.float64,
-            )
+        out = np.asarray(jax.vmap(one)(kt_j, kv_j, fx_j, t_j),
+                         dtype=np.float64)
         return out[:, :k]
 
     sample = {0, M // 2, M - 1}
@@ -914,6 +923,172 @@ def _decompose_seq_planes(seq, sp, grid, sdef, n_kernel_params: int,
         raise PharmsolError(
             "engine='pallas' seq parameter planes are non-finite — use "
             "the default XLA engine"
+        )
+    return np.ascontiguousarray(param_planes), np.ascontiguousarray(depth)
+
+
+# segment-indexed planes unroll the kernel's masked level select per slot;
+# past this many distinct chain values per row the select cost and plane
+# volume stop paying for themselves — fall back to XLA
+_MAX_SEQ_SEGPLANES = 16
+
+
+def _decompose_seq_segplanes(seq, sp, grid, sdef, n_kernel_params: int):
+    """Exact per-(row, support) SEGMENT-indexed parameter planes.
+
+    The fully general no-lag seq tier: seq equations that read ``t``
+    and/or a TIME-VARYING covariate in ANY form — non-affine parameter
+    mixing included, i.e. everything :func:`_decompose_seq_tv` (affine
+    only) and :func:`_decompose_seq_planes` (time-constant covariates
+    only) reject. Without an active lag the reset/carry chain's reset
+    points are the static grid breakpoints (they never move per
+    support), so the engine recurrence (engine/sim.py step;
+    analytical/mod.rs:331,360)
+
+        p_base(m) = raw support at real events, carried otherwise
+        p_seg(m)  = seq(p_base(m), t_start(m)+dt(m), cov)  when spanned
+
+    is a pure function of (row, segment, support) — host-computable by
+    walking the schedule once, calling the TRUE closure with the row's
+    REAL CovView so the closure's own covariate time requests are
+    honored exactly (``cov("wt", 0.0)`` baseline reads included).
+    Distinct chain values per row are deduplicated into level slots
+    (chains repeat between covariate knots), producing
+    (param_planes [L, n_base, R, S], slot stream [R, M] 1-based, 0 on
+    dead segments) for the kernel's existing planes mechanism.
+    """
+    from ..config import BIG_TIME
+    from ..engine.grid import CovView
+    from ..ops.pallas_psi import segment_schedule
+
+    _, t_sorted, seg_dt, is_event = segment_schedule(grid.rows)
+    R, M = t_sorted.shape
+    S = sp.shape[0]
+    k = n_kernel_params
+    remap = sdef["remap"]
+    n_base = len(remap([1.0] * k)) if remap else k
+    if M * n_base * R * S > _MAX_PLANE_FLOATS:
+        raise PharmsolError(
+            "engine='pallas' segment-indexed seq planes would exceed the "
+            f"memory cap ({M}x{n_base}x{R}x{S} cells) — use the default "
+            "XLA engine"
+        )
+
+    # padded breakpoints sit at BIG_TIME; clamp their evaluation time to
+    # the row's last real breakpoint so closures reading t stay finite
+    real = np.asarray(t_sorted) < BIG_TIME / 2
+    t_real_max = np.max(np.where(real, t_sorted, -np.inf), axis=1)
+    t_real_max = np.where(np.isfinite(t_real_max), t_real_max, 0.0)
+    te = np.minimum(np.asarray(t_sorted) + np.asarray(seg_dt),
+                    t_real_max[:, None])  # [R, M]
+
+    names = list(grid.cov_names)
+    kt = np.asarray(grid.rows.cov_t, np.float64)  # [R, C, K]
+    kv = np.asarray(grid.rows.cov_v, np.float64)
+    fx = np.asarray(grid.rows.cov_fixed)
+    if fx.ndim == 1 and kt.ndim == 3:
+        fx = np.broadcast_to(fx[None, :], kt.shape[:2])
+    if not names:
+        kt = np.zeros((R, 0, 1), np.float64)
+        kv = np.zeros((R, 0, 1), np.float64)
+        fx = np.zeros((R, 0), bool)
+
+    span_np = np.asarray(seg_dt) > 0.0
+    ev_np = np.asarray(is_event, bool)
+
+    def eval_col(cur_col, te_col, kt_j, kv_j, fx_j):
+        # cur_col [R, S, ncols] f64, te_col [R] -> [R, S, ncols]
+        def per_row(p_rows, t_r, kt_r, kv_r, fx_r):
+            cv = CovView(kt_r, kv_r, fx_r, names)
+            return jax.vmap(
+                lambda p: jnp.asarray(seq(p, t_r, cv), jnp.float64)
+            )(p_rows)
+
+        return jax.vmap(per_row)(cur_col, te_col, kt_j, kv_j, fx_j)
+
+    col_planes = [None] * M  # spanned columns -> [n_base, R, S] f64
+    try:
+        with _host_cpu_device():
+            sp_j = jnp.asarray(sp, jnp.float64)
+            cur = jnp.broadcast_to(sp_j[None], (R,) + sp_j.shape)
+            kt_j = jnp.asarray(kt, jnp.float64)
+            kv_j = jnp.asarray(kv, jnp.float64)
+            fx_j = jnp.asarray(fx)
+            eval_jit = jax.jit(eval_col)
+            for m in range(M):
+                base = jnp.where(
+                    jnp.asarray(ev_np[:, m])[:, None, None], sp_j[None],
+                    cur,
+                )
+                if not span_np[:, m].any():
+                    cur = base
+                    continue
+                new = eval_jit(base, jnp.asarray(te[:, m], jnp.float64),
+                               kt_j, kv_j, fx_j)
+                arr = np.asarray(new, np.float64)
+                if arr.shape[2] != sp.shape[1]:
+                    raise PharmsolError(
+                        "engine='pallas' seq must return exactly the "
+                        "support width for segment-indexed planes — use "
+                        "the default XLA engine"
+                    )
+                rows = [arr[:, :, i] for i in range(k)]  # [R, S] each
+                rows = remap(rows) if remap else rows
+                col_planes[m] = np.stack(rows, axis=0)  # [n_base, R, S]
+                cur = jnp.where(
+                    jnp.asarray(span_np[:, m])[:, None, None], new, base
+                )
+    except PharmsolError:
+        raise
+    except Exception as e:
+        raise PharmsolError(
+            f"engine='pallas' could not walk the seq chain per segment: "
+            f"{e}"
+        ) from e
+
+    # per-row dedup of spanned-column chain values into level slots
+    depth = np.zeros((R, M), np.float64)
+    slot_maps = [{} for _ in range(R)]
+    planes_rows = [[] for _ in range(R)]  # r -> list of [n_base, S]
+    for m in range(M):
+        pm = col_planes[m]
+        if pm is None:
+            continue
+        for r in np.nonzero(span_np[:, m])[0]:
+            key = pm[:, r, :].tobytes()
+            sm = slot_maps[r]
+            sl = sm.get(key)
+            if sl is None:
+                sl = len(sm)
+                sm[key] = sl
+                planes_rows[r].append(pm[:, r, :])
+            depth[r, m] = sl + 1
+    L = max([len(x) for x in planes_rows] + [1])
+    if L > _MAX_SEQ_SEGPLANES:
+        raise PharmsolError(
+            f"engine='pallas' segment-indexed seq planes need {L} slots "
+            f"(> {_MAX_SEQ_SEGPLANES}) — use the default XLA engine"
+        )
+    if L * n_base * R * S > _MAX_PLANE_FLOATS:
+        raise PharmsolError(
+            "engine='pallas' segment-indexed seq planes would exceed the "
+            f"memory cap ({L}x{n_base}x{R}x{S} cells) — use the default "
+            "XLA engine"
+        )
+    # rows with no spanned segments never select a slot; fill with the
+    # remapped raw support so every plane cell stays finite
+    fill_rows = [np.asarray(sp[:, i], np.float64) for i in range(k)]
+    fill_rows = remap(fill_rows) if remap else fill_rows
+    fill = np.stack(fill_rows, axis=0)  # [n_base, S]
+    param_planes = np.empty((L, n_base, R, S), np.float64)
+    for r in range(R):
+        lst = planes_rows[r] or [fill]
+        for l in range(L):
+            param_planes[l, :, r, :] = lst[min(l, len(lst) - 1)]
+    if not np.all(np.isfinite(param_planes)):
+        raise PharmsolError(
+            "engine='pallas' segment-indexed seq planes are non-finite — "
+            "use the default XLA engine"
         )
     return np.ascontiguousarray(param_planes), np.ascontiguousarray(depth)
 
@@ -1289,14 +1464,17 @@ class _PallasPsiPlan:
     evaluation per support point (see pallas_psi.extract_linear_out), so
     multi-output models stream per-observation outeq indices into the kernel.
 
-    Covariates & seq: time-constant covariates acting through a
-    *multiplicative, time-independent* seq equation (the standard PK
-    covariate-scaling form: allometric/exponential effects on kernel
-    parameters) decompose into per-row multiplier streams — validated by
-    numeric probes (see _decompose_seq) — and ride the kernel for the
-    1/2-compartment structures. Anything else (time-varying covariates,
-    additive/time-dependent seq, covariate-dependent outputs, 3-cmt eigen
-    structures) falls back to the general XLA engine with a clear error.
+    Covariates & seq tiers (cheapest first, see __init__): per-row
+    affine factors (_decompose_seq), per-segment affine streams for
+    time-varying covariates / infusion compounding (_decompose_seq_tv),
+    chain-depth level tables for covariate-free seq of any form
+    (_decompose_seq_levels), per-(row, support) parameter planes for
+    time-constant-covariate seq of any form (_decompose_seq_planes),
+    and exact SEGMENT-indexed planes for seq reading t and/or a
+    time-varying covariate in any form (_decompose_seq_segplanes).
+    The remaining fallback to the general XLA engine (clear error):
+    lag combined with a time-varying-covariate seq — the lag moves the
+    reset per (row, support), which no host-indexed plane can express.
     """
 
     def __init__(self, equation, grid, sp, lowered, row_multiple: int):
@@ -1513,7 +1691,18 @@ class _PallasPsiPlan:
                                 n_kernel_params, lag_mode=lag_active,
                             )
                     except PharmsolError as plane_err:
-                        raise affine_err or plane_err or level_err
+                        if lag_active:
+                            raise affine_err or plane_err or level_err
+                        # time-dependent and/or time-varying-covariate
+                        # seq of ANY form: exact segment-indexed planes
+                        try:
+                            self.param_planes, seq_stream = \
+                                _decompose_seq_segplanes(
+                                    equation._seq, sp, grid, sdef,
+                                    n_kernel_params,
+                                )
+                        except PharmsolError:
+                            raise affine_err or plane_err or level_err
                 n_lv = (self.param_levels if self.param_levels is not None
                         else self.param_planes).shape[0]
                 if lag_active and n_lv > 1:

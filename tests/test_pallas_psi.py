@@ -722,12 +722,15 @@ def test_pallas_engine_covariate_rejections():
     want_mix = log_likelihood_matrix(model_mix, Data([subj()]), sp, ems)
     np.testing.assert_allclose(got_mix, want_mix, rtol=1e-6, atol=1e-6)
 
-    # the same mixing over a time-VARYING covariate stays outside every
-    # decomposition (its value at each segment is not a per-row constant)
-    with pytest.raises(PharmsolError, match="affine|separable|mixes"):
-        log_likelihood_matrix(
-            model_mix, Data([subj(tv=True)]), sp, ems, engine="pallas"
-        )
+    # the same mixing over a time-VARYING covariate: the segment-indexed
+    # exact planes (_decompose_seq_segplanes) carry it now
+    got_mix_tv = log_likelihood_matrix(
+        model_mix, Data([subj(tv=True)]), sp, ems, engine="pallas"
+    )
+    want_mix_tv = log_likelihood_matrix(
+        model_mix, Data([subj(tv=True)]), sp, ems
+    )
+    np.testing.assert_allclose(got_mix_tv, want_mix_tv, rtol=1e-6, atol=1e-6)
 
     # time-dependent multiplicative seq: per-segment streams carry it too
     model_t = Analytical(
@@ -751,7 +754,7 @@ def test_pallas_engine_covariate_rejections():
     want_ta = log_likelihood_matrix(model_t_add, Data([subj()]), sp, ems)
     np.testing.assert_allclose(got_ta, want_ta, rtol=1e-6, atol=1e-6)
 
-    # time-dependent parameter MIXING: rejected through the tv path too
+    # time-dependent parameter MIXING: segment-indexed exact planes
     model_t_mix = Analytical(
         pst.one_compartment,
         seq_eq=lambda p, t, cov: jnp.stack(
@@ -759,10 +762,11 @@ def test_pallas_engine_covariate_rejections():
         ),
         out=lambda x, p, t, cov: x[0:1] / p[1], nstates=1, ndrugs=1, nout=1,
     )
-    with pytest.raises(PharmsolError, match="affine|separable|mixes"):
-        log_likelihood_matrix(
-            model_t_mix, Data([subj()]), sp, ems, engine="pallas"
-        )
+    got_tmix = log_likelihood_matrix(
+        model_t_mix, Data([subj()]), sp, ems, engine="pallas"
+    )
+    want_tmix = log_likelihood_matrix(model_t_mix, Data([subj()]), sp, ems)
+    np.testing.assert_allclose(got_tmix, want_tmix, rtol=1e-6, atol=1e-6)
 
     # covariate read in out() -> rejection
     model_out = Analytical(
@@ -803,12 +807,15 @@ def test_pallas_engine_covariate_rejections():
     want_3c = log_likelihood_matrix(model_3c, Data([subj()]), sp6, ems)
     np.testing.assert_allclose(got_3c, want_3c, rtol=1e-6, atol=1e-6)
 
-    # ... but the same model over a time-VARYING covariate still falls back
-    with pytest.raises(PharmsolError,
-                       match="covariate-free|eigen|affine|time-varying"):
-        log_likelihood_matrix(
-            model_3c, Data([subj(tv=True)]), sp6, ems, engine="pallas"
-        )
+    # ... and over a time-VARYING covariate the segment-indexed planes
+    # (per-slot eigen prep) carry it exactly too
+    got_3c_tv = log_likelihood_matrix(
+        model_3c, Data([subj(tv=True)]), sp6, ems, engine="pallas"
+    )
+    want_3c_tv = log_likelihood_matrix(
+        model_3c, Data([subj(tv=True)]), sp6, ems
+    )
+    np.testing.assert_allclose(got_3c_tv, want_3c_tv, rtol=1e-6, atol=1e-6)
 
 
 def test_pallas_engine_seq_without_covariates():
