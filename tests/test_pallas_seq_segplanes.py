@@ -209,3 +209,52 @@ def test_segplanes_dedup_keeps_slots_small():
     M = plan.seg_depth.shape[1]
     # 3 wt knots -> at most a handful of distinct chain values per row
     assert L <= 6 and L < M, (L, M)
+
+
+def test_tv_seq_stress_combination():
+    # tv-covariate non-affine seq x infusion sub-splits x BLOQ censoring x
+    # two outputs: the segment planes must compose with every other stream
+    from pharmsol_tpu import Censor
+
+    rng = np.random.RandomState(47)
+    model = Analytical(
+        pst.two_compartments,
+        out=lambda x, p, t, cov: jnp.stack(
+            [x[0] / p[3], 0.5 * x[1] / p[3]]
+        ),
+        seq_eq=lambda p, t, cov: jnp.stack([
+            p[0] * (cov("wt", t) / 70.0) ** p[4],
+            p[1], p[2], p[3], p[4],
+        ]),
+        nstates=2, ndrugs=1, nout=2,
+    )
+    subs = []
+    for i in range(8):
+        sb = (
+            Subject.builder(f"s{i}")
+            .bolus(0.0, 100.0, 0)
+            .infusion(2.0, 50.0, 0, 1.5)
+            .covariate("wt", 0.0, 55.0 + 4.0 * i)
+            .covariate("wt", 4.0, 66.0 + 3.0 * i)
+        )
+        for t in (0.5, 1.5, 3.0, 6.0, 10.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.25 * t) + 0.05 * i), 0)
+        sb = sb.censored_observation(8.0, 0.25, 1, Censor.BLOQ)
+        sb = sb.observation(9.0, 0.6, 1)
+        subs.append(sb.build())
+    data = Data(subs)
+    sp = np.column_stack([
+        rng.uniform(0.1, 0.3, 12), rng.uniform(0.2, 0.4, 12),
+        rng.uniform(0.1, 0.3, 12), rng.uniform(8, 15, 12),
+        rng.uniform(0.5, 1.0, 12),
+    ])
+    ems = (
+        AssayErrorModels()
+        .add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+        .add(1, AssayErrorModel.additive(ErrorPoly(0.3, 0.05), 1.0))
+    )
+    x = log_likelihood_matrix(model, data, sp, ems, engine="xla")
+    p = log_likelihood_matrix(model, data, sp, ems, engine="pallas")
+    err = np.max(np.abs(p - x) / np.maximum(np.abs(x), 1.0))
+    # in-kernel log-CDF for the censored cell is ~1e-6-accurate in f64
+    assert err < 1e-5, err
