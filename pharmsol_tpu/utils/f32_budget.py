@@ -51,6 +51,9 @@ F32_BUDGET: Dict[str, float] = {
     # lag + seq chain depth > 1: in-kernel depth counter + split-march
     # fire (two propagates per segment instead of one)
     "lag_seq_depth": 1e-4,
+    # segment-indexed exact planes: tv-covariate parameter mixing (the
+    # chain is host-f64; only the kernel propagation is f32)
+    "seq_segplanes": 5e-5,
     "censoring_heavy": 2e-4,
     "ode_dopri5": 2e-4,  # adaptive stepping compounds controller decisions
     # round-3 kernel paths (all on the ode_dopri5-style workload)
@@ -222,6 +225,48 @@ def _lag_seq_depth_case() -> BudgetCase:
         return model, Data(subjects), sp, _ems()
 
     return BudgetCase("lag_seq_depth", build, F32_BUDGET["lag_seq_depth"])
+
+
+def _seq_segplanes_case() -> BudgetCase:
+    def build():
+        import jax.numpy as jnp
+
+        from ..data.structs import Data, Subject
+        from ..engine.analytical import two_compartments
+        from ..models.equation import Analytical
+
+        # tv-covariate parameter mixing: the segment-indexed exact planes
+        # tier (_decompose_seq_segplanes); the infusion forces sub-split
+        # compounding into the chain as well
+        model = Analytical(
+            two_compartments,
+            out=lambda x, p, t, cov: x[0:1] / p[3],
+            seq_eq=lambda p, t, cov: jnp.stack([
+                p[0] * (cov("wt", t) / 70.0) ** p[2],
+                p[1], p[2], p[3],
+            ]),
+            nstates=2, ndrugs=1, nout=1,
+        )
+        rng = np.random.RandomState(53)
+        subjects = []
+        for i in range(8):
+            b = (Subject.builder(f"v{i}").bolus(0.0, 100.0, 0)
+                 .covariate("wt", 0.0, 55.0 + 4.0 * i)
+                 .covariate("wt", 4.0, 66.0 + 3.0 * i))
+            if i % 3 == 0:
+                b = b.infusion(2.0, 50.0, 0, 1.5)
+            for t in (0.5, 1.5, 3.0, 6.0, 10.0):
+                b = b.observation(float(t), float(np.abs(3 + rng.randn())), 0)
+            subjects.append(b.build())
+        sp = np.abs(np.column_stack([
+            0.2 * (1.0 + 0.15 * rng.randn(12)),
+            0.3 * (1.0 + 0.15 * rng.randn(12)),
+            rng.uniform(0.5, 1.0, 12),
+            11.0 * (1.0 + 0.15 * rng.randn(12)),
+        ]))
+        return model, Data(subjects), sp, _ems()
+
+    return BudgetCase("seq_segplanes", build, F32_BUDGET["seq_segplanes"])
 
 
 def _censoring_case() -> BudgetCase:
@@ -467,6 +512,7 @@ def budget_cases():
     cases.append(_seq_case("row"))
     cases.append(_seq_case("segment"))
     cases.append(_lag_seq_depth_case())
+    cases.append(_seq_segplanes_case())
     cases.append(_censoring_case())
     cases.append(_ode_case())
     cases.append(_ode_bdf_case())
