@@ -1093,6 +1093,252 @@ def _decompose_seq_segplanes(seq, sp, grid, sdef, n_kernel_params: int):
     return np.ascontiguousarray(param_planes), np.ascontiguousarray(depth)
 
 
+# lag+tv-seq column planes: main+post chain values share one slot space
+# per row; past this many slots the select cost stops paying
+_MAX_SEQ_COLPLANES = 24
+
+
+def _decompose_seq_colplanes(seq, sp, grid, sdef, n_kernel_params: int,
+                             lag_probe):
+    """Per-COLUMN exact planes for lag combined with tv/time-dep seq.
+
+    The last analytical residue: a lag moves each dose's seq-reset
+    breakpoint to the per-(row, support) fire time, so no row-indexed
+    stream can say which chain state a LANE is in. But with a STATIC lag
+    plane the fire times ``t_dose + lag[r, s]`` are host-known scalars —
+    the engine's full event walk (static resets/compounds PLUS per-lane
+    fires) is computable per (row, support, kernel column):
+
+    - walk each lane's merged event schedule (static obs/inf events +
+      its own fire times, engine sort-rank tie order) applying the TRUE
+      closure through the row's real CovView at each spanned segment's
+      end time (the fire-ending segment applies seq AT the fire time);
+    - ``main[m]`` = the chain value governing column m's span start
+      (pre-fire on the fire column); ``post[m]`` = the value governing
+      the remainder after a fire inside column m (used by the kernel's
+      split march; filled with main where no fire can land).
+
+    Main and post contents dedup per row into ONE slot space, returning
+    (param_planes [L, n_base, R, S], seg_depth [R, M] 1-based main
+    slots, seg_postdepth [R, M] post slots). The kernel selects twice
+    from the same plane tensor and runs the true split march
+    (_make_kernel ``lag_post``). Raises PharmsolError (-> XLA fallback)
+    past the slot/memory caps.
+    """
+    from ..config import BIG_TIME
+    from ..engine.grid import CovView
+    from ..ops.pallas_psi import segment_schedule
+
+    _, t_sorted, seg_dt, is_event, rank = segment_schedule(
+        grid.rows, with_ranks=True
+    )
+    R, M = t_sorted.shape
+    S = sp.shape[0]
+    k = n_kernel_params
+    remap = sdef["remap"]
+    n_base = len(remap([1.0] * k)) if remap else k
+
+    t_sorted = np.asarray(t_sorted, np.float64)
+    seg_dt = np.asarray(seg_dt, np.float64)
+    rank = np.asarray(rank, np.float64)
+    real = t_sorted < BIG_TIME / 2
+    t_real_max = np.max(np.where(real, t_sorted, -np.inf), axis=1)
+    t_real_max = np.where(np.isfinite(t_real_max), t_real_max, 0.0)
+
+    # a real zero-amount bolus is a seq-reset event the pending mechanism
+    # can never fire on (same restriction as the lag_depth path)
+    b_t = np.asarray(grid.rows.bolus_t, np.float64)
+    b_a = np.asarray(grid.rows.bolus_amt, np.float64)
+    if np.any((b_t < BIG_TIME / 2) & (b_a == 0.0)):
+        raise PharmsolError(
+            "engine='pallas' lag with a time-varying seq does not support "
+            "zero-amount bolus records — use the default XLA engine"
+        )
+
+    # static chain events: obs(1)/inf-start(3) reset, inf-end(0) compounds;
+    # bolus columns (2) are phantom (their event moved with the lag).
+    # Prepend the grid start as a reset so pre-fire spans chain from raw.
+    stat_mask = real & (rank != 2.0)
+    E1 = int(stat_mask.sum(axis=1).max()) + 1
+    stat_t = np.full((R, E1), BIG_TIME, np.float64)
+    stat_code = np.ones((R, E1), np.float64)
+    for r in range(R):
+        idx = np.nonzero(stat_mask[r])[0]
+        stat_t[r, 0] = t_sorted[r, 0] if real[r].any() else 0.0
+        stat_t[r, 1:1 + len(idx)] = t_sorted[r, idx]
+        stat_code[r, 1:1 + len(idx)] = np.where(rank[r, idx] == 0.0, 0.0, 1.0)
+
+    # doses: per-row bolus columns; fire = t + lag[r, s]
+    dose_mask = real & (rank == 2.0)
+    ND = max(int(dose_mask.sum(axis=1).max()), 1)
+    dose_t = np.full((R, ND), BIG_TIME, np.float64)
+    dose_col = np.zeros((R, ND), np.int64)
+    has_dose = np.zeros((R, ND), bool)
+    for r in range(R):
+        idx = np.nonzero(dose_mask[r])[0]
+        dose_t[r, : len(idx)] = t_sorted[r, idx]
+        dose_col[r, : len(idx)] = idx
+        has_dose[r, : len(idx)] = True
+
+    E = E1 + ND
+    if M * n_base * R * S > _MAX_PLANE_FLOATS \
+            or E * R * S * sp.shape[1] > _MAX_PLANE_FLOATS:
+        raise PharmsolError(
+            "engine='pallas' lag+tv-seq column planes would exceed the "
+            f"memory cap ({M}x{n_base}x{R}x{S} cells) — use the default "
+            "XLA engine"
+        )
+
+    names = list(grid.cov_names)
+    kt = np.asarray(grid.rows.cov_t, np.float64)
+    kv = np.asarray(grid.rows.cov_v, np.float64)
+    fx = np.asarray(grid.rows.cov_fixed)
+    if fx.ndim == 1 and kt.ndim == 3:
+        fx = np.broadcast_to(fx[None, :], kt.shape[:2])
+    if not names:
+        kt = np.zeros((R, 0, 1), np.float64)
+        kv = np.zeros((R, 0, 1), np.float64)
+        fx = np.zeros((R, 0), bool)
+
+    lag_np = np.asarray(lag_probe, np.float64)  # [R, S]
+
+    def lane_walk(raw, lag_rs, st_t, st_c, d_t, trm, kt_r, kv_r, fx_r):
+        # one lane: merged schedule walk -> seg values [E, ncols]
+        cv = CovView(kt_r, kv_r, fx_r, names)
+        fire_t = d_t + lag_rs  # [ND] (pads stay ~BIG_TIME)
+        times = jnp.concatenate([st_t, fire_t])
+        codes = jnp.concatenate([st_c, jnp.ones_like(fire_t)])
+        order = jnp.argsort(times, stable=True)  # static-first tie order
+        times = times[order]
+        codes = codes[order]
+        ends = jnp.concatenate([times[1:], times[-1:]])
+        t_eval = jnp.minimum(ends, trm)
+
+        def step(p_cur, xs_i):
+            t0, t1, te_i, code = xs_i
+            base = jnp.where(code == 1.0, raw, p_cur)
+            p_new = jnp.asarray(seq(base, te_i, cv), jnp.float64)
+            span = t1 > t0
+            p_seg = jnp.where(span, p_new, base)
+            return p_seg, p_seg
+
+        _, seg_vals = jax.lax.scan(
+            step, raw, (times, ends, t_eval, codes)
+        )
+        return times, seg_vals  # [E], [E, ncols]
+
+    try:
+        with _host_cpu_device():
+            sp_j = jnp.asarray(sp, jnp.float64)
+
+            def per_row(st_t, st_c, d_t, trm, kt_r, kv_r, fx_r, lag_row):
+                return jax.vmap(
+                    lambda p, lg: lane_walk(p, lg, st_t, st_c, d_t, trm,
+                                            kt_r, kv_r, fx_r)
+                )(sp_j, lag_row)
+
+            times_all, seg_vals = jax.vmap(per_row)(
+                jnp.asarray(stat_t), jnp.asarray(stat_code),
+                jnp.asarray(dose_t), jnp.asarray(t_real_max),
+                jnp.asarray(kt), jnp.asarray(kv), jnp.asarray(fx),
+                jnp.asarray(lag_np),
+            )  # [R, S, E], [R, S, E, ncols]
+            times_all = np.asarray(times_all, np.float64)
+            seg_vals = np.asarray(seg_vals, np.float64)
+    except PharmsolError:
+        raise
+    except Exception as e:
+        raise PharmsolError(
+            f"engine='pallas' could not walk the lag+seq chain: {e}"
+        ) from e
+    if seg_vals.shape[3] < sp.shape[1]:
+        raise PharmsolError(
+            "engine='pallas' seq returned fewer columns than the support "
+            "width — use the default XLA engine"
+        )
+
+    # main[m]: segment containing column m's start (post-all-ties)
+    t_cols = t_sorted  # [R, M]
+    idx_main = (times_all[:, :, None, :] <= t_cols[:, None, :, None]) \
+        .sum(axis=3) - 1  # [R, S, M]
+    idx_main = np.clip(idx_main, 0, times_all.shape[2] - 1)
+    main_vals = np.take_along_axis(
+        seg_vals, idx_main[..., None], axis=2
+    )  # [R, S, M, ncols]
+
+    # post[m]: the segment STARTING at the fire, scattered to fire columns
+    post_vals = main_vals.copy()
+    for j in range(ND):
+        fire = dose_t[:, j][:, None] + lag_np  # [R, S]
+        live = has_dose[:, j][:, None] & (fire < BIG_TIME / 2)
+        if not live.any():
+            continue
+        col_j = (t_cols[:, None, :] <= fire[:, :, None]).sum(axis=2) - 1
+        col_j = np.clip(col_j, 0, M - 1)  # [R, S]
+        idx_af = (times_all <= fire[:, :, None]).sum(axis=2) - 1
+        idx_af = np.clip(idx_af, 0, times_all.shape[2] - 1)
+        val_j = np.take_along_axis(
+            seg_vals, idx_af[:, :, None, None], axis=2
+        )[:, :, 0, :]  # [R, S, ncols]
+        r_ix, s_ix = np.nonzero(live)
+        post_vals[r_ix, s_ix, col_j[r_ix, s_ix], :] = val_j[r_ix, s_ix, :]
+
+    def to_base(vals_rsm):  # [R, S, ncols] -> [n_base, R, S]
+        rows = [vals_rsm[:, :, i] for i in range(k)]
+        rows = remap(rows) if remap else rows
+        return np.stack(rows, axis=0)
+
+    span_np = seg_dt > 0.0
+    depth = np.zeros((R, M), np.float64)
+    postdepth = np.zeros((R, M), np.float64)
+    slot_maps = [{} for _ in range(R)]
+    planes_rows = [[] for _ in range(R)]
+
+    def slot_of(r, content):
+        key = content.tobytes()
+        sm = slot_maps[r]
+        sl = sm.get(key)
+        if sl is None:
+            sl = len(sm)
+            sm[key] = sl
+            planes_rows[r].append(content)
+        return sl + 1
+
+    for m in range(M):
+        main_m = to_base(main_vals[:, :, m, :])  # [n_base, R, S]
+        post_m = to_base(post_vals[:, :, m, :])
+        for r in np.nonzero(span_np[:, m])[0]:
+            depth[r, m] = slot_of(r, main_m[:, r, :])
+            postdepth[r, m] = slot_of(r, post_m[:, r, :])
+    L = max([len(x) for x in planes_rows] + [1])
+    if L > _MAX_SEQ_COLPLANES:
+        raise PharmsolError(
+            f"engine='pallas' lag+tv-seq column planes need {L} slots "
+            f"(> {_MAX_SEQ_COLPLANES}) — use the default XLA engine"
+        )
+    if L * n_base * R * S > _MAX_PLANE_FLOATS:
+        raise PharmsolError(
+            "engine='pallas' lag+tv-seq column planes would exceed the "
+            f"memory cap ({L}x{n_base}x{R}x{S} cells) — use the default "
+            "XLA engine"
+        )
+    fill_rows = [np.asarray(sp[:, i], np.float64) for i in range(k)]
+    fill_rows = remap(fill_rows) if remap else fill_rows
+    fill = np.stack(fill_rows, axis=0)
+    param_planes = np.empty((L, n_base, R, S), np.float64)
+    for r in range(R):
+        lst = planes_rows[r] or [fill]
+        for l in range(L):
+            param_planes[l, :, r, :] = lst[min(l, len(lst) - 1)]
+    if not np.all(np.isfinite(param_planes)):
+        raise PharmsolError(
+            "engine='pallas' lag+tv-seq column planes are non-finite — "
+            "use the default XLA engine"
+        )
+    return (np.ascontiguousarray(param_planes),
+            np.ascontiguousarray(depth), np.ascontiguousarray(postdepth))
+
+
 def _decompose_kernel_inputs(kernel_inputs, sp, grid, n_kernel_params: int,
                              allow_mult: bool):
     """Anchored decomposition of a declarative kernel-input mapping.
@@ -1410,12 +1656,15 @@ def _validate_lag_no_overlap(lag_plane: np.ndarray, grid,
         ts = np.sort(bolus_t[r][real[r]])
         if ts.shape[0] >= 2:
             min_gap = np.min(np.diff(ts))
-            if lag_max[r] > min_gap:
+            # STRICT: at lag == gap the kernel's single pending slot is
+            # overwritten by the arriving dose in the very column the old
+            # one would fire — reject the boundary rather than drop a dose
+            if lag_max[r] >= min_gap:
                 raise PharmsolError(
                     f"engine='pallas' lag support requires each dose's lag "
-                    f"to elapse before the next dose (row {r}: max lag "
-                    f"{lag_max[r]:.4g} > min inter-dose gap {min_gap:.4g})"
-                    " — use the default XLA engine"
+                    f"to elapse strictly before the next dose (row {r}: "
+                    f"max lag {lag_max[r]:.4g} >= min inter-dose gap "
+                    f"{min_gap:.4g}) — use the default XLA engine"
                 )
 
 
@@ -1599,6 +1848,7 @@ class _PallasPsiPlan:
         self.param_planes = None
         self.seg_depth = None
         self.seg_evcode = None
+        self.seg_postdepth = None
         self.sp_kernel = None
         cov_values = {}
         # probe the lag closure FIRST: an active lag moves the seq-reset
@@ -1692,20 +1942,37 @@ class _PallasPsiPlan:
                             )
                     except PharmsolError as plane_err:
                         if lag_active:
-                            raise affine_err or plane_err or level_err
-                        # time-dependent and/or time-varying-covariate
-                        # seq of ANY form: exact segment-indexed planes
-                        try:
-                            self.param_planes, seq_stream = \
-                                _decompose_seq_segplanes(
-                                    equation._seq, sp, grid, sdef,
-                                    n_kernel_params,
-                                )
-                        except PharmsolError:
-                            raise affine_err or plane_err or level_err
+                            # lag + tv/time-dependent seq: per-COLUMN
+                            # exact planes + the split march — the fire
+                            # times must be host-known (static lag plane)
+                            if lag_fa_dynamic or lag_probe is None:
+                                raise affine_err or plane_err or level_err
+                            try:
+                                (self.param_planes, self.seg_depth,
+                                 self.seg_postdepth) = \
+                                    _decompose_seq_colplanes(
+                                        equation._seq, sp, grid, sdef,
+                                        n_kernel_params, lag_probe,
+                                    )
+                            except PharmsolError:
+                                raise affine_err or plane_err or level_err
+                            seq_stream = None
+                        else:
+                            # time-dependent and/or time-varying-covariate
+                            # seq of ANY form: exact segment-indexed planes
+                            try:
+                                self.param_planes, seq_stream = \
+                                    _decompose_seq_segplanes(
+                                        equation._seq, sp, grid, sdef,
+                                        n_kernel_params,
+                                    )
+                            except PharmsolError:
+                                raise affine_err or plane_err or level_err
                 n_lv = (self.param_levels if self.param_levels is not None
                         else self.param_planes).shape[0]
-                if lag_active and n_lv > 1:
+                if self.seg_postdepth is not None:
+                    pass  # colplanes: both slot streams already set
+                elif lag_active and n_lv > 1:
                     # lag + depth > 1: in-kernel depth counter on evcodes
                     self.seg_evcode = seq_stream
                 elif lag_active:
@@ -1820,12 +2087,13 @@ class _PallasPsiPlan:
                     for m1, m2 in zip(cols, cols[1:]):
                         gap = seg_t0_np[r, m2] - seg_t0_np[r, m1]
                         lag_max = seg_pl[m1][0][0, r, :].max()
-                        if lag_max > gap:
+                        # strict: lag == gap clobbers the pending slot
+                        if lag_max >= gap:
                             raise PharmsolError(
                                 f"engine='pallas' lag support requires "
-                                f"each dose's lag to elapse before the "
-                                f"next dose (row {r}: max lag "
-                                f"{lag_max:.4g} > gap {gap:.4g}) — use "
+                                f"each dose's lag to elapse strictly "
+                                f"before the next dose (row {r}: max lag "
+                                f"{lag_max:.4g} >= gap {gap:.4g}) — use "
                                 f"the default XLA engine"
                             )
                 slots = [-1] * self.M
@@ -1900,6 +2168,10 @@ class _PallasPsiPlan:
         self.seg_evcode_dev = (
             pad_rows_fill(self.seg_evcode, 0.0)
             if self.seg_evcode is not None else None
+        )
+        self.seg_postdepth_dev = (
+            pad_rows_fill(self.seg_postdepth, 0.0)
+            if self.seg_postdepth is not None else None
         )
 
         def pad_plane(a, fill):
@@ -2045,6 +2317,7 @@ class _PallasPsiPlan:
                 None if self.fa_plane_dev is None
                 else len(self.fa_plane_dev),
                 self.seg_evcode_dev is not None,
+                self.seg_postdepth_dev is not None,
                 self.lag_slots, self.fa_slots, str(self.fd)) + extra
 
     def stream_args(self):
@@ -2056,7 +2329,8 @@ class _PallasPsiPlan:
         out = tuple(a for a, inc in zip(p, include) if inc)
         for a in (self.mult_dev, self.mult_off_dev, self.mult_seg_dev,
                   self.mult_seg_off_dev, self.seg_depth_dev,
-                  self.seg_evcode_dev, self.init_mask_dev):
+                  self.seg_evcode_dev, self.seg_postdepth_dev,
+                  self.init_mask_dev):
             if a is not None:
                 out = out + (a,)
         for planes in (self.lag_plane_dev, self.fa_plane_dev):
@@ -2104,6 +2378,7 @@ class _PallasPsiPlan:
         pass_mult_seg_off = self.mult_seg_off_dev is not None
         pass_depth = self.seg_depth_dev is not None
         pass_evcode = self.seg_evcode_dev is not None
+        pass_postdepth = self.seg_postdepth_dev is not None
         pass_levels = self.param_levels_dev is not None
         plane_dims = (tuple(int(d) for d in self.param_planes_dev.shape[:2])
                       if self.param_planes_dev is not None else None)
@@ -2121,7 +2396,8 @@ class _PallasPsiPlan:
         n_streams = (5 + int(pass_inf) + int(pass_cens) + int(pass_outeq)
                      + int(pass_mult) + int(pass_mult_off)
                      + int(pass_mult_seg) + int(pass_mult_seg_off)
-                     + int(pass_depth) + int(pass_evcode) + int(pass_init)
+                     + int(pass_depth) + int(pass_evcode)
+                     + int(pass_postdepth) + int(pass_init)
                      + n_lag_pl + n_fa_pl + n_init_planes
                      + n_param_planes)
 
@@ -2138,6 +2414,7 @@ class _PallasPsiPlan:
             mult_seg_off = next(it) if pass_mult_seg_off else None
             depth = next(it) if pass_depth else None
             evc = next(it) if pass_evcode else None
+            postd = next(it) if pass_postdepth else None
             initm = next(it) if pass_init else None
             lagp = (tuple(next(it) for _ in range(n_lag_pl))
                     if pass_lag else None)
@@ -2163,6 +2440,7 @@ class _PallasPsiPlan:
                             param_offset_seg=mult_seg_off,
                             param_levels=levels, param_planes=ppl,
                             seg_depth=depth, seg_evcode=evc,
+                            seg_postdepth=postd,
                             lag_plane=lagp, fa_plane=fap,
                             lag_slots=lag_slots, fa_slots=fa_slots,
                             init_rows=init_r, init_planes=ipl,
@@ -2660,13 +2938,14 @@ class _PallasOdePsiPlan:
                         for m1, m2 in zip(cols, cols[1:]):
                             gap = seg_t0[r, m2] - seg_t0[r, m1]
                             lag_max = seg_pl[m1][0][j, r, :].max()
-                            if lag_max > gap:
+                            # strict: lag == gap clobbers the pend slot
+                            if lag_max >= gap:
                                 raise PharmsolError(
                                     f"engine='pallas' lag support "
                                     f"requires each dose's lag to elapse "
-                                    f"before the input's next dose (row "
-                                    f"{r}, input {j}: max lag "
-                                    f"{lag_max:.4g} > gap {gap:.4g}) — "
+                                    f"strictly before the input's next "
+                                    f"dose (row {r}, input {j}: max lag "
+                                    f"{lag_max:.4g} >= gap {gap:.4g}) — "
                                     "use the default XLA engine"
                                 )
             lag_seg_list = []

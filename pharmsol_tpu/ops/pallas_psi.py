@@ -435,7 +435,8 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
                  has_fa: bool = False, n_levels: int = 0,
                  has_offsets: bool = False, has_init: bool = False,
                  n_lag_planes: int = 0, n_fa_planes: int = 0,
-                 lag_slots=None, fa_slots=None, lag_depth: bool = False):
+                 lag_slots=None, fa_slots=None, lag_depth: bool = False,
+                 lag_post: bool = False):
     """Build the psi tile kernel for one structure + feature combination.
 
     Ref layout (in order): segment streams (dt, bolus, [rateiv], mask, value,
@@ -515,6 +516,15 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
     becomes a TRUE split march: propagate to the fire offset at the
     pre-fire depth, apply the pending dose, reset the chain, and
     propagate the remainder with depth-1 parameters (``aux_fire``).
+
+    ``lag_post`` (requires ``has_lag`` and planes mult_mode): lag
+    composed with a time-varying/time-dependent seq. The host computed
+    the full per-lane chain (static resets + each lane's own fire
+    times) into per-COLUMN planes: a second slot stream (postdepths)
+    selects the POST-fire parameters for the split march's remainder,
+    while the main depth stream selects the pre-fire/span parameters.
+    No in-kernel chain state is needed — both slot streams are exact
+    per (row, column) with per-lane values inside the planes.
     """
     prepare = sdef["prepare"]
     propagate = sdef["propagate"]
@@ -543,12 +553,14 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
             [next(it)[:, :] for _ in range(n_param_rows)]
             if mult_mode == "segment" and has_offsets else None
         )
-        depths = evcodes = None
+        depths = evcodes = postdepths = None
         if mult_mode in ("levels", "planes"):
             if lag_depth:
                 evcodes = next(it)[:, :]
             else:
                 depths = next(it)[:, :]
+                if lag_post:
+                    postdepths = next(it)[:, :]
         initm = next(it)[:, :] if has_init else None
         lag_planes = ([next(it)[:, :] for _ in range(max(n_lag_planes, 1))]
                       if has_lag else None)
@@ -690,22 +702,33 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
                     d = dc  # [rows, sp]
                 else:
                     d = col(depths)  # [rows, 1]
-                eff = []
-                for i in range(n_param_rows):
-                    e_i = (d == 1.0).astype(d.dtype) * level_params[0][i]
-                    for l in range(1, n_levels):
-                        e_i = e_i + (d == float(l + 1)).astype(d.dtype) \
-                            * level_params[l][i]
-                    eff.append(e_i)  # [rows, sp_block]
+
+                def _level_select(dsel):
+                    eff_s = []
+                    for i in range(n_param_rows):
+                        e_i = (dsel == 1.0).astype(dsel.dtype) \
+                            * level_params[0][i]
+                        for l in range(1, n_levels):
+                            e_i = e_i + (dsel == float(l + 1)).astype(
+                                dsel.dtype) * level_params[l][i]
+                        eff_s.append(e_i)  # [rows, sp_block]
+                    return eff_s
+
+                eff = _level_select(d)
                 aux_m = prepare(eff)  # levels are pre-remapped host-side
+                if lag_post:
+                    # post-fire parameters for this column's split march
+                    aux_fire_m = prepare(_level_select(col(postdepths)))
             else:
                 aux_m = aux
             live = dt > 0.0
-            if lag_depth:
+            if lag_depth or lag_post:
                 # TRUE split march: the fire is a seq-reset event, so
                 # superposition does not hold across it — propagate to the
-                # fire offset at the pre-fire depth, apply the dose, then
-                # run the remainder at chain depth 1 (aux_fire). Infusion
+                # fire offset at the pre-fire parameters, apply the dose,
+                # then run the remainder at the post-fire parameters
+                # (lag_depth: chain depth 1 / aux_fire; lag_post: this
+                # column's host-computed post plane / aux_fire_m). Infusion
                 # forcing rides both halves (rate is segment-constant).
                 fire = ((pend_amt != 0.0) & (pend_rem < dt)
                         if has_lag else None)
@@ -719,11 +742,14 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
                     )
                     dt2 = jnp.where(fire, dt - pend_rem, zeros)
                     live2 = dt2 > 0.0
-                    nxs2 = propagate(aux_fire, xs, dt2, rate)
+                    nxs2 = propagate(
+                        aux_fire_m if lag_post else aux_fire, xs, dt2, rate
+                    )
                     xs = [jnp.where(live2, nx, x)
                           for nx, x in zip(nxs2, xs)]
-                    dc = jnp.where(fire, jnp.ones_like(dc), dc)
-                    app = jnp.where(fire, jnp.ones_like(app), app)
+                    if lag_depth:
+                        dc = jnp.where(fire, jnp.ones_like(dc), dc)
+                        app = jnp.where(fire, jnp.ones_like(app), app)
                     pend_amt = jnp.where(fire, zeros, pend_amt)
                     pend_rem = jnp.where(
                         fire, zeros,
@@ -733,7 +759,7 @@ def _make_kernel(sdef, *, n_seg: int, has_inf: bool, has_cens: bool,
             else:
                 nxs = propagate(aux_m, xs, dt, rate)
                 xs = [jnp.where(live, nx, x) for nx, x in zip(nxs, xs)]
-            if has_lag and not lag_depth:
+            if has_lag and not (lag_depth or lag_post):
                 # the pending dose materializes once its remaining lag
                 # elapses within this segment: homogeneous propagation over
                 # the residual span dt - rem (superposition; infusion
@@ -792,6 +818,7 @@ def psi_oral(
     param_planes=None,
     seg_depth=None,
     seg_evcode=None,
+    seg_postdepth=None,
     lag_plane=None,
     fa_plane=None,
     lag_slots=None,
@@ -1020,6 +1047,21 @@ def psi_oral(
                 f"seg_depth/seg_evcode must be [{R}, {M}], got {sd.shape}"
             )
         full.append(_pad_lanes(sd, SEG_PAD))
+        if seg_postdepth is not None:
+            if (mult_mode != "planes" or seg_depth is None
+                    or lag_plane is None):
+                raise ValueError(
+                    "seg_postdepth (lag + tv-seq column planes) requires "
+                    "param_planes, seg_depth and a lag_plane"
+                )
+            sp_d = jnp.asarray(seg_postdepth, dtype)
+            if sp_d.shape != (R, M):
+                raise ValueError(
+                    f"seg_postdepth must be [{R}, {M}], got {sp_d.shape}"
+                )
+            full.append(_pad_lanes(sp_d, SEG_PAD))
+    elif seg_postdepth is not None:
+        raise ValueError("seg_postdepth requires the planes mult mode")
     if seg_evcode is not None and (
             mult_mode not in ("levels", "planes") or lag_plane is None):
         raise ValueError(
@@ -1155,6 +1197,7 @@ def psi_oral(
         n_fa_planes=len(fa_list) if has_fa else 0,
         lag_slots=lag_slots, fa_slots=fa_slots,
         lag_depth=seg_evcode is not None,
+        lag_post=seg_postdepth is not None,
     )
     # all-zero optional streams are dropped from the pipeline entirely
     # (no DMA, no VMEM block); the kernel never reads those refs
