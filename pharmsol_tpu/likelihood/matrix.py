@@ -555,6 +555,13 @@ def _decompose_seq_tv(seq, sp, grid, n_kernel_params: int):
 
         out = np.asarray(jax.vmap(one)(kt_j, kv_j, fx_j, t_j),
                          dtype=np.float64)
+        if out.shape[1] != sp.shape[1]:
+            # the engine scan carries the seq output as the next p_base
+            # (engine/sim.py step), so exact support width is the contract
+            raise PharmsolError(
+                "engine='pallas' seq must return exactly the support "
+                "width — use the default XLA engine"
+            )
         return out[:, :k]
 
     sample = {0, M // 2, M - 1}
@@ -1251,10 +1258,13 @@ def _decompose_seq_colplanes(seq, sp, grid, sdef, n_kernel_params: int,
         raise PharmsolError(
             f"engine='pallas' could not walk the lag+seq chain: {e}"
         ) from e
-    if seg_vals.shape[3] < sp.shape[1]:
+    if seg_vals.shape[3] != sp.shape[1]:
+        # the engine scan carries the seq output as the next p_base
+        # (engine/sim.py step), so exact support width is the contract —
+        # enforced identically across all seq tiers
         raise PharmsolError(
-            "engine='pallas' seq returned fewer columns than the support "
-            "width — use the default XLA engine"
+            "engine='pallas' seq must return exactly the support width "
+            "for lag+tv-seq column planes — use the default XLA engine"
         )
 
     # main[m]: segment containing column m's start (post-all-ties)
@@ -1719,11 +1729,18 @@ class _PallasPsiPlan:
     chain-depth level tables for covariate-free seq of any form
     (_decompose_seq_levels), per-(row, support) parameter planes for
     time-constant-covariate seq of any form (_decompose_seq_planes),
-    and exact SEGMENT-indexed planes for seq reading t and/or a
-    time-varying covariate in any form (_decompose_seq_segplanes).
-    The remaining fallback to the general XLA engine (clear error):
-    lag combined with a time-varying-covariate seq — the lag moves the
-    reset per (row, support), which no host-indexed plane can express.
+    exact SEGMENT-indexed planes for seq reading t and/or a
+    time-varying covariate in any form (_decompose_seq_segplanes), and
+    exact per-COLUMN main/post planes for lag combined with a tv /
+    time-dependent seq — the static lag plane makes the per-(row,
+    support) fire times host-known, so the full engine chain including
+    the moving reset is walked host-side and the kernel runs a true
+    split march selecting main and post slots per column
+    (_decompose_seq_colplanes). Remaining fallbacks to the general XLA
+    engine (clear errors): DYNAMIC lag (time-dependent or reading a
+    time-varying covariate) combined with seq, colplane slot-cap /
+    memory-cap overflow, zero-amount bolus records under lag+seq, and
+    exact-zero fa support cells in the split-march tiers.
     """
 
     def __init__(self, equation, grid, sp, lowered, row_multiple: int):
@@ -2118,6 +2135,23 @@ class _PallasPsiPlan:
             # simply never selected)
             self.seg_evcode = None
             self.seg_depth, _ = _seq_depth_stream(grid)
+        if self.seg_evcode is not None or self.seg_postdepth is not None:
+            # split-march tiers fire on pend_amt != 0 (ops/pallas_psi.py
+            # lag_depth/lag_post): a support cell whose fa evaluates to
+            # EXACTLY 0.0 would never fire, silently skipping the seq
+            # reset the engine still applies at the lag-shifted dose —
+            # reject to XLA like zero-amount bolus records
+            fa_all = list(fa_seg_planes or [])
+            if self.fa_plane is not None:
+                fa_all.append(self.fa_plane)
+            for fp in fa_all:
+                if np.any(np.asarray(fp, np.float64) == 0.0):
+                    raise PharmsolError(
+                        "engine='pallas' lag combined with seq does not "
+                        "support bioavailability cells that are exactly "
+                        "zero (the pending dose would never fire its "
+                        "seq reset) — use the default XLA engine"
+                    )
         self.Rp = ((self.R + row_multiple - 1) // row_multiple) * row_multiple
         self.Sp = ((self.S + SP_TILE - 1) // SP_TILE) * SP_TILE
         # compiled Mosaic kernels are float32-only; the CPU interpret path
@@ -3257,13 +3291,17 @@ class _PallasOdePsiPlan:
 class _PallasSdePsiPlan:
     """Validated, padded inputs for a fused pallas SDE particle-filter psi.
 
-    Same contract as _PallasPsiPlan/_PallasOdePsiPlan. Scope: boluses into
-    input 0 (mapped to the spec's destination state), infusions into
-    input 0, time-constant covariates, linear outputs, stratified
-    resampling, no lag/fa, no censoring. Noise draws are per-(row,
-    support, trial) — statistically equivalent to ``independent`` mode;
-    XLA-vs-pallas parity is therefore statistical (exact only at zero
-    diffusion).
+    Same contract as _PallasPsiPlan/_PallasOdePsiPlan. Scope: multi-input
+    boluses (each active input doses its mapped destination state —
+    inject-to-destination, sde/mod.rs:46-79) and infusions (per-input rate
+    streams), time-constant covariates plus time-varying ones via
+    per-segment affine (a, b) streams (knot-free spans, like the ODE
+    tier), lag/fa via static per-(row, support) planes + the in-kernel
+    pending-dose split march, linear outputs, stratified resampling, no
+    censoring. Dynamic (time-dependent / tv-cov-reading) lag/fa falls
+    back. Noise draws are per-(row, support, trial) — statistically
+    equivalent to ``independent`` mode; XLA-vs-pallas parity is therefore
+    statistical (exact only at zero diffusion).
     """
 
     def __init__(self, equation, grid, sp, lowered, row_multiple: int):
@@ -3275,10 +3313,6 @@ class _PallasSdePsiPlan:
         )
 
         spec = equation.spec
-        if spec.lag is not None or spec.fa is not None:
-            raise PharmsolError(
-                "engine='pallas' SDE psi does not support lag/fa equations"
-            )
         if getattr(equation, "_resampling", "stratified") != "stratified":
             raise PharmsolError(
                 "engine='pallas' SDE psi implements stratified resampling "
@@ -3296,20 +3330,87 @@ class _PallasSdePsiPlan:
         self.seed = int(getattr(equation, "_seed", 0))
         self.em_control = str(getattr(spec, "em_control", "independent"))
         self.ninput = int(spec.ninput)
+        ninput = self.ninput
         n_states = self.n_states
         self.n_params = sp.shape[1]
         self.drift = spec.drift
         self.diffusion = spec.diffusion
-        dest = spec.bolus_dest
-        self.dose_state = int(dest[0]) if dest else 0
         self.cov_names = tuple(grid.cov_names)
-        cov_values = _constant_covariate_values(grid) if grid.cov_names else {}
+        cov_values, varying_covs = _classify_covariates(grid)
+        self.cov_modes = tuple(
+            "affine" if n in varying_covs else "const"
+            for n in self.cov_names
+        )
         cov0 = {n: float(np.asarray(v)[0]) for n, v in cov_values.items()}
         cov1 = {n: v * 1.31 + 0.17 for n, v in cov0.items()}
 
+        # --- active dose inputs (same discovery as the ODE plan) ---------
+        bt_ = np.asarray(grid.rows.bolus_t, np.float64)
+        ba_ = np.asarray(grid.rows.bolus_amt, np.float64)
+        bi_ = np.asarray(grid.rows.bolus_input)
+        real_b = (bt_ < BIG_TIME / 2) & (ba_ != 0.0)
+        bolus_inputs = tuple(sorted(
+            {int(j) for j in bi_[real_b]})) or (0,)
+        it_ = np.asarray(grid.rows.inf_t, np.float64)
+        rate_inputs = (0,)
+        if it_.size:
+            ia_ = np.asarray(grid.rows.inf_amt, np.float64)
+            ii_ = np.asarray(grid.rows.inf_input)
+            real_i = (it_ < BIG_TIME / 2) & (ia_ != 0.0)
+            rate_inputs = tuple(sorted(
+                {int(j) for j in ii_[real_i]})) or (0,)
+        if max(bolus_inputs + rate_inputs) >= ninput:
+            raise PharmsolError(
+                f"engine='pallas' SDE psi: a dose targets input "
+                f">= ndrugs ({ninput})"
+            )
+        self.bolus_inputs = bolus_inputs
+        self.rate_inputs = rate_inputs
+        # inject-to-destination mapping (identity unless metadata declares
+        # a destination — engine/sde.py:216-218, sde/mod.rs:46-79)
+        dest = spec.bolus_dest
+        self.dose_states = tuple(
+            int(dest[j]) if dest is not None else int(j)
+            for j in bolus_inputs
+        )
+        if max(self.dose_states) >= n_states:
+            raise PharmsolError(
+                "engine='pallas' SDE psi: a bolus destination state is out "
+                f"of range (nstates={n_states})"
+            )
+
+        # --- lag/fa planes (static closures only) -------------------------
+        lag_planes = None
+        fa_planes = None
+        sel = list(bolus_inputs)
+        if spec.lag is not None or spec.fa is not None:
+            try:
+                if spec.lag is not None:
+                    lp = _decompose_input_planes(
+                        spec.lag, sp, grid, ninput, 0.0, "lag")[sel]
+                    if np.any(lp != 0.0):
+                        for k, j in enumerate(bolus_inputs):
+                            if np.any(lp[k] != 0.0):
+                                _validate_lag_no_overlap(
+                                    lp[k], grid, input_j=j)
+                        lag_planes = lp
+                if spec.fa is not None:
+                    fp = _decompose_input_planes(
+                        spec.fa, sp, grid, ninput, 1.0, "fa")[sel]
+                    if not np.all(fp == 1.0):
+                        fa_planes = fp
+            except _InputPlaneDynamic:
+                raise PharmsolError(
+                    "engine='pallas' SDE psi supports lag/fa closures that "
+                    "depend on support parameters and time-constant "
+                    "covariates only (time-dependent or "
+                    "tv-covariate-reading closures fall back) — use the "
+                    "default XLA engine"
+                )
+
         # init rows per support (cov-independence probed); covariate-
-        # dependent init rides per-(row, support) planes (SDE covariates
-        # are time-constant, so t=0 values are the per-row constants)
+        # dependent init rides per-(row, support) planes evaluated at the
+        # covariate's t=0 value (engine/sim.py:147-152 semantics)
         init_rows = None
         init_planes = None
         if spec.init is not None:
@@ -3338,9 +3439,10 @@ class _PallasSdePsiPlan:
                 ) from e
             iscale = np.maximum(np.abs(i_ref).max(), 1e-12)
             if np.abs(i_cov - i_ref).max() > 1e-6 * iscale:
+                cov_at0 = _covariate_values_at(grid, 0.0)
                 names = tuple(grid.cov_names)
                 cov_mat = np.stack(
-                    [np.asarray(cov_values[n], np.float64) for n in names],
+                    [np.asarray(cov_at0[n], np.float64) for n in names],
                     axis=1,
                 )  # [R, ncov]
 

@@ -105,8 +105,10 @@ def _acklam_ndtri(p):
 
 def _make_sde_kernel(
     drift_rhs, diff_rhs, *, n_states: int, n_params: int, n_seg: int,
-    n_particles: int, p_pad: int, has_inf: bool, n_out: int, has_bias: bool,
-    has_init: bool, cov_names: tuple, dose_state: int, seed: int,
+    n_particles: int, p_pad: int, n_bolus_in: int, dose_states: tuple,
+    has_inf: bool, n_rate_in: int, n_out: int, has_bias: bool,
+    has_init: bool, cov_names: tuple, cov_affine: tuple,
+    has_lag: bool, has_fa: bool, seed: int,
     filter_on: bool, interpret: bool, rows_per_step: int = 8,
     init_mode: str = "rows", coupled: bool = False,
 ):
@@ -117,15 +119,25 @@ def _make_sde_kernel(
     blocks are not expressible); each row runs the full particle filter on
     [P, sp_block] lanes.
 
-    Ref layout: segment streams (dt, bolus, [rateiv], mask, value, sigma,
-    [outeq], t0, [init_mask], cov...) each [rows_per_step, SEG_PAD];
-    parameter rows (p columns, [init rows], coef rows, [bias rows]) each
-    [1, sp_block]; out_ref [rows_per_step, sp_block].
+    Ref layout: segment streams (dt, bolus x n_bolus_in,
+    [rateiv x n_rate_in], mask, value, sigma, [outeq], t0, [init_mask],
+    cov... — affine covariates ride (a, b) stream pairs) each
+    [rows_per_step, SEG_PAD]; lag/fa planes (one per bolus input) and
+    init planes ride [rows_per_step, sp_block] tile refs; parameter rows
+    (p columns, [init rows], coef rows, [bias rows]) each [1, sp_block];
+    out_ref [rows_per_step, sp_block].
+
+    Dosing follows the engine (engine/sde.py): boluses add the (fa-scaled)
+    amount to ``dose_states[jb]`` on every particle; a lagged dose parks in
+    a per-input (pend_amt, pend_rem) slot and fires via a TRUE split march
+    (the EM controller restarts at the fire, exactly like the engine's
+    per-support grid split at the lag-shifted time — zero-diffusion parity
+    is exact). Infusions ride per-input rate lanes into the matching
+    rateiv slot (sde/mod.rs:184-198 semantics).
     """
     from jax.experimental import pallas as pl
 
     has_outeq = n_out > 1
-    n_cov = len(cov_names)
     P = p_pad
     inv_p_real = 1.0 / float(n_particles)
 
@@ -134,15 +146,23 @@ def _make_sde_kernel(
 
         it = iter(refs)
         dts = next(it)[:, :]
-        bols = next(it)[:, :]
-        rates = next(it)[:, :] if has_inf else None
+        bols_l = [next(it)[:, :] for _ in range(n_bolus_in)]
+        rates_l = ([next(it)[:, :] for _ in range(n_rate_in)]
+                   if has_inf else None)
         masks = next(it)[:, :]
         vals = next(it)[:, :]
         sigs = next(it)[:, :]
         outeqs = next(it)[:, :] if has_outeq else None
         t0s = next(it)[:, :]
         initm = next(it)[:, :] if has_init else None
-        cov_streams = [next(it)[:, :] for _ in range(n_cov)]
+        cov_streams = [
+            ((next(it)[:, :], next(it)[:, :]) if aff else next(it)[:, :])
+            for aff in cov_affine
+        ]
+        lag_planes = ([next(it)[:, :] for _ in range(n_bolus_in)]
+                      if has_lag else None)
+        fa_planes = ([next(it)[:, :] for _ in range(n_bolus_in)]
+                     if has_fa else None)
         params = [next(it)[:, :] for _ in range(n_params)]
         init_rows = [next(it)[:, :] for _ in range(n_states)] if has_init else None
         coefs = [[next(it)[:, :] for _ in range(n_states)] for _ in range(n_out)]
@@ -238,17 +258,26 @@ def _make_sde_kernel(
                 sel = (lane1 == np.int32(m)).astype(a.dtype)
                 return jnp.sum(a[rr:rr + 1, :] * sel, axis=1, keepdims=True)
 
-            cov_lanes = {
-                name: col(cs, 0) for name, cs in zip(cov_names, cov_streams)
+            const_lanes = {
+                name: col(cs, 0)
+                for name, cs, aff in zip(cov_names, cov_streams, cov_affine)
+                if not aff
             }
 
-            def drift(xs, t, rate):
+            def cov_for_seg(m):
+                lanes = dict(const_lanes)
+                for name, cs, aff in zip(cov_names, cov_streams, cov_affine):
+                    if aff:
+                        lanes[name] = (col(cs[0], m), col(cs[1], m))
+                return lanes
+
+            def drift(xs, t, rate, cov_lanes):
                 return drift_rhs(xs, params, t, rate, cov_lanes, shape, dtype)
 
-            def diffusion(t):
+            def diffusion(t, cov_lanes):
                 return diff_rhs(params, t, cov_lanes, (1, sp), dtype)
 
-            def em_march(xs, dt_col, rate, t0_col):
+            def em_march(xs, dt_col, rate, t0_col, cov_lanes):
                 """Adaptive step-doubling EM over one segment (em.rs
                 parity). dt control is per SUPPORT lane, shared across the
                 cloud; the error is the max normalized |full - two halves|
@@ -257,8 +286,8 @@ def _make_sde_kernel(
                 live0 = (target > 0.0).astype(dtype)
 
                 def em_step(xs_c, t, h, dws):
-                    d = drift(xs_c, t, rate)
-                    g = diffusion(t)
+                    d = drift(xs_c, t, rate, cov_lanes)
+                    g = diffusion(t, cov_lanes)
                     return [
                         x + dd * h + g[s] * dws[s]
                         for s, (x, dd) in enumerate(zip(xs_c, d))
@@ -339,10 +368,12 @@ def _make_sde_kernel(
             else:
                 xs = [zeros] * n_states
             ll = zrow
+            if has_lag:
+                pend_amt = [zrow] * n_bolus_in
+                pend_rem = [zrow] * n_bolus_in
 
             for m in range(n_seg):
                 dt = col(dts, m)
-                bol = col(bols, m)
                 mask = col(masks, m)
                 val = col(vals, m)
                 sig = col(sigs, m) + (1.0 - mask)
@@ -379,12 +410,84 @@ def _make_sde_kernel(
                     xs = [jnp.where(do_rs, xr, x)
                           for xr, x in zip(xs_rs, xs)]
 
-                xs[dose_state] = xs[dose_state] + bol
-                rate = col(rates, m) if has_inf else None
+                rate = ([col(r, m) for r in rates_l] if has_inf else None)
                 t0_col = col(t0s, m)
-                nxs = em_march(xs, dt, rate, t0_col)
-                live = jnp.broadcast_to(dt, (1, sp)) > 0.0
-                xs = [jnp.where(live, nx, x) for nx, x in zip(nxs, xs)]
+                cov_m = cov_for_seg(m)
+
+                def amt_for(jb, _m=m):
+                    a = col(bols_l[jb], _m)
+                    if has_fa:
+                        a = a * fa_planes[jb][rr:rr + 1, :]
+                    return a
+
+                if not has_lag:
+                    for jb in range(n_bolus_in):
+                        ds = dose_states[jb]
+                        xs[ds] = xs[ds] + amt_for(jb)
+                    nxs = em_march(xs, dt, rate, t0_col, cov_m)
+                    live = jnp.broadcast_to(dt, (1, sp)) > 0.0
+                    xs = [jnp.where(live, nx, x)
+                          for nx, x in zip(nxs, xs)]
+                else:
+                    # doses due exactly at this breakpoint (rem elapsed)
+                    # fire first — after the observation, before arrivals
+                    for jb in range(n_bolus_in):
+                        fire0 = (pend_amt[jb] != 0.0) & (pend_rem[jb] <= 0.0)
+                        ds = dose_states[jb]
+                        xs[ds] = jnp.where(
+                            fire0, xs[ds] + pend_amt[jb], xs[ds])
+                        pend_amt[jb] = jnp.where(fire0, zrow, pend_amt[jb])
+                    # arrivals park with their per-lane lag
+                    for jb in range(n_bolus_in):
+                        bol_j = col(bols_l[jb], m)
+                        amt_j = amt_for(jb)
+                        arrive = bol_j != 0.0
+                        pend_amt[jb] = jnp.where(
+                            arrive, pend_amt[jb] + amt_j, pend_amt[jb])
+                        pend_rem[jb] = jnp.where(
+                            arrive, lag_planes[jb][rr:rr + 1, :] + zrow,
+                            pend_rem[jb])
+                    # split march: one pass per input, each advancing to
+                    # the next earliest per-lane fire time (the EM
+                    # controller restarts at the fire — same law as the
+                    # engine's per-support grid split at the shifted time)
+                    dt_b = jnp.broadcast_to(dt, (1, sp))
+                    elapsed = zrow
+                    for p_ in range(n_bolus_in):
+                        will = [(pend_amt[jb] != 0.0)
+                                & (pend_rem[jb] < dt_b)
+                                for jb in range(n_bolus_in)]
+                        t_next = dt_b
+                        for jb in range(n_bolus_in):
+                            t_next = jnp.minimum(
+                                t_next,
+                                jnp.where(will[jb], pend_rem[jb], dt_b),
+                            )
+                        t_next = jnp.maximum(t_next, elapsed)
+                        nxs = em_march(xs, t_next - elapsed, rate,
+                                       t0_col + elapsed, cov_m)
+                        live_s = (t_next - elapsed) > 0.0
+                        xs = [jnp.where(live_s, nx, x)
+                              for nx, x in zip(nxs, xs)]
+                        for jb in range(n_bolus_in):
+                            fire = will[jb] & (pend_rem[jb] <= t_next)
+                            ds = dose_states[jb]
+                            xs[ds] = jnp.where(
+                                fire, xs[ds] + pend_amt[jb], xs[ds])
+                            pend_amt[jb] = jnp.where(
+                                fire, zrow, pend_amt[jb])
+                        elapsed = t_next
+                    nxs = em_march(xs, dt_b - elapsed, rate,
+                                   t0_col + elapsed, cov_m)
+                    live_s = (dt_b - elapsed) > 0.0
+                    xs = [jnp.where(live_s, nx, x)
+                          for nx, x in zip(nxs, xs)]
+                    live = dt_b > 0.0
+                    for jb in range(n_bolus_in):
+                        pend_rem[jb] = jnp.where(
+                            (pend_amt[jb] != 0.0) & live,
+                            pend_rem[jb] - dt_b, pend_rem[jb],
+                        )
 
             return ll
 
@@ -401,7 +504,8 @@ def psi_sde(
     n_states: int,
     n_particles: int,
     ninput: int = None,
-    dose_state: int = 0,
+    dose_states: tuple = (0,),
+    rate_inputs: tuple = (0,),
     seed: int = 0,
     obs_outeq=None,
     out_coef=None,
@@ -411,15 +515,25 @@ def psi_sde(
     init_mask=None,
     cov_streams=None,
     cov_names=(),
+    cov_modes=None,
+    lag_planes=None,
+    fa_planes=None,
     interpret: Optional[bool] = None,
     em_control: str = "independent",
 ):
     """Fused particle-filter psi for SDE models.
 
     Segment streams are [R, M] (pallas_psi.streams_from_grid layout,
-    censoring unsupported) plus ``seg_t0`` [R, M]. ``support`` [S, n_cols].
-    Returns psi [R, S]; R unconstrained (one grid step per row), S must be
-    a multiple of SDE_SP_BLOCK.
+    censoring unsupported) plus ``seg_t0`` [R, M]. ``seg_bolus`` is one
+    [R, M] stream or a tuple of them (one per active bolus input, dosing
+    ``dose_states[jb]``); ``seg_rateiv`` likewise per ``rate_inputs``
+    entry. ``cov_streams[name]`` is a per-row constant stream (value in
+    column 0) or an ``(a, b)`` pair of per-segment affine streams
+    (``cov_modes[name] == 'affine'``). ``lag_planes``/``fa_planes`` are
+    tuples of [R, S] planes, one per bolus input (static closures only —
+    the kernel runs a true pending-dose split march). ``support``
+    [S, n_cols]. Returns psi [R, S]; R unconstrained (one grid step per
+    row), S must be a multiple of SDE_SP_BLOCK.
     """
     from jax.experimental import pallas as pl
 
@@ -450,41 +564,83 @@ def psi_sde(
     out_coef = jnp.asarray(out_coef, dtype)
     n_out = out_coef.shape[0]
     has_outeq = n_out > 1
-    has_inf = _static_any(seg_rateiv)
+    bolus_streams = (list(seg_bolus) if isinstance(seg_bolus, (list, tuple))
+                     else [seg_bolus])
+    n_bolus_in = len(bolus_streams)
+    dose_states = tuple(dose_states)
+    if len(dose_states) != n_bolus_in:
+        raise ValueError(
+            f"dose_states ({len(dose_states)}) must match the number of "
+            f"bolus streams ({n_bolus_in})"
+        )
+    rate_streams = ([] if seg_rateiv is None
+                    else list(seg_rateiv)
+                    if isinstance(seg_rateiv, (list, tuple))
+                    else [seg_rateiv])
+    has_inf = any(_static_any(r) for r in rate_streams)
+    n_rate_in = len(rate_streams) if has_inf else 0
+    rate_inputs = tuple(rate_inputs)[:len(rate_streams)]
     if init_rows is not None and init_planes is not None:
         raise ValueError("pass init_rows OR init_planes, not both")
     has_init = init_rows is not None or init_planes is not None
     init_mode = "planes" if init_planes is not None else "rows"
     has_bias = _static_any(out_bias)
+    has_lag = lag_planes is not None
+    has_fa = fa_planes is not None
     p_pad = max(8, ((n_particles + 7) // 8) * 8)
 
     zeros_rm = jnp.zeros_like(jnp.asarray(seg_dt, dtype))
-    if seg_rateiv is None:
-        seg_rateiv = zeros_rm
     if obs_outeq is None:
         obs_outeq = zeros_rm
 
-    full = [
-        _pad_lanes(jnp.asarray(a, dtype), SEG_PAD)
-        for a in (seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value,
-                  obs_sigma, obs_outeq, seg_t0)
-    ]
-    full[5] = full[5] * full[3]
-    if has_init:
-        full.append(_pad_lanes(jnp.asarray(init_mask, dtype), SEG_PAD))
     cov_names = tuple(cov_names)
-    full.extend(
-        _pad_lanes(jnp.asarray((cov_streams or {})[n], dtype), SEG_PAD)
-        for n in cov_names
+    cov_modes = dict(cov_modes or {})
+    cov_affine = tuple(
+        cov_modes.get(n, "const") == "affine" for n in cov_names
     )
-    include = ([True, True, has_inf, True, True, True, has_outeq, True]
-               + [True] * (len(full) - 8))
-    streams = [a for a, inc in zip(full, include) if inc]
+
+    streams = [_pad_lanes(jnp.asarray(seg_dt, dtype), SEG_PAD)]
+    streams += [_pad_lanes(jnp.asarray(b, dtype), SEG_PAD)
+                for b in bolus_streams]
+    if has_inf:
+        streams += [_pad_lanes(jnp.asarray(r, dtype), SEG_PAD)
+                    for r in rate_streams]
+    mask_p = _pad_lanes(jnp.asarray(obs_mask, dtype), SEG_PAD)
+    streams.append(mask_p)
+    streams.append(_pad_lanes(jnp.asarray(obs_value, dtype), SEG_PAD))
+    streams.append(_pad_lanes(jnp.asarray(obs_sigma, dtype), SEG_PAD) * mask_p)
+    if has_outeq:
+        streams.append(_pad_lanes(jnp.asarray(obs_outeq, dtype), SEG_PAD))
+    streams.append(_pad_lanes(jnp.asarray(seg_t0, dtype), SEG_PAD))
+    if has_init:
+        streams.append(_pad_lanes(jnp.asarray(init_mask, dtype), SEG_PAD))
+    for n, aff in zip(cov_names, cov_affine):
+        e = (cov_streams or {})[n]
+        if aff:
+            streams.append(_pad_lanes(jnp.asarray(e[0], dtype), SEG_PAD))
+            streams.append(_pad_lanes(jnp.asarray(e[1], dtype), SEG_PAD))
+        else:
+            streams.append(_pad_lanes(jnp.asarray(e, dtype), SEG_PAD))
 
     sp_arr = jnp.asarray(support, dtype)
     ROWS_SPEC = "row_tile"  # sentinel for tile-shaped entries in p_rows
-    p_rows = [sp_arr[:, i].reshape(1, S) for i in range(n_params)]
-    p_row_kinds = ["p"] * n_params
+    # [R, S] planes ride tile-shaped refs BEFORE the parameter rows
+    # (matching the kernel's ref order: lag, fa, then params)
+    plane_rows = []
+    if has_lag:
+        if len(lag_planes) != n_bolus_in:
+            raise ValueError("lag_planes must have one [R, S] plane per "
+                             "bolus input")
+        plane_rows += [jnp.asarray(p_, dtype) for p_ in lag_planes]
+    if has_fa:
+        if len(fa_planes) != n_bolus_in:
+            raise ValueError("fa_planes must have one [R, S] plane per "
+                             "bolus input")
+        plane_rows += [jnp.asarray(p_, dtype) for p_ in fa_planes]
+    p_rows = list(plane_rows)
+    p_row_kinds = [ROWS_SPEC] * len(plane_rows)
+    p_rows += [sp_arr[:, i].reshape(1, S) for i in range(n_params)]
+    p_row_kinds += ["p"] * n_params
     if has_init and init_mode == "rows":
         ir = jnp.asarray(init_rows, dtype)
         if ir.shape != (n_states, S):
@@ -516,6 +672,7 @@ def psi_sde(
     drift_rhs = make_lane_rhs(
         lambda x, p, t, b, rateiv, cov: drift(x, p, t, rateiv, cov),
         n_states, n_params, ninput or n_states,
+        rate_inputs=rate_inputs or (0,),
     )
 
     def diff_rhs(p_lanes, t, cov_lanes, shape, dt_):
@@ -528,9 +685,12 @@ def psi_sde(
 
     kernel = _make_sde_kernel(
         drift_rhs, diff_rhs, n_states=n_states, n_params=n_params, n_seg=M,
-        n_particles=n_particles, p_pad=p_pad, has_inf=has_inf, n_out=n_out,
+        n_particles=n_particles, p_pad=p_pad, n_bolus_in=n_bolus_in,
+        dose_states=dose_states, has_inf=has_inf, n_rate_in=n_rate_in,
+        n_out=n_out,
         has_bias=has_bias, has_init=has_init, cov_names=cov_names,
-        dose_state=dose_state, seed=seed, filter_on=True,
+        cov_affine=cov_affine, has_lag=has_lag, has_fa=has_fa,
+        seed=seed, filter_on=True,
         interpret=interpret, rows_per_step=ROWS_PER_STEP,
         init_mode=init_mode, coupled=(em_control == "coupled"),
     )

@@ -54,6 +54,9 @@ F32_BUDGET: Dict[str, float] = {
     # segment-indexed exact planes: tv-covariate parameter mixing (the
     # chain is host-f64; only the kernel propagation is f32)
     "seq_segplanes": 5e-5,
+    # lag + tv-covariate seq: per-COLUMN main/post planes + the true
+    # split-march fire (two propagates per segment; chain is host-f64)
+    "seq_colplanes": 1e-4,
     "censoring_heavy": 2e-4,
     "ode_dopri5": 2e-4,  # adaptive stepping compounds controller decisions
     # round-3 kernel paths (all on the ode_dopri5-style workload)
@@ -267,6 +270,51 @@ def _seq_segplanes_case() -> BudgetCase:
         return model, Data(subjects), sp, _ems()
 
     return BudgetCase("seq_segplanes", build, F32_BUDGET["seq_segplanes"])
+
+
+def _seq_colplanes_case() -> BudgetCase:
+    def build():
+        import jax.numpy as jnp
+
+        from ..data.event import Censor
+        from ..data.structs import Data, Subject
+        from ..engine.analytical import one_compartment_with_absorption
+        from ..models.equation import Analytical
+
+        # lag + tv-covariate seq: support-dependent lag moves each dose's
+        # seq reset per lane — the per-COLUMN main/post planes tier
+        # (_decompose_seq_colplanes) with infusion + censoring stress
+        model = Analytical(
+            one_compartment_with_absorption,
+            out=lambda x, p, t, cov: x[1:2] / p[2],
+            seq_eq=lambda p, t, cov: jnp.stack([
+                p[0], p[1] * (cov("wt", t) / 70.0) ** 0.75, p[2], p[3],
+            ]),
+            lag=lambda p, t, cov: {0: p[3]},
+            nstates=2, ndrugs=1, nout=1,
+        )
+        rng = np.random.RandomState(59)
+        subjects = []
+        for i in range(8):
+            b = (Subject.builder(f"p{i}").bolus(0.0, 100.0, 0)
+                 .bolus(12.0, 80.0, 0).infusion(4.0, 120.0, 0, 2.0)
+                 .covariate("wt", 0.0, 55.0 + 4.0 * i)
+                 .covariate("wt", 6.0, 66.0 - 3.0 * i)
+                 .covariate("wt", 14.0, 58.0 + 2.0 * i))
+            for t in (1.0, 2.5, 4.0, 6.0, 9.0, 14.0, 24.0):
+                b = b.observation(float(t), float(np.abs(3 + rng.randn())), 0)
+            b = (b.censored_observation(30.0, 0.1, 0, Censor.BLOQ)
+                 .censored_observation(0.25, 8.0, 0, Censor.ALOQ))
+            subjects.append(b.build())
+        sp = np.column_stack([
+            np.abs(1.1 * (1.0 + 0.15 * rng.randn(12))),
+            np.abs(0.2 * (1.0 + 0.15 * rng.randn(12))),
+            np.abs(11.0 * (1.0 + 0.15 * rng.randn(12))),
+            rng.uniform(0.2, 1.8, 12),
+        ])
+        return model, Data(subjects), sp, _ems()
+
+    return BudgetCase("seq_colplanes", build, F32_BUDGET["seq_colplanes"])
 
 
 def _censoring_case() -> BudgetCase:
@@ -513,6 +561,7 @@ def budget_cases():
     cases.append(_seq_case("segment"))
     cases.append(_lag_seq_depth_case())
     cases.append(_seq_segplanes_case())
+    cases.append(_seq_colplanes_case())
     cases.append(_censoring_case())
     cases.append(_ode_case())
     cases.append(_ode_bdf_case())

@@ -216,3 +216,108 @@ def test_colplanes_plan_takes_the_post_stream():
     assert plan.seg_postdepth is not None
     assert plan.param_planes is not None
     assert plan.seg_depth is not None and plan.seg_evcode is None
+
+
+def test_zero_fa_cell_rejected_in_split_march():
+    # a support cell whose fa evaluates to EXACTLY 0.0 can never fire the
+    # in-kernel pending dose (fire tests pend_amt != 0), so the seq reset
+    # the engine still applies at the lag-shifted time would be skipped —
+    # the plan must reject to XLA, mirroring the zero-amount-bolus rule
+    from pharmsol_tpu.errors import PharmsolError
+
+    rng = np.random.RandomState(17)
+    model = Analytical(
+        pst.one_compartment_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        seq_eq=lambda p, t, cov: jnp.stack(
+            [p[0], p[1] * (cov("wt", t) / 70.0) ** 0.75, p[2], p[3]]
+        ),
+        lag=lambda p, t, cov: {0: p[3]},
+        fa=lambda p, t, cov: {0: jnp.maximum(p[3] - 0.5, 0.0)},
+        nstates=2, ndrugs=1, nout=1,
+    )
+    sp = np.column_stack([
+        rng.uniform(0.8, 2.0, 8), rng.uniform(0.1, 0.3, 8),
+        rng.uniform(8, 15, 8),
+        np.concatenate([rng.uniform(0.6, 1.2, 7), [0.3]]),  # one fa==0 lane
+    ])
+    with pytest.raises(PharmsolError, match="exactly"):
+        log_likelihood_matrix(
+            model, _subjects(with_inf=False, multi_dose=False), sp, _ems(),
+            engine="pallas",
+        )
+    # all-positive fa: the tier runs and matches the engine
+    sp_ok = sp.copy()
+    sp_ok[-1, 3] = 0.8
+    _check(model, _subjects(with_inf=False, multi_dose=False), sp_ok)
+
+
+def test_stress_lag_tvseq_infusion_censoring_multioutput():
+    # the VERDICT-1 stress pattern: lag x tv-covariate seq x infusion x
+    # BLOQ/ALOQ censoring x multi-output, per-support lag so every lane
+    # fires at its own time
+    from pharmsol_tpu.data.event import Censor
+
+    rng = np.random.RandomState(18)
+    model = Analytical(
+        pst.one_compartment_with_absorption,
+        out=lambda x, p, t, cov: jnp.stack(
+            [x[1] / p[2], 2.5 * x[1] / p[2] + 0.1]
+        ),
+        seq_eq=lambda p, t, cov: jnp.stack([
+            p[0] * jnp.exp(-0.01 * t),
+            p[1] * (cov("wt", t) / 70.0) ** 0.75,
+            p[2], p[3],
+        ]),
+        lag=lambda p, t, cov: {0: p[3]},
+        nstates=2, ndrugs=1, nout=2,
+    )
+    ems = (
+        AssayErrorModels()
+        .add(0, AssayErrorModel.additive(ErrorPoly(0.5, 0.1), 1.0))
+        .add(1, AssayErrorModel.proportional(ErrorPoly(0.3, 0.15), 1.5))
+    )
+    subs = []
+    for i in range(6):
+        sb = (
+            Subject.builder(f"x{i}").bolus(0.0, 100.0, 0)
+            .bolus(8.0, 60.0, 0).infusion(3.0, 50.0, 0, 1.5)
+            .covariate("wt", 0.0, 52.0 + 5.0 * i)
+            .covariate("wt", 5.0, 70.0 - 3.0 * i)
+            .covariate("wt", 10.0, 60.0 + 2.0 * i)
+        )
+        for t in (0.5, 1.5, 3.5, 5.0, 7.5, 10.0):
+            sb = sb.observation(t, float(4 * np.exp(-0.2 * t) + 0.1 * i), 0)
+            sb = sb.observation(
+                t + 0.25, float(9 * np.exp(-0.2 * t) + 0.2 * i), 1
+            )
+        sb = (sb.censored_observation(14.0, 0.1, 0, Censor.BLOQ)
+              .censored_observation(0.25, 8.0, 1, Censor.ALOQ))
+        subs.append(sb.build())
+    sp = np.column_stack([
+        rng.uniform(0.8, 2.0, 12), rng.uniform(0.1, 0.3, 12),
+        rng.uniform(8, 15, 12), rng.uniform(0.2, 1.4, 12),
+    ])
+    data = Data(subs)
+    x = log_likelihood_matrix(model, data, sp, ems, engine="xla")
+    p = log_likelihood_matrix(model, data, sp, ems, engine="pallas")
+    err = np.max(np.abs(p - x) / np.maximum(np.abs(x), 1.0))
+    # censored cells ride the kernel's own log-CDF (not the engine's
+    # log_ndtr), so parity is approximation-level, not f64-exact
+    assert err < 1e-6, err
+
+
+def test_colplanes_f32_budget_case_takes_the_tier():
+    # the committed budget case must actually exercise the colplanes tier
+    from pharmsol_tpu.likelihood.matrix import _PallasPsiPlan
+    from pharmsol_tpu.ops.pallas_psi import SUB_TILE
+    from pharmsol_tpu.utils.f32_budget import _seq_colplanes_case
+
+    model, data, sp, ems = _seq_colplanes_case().build()
+    grid = model.lower(data.subjects())
+    lowered = ems.lower(model.resolve_output_label, model.nouteqs())
+    plan = _PallasPsiPlan(
+        model, grid, np.asarray(sp, np.float64), lowered,
+        row_multiple=SUB_TILE,
+    )
+    assert plan.seg_postdepth is not None
