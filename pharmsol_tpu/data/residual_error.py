@@ -141,6 +141,18 @@ class ResidualErrorModels:
     def get(self, outeq) -> Optional[ResidualErrorModel]:
         return self._models.get(str(outeq))
 
+    def __len__(self) -> int:
+        """Number of bound output models (residual_error.rs ``len``)."""
+        return len(self._models)
+
+    def sigma(self, outeq, prediction):
+        """Sigma for one output at a prediction (residual_error.rs
+        ``sigma``); raises KeyError for an unbound output."""
+        m = self._models.get(str(outeq))
+        if m is None:
+            raise KeyError(f"no residual error model for output {outeq!r}")
+        return m.sigma(prediction)
+
     def labels(self) -> List[str]:
         return list(self._models.keys())
 

@@ -202,8 +202,14 @@ def _affine_covariate_streams(grid, names, seg_t0, seg_dt):
         ts = cov_t[:, c, :]  # [R, K]
         vs = cov_v[:, c, :]
         K = ts.shape[1]
-        interior = ((ts[:, None, :] > t0[:, :, None])
-                    & (ts[:, None, :] < t1[:, :, None]))
+        # boundary comparison with roundoff headroom: segment ends are
+        # t0 + dt where dt came from a sorted-time difference, so a knot
+        # exactly on a breakpoint can sit 1 ulp "inside" (0.3 + (0.9-0.3)
+        # = 0.9000000000000001) — treat knots within relative 1e-9 of a
+        # boundary as ON it
+        eps = 1e-9 * np.maximum(1.0, np.abs(ts))[:, None, :]
+        interior = ((ts[:, None, :] > t0[:, :, None] + eps)
+                    & (ts[:, None, :] < t1[:, :, None] - eps))
         if np.any(interior & (dt > 0.0)[:, :, None]):
             raise PharmsolError(
                 f"engine='pallas' ODE psi requires covariate `{name}`'s "
@@ -2669,6 +2675,7 @@ class _PallasOdePsiPlan:
             return with_b - no_b
 
         bmaps = []
+        bolus_rhs_diff = False
         for j in bolus_inputs:
             try:
                 with _host_cpu_device():
@@ -2700,19 +2707,22 @@ class _PallasOdePsiPlan:
                     or np.abs(d_amt / 2.37 - d_ref).max() > tol
                     or np.abs(d_t - d_ref).max() > tol
                     or np.abs(d_cov - d_ref).max() > tol):
-                raise PharmsolError(
-                    "engine='pallas' ODE psi requires a state-independent, "
-                    "amount-linear, time/covariate-independent bolus "
-                    f"mapping (dx[i] += c(p) * b[{j}]); this RHS's bolus "
-                    "term is not — use the default XLA engine"
-                )
+                # nonlinear / state-dependent / time- or cov-dependent
+                # bolus mapping: the kernel computes the reference's
+                # RHS-difference (ode/mod.rs:644-687) IN-KERNEL at each
+                # dose boundary (two traced RHS calls) instead of riding
+                # precomputed per-unit increment rows — exact for any
+                # mapping the lane shims can trace
+                bolus_rhs_diff = True
             if not np.all(np.isfinite(d_ref)):
                 raise PharmsolError(
                     "engine='pallas' ODE bolus probe produced non-finite "
                     "values"
                 )
             bmaps.append(d_ref.T)  # [n_states, S]
-        bolus_map = np.stack(bmaps, axis=0)  # [nb, n_states, S]
+        bolus_map = (np.stack(bmaps, axis=0)
+                     if not bolus_rhs_diff else None)  # [nb, n_states, S]
+        self.bolus_rhs_diff = bolus_rhs_diff
 
         if opts.solver == "expm":
             # The in-kernel expm march trusts the RHS to be affine in the
@@ -2865,8 +2875,10 @@ class _PallasOdePsiPlan:
                 n: ((z, z) if m == "affine" else z)
                 for n, m in zip(self.cov_names, self.cov_modes)
             }
+            b_lanes = ({j: z for j in bolus_inputs}
+                       if bolus_rhs_diff else None)
             return rhs(xs, p_lanes, jnp.zeros(shape, jnp.float64),
-                       z, covd, shape, jnp.float64)
+                       z, covd, shape, jnp.float64, b_lanes)
 
         try:
             jax.eval_shape(lane_probe)
@@ -3076,7 +3088,10 @@ class _PallasOdePsiPlan:
             ) if self.Sp != self.S else sp
         )
         self.sp_dev = jnp.asarray(sp_padded, dtype=fd)
-        self.bolus_map = jnp.asarray(pad_support(bolus_map), dtype=fd)
+        self.bolus_map = (
+            jnp.asarray(pad_support(bolus_map), dtype=fd)
+            if bolus_map is not None else None
+        )
         self.init_rows = (
             jnp.asarray(pad_support(init_rows), dtype=fd)
             if init_rows is not None else None
@@ -3153,7 +3168,7 @@ class _PallasOdePsiPlan:
     def cache_key(self, *extra):
         o = self.opts
         return ("pallas_ode", self.n_states, self.n_params, self.ninput,
-                self.bolus_inputs, self.rate_inputs,
+                self.bolus_inputs, self.rate_inputs, self.bolus_rhs_diff,
                 self.Rp,
                 self.Sp, self.M, self.pass_inf, self.pass_cens,
                 self.pass_outeq, self.n_out, self.out_bias is not None,
@@ -3190,7 +3205,9 @@ class _PallasOdePsiPlan:
         return out
 
     def rep_args(self):
-        out = [self.sp_dev, self.bolus_map]
+        out = [self.sp_dev]
+        if self.bolus_map is not None:
+            out.append(self.bolus_map)
         if self.init_rows is not None:
             out.append(self.init_rows)
         out.append(self.out_coef)
@@ -3222,6 +3239,7 @@ class _PallasOdePsiPlan:
         merge_runs = self.merge_runs
         nb, nr = self.n_bolus_in, self.n_rate_in
         bolus_inputs, rate_inputs = self.bolus_inputs, self.rate_inputs
+        bolus_rhs_diff = self.bolus_rhs_diff
         n_streams = (5 + nb + (nr if pass_inf else 0)
                      + int(pass_cens) + int(pass_outeq)
                      + int(has_init) + n_lag_pl + n_fa_pl
@@ -3255,7 +3273,7 @@ class _PallasOdePsiPlan:
                    if n_init_planes else None)
             rep = iter(args[n_streams:])
             sp_dev = next(rep)
-            bmap = next(rep)
+            bmap = None if bolus_rhs_diff else next(rep)
             irows = next(rep) if has_init_rows else None
             coef = next(rep)
             bias = next(rep) if has_bias else None
@@ -3269,7 +3287,8 @@ class _PallasOdePsiPlan:
                 h0=o.h0, max_iters=o.max_steps, unroll=unroll,
                 newton_iters=o.newton_iters,
                 obs_outeq=outeq, out_coef=coef, out_bias=bias,
-                bolus_map=bmap, init_rows=irows, init_planes=ipl,
+                bolus_map=bmap, bolus_rhs_diff=bolus_rhs_diff,
+                init_rows=irows, init_planes=ipl,
                 init_mask=imask,
                 cov_streams=covs, cov_names=cov_names,
                 lag_plane=lagp, fa_plane=fap,
@@ -3481,16 +3500,21 @@ class _PallasSdePsiPlan:
         rhs = make_lane_rhs(
             lambda x, p, t, b, rateiv, cov: drift_fn(x, p, t, rateiv, cov),
             n_states, self.n_params, self.ninput,
+            rate_inputs=rate_inputs,
         )
 
         def lane_probe():
             shape = (2, 2)
+            z = jnp.zeros((2, 1), jnp.float64)
             xs = [jnp.zeros(shape, jnp.float64) for _ in range(n_states)]
             p_lanes = [jnp.zeros((1, 2), jnp.float64)
                        for _ in range(self.n_params)]
-            covd = {n: jnp.zeros((1, 1), jnp.float64) for n in self.cov_names}
+            covd = {
+                n: ((z, z) if m == "affine" else z)
+                for n, m in zip(self.cov_names, self.cov_modes)
+            }
             d = rhs(xs, p_lanes, jnp.zeros(shape, jnp.float64),
-                    jnp.zeros((1, 1), jnp.float64), covd, shape, jnp.float64)
+                    [z] * len(rate_inputs), covd, shape, jnp.float64)
             from ..ops.pallas_ode import LaneCov, LaneVec
 
             g = spec.diffusion(LaneVec(p_lanes),
@@ -3515,9 +3539,20 @@ class _PallasSdePsiPlan:
             ) from e
 
         try:
-            streams = streams_from_grid(grid.rows, lowered)
+            streams = streams_from_grid(grid.rows, lowered, inputs=ninput)
         except ValueError as e:
             raise PharmsolError(f"engine='pallas' SDE psi: {e}") from e
+        # split the per-input stacks onto one stream per ACTIVE input
+        seg_bolus3 = np.asarray(streams[1], np.float64)  # [R, M, ninput]
+        seg_rate3 = np.asarray(streams[2], np.float64)
+        streams = (
+            [streams[0]]
+            + [seg_bolus3[..., j] for j in bolus_inputs]
+            + [seg_rate3[..., j] for j in rate_inputs]
+            + list(streams[3:])
+        )
+        self.n_bolus_in = len(bolus_inputs)
+        self.n_rate_in = len(rate_inputs)
         _, t_sorted, _, _ = segment_schedule(grid.rows)
         real = t_sorted < BIG_TIME / 2
         t_real_max = np.max(np.where(real, t_sorted, -np.inf), axis=1)
@@ -3554,11 +3589,51 @@ class _PallasSdePsiPlan:
             jnp.asarray(pad_rows(init_mask_rm), dtype=fd)
             if (init_rows is not None or init_planes is not None) else None
         )
+        affine_streams = (
+            _affine_covariate_streams(
+                grid, sorted(varying_covs), seg_t0, np.asarray(streams[0])
+            ) if varying_covs else {}
+        )
         self.cov_streams = {}
         for name in self.cov_names:
-            vs = np.zeros((self.R, self.M))
-            vs[:, 0] = np.asarray(cov_values[name], np.float64)
-            self.cov_streams[name] = jnp.asarray(pad_rows(vs), dtype=fd)
+            if name in affine_streams:
+                a, b = affine_streams[name]
+                self.cov_streams[name] = (
+                    jnp.asarray(pad_rows(a), dtype=fd),
+                    jnp.asarray(pad_rows(b), dtype=fd),
+                )
+            else:
+                vs = np.zeros((self.R, self.M))
+                vs[:, 0] = np.asarray(cov_values[name], np.float64)
+                self.cov_streams[name] = jnp.asarray(pad_rows(vs), dtype=fd)
+
+        def pad_plane(a, fill):
+            a = np.asarray(a, np.float64)
+            if self.Rp != self.R:
+                a = np.concatenate(
+                    [a, np.full((self.Rp - self.R, a.shape[1]), fill)],
+                    axis=0,
+                )
+            if self.Sp != self.S:
+                a = np.concatenate(
+                    [a, np.repeat(a[:, -1:], self.Sp - self.S, axis=1)],
+                    axis=1,
+                )
+            return jnp.asarray(a, dtype=fd)
+
+        self.lag_planes_dev = (
+            tuple(pad_plane(lag_planes[k], 0.0)
+                  for k in range(len(lag_planes)))
+            if lag_planes is not None else None
+        )
+        self.fa_planes_dev = (
+            tuple(pad_plane(fa_planes[k], 1.0)
+                  for k in range(len(fa_planes)))
+            if fa_planes is not None else None
+        )
+        # the kernel's fa planes are only consulted together with a lag or
+        # standalone; a model with fa but no lag still scales arrivals —
+        # but a lagged model WITHOUT fa planes needs none (scale 1)
 
         def pad_support_cols(a):
             if self.Sp == self.S:
@@ -3607,27 +3682,37 @@ class _PallasSdePsiPlan:
             ) from e
         self.out_coef = jnp.asarray(np.transpose(C, (1, 2, 0)), dtype=fd)
         self.out_bias = jnp.asarray(b.T, dtype=fd) if np.any(b) else None
-        self.pass_inf = bool(np.any(streams[2]))
+        self.pass_inf = bool(np.any(seg_rate3))
         self.pass_outeq = self.n_out > 1
 
     def cache_key(self, *extra):
         return ("pallas_sde", self.n_states, self.n_params, self.ninput,
                 self.n_particles, self.seed, self.Rp, self.Sp, self.M,
+                self.bolus_inputs, self.rate_inputs, self.dose_states,
                 self.pass_inf, self.pass_outeq, self.n_out,
                 self.out_bias is not None, self.init_rows is not None,
                 self.init_planes_dev is not None,
-                self.cov_names, self.dose_state, str(self.fd),
+                self.cov_names, self.cov_modes,
+                self.lag_planes_dev is not None,
+                self.fa_planes_dev is not None,
+                str(self.fd),
                 self.em_control) + extra
 
     def stream_args(self):
         p = self.padded
-        include = [True, True, self.pass_inf, True, True, True,
-                   False, self.pass_outeq]
+        include = ([True] + [True] * self.n_bolus_in
+                   + [self.pass_inf] * self.n_rate_in
+                   + [True, True, True, False, self.pass_outeq])
         out = tuple(a for a, inc in zip(p, include) if inc)
         out = out + (self.seg_t0,)
         if self.init_mask is not None:
             out = out + (self.init_mask,)
-        out = out + tuple(self.cov_streams[n] for n in self.cov_names)
+        for n in self.cov_names:
+            e = self.cov_streams[n]
+            out = out + (e if isinstance(e, tuple) else (e,))
+        for planes in (self.lag_planes_dev, self.fa_planes_dev):
+            if planes is not None:
+                out = out + tuple(planes)
         if self.init_planes_dev is not None:
             # one [Rp, Sp] plane per state (rows leading for sharding)
             out = out + tuple(
@@ -3651,30 +3736,45 @@ class _PallasSdePsiPlan:
         n_states = self.n_states
         n_particles = self.n_particles
         ninput = self.ninput
-        dose_state = self.dose_state
+        dose_states = self.dose_states
+        rate_inputs = self.rate_inputs
         seed = self.seed
         em_control = self.em_control
         drift, diffusion = self.drift, self.diffusion
         pass_inf = self.pass_inf
         pass_outeq = self.pass_outeq
+        nb, nr = self.n_bolus_in, self.n_rate_in
         n_init_planes = (int(self.init_planes_dev.shape[0])
                          if self.init_planes_dev is not None else 0)
         has_init_rows = self.init_rows is not None
         has_init = has_init_rows or n_init_planes > 0
         has_bias = self.out_bias is not None
         cov_names = self.cov_names
-        n_streams = (6 + int(pass_inf) + int(pass_outeq) + int(has_init)
-                     + len(cov_names) + n_init_planes)
+        cov_modes = self.cov_modes
+        n_lag_pl = len(self.lag_planes_dev) if self.lag_planes_dev else 0
+        n_fa_pl = len(self.fa_planes_dev) if self.fa_planes_dev else 0
+        # dt + mask + val + sig + t0 = 5 fixed streams
+        n_streams = (5 + nb + (nr if pass_inf else 0) + int(pass_outeq)
+                     + int(has_init) + n_lag_pl + n_fa_pl + n_init_planes
+                     + sum(2 if m == "affine" else 1 for m in cov_modes))
 
         def run(*args):
             it = iter(args[:n_streams])
-            dt, bol = next(it), next(it)
-            inf = next(it) if pass_inf else None
+            dt = next(it)
+            bols = [next(it) for _ in range(nb)]
+            infs = [next(it) for _ in range(nr)] if pass_inf else None
             mask, val, sig = next(it), next(it), next(it)
             outeq = next(it) if pass_outeq else None
             t0 = next(it)
             imask = next(it) if has_init else None
-            covs = {n: next(it) for n in cov_names}
+            covs = {
+                n: ((next(it), next(it)) if m == "affine" else next(it))
+                for n, m in zip(cov_names, cov_modes)
+            }
+            lagp = (tuple(next(it) for _ in range(n_lag_pl))
+                    if n_lag_pl else None)
+            fap = (tuple(next(it) for _ in range(n_fa_pl))
+                   if n_fa_pl else None)
             ipl = (jnp.stack([next(it) for _ in range(n_init_planes)])
                    if n_init_planes else None)
             rep = iter(args[n_streams:])
@@ -3683,12 +3783,15 @@ class _PallasSdePsiPlan:
             coef = next(rep)
             bias = next(rep) if has_bias else None
             return psi_sde(
-                dt, bol, inf, mask, val, sig, t0, sp_dev, drift, diffusion,
+                dt, bols, infs, mask, val, sig, t0, sp_dev, drift, diffusion,
                 n_states=n_states, n_particles=n_particles, ninput=ninput,
-                dose_state=dose_state, seed=seed, obs_outeq=outeq,
+                dose_states=dose_states, rate_inputs=rate_inputs,
+                seed=seed, obs_outeq=outeq,
                 out_coef=coef, out_bias=bias, init_rows=irows,
                 init_planes=ipl,
                 init_mask=imask, cov_streams=covs, cov_names=cov_names,
+                cov_modes=dict(zip(cov_names, cov_modes)),
+                lag_planes=lagp, fa_planes=fap,
                 em_control=em_control,
             )
 

@@ -31,7 +31,9 @@ inside ONE pallas kernel per [row_block x sp_block] tile:
 
 Semantics parity with the XLA engine (engine/sim.py + engine/ode.py):
 observation-before-bolus ordering, RHS-difference bolus application
-(probed to be state-independent and amount-linear, ode/mod.rs:644-687),
+(ode/mod.rs:644-687 — probed-static maps ride precomputed per-unit
+increment rows; nonlinear/state-dependent mappings run the difference
+trick IN-KERNEL, two traced RHS calls per dose boundary),
 constant-rate infusion forcing through the RHS, cross-segment step-size
 warm start, stall-guarded controller with NaN poisoning on step-budget
 exhaustion (-> -inf cells downstream). Tolerances/h0/max_steps come from
@@ -42,7 +44,9 @@ falls back to the general XLA engine): explicit solvers (dopri5/tsit5)
 plus the in-kernel SDIRK stiff tier, in-kernel variable-order ``bdf``,
 and the in-kernel EXACT ``expm`` march for affine-in-state RHS (host
 affinity/autonomy probes gate it), boluses and infusions into any RHS
-input (one stream + probed bolus map per active input), covariates that
+input (one stream per active input; static mappings ride a probed bolus
+map, nonlinear/state-dependent mappings the in-kernel RHS-difference —
+no model-class restriction, matching ode/mod.rs:644-687), covariates that
 are time-constant OR piecewise-linear with every knot on a segment
 boundary (per-segment affine (a, b) streams — exact vs the reference
 interpolation), outputs linear in the state, lag/fa via the per-input
@@ -445,20 +449,26 @@ def make_lane_rhs(diffeq, n_states: int, n_params: int, ninput: int = None,
                   rate_inputs: tuple = (0,)):
     """Wrap a user ``diffeq(x, p, t, b, rateiv, cov)`` for lane evaluation.
 
-    Returns ``rhs(xs, p_lanes, t, rate, cov_lanes) -> [n_states lanes]``
-    where every lane is a broadcastable 2-D array. ``rate`` may be None
-    (no infusions — all forcing slots compiled out), a single lane
-    (applied to ``rate_inputs[0]``), or a list of lanes matching
-    ``rate_inputs`` — the static input indices that receive infusions.
-    ``b`` and ``rateiv`` are ``ninput`` wide (boluses apply at
-    breakpoints, so ``b`` is always zero inside segments).
+    Returns ``rhs(xs, p_lanes, t, rate, cov_lanes, shape, dtype,
+    b_lanes=None) -> [n_states lanes]`` where every lane is a
+    broadcastable 2-D array. ``rate`` may be None (no infusions — all
+    forcing slots compiled out), a single lane (applied to
+    ``rate_inputs[0]``), or a list of lanes matching ``rate_inputs`` —
+    the static input indices that receive infusions. ``b`` and ``rateiv``
+    are ``ninput`` wide; ``b_lanes`` (``{input_j: lane}``) is only
+    non-zero for the in-kernel RHS-difference bolus application
+    (ode/mod.rs:644-687) — inside segments ``b`` is always zero.
     """
     if ninput is None:
         ninput = n_states
 
-    def rhs(xs, p_lanes, t, rate, cov_lanes, shape, dtype):
+    def rhs(xs, p_lanes, t, rate, cov_lanes, shape, dtype, b_lanes=None):
         zero = jnp.zeros((), dtype)
-        b = LaneVec([zero] * max(ninput, 1))
+        bl = [zero] * max(ninput, 1)
+        if b_lanes:
+            for j, v in b_lanes.items():
+                bl[j] = v
+        b = LaneVec(bl)
         lanes = [zero] * max(ninput, 1)
         if rate is not None:
             rl = list(rate) if isinstance(rate, (list, tuple)) else [rate]
@@ -490,6 +500,7 @@ def _make_ode_kernel(
     n_lag_planes: int = 0, n_fa_planes: int = 0,
     lag_slots=None, fa_slots=None,
     n_bolus_in: int = 1, n_rate_in: int = 1,
+    bolus_rhs_diff: bool = False, bolus_inputs: tuple = (0,),
     A=None, B=None, E=None, C=None, sdirk=None, use_bdf: bool = False,
     use_expm: bool = False, expm_squarings: int = _EXPM_SQUARINGS,
     bdf_max_order: int = 3, bdf_max_growth: float = 10.0,
@@ -554,9 +565,12 @@ def _make_ode_kernel(
         init_planes = ([next(it)[:, :] for _ in range(n_states)]
                        if has_init and init_mode == "planes" else None)
         params = [next(it)[:, :] for _ in range(n_params)]
-        bmaps = [[next(it)[:, :] for _ in range(n_states)]
-                 for _ in range(n_bolus_in)]
-        bmap = bmaps[0]
+        # rhs_diff mode computes the per-dose state increment in-kernel
+        # (two RHS calls at the boundary, ode/mod.rs:644-687) — no
+        # precomputed bolus-map rows ride in
+        bmaps = ([[next(it)[:, :] for _ in range(n_states)]
+                  for _ in range(n_bolus_in)]
+                 if not bolus_rhs_diff else None)
         init_rows = (
             [next(it)[:, :] for _ in range(n_states)]
             if has_init and init_mode == "rows" else init_planes
@@ -1590,11 +1604,30 @@ def _make_ode_kernel(
 
             rate = [col(r, m) for r in rates_l] if has_inf else None
             t0_col = col(t0s, m)
-            f_m = make_f(cov_for_seg(m)) if any(cov_affine) else f_const
+            cov_m = cov_for_seg(m) if any(cov_affine) else const_lanes
+            f_m = make_f(cov_m) if any(cov_affine) else f_const
             march = (integrate_expm if use_expm
                      else integrate_bdf if use_bdf
                      else integrate_sdirk if sdirk is not None
                      else integrate)
+
+            def apply_dose(xs_d, jb, amt, t_abs, _cov=cov_m, _rate=rate):
+                """Dose ``amt`` (already fa-scaled / fire-masked) into
+                input ``jb``. Static map: precomputed per-unit state
+                increment rows. rhs_diff: the reference's in-kernel
+                difference trick (ode/mod.rs:644-687) — two RHS calls at
+                the boundary honor state-dependent / nonlinear bolus
+                mappings exactly (a zero amount yields a zero delta, so
+                fire masks fold into ``amt``)."""
+                if not bolus_rhs_diff:
+                    return [x + amt * bmaps[jb][s]
+                            for s, x in enumerate(xs_d)]
+                b_lanes = {bolus_inputs[jb]: amt}
+                d_w = rhs(xs_d, params, t_abs, _rate, _cov, shape, dtype,
+                          b_lanes)
+                d_o = rhs(xs_d, params, t_abs, _rate, _cov, shape, dtype)
+                return [x + (w - o)
+                        for x, w, o in zip(xs_d, d_w, d_o)]
 
             def fa_src(jb, _m=m):
                 """fa plane for input jb at segment _m (None = scale 1):
@@ -1625,9 +1658,7 @@ def _make_ode_kernel(
                 # and covariate streams unchanged, contiguous times) — the
                 # march crosses them with dense output instead of stopping
                 for jb in range(n_bolus_in):
-                    amt_j = amt_for(jb)
-                    xs = [x + amt_j * bmaps[jb][s]
-                          for s, x in enumerate(xs)]
+                    xs = apply_dose(xs, jb, amt_for(jb), t0_col)
                 dt_run = dt
                 t_offs = []
                 for mm in range(m0 + 1, m1):
@@ -1663,9 +1694,7 @@ def _make_ode_kernel(
                 continue
             if not has_lag:
                 for jb in range(n_bolus_in):
-                    amt_j = amt_for(jb)
-                    xs = [x + amt_j * bmaps[jb][s]
-                          for s, x in enumerate(xs)]
+                    xs = apply_dose(xs, jb, amt_for(jb), t0_col)
                 xs, h, _ = march(f_m, xs, h, dt, rate, t0_col,
                                  estimate_h=(m == 0))
             else:
@@ -1674,9 +1703,8 @@ def _make_ode_kernel(
                 # can park in their slots
                 for jb in range(n_bolus_in):
                     fire0 = (pend_amt[jb] != 0.0) & (pend_rem[jb] <= 0.0)
-                    xs = [jnp.where(fire0, x + pend_amt[jb] * bmaps[jb][s],
-                                    x)
-                          for s, x in enumerate(xs)]
+                    amt0 = jnp.where(fire0, pend_amt[jb], zeros)
+                    xs = apply_dose(xs, jb, amt0, t0_col)
                     pend_amt[jb] = jnp.where(fire0, zeros, pend_amt[jb])
                 # arrivals: park each input's (fa-scaled) dose with its
                 # per-lane lag; a None lag source means the host plan
@@ -1714,9 +1742,8 @@ def _make_ode_kernel(
                                      estimate_h=(m == 0 and p_ == 0))
                     for jb in range(n_bolus_in):
                         fire = will[jb] & (pend_rem[jb] <= t_next)
-                        xs = [jnp.where(fire,
-                                        x + pend_amt[jb] * bmaps[jb][s], x)
-                              for s, x in enumerate(xs)]
+                        amt_f = jnp.where(fire, pend_amt[jb], zeros)
+                        xs = apply_dose(xs, jb, amt_f, t0_col + t_next)
                         pend_amt[jb] = jnp.where(fire, zeros, pend_amt[jb])
                     elapsed = t_next
                 xs, h, _ = march(f_m, xs, h, dt_b - elapsed, rate,
@@ -1763,6 +1790,7 @@ def psi_ode(
     out_coef=None,
     out_bias=None,
     bolus_map=None,
+    bolus_rhs_diff: bool = False,
     init_rows=None,
     init_planes=None,
     init_mask=None,
@@ -1865,8 +1893,11 @@ def psi_ode(
             f"compiled pallas ODE kernels are float32-only (got {dtype}); "
             "cast the streams/support to float32 or pass interpret=True"
         )
-    if bolus_map is None:
-        raise ValueError("bolus_map [n_states, S] is required")
+    if bolus_map is None and not bolus_rhs_diff:
+        raise ValueError(
+            "bolus_map [n_states, S] is required (or pass "
+            "bolus_rhs_diff=True for in-kernel RHS-difference dosing)"
+        )
     if out_coef is None:
         raise ValueError("out_coef [n_out, n_states, S] is required")
 
@@ -1949,15 +1980,16 @@ def psi_ode(
 
     sp = jnp.asarray(support, dtype)
     p_rows = [sp[:, i].reshape(1, S) for i in range(n_params)]
-    bm = jnp.asarray(bolus_map, dtype)
-    if bm.ndim == 2:
-        bm = bm.reshape(1, n_states, S)
-    if bm.shape != (nb, n_states, S):
-        raise ValueError(
-            f"bolus_map must be [{nb}, {n_states}, {S}], got {bm.shape}"
-        )
-    p_rows += [bm[j, s].reshape(1, S)
-               for j in range(nb) for s in range(n_states)]
+    if not bolus_rhs_diff:
+        bm = jnp.asarray(bolus_map, dtype)
+        if bm.ndim == 2:
+            bm = bm.reshape(1, n_states, S)
+        if bm.shape != (nb, n_states, S):
+            raise ValueError(
+                f"bolus_map must be [{nb}, {n_states}, {S}], got {bm.shape}"
+            )
+        p_rows += [bm[j, s].reshape(1, S)
+                   for j in range(nb) for s in range(n_states)]
     if has_init and init_mode == "rows":
         ir = jnp.asarray(init_rows, dtype)
         p_rows += [ir[s].reshape(1, S) for s in range(n_states)]
@@ -2056,6 +2088,7 @@ def psi_ode(
         n_fa_planes=len(fa_list) if has_fa else 0,
         lag_slots=lag_slots, fa_slots=fa_slots,
         n_bolus_in=nb, n_rate_in=nr,
+        bolus_rhs_diff=bolus_rhs_diff, bolus_inputs=bolus_inputs,
         A=A, B=B, E=E, C=C, sdirk=sdirk, use_bdf=use_bdf,
         use_expm=use_expm,
         # order cap 3 for the f32 in-kernel tier: orders 4-5 backward

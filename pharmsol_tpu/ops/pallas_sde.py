@@ -26,11 +26,18 @@ block) grid step:
 - drift/diffusion closures are traced straight into the kernel through
   the same lane shims as the ODE kernel (ops/pallas_ode.LaneVec).
 
-Scope (validated by likelihood/matrix._PallasSdePsiPlan): boluses into a
-single mapped state, infusions into input 0, time-constant covariates,
-outputs linear in the state, no lag/fa. Compiled kernels are
-float32-only; off-TPU the kernel runs in interpret mode (CPU parity
-tests). Zero-diffusion models reproduce the deterministic engines exactly
+Scope (validated by likelihood/matrix._PallasSdePsiPlan): multi-input
+boluses (each active input doses its inject-to-destination state,
+sde/mod.rs:46-79) and infusions (per-input rate streams into the matching
+rateiv slot), time-constant covariates plus time-varying ones via
+per-segment affine (a, b) streams (knot-free spans, like the ODE tier),
+lag/fa via static per-(row, support) planes + an in-kernel pending-dose
+split march (the EM controller restarts at the fire, matching the
+engine's per-support grid split at the lag-shifted time — zero-diffusion
+parity stays exact), outputs linear in the state. Dynamic
+(time-dependent / tv-covariate-reading) lag/fa and censoring fall back
+to XLA. Compiled kernels are float32-only; off-TPU the kernel runs in
+interpret mode (CPU parity tests). Zero-diffusion models reproduce the deterministic engines exactly
 up to EM step error; stochastic parity is statistical (same filter, same
 resampling law — fixed-seed reproducibility holds per platform, not
 across the XLA/pallas pair, which matches the reference's own

@@ -996,3 +996,104 @@ def test_ode_pallas_covariate_dependent_init_varying_cov():
     psi_p = log_likelihood_matrix(model, Data(subjects), sp, _ems(),
                                   engine="pallas")
     assert _rel_err(psi_p, psi_x) < 1e-4
+
+
+def test_ode_pallas_state_dependent_bolus_rhs_diff():
+    """Nonlinear/state-dependent bolus mappings run the reference's
+    RHS-difference trick IN-KERNEL (ode/mod.rs:644-687) instead of
+    rejecting — the probe only picks static-map vs rhs_diff mode."""
+    from pharmsol_tpu.likelihood.matrix import _PallasOdePsiPlan
+    from pharmsol_tpu.ops.pallas_psi import SUB_TILE
+
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0] * (1.0 + 0.05 * x[1]),
+            p[0] * x[0] - p[1] * x[1] + rateiv[0],
+        ]),
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    subs = []
+    for i in range(5):
+        sb = SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0).bolus(4.0, 60.0, 0)
+        if i % 2 == 0:
+            sb = sb.infusion(1.0, 30.0, 0, 0.8)
+        for t in (0.5, 1.5, 3.0, 5.0, 8.0):
+            sb = sb.observation(t, float(5 * np.exp(-0.3 * t) + 0.1 * i), 0)
+        subs.append(sb.build())
+    rng = np.random.default_rng(4)
+    sp = np.column_stack([
+        rng.uniform(0.8, 1.6, 6), rng.uniform(0.15, 0.4, 6),
+        rng.uniform(8, 14, 6),
+    ])
+    grid = model.lower(Data(subs).subjects())
+    lowered = _ems().lower(model.resolve_output_label, model.nouteqs())
+    plan = _PallasOdePsiPlan(
+        model, grid, np.asarray(sp, np.float64), lowered,
+        row_multiple=SUB_TILE,
+    )
+    assert plan.bolus_rhs_diff
+    px = log_likelihood_matrix(model, Data(subs), sp, _ems(), engine="xla")
+    pp = log_likelihood_matrix(model, Data(subs), sp, _ems(),
+                               engine="pallas")
+    rel = np.max(np.abs(pp - px) / np.maximum(np.abs(px), 1.0))
+    assert rel < 5e-4, rel
+
+
+def test_ode_pallas_amount_nonlinear_bolus_rhs_diff():
+    # saturable dose entry: b[0]/(1 + 0.002 b[0]) — amount-nonlinear
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0] / (1.0 + 0.002 * b[0]),
+            p[0] * x[0] - p[1] * x[1],
+        ]),
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    subs = []
+    for i in range(4):
+        sb = SubjectBuilder(f"n{i}").bolus(0.0, 100.0, 0).bolus(4.0, 60.0, 0)
+        for t in (0.5, 1.5, 3.0, 6.0):
+            sb = sb.observation(t, float(5 * np.exp(-0.3 * t) + 0.1 * i), 0)
+        subs.append(sb.build())
+    rng = np.random.default_rng(5)
+    sp = np.column_stack([
+        rng.uniform(0.8, 1.6, 6), rng.uniform(0.15, 0.4, 6),
+        rng.uniform(8, 14, 6),
+    ])
+    px = log_likelihood_matrix(model, Data(subs), sp, _ems(), engine="xla")
+    pp = log_likelihood_matrix(model, Data(subs), sp, _ems(),
+                               engine="pallas")
+    rel = np.max(np.abs(pp - px) / np.maximum(np.abs(px), 1.0))
+    assert rel < 5e-4, rel
+
+
+def test_ode_pallas_state_dependent_bolus_with_lag():
+    # the split-march fire sites apply the RHS-difference too: a lagged
+    # dose whose mapping reads the state at FIRE time must match the
+    # engine's per-support grid placement exactly (accuracy-level)
+    model = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + b[0] * (1.0 + 0.03 * x[1]),
+            p[0] * x[0] - p[1] * x[1],
+        ]),
+        lag=lambda p, t, cov: {0: p[3]},
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nstates=2, ndrugs=1, nout=1,
+    )
+    subs = []
+    for i in range(4):
+        sb = SubjectBuilder(f"l{i}").bolus(0.0, 100.0, 0).bolus(5.0, 60.0, 0)
+        for t in (0.5, 1.5, 3.0, 6.0, 9.0):
+            sb = sb.observation(t, float(5 * np.exp(-0.3 * t) + 0.1 * i), 0)
+        subs.append(sb.build())
+    rng = np.random.default_rng(6)
+    sp = np.column_stack([
+        rng.uniform(0.8, 1.6, 6), rng.uniform(0.15, 0.4, 6),
+        rng.uniform(8, 14, 6), rng.uniform(0.2, 1.2, 6),
+    ])
+    px = log_likelihood_matrix(model, Data(subs), sp, _ems(), engine="xla")
+    pp = log_likelihood_matrix(model, Data(subs), sp, _ems(),
+                               engine="pallas")
+    rel = np.max(np.abs(pp - px) / np.maximum(np.abs(px), 1.0))
+    assert rel < 5e-4, rel

@@ -137,8 +137,9 @@ def test_sde_pallas_rejections():
     with pytest.raises(PharmsolError, match="stratified"):
         log_likelihood_matrix(m, Data([s]), sp, _ems(), engine="pallas")
 
-    # lag falls back
-    m2 = SDE(lag=lambda p, t, cov: {0: 0.5}, **base)
+    # DYNAMIC lag (reads t) falls back; static lag is supported (see
+    # test_sde_pallas_lag_fa_zero_diffusion_exact)
+    m2 = SDE(lag=lambda p, t, cov: {0: 0.5 + 0.01 * t}, **base)
     with pytest.raises(PharmsolError, match="lag"):
         log_likelihood_matrix(m2, Data([s]), sp, _ems(), engine="pallas")
 
@@ -208,5 +209,119 @@ def test_sde_pallas_coupled_em_control():
                                        sp[:1], _ems(), engine="xla")[0, 0])
     ll_p = float(log_likelihood_matrix(make(0.3, "coupled"), Data(subs[:1]),
                                        sp[:1], _ems(), engine="pallas")[0, 0])
+    assert np.isfinite(ll_x) and np.isfinite(ll_p)
+    assert abs(ll_x - ll_p) < 1.0, (ll_x, ll_p)
+
+
+def test_sde_pallas_multi_input_zero_diffusion_exact():
+    """Round 4: multi-input boluses + infusions ride per-input streams
+    (inject-to-destination identity mapping, sde/mod.rs:46-79); zero
+    diffusion makes parity exact vs the XLA SDE engine."""
+    sde = SDE(
+        drift=lambda x, p, t, rateiv, cov: jnp.stack([
+            -p[0] * x[0] + rateiv[1],
+            p[0] * x[0] - p[1] * x[1] + rateiv[0],
+        ]),
+        diffusion=lambda p, t, cov: jnp.stack([0.0, 0.0]),
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nparticles=8, nstates=2, ndrugs=2, nout=1, seed=3,
+    )
+    subs = []
+    for i in range(3):
+        sb = (SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+              .bolus(0.4, 60.0, 1).infusion(0.8, 40.0, 1, 0.5))
+        for t in (0.3, 1.5):
+            sb = sb.observation(t, float(8 * np.exp(-0.3 * t) + 0.1 * i), 0)
+        subs.append(sb.build())
+    rng = np.random.default_rng(4)
+    sp = np.column_stack([
+        rng.uniform(0.3, 0.8, 4), rng.uniform(0.2, 0.6, 4),
+        rng.uniform(8, 14, 4),
+    ])
+    px = log_likelihood_matrix(sde, Data(subs), sp, _ems(), engine="xla")
+    pp = log_likelihood_matrix(sde, Data(subs), sp, _ems(), engine="pallas")
+    rel = np.max(np.abs(pp - px) / np.maximum(np.abs(px), 1.0))
+    assert rel < 1e-9, rel
+
+
+def test_sde_pallas_lag_fa_zero_diffusion_exact():
+    """Round 4: static lag/fa ride per-(row, support) planes + the
+    in-kernel pending-dose split march; the EM controller restarts at
+    the fire exactly like the engine's per-support grid split, so zero
+    diffusion is EXACT."""
+    sde = SDE(
+        drift=lambda x, p, t, rateiv, cov: jnp.stack([-p[0] * x[0]]),
+        diffusion=lambda p, t, cov: jnp.stack([0.0]),
+        lag=lambda p, t, cov: {0: p[2]},
+        fa=lambda p, t, cov: {0: p[3]},
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nparticles=8, nstates=1, ndrugs=1, nout=1, seed=3,
+    )
+    subs = []
+    for i in range(3):
+        sb = SubjectBuilder(f"t{i}").bolus(0.0, 100.0, 0).bolus(2.0, 50.0, 0)
+        for t in (0.5, 1.2, 2.6):
+            sb = sb.observation(t, float(6 * np.exp(-0.3 * t) + 0.1 * i), 0)
+        subs.append(sb.build())
+    rng = np.random.default_rng(5)
+    sp = np.column_stack([
+        rng.uniform(0.8, 1.6, 4), rng.uniform(8, 14, 4),
+        rng.uniform(0.1, 1.0, 4), rng.uniform(0.4, 1.0, 4),
+    ])
+    px = log_likelihood_matrix(sde, Data(subs), sp, _ems(), engine="xla")
+    pp = log_likelihood_matrix(sde, Data(subs), sp, _ems(), engine="pallas")
+    rel = np.max(np.abs(pp - px) / np.maximum(np.abs(px), 1.0))
+    assert rel < 1e-9, rel
+
+
+def test_sde_pallas_tv_covariate_zero_diffusion_exact():
+    """Round 4: time-varying covariates ride per-segment affine (a, b)
+    streams (knot-free spans; knots on breakpoints), exact vs the
+    engine's global CovView interpolation at zero diffusion."""
+    sde = SDE(
+        drift=lambda x, p, t, rateiv, cov: jnp.stack(
+            [-p[0] * (cov("wt", t) / 70.0) * x[0]]
+        ),
+        diffusion=lambda p, t, cov: jnp.stack([0.0]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nparticles=8, nstates=1, ndrugs=1, nout=1, seed=3,
+    )
+    subs = []
+    for i in range(3):
+        sb = (SubjectBuilder(f"u{i}").bolus(0.0, 100.0, 0)
+              .covariate("wt", 0.0, 55.0 + 4 * i)
+              .covariate("wt", 0.9, 70.0 - 3 * i))
+        for t in (0.3, 0.9, 1.5):
+            sb = sb.observation(t, float(8 * np.exp(-0.3 * t) + 0.1 * i), 0)
+        subs.append(sb.build())
+    rng = np.random.default_rng(6)
+    sp = np.column_stack([rng.uniform(0.2, 0.6, 4), rng.uniform(8, 14, 4)])
+    px = log_likelihood_matrix(sde, Data(subs), sp, _ems(), engine="xla")
+    pp = log_likelihood_matrix(sde, Data(subs), sp, _ems(), engine="pallas")
+    rel = np.max(np.abs(pp - px) / np.maximum(np.abs(px), 1.0))
+    assert rel < 1e-9, rel
+
+
+def test_sde_pallas_lag_stochastic_finite():
+    """Stochastic + lag: both engines produce finite LLs within filter
+    noise of each other (statistical parity only — independent draws)."""
+    def make(seed):
+        return SDE(
+            drift=lambda x, p, t, rateiv, cov: jnp.stack([-p[0] * x[0]]),
+            diffusion=lambda p, t, cov: jnp.stack([0.3]),
+            lag=lambda p, t, cov: {0: p[2]},
+            out=lambda x, p, t, cov: x[0:1] / p[1],
+            nparticles=256, nstates=1, ndrugs=1, nout=1, seed=seed,
+        )
+
+    sb = SubjectBuilder("s0").bolus(0.0, 100.0, 0)
+    for t in (0.5, 1.2, 2.6):
+        sb = sb.observation(t, float(6 * np.exp(-0.3 * t)), 0)
+    data = Data([sb.build()])
+    sp = np.array([[1.0, 10.0, 0.4]])
+    ll_x = float(log_likelihood_matrix(make(1), data, sp, _ems(),
+                                       engine="xla")[0, 0])
+    ll_p = float(log_likelihood_matrix(make(1), data, sp, _ems(),
+                                       engine="pallas")[0, 0])
     assert np.isfinite(ll_x) and np.isfinite(ll_p)
     assert abs(ll_x - ll_p) < 1.0, (ll_x, ll_p)
