@@ -25,9 +25,14 @@ engines are jax-differentiable end-to-end, so every ingredient is EXACT:
 - standard errors come from the exact Hessian of the Laplace objective
   at the optimum (delta method back to the natural scale).
 
-Engine support matches ``Equation.log_likelihood_fn``: analytical
-kernels and the exact ``expm`` solver (reverse-mode engines). Adaptive
-ODE solvers and SDE models are rejected with a pointer to ``fit_saem``.
+Engine support: analytical kernels and the exact ``expm`` solver run
+the reverse-mode path; adaptive ODE solvers (the reference's default
+family, ode/mod.rs:59-84) run a FORWARD-mode variant of the same exact
+pipeline — broadcast-basis jvps for the per-subject gradients and
+Hessians, an IFT ``custom_jvp`` through the inner Newton, and a jacfwd
+shim on the outer objective (the fit_map pattern) — since
+``lax.while_loop`` integration supports forward mode only. SDE models
+are rejected with a pointer to ``fit_saem``.
 """
 
 from __future__ import annotations
@@ -221,9 +226,10 @@ def fit_laplace(
     SDs are free psi coordinates with exact SEs. ``omega_iov0``:
     initial occasion-level SD. ``inner_steps``: fixed damped-Newton iterations for the
     per-subject conditional modes (the outer gradient differentiates
-    through them implicitly). Intended for the reverse-differentiable
-    engines (analytical / ``expm``); for adaptive-ODE or SDE population
-    models use :func:`pharmsol_tpu.optimize.fit_saem`.
+    through them implicitly). Supports the reverse-differentiable
+    engines (analytical / ``expm``) AND adaptive-ODE solvers (via the
+    forward-mode pipeline); SDE population models use
+    :func:`pharmsol_tpu.optimize.fit_saem`.
     """
     import jax
     import jax.numpy as jnp
@@ -267,8 +273,27 @@ def fit_laplace(
     if inner_steps < 1:
         raise PharmsolError("inner_steps must be >= 1")
 
+    # engine gating: reverse-differentiable engines (analytical / expm)
+    # take the exact reverse path; adaptive ODE solvers integrate under
+    # lax.while_loop (forward-mode only — the reference's default-solver
+    # family, ode/mod.rs:59-84), so EVERY derivative in the pipeline
+    # switches to forward mode: broadcast-basis jvps for the per-subject
+    # gradients/Hessians, an IFT custom_jvp through the inner Newton,
+    # and a jacfwd shim on the outer objective (the fit_map pattern).
+    # SDE stays rejected (discrete resampling is not differentiable).
+    if getattr(equation, "kind", None) == "sde":
+        raise PharmsolError(
+            "fit_laplace cannot differentiate SDE likelihoods (discrete "
+            "particle resampling); use fit_saem"
+        )
+    from ._condll import _REVERSE_DIFF_SOLVERS
+
+    _solver = getattr(getattr(equation, "_opts", None), "solver", None)
+    forward_mode = (getattr(equation, "kind", None) == "ode"
+                    and _solver not in _REVERSE_DIFF_SOLVERS)
     cond = build_cond_ll(
-        equation, data, residual_error_models, require_reverse_diff=True
+        equation, data, residual_error_models,
+        require_reverse_diff=not forward_mode,
     )
     n_sub = cond.n_sub
     if n_sub < 2:
@@ -392,29 +417,63 @@ def fit_laplace(
             )
         return quad
 
-    def joint_grad_hess(u, m, prec, prec_iov, sig_a, sig_b, y=None):
-        """Per-subject gradient and Hessian of the joint log-density.
+    def _obj_vec(e, m, prec, prec_iov, sig_a, sig_b, y):
+        return cond_ll(e, m, sig_a, sig_b, y) - prior_quad(
+            e, prec, prec_iov
+        )
 
-        Subjects are independent, so grad of the SUM over subjects is the
-        stack of per-subject gradients, and the Hessian's diagonal blocks
-        come from d HVPs with subject-broadcast basis vectors.
-        """
+    if forward_mode:
+        tiles_d = jnp.tile(eye_d[:, None, :], (1, n_sub, 1))  # [d,n_sub,d]
 
-        def total(e):
-            return jnp.sum(cond_ll(e, m, sig_a, sig_b, y)) - jnp.sum(
-                prior_quad(e, prec, prec_iov)
-            )
+        def joint_grad_hess(u, m, prec, prec_iov, sig_a, sig_b, y=None):
+            """Forward-mode per-subject gradient and Hessian.
 
-        g = jax.grad(total)
+            Subjects are independent, so a basis tangent BROADCAST
+            across subjects extracts one gradient column per jvp (d
+            passes over the while_loop integrator, which only supports
+            forward mode), and one nested jvp per (k, l) pair fills the
+            Hessian blocks."""
 
-        def hvp(v):
-            return jax.jvp(g, (u,), (v,))[1]  # [n_sub, d]
+            def ov(e):
+                return _obj_vec(e, m, prec, prec_iov, sig_a, sig_b, y)
 
-        cols = jax.vmap(
-            lambda e: hvp(jnp.tile(e[None, :], (n_sub, 1)))
-        )(eye_d)  # [d, n_sub, d]
-        H = -jnp.transpose(cols, (1, 0, 2))  # negative: precision blocks
-        return g(u), H
+            def dvec(e, v):
+                return jax.jvp(ov, (e,), (v,))[1]  # [n_sub]
+
+            g = jax.vmap(lambda v: dvec(u, v))(tiles_d).T  # [n_sub, d]
+            H_cols = jax.vmap(
+                lambda v1: jax.vmap(
+                    lambda v2: jax.jvp(
+                        lambda e: dvec(e, v1), (u,), (v2,)
+                    )[1]
+                )(tiles_d)
+            )(tiles_d)  # [d, d, n_sub]
+            H = -jnp.transpose(H_cols, (2, 0, 1))
+            return g, H
+    else:
+        def joint_grad_hess(u, m, prec, prec_iov, sig_a, sig_b, y=None):
+            """Per-subject gradient and Hessian of the joint log-density.
+
+            Subjects are independent, so grad of the SUM over subjects is
+            the stack of per-subject gradients, and the Hessian's diagonal
+            blocks come from d HVPs with subject-broadcast basis vectors.
+            """
+
+            def total(e):
+                return jnp.sum(cond_ll(e, m, sig_a, sig_b, y)) - jnp.sum(
+                    prior_quad(e, prec, prec_iov)
+                )
+
+            g = jax.grad(total)
+
+            def hvp(v):
+                return jax.jvp(g, (u,), (v,))[1]  # [n_sub, d]
+
+            cols = jax.vmap(
+                lambda e: hvp(jnp.tile(e[None, :], (n_sub, 1)))
+            )(eye_d)  # [d, n_sub, d]
+            H = -jnp.transpose(cols, (1, 0, 2))  # negative: precision
+            return g(u), H
 
     ridge = jnp.asarray(1e-9, dtype=fd)
 
@@ -460,37 +519,68 @@ def fit_laplace(
 
     # implicit differentiation (IFT) of the inner modes: at the fixed
     # point grad_u G(u*, args) = 0, so du*/dargs = H^-1 d(grad)/dargs
-    # with H = -hess_u G. The backward pass is ONE block solve plus one
-    # mixed vjp — instead of reverse-mode through the unrolled Newton
-    # scan, which is both slow to compile and numerically fragile far
-    # from the optimum.
-    @jax.custom_vjp
-    def inner_modes(m, prec, prec_iov, sig_a, sig_b, y):
-        return _newton(m, prec, prec_iov, sig_a, sig_b, y)
+    # with H = -hess_u G. Reverse mode: the backward pass is ONE block
+    # solve plus one mixed vjp — instead of reverse-mode through the
+    # unrolled Newton scan, which is both slow to compile and
+    # numerically fragile far from the optimum. Forward mode (adaptive
+    # ODE solvers): the same identity as a custom_jvp — one block solve
+    # per tangent with the residual's forward directional derivative.
+    if forward_mode:
+        @jax.custom_jvp
+        def inner_modes(m, prec, prec_iov, sig_a, sig_b, y):
+            return _newton(m, prec, prec_iov, sig_a, sig_b, y)
 
-    def _inner_fwd(m, prec, prec_iov, sig_a, sig_b, y):
-        u = _newton(m, prec, prec_iov, sig_a, sig_b, y)
-        return u, (u, m, prec, prec_iov, sig_a, sig_b, y)
+        @inner_modes.defjvp
+        def _inner_jvp(primals, tangents):
+            m, prec, pio, sa, sb, y = primals
+            dm, dprec, dpio, dsa, dsb, _dy = tangents
+            u = _newton(m, prec, pio, sa, sb, y)
+            _, H = joint_grad_hess(u, m, prec, pio, sa, sb, y)
+            Hr = H + ridge * eye_d[None]
 
-    def _inner_bwd(res, w):
-        u, m, prec, prec_iov, sig_a, sig_b, y = res
-        _, H = joint_grad_hess(u, m, prec, prec_iov, sig_a, sig_b, y)
-        H = H + ridge * eye_d[None]
-        uu = jnp.linalg.solve(H, w[..., None])[..., 0]  # H symmetric
+            def r_args(m_, prec_, pio_, sa_, sb_):
+                def ov(e):
+                    return _obj_vec(e, m_, prec_, pio_, sa_, sb_, y)
 
-        def r_of_args(m_, prec_, pio_, sa_, sb_):
-            def total(e):
-                return jnp.sum(cond_ll(e, m_, sa_, sb_, y)) - jnp.sum(
-                    prior_quad(e, prec_, pio_)
-                )
+                return jax.vmap(
+                    lambda v: jax.jvp(ov, (u,), (v,))[1]
+                )(tiles_d).T  # [n_sub, d]
 
-            return jax.grad(total)(u)
+            # y is data, never differentiated: its tangent is ignored
+            r_dot = jax.jvp(
+                r_args, (m, prec, pio, sa, sb),
+                (dm, dprec, dpio, dsa, dsb),
+            )[1]
+            du = jnp.linalg.solve(Hr, r_dot[..., None])[..., 0]
+            return u, du
+    else:
+        @jax.custom_vjp
+        def inner_modes(m, prec, prec_iov, sig_a, sig_b, y):
+            return _newton(m, prec, prec_iov, sig_a, sig_b, y)
 
-        _, vjp = jax.vjp(r_of_args, m, prec, prec_iov, sig_a, sig_b)
-        # y is data, never differentiated: zero (None) cotangent
-        return vjp(uu) + (None,)
+        def _inner_fwd(m, prec, prec_iov, sig_a, sig_b, y):
+            u = _newton(m, prec, prec_iov, sig_a, sig_b, y)
+            return u, (u, m, prec, prec_iov, sig_a, sig_b, y)
 
-    inner_modes.defvjp(_inner_fwd, _inner_bwd)
+        def _inner_bwd(res, w):
+            u, m, prec, prec_iov, sig_a, sig_b, y = res
+            _, H = joint_grad_hess(u, m, prec, prec_iov, sig_a, sig_b, y)
+            H = H + ridge * eye_d[None]
+            uu = jnp.linalg.solve(H, w[..., None])[..., 0]  # H symmetric
+
+            def r_of_args(m_, prec_, pio_, sa_, sb_):
+                def total(e):
+                    return jnp.sum(cond_ll(e, m_, sa_, sb_, y)) - jnp.sum(
+                        prior_quad(e, prec_, pio_)
+                    )
+
+                return jax.grad(total)(u)
+
+            _, vjp = jax.vjp(r_of_args, m, prec, prec_iov, sig_a, sig_b)
+            # y is data, never differentiated: zero (None) cotangent
+            return vjp(uu) + (None,)
+
+        inner_modes.defvjp(_inner_fwd, _inner_bwd)
 
     def neg_laplace_wxy(psi, w, y, x=None, onehot=None):
         """Weighted marginal objective: w_i scales subject i's contribution.
@@ -535,6 +625,32 @@ def fit_laplace(
 
     def neg_laplace(psi):
         return neg_laplace_wxy(psi, ones_w, None)
+
+    _raw_neg_laplace = neg_laplace
+    if forward_mode:
+        # while_loop integrators cannot reverse-differentiate: route the
+        # optimizer's jax.grad requests through jacfwd (psi is only
+        # ~2p + q + n_sig dims — one vectorized forward pass; the primal
+        # inside vmap-of-jvp is unbatched, so _newton runs once)
+        def _wrap_fwd(f, n_extra):
+            fwd = jax.jacfwd(f)
+
+            @jax.custom_vjp
+            def wrapped(psi, *extra):
+                return f(psi, *extra)
+
+            def _w_fwd(psi, *extra):
+                return f(psi, *extra), fwd(psi, *extra)
+
+            def _w_bwd(saved, ct):
+                return (ct * saved,) + (None,) * n_extra
+
+            wrapped.defvjp(_w_fwd, _w_bwd)
+            return wrapped
+
+        neg_laplace = _wrap_fwd(neg_laplace, 0)
+        neg_laplace_w = _wrap_fwd(neg_laplace_w, 1)
+        neg_laplace_wy = _wrap_fwd(neg_laplace_wy, 2)
 
     mu0 = np.where(is_log, np.log(theta0), theta0)
     sig0 = []
@@ -625,7 +741,13 @@ def fit_laplace(
     om_iov_ses = None
     if compute_se:
         try:
-            H = np.asarray(jax.hessian(neg_laplace)(z), dtype=np.float64)
+            # forward mode: hessian = jacfwd(jacfwd(raw)) — jvp cannot
+            # pass through the custom_vjp wrapper, and forward-over-
+            # forward is the only mode while_loop solvers support
+            H = np.asarray(
+                (jax.jacfwd(jax.jacfwd(_raw_neg_laplace)) if forward_mode
+                 else jax.hessian(neg_laplace))(z),
+                dtype=np.float64)
             cov = np.linalg.inv(H)
             d = np.diag(cov)
             if np.all(np.isfinite(d)) and np.all(d > -1e-12):
