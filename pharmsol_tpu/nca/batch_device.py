@@ -72,12 +72,14 @@ def _suffix_sums(a, axis=-1):
     static_argnames=(
         "method", "min_points", "max_points", "include_tmax",
         "min_r_squared", "min_span_ratio", "adj_r_squared_factor", "with_dose",
+        "route", "tau", "c0_methods",
     ),
 )
 def _batch_nca_core(
-    t, c, dose,
+    t, c, dose, inf_dur,
     *, method, min_points, max_points, include_tmax,
     min_r_squared, min_span_ratio, adj_r_squared_factor, with_dose,
+    route=None, tau=None, c0_methods=(),
 ):
     N, T = c.shape
     fd = c.dtype
@@ -192,7 +194,126 @@ def _batch_nca_core(
         out["cmax_dn"] = cmax / dose
         out["auc_last_dn"] = auc_last / dose
         out["auc_inf_dn"] = auc_inf_obs / dose
+        if route in ("iv_bolus", "iv_infusion"):
+            # Vss = dose * AUMC_inf / AUC_inf^2 (IV routes only,
+            # analyze.rs clearance block)
+            out["vss"] = dose * aumc_inf / (auc_inf_obs * auc_inf_obs)
+
+    # -- route-specific block (analyze.rs:218-363) ------------------------
+    if route == "iv_bolus":
+        c0_v = _c0_cascade(t, c, c0_methods)
+        out["c0"] = c0_v
+        if with_dose:
+            out["vd"] = dose / c0_v
+    elif route == "iv_infusion":
+        out["infusion_duration"] = inf_dur
+        out["ceoi"] = _interp_at(t, c, inf_dur)
+        # MRT corrected for infusion: MRT - duration / 2
+        out["mrt_iv"] = mrt - inf_dur / 2.0
+
+    # -- steady-state block (tau known; analyze.rs:280-330) ---------------
+    if tau is not None:
+        auc_tau = _auc_interval_0_tau(t, c, float(tau), method)
+        cmin_v = jnp.min(c, axis=1)
+        cavg = auc_tau / float(tau)
+        out["tau"] = jnp.full_like(cmax, float(tau))
+        out["auc_tau"] = auc_tau
+        out["cmin"] = cmin_v
+        out["cmax_ss"] = cmax
+        out["cavg"] = cavg
+        out["fluctuation"] = (cmax - cmin_v) / cavg * 100.0
+        out["swing"] = (cmax - cmin_v) / cmin_v
+        out["peak_trough_ratio"] = cmax / cmin_v
     return out
+
+
+def _interp_at(t, c, tq):
+    """Linear interpolation of [N, T] profiles at per-row times [N].
+
+    Mirrors ObservationProfile.interpolate (clamped to the grid range).
+    """
+    T = t.shape[0]
+    tq = jnp.clip(tq, t[0], t[-1])
+    idx = jnp.clip(jnp.searchsorted(t, tq, side="right") - 1, 0, T - 2)
+    t0, t1 = t[idx], t[idx + 1]
+    c0_ = jnp.take_along_axis(c, idx[:, None], axis=1)[:, 0]
+    c1_ = jnp.take_along_axis(c, (idx + 1)[:, None], axis=1)[:, 0]
+    w = jnp.where(t1 > t0, (tq - t0) / jnp.where(t1 > t0, t1 - t0, 1.0), 0.0)
+    return c0_ + (c1_ - c0_) * w
+
+
+def _c0_cascade(t, c, c0_methods):
+    """Device C0 back-extrapolation cascade (calc.rs:396-560 semantics).
+
+    The batch contract guarantees strictly positive concentrations on a
+    shared grid, which collapses the per-method feasibility checks to
+    elementwise masks: OBSERVED needs t[0] ~ 0; LOG_SLOPE needs the first
+    two concentrations declining; FIRST_CONC/CMIN always qualify; ZERO
+    is the terminal fallback.
+    """
+    c1 = c[:, 0]
+    c2 = c[:, 1] if c.shape[1] > 1 else c[:, 0]
+    t1, t2 = t[0], t[1] if t.shape[0] > 1 else t[0]
+    out = jnp.full(c.shape[:1], jnp.nan, c.dtype)
+    done = jnp.zeros(c.shape[:1], bool)
+    for m in c0_methods:
+        name = getattr(m, "value", str(m))
+        if name == "observed":
+            ok = (jnp.abs(t1) < 1e-10) & (c1 > 0.0)
+            val = c1
+        elif name == "log_slope":
+            ok = (c2 < c1) & (jnp.abs(t2 - t1) >= 1e-10)
+            slope = (jnp.log(jnp.maximum(c2, 1e-300))
+                     - jnp.log(jnp.maximum(c1, 1e-300))) / jnp.where(
+                         jnp.abs(t2 - t1) < 1e-10, 1.0, t2 - t1)
+            val = jnp.exp(jnp.log(jnp.maximum(c1, 1e-300)) - slope * t1)
+        elif name == "first_conc":
+            ok = jnp.ones_like(done)
+            val = c1
+        elif name == "cmin":
+            ok = jnp.ones_like(done)
+            val = jnp.min(c, axis=1)
+        elif name == "zero":
+            ok = jnp.ones_like(done)
+            val = jnp.zeros_like(c1)
+        else:
+            continue
+        take = ok & ~done
+        out = jnp.where(take, val, out)
+        done = done | ok
+    return out
+
+
+def _auc_interval_0_tau(t, c, tau, method):
+    """AUC over [0, tau] on the shared grid (tau static; partial last
+    segment interpolated linearly at the boundary, auc.rs semantics)."""
+    areas, _ = _segment_areas_jnp(t, c, method)
+    t1s, t2s = t[:-1], t[1:]
+    inside = (t1s >= 0.0) & (t2s <= tau)
+    full = jnp.sum(jnp.where(inside[None, :], areas, 0.0), axis=1)
+    # partial segment containing tau (tau static, t traced: stay traced)
+    crosses = (t1s < tau) & (t2s > tau)
+    has_cross = jnp.any(crosses)
+    j = jnp.argmax(crosses)
+    c1_ = jnp.take_along_axis(c, jnp.broadcast_to(j, (c.shape[0], 1)),
+                              axis=1)[:, 0]
+    c2_ = jnp.take_along_axis(c, jnp.broadcast_to(j + 1, (c.shape[0], 1)),
+                              axis=1)[:, 0]
+    tj, tj1 = t1s[j], t2s[j]
+    ctau = c1_ + (c2_ - c1_) * (tau - tj) / jnp.where(
+        tj1 > tj, tj1 - tj, 1.0)
+    dt = tau - tj
+    lin = (c1_ + ctau) / 2.0 * dt
+    if method is AUCMethod.LINEAR:
+        return full + jnp.where(has_cross, lin, 0.0)
+    # same per-segment rule as _segment_areas_jnp (lin-up/log-down)
+    use_log = (ctau < c1_) & (c1_ > 0) & (ctau > 0)
+    safe = jnp.where(ctau > 0, ctau, 1.0)
+    ratio = jnp.where(use_log, c1_ / safe, jnp.e)
+    use_log &= jnp.abs(ratio - 1.0) >= 1e-10
+    logr = jnp.log(jnp.where(use_log, ratio, jnp.e))
+    part = jnp.where(use_log, (c1_ - ctau) * dt / logr, lin)
+    return full + jnp.where(has_cross, part, 0.0)
 
 
 def batch_nca_device(
@@ -201,18 +322,37 @@ def batch_nca_device(
     dose=None,
     options: Optional[NCAOptions] = None,
     as_numpy: bool = True,
+    route: Optional[str] = None,
+    infusion_duration=None,
 ) -> Dict[str, np.ndarray]:
-    """Core NCA for [N, T] profiles on device; one jitted program.
+    """Full NCA for [N, T] profiles on device; one jitted program.
 
     Same contract as :func:`pharmsol_tpu.nca.batch.batch_nca` (strictly
     positive concentrations, AdjR2 λz method). ``profiles`` may already live
     on device (e.g. straight out of a simulation jit or sharded over a mesh);
     pass ``as_numpy=False`` to keep the results on device.
+
+    Route-specific and steady-state parameters (analyze.rs:218-363) join
+    the core set so a 10k-population pipeline needs no host pass:
+
+    - ``route='iv_bolus'``: the C0 back-extrapolation cascade
+      (``options.c0_methods``), Vd = dose/C0, and Vss;
+    - ``route='iv_infusion'``: Ceoi (profile interpolated at the end of
+      infusion), the infusion-corrected MRT (MRT - dur/2), and Vss;
+      ``infusion_duration`` is scalar or [N];
+    - ``options.tau``: the steady-state block — AUC_tau (partial-segment
+      interpolation at the boundary), Cmin/Cavg/Cmax_ss, fluctuation,
+      swing, peak-trough ratio.
     """
     options = options or NCAOptions()
     lz = options.lambda_z
     if lz.method is not LambdaZMethod.ADJ_R2:
         raise ValueError("batch_nca_device supports the AdjR2 lambda-z method")
+    if route not in (None, "iv_bolus", "iv_infusion", "extravascular"):
+        raise ValueError(
+            "route must be one of None/'iv_bolus'/'iv_infusion'/"
+            "'extravascular'"
+        )
 
     from ..config import float_dtype
 
@@ -226,8 +366,15 @@ def batch_nca_device(
         jnp.broadcast_to(jnp.asarray(dose, dtype=fd), (c.shape[0],))
         if with_dose else jnp.zeros((c.shape[0],), dtype=fd)
     )
+    inf_dur = (
+        jnp.broadcast_to(
+            jnp.asarray(infusion_duration if infusion_duration is not None
+                        else 0.0, dtype=fd),
+            (c.shape[0],),
+        )
+    )
     out = _batch_nca_core(
-        t, c, d,
+        t, c, d, inf_dur,
         method=options.auc_method,
         min_points=lz.min_points,
         max_points=lz.max_points,
@@ -236,6 +383,11 @@ def batch_nca_device(
         min_span_ratio=lz.min_span_ratio,
         adj_r_squared_factor=lz.adj_r_squared_factor,
         with_dose=with_dose,
+        route=route,
+        tau=(float(options.tau) if options.tau is not None else None),
+        c0_methods=tuple(
+            getattr(m, "value", str(m)) for m in (options.c0_methods or ())
+        ),
     )
     if as_numpy:
         return {k: np.asarray(v) for k, v in out.items()}

@@ -131,3 +131,101 @@ class TestBatchNCADevice:
             h, d = want[key], got[key]
             nan = np.isnan(h)
             np.testing.assert_allclose(d[~nan], h[~nan], rtol=1e-8, err_msg=key)
+
+
+class TestDeviceRouteSpecific:
+    """Round 4: the device batch carries the full NCAResult — route-
+    specific (C0 cascade / Vd / Vss, Ceoi / MRT-infusion) and
+    steady-state blocks (analyze.rs:218-363) — so a 10k-population
+    pipeline needs no host pass."""
+
+    def _profiles(self, n=6, t0=0.0):
+        rng = np.random.RandomState(7)
+        t = np.array([t0, 0.5, 1.0, 2.0, 4.0, 8.0, 12.0, 24.0])
+        if t0 > 0:
+            t = t[1:]
+        kes = rng.uniform(0.15, 0.35, n)
+        c0s = rng.uniform(8.0, 15.0, n)
+        c = c0s[:, None] * np.exp(-kes[:, None] * t[None, :])
+        return t, c
+
+    def _host_result(self, t, c_row, dose, route, dur=None, opts=None):
+        from pharmsol_tpu import Subject
+        from pharmsol_tpu.nca import nca
+
+        input_idx = 1 if route in (Route.IV_BOLUS, Route.IV_INFUSION) else 0
+        b = Subject.builder("s")
+        if route is Route.IV_INFUSION:
+            b = b.infusion(0.0, dose, 1, dur)
+        elif route is Route.IV_BOLUS:
+            b = b.bolus(0.0, dose, 1)
+        else:
+            b = b.bolus(0.0, dose, 0)
+        for tt, cc in zip(t, c_row):
+            b = b.observation(float(tt), float(cc), 0)
+        return nca(b.build(), opts or NCAOptions())
+
+    def test_iv_bolus_c0_vd_vss_parity(self):
+        from pharmsol_tpu.nca.batch_device import batch_nca_device
+
+        t, c = self._profiles(t0=0.25)  # no t=0 sample: LOG_SLOPE path
+        dev = batch_nca_device(t, c, dose=100.0, route="iv_bolus")
+        assert "c0" in dev and "vd" in dev and "vss" in dev
+        for i in range(c.shape[0]):
+            host = self._host_result(t, c[i], 100.0, Route.IV_BOLUS)
+            assert host.route_params is not None
+            hp = host.route_params.params
+            np.testing.assert_allclose(dev["c0"][i], hp.c0, rtol=1e-8)
+            np.testing.assert_allclose(dev["vd"][i], hp.vd, rtol=1e-8)
+            np.testing.assert_allclose(
+                dev["vss"][i], host.clearance.vss, rtol=1e-8
+            )
+
+    def test_iv_bolus_c0_observed_at_zero(self):
+        from pharmsol_tpu.nca.batch_device import batch_nca_device
+
+        t, c = self._profiles(t0=0.0)  # t=0 sample: OBSERVED wins
+        dev = batch_nca_device(t, c, dose=100.0, route="iv_bolus")
+        np.testing.assert_allclose(dev["c0"], c[:, 0], rtol=1e-12)
+
+    def test_iv_infusion_ceoi_mrt_parity(self):
+        from pharmsol_tpu.nca.batch_device import batch_nca_device
+
+        t, c = self._profiles(t0=0.25)
+        dur = 0.75  # interior to the grid: interpolated Ceoi
+        dev = batch_nca_device(
+            t, c, dose=100.0, route="iv_infusion", infusion_duration=dur
+        )
+        assert "ceoi" in dev and "mrt_iv" in dev
+        for i in range(c.shape[0]):
+            host = self._host_result(
+                t, c[i], 100.0, Route.IV_INFUSION, dur=dur
+            )
+            hp = host.route_params.params
+            np.testing.assert_allclose(dev["ceoi"][i], hp.ceoi, rtol=1e-8)
+            np.testing.assert_allclose(
+                dev["mrt_iv"][i], hp.mrt_iv, rtol=1e-8
+            )
+
+    def test_steady_state_block_parity(self):
+        from pharmsol_tpu.nca.batch_device import batch_nca_device
+
+        t, c = self._profiles(t0=0.25)
+        opts = NCAOptions().with_tau(12.0)
+        dev = batch_nca_device(t, c, dose=100.0, options=opts)
+        for k in ("auc_tau", "cmin", "cavg", "fluctuation", "swing",
+                  "peak_trough_ratio"):
+            assert k in dev, k
+        for i in range(c.shape[0]):
+            host = self._host_result(
+                t, c[i], 100.0, Route.EXTRAVASCULAR, opts=opts
+            )
+            ss = host.steady_state
+            np.testing.assert_allclose(
+                dev["auc_tau"][i], ss.auc_tau, rtol=1e-8)
+            np.testing.assert_allclose(dev["cmin"][i], ss.cmin, rtol=1e-8)
+            np.testing.assert_allclose(dev["cavg"][i], ss.cavg, rtol=1e-8)
+            np.testing.assert_allclose(
+                dev["fluctuation"][i], ss.fluctuation, rtol=1e-8)
+            np.testing.assert_allclose(
+                dev["swing"][i], ss.swing, rtol=1e-8)
