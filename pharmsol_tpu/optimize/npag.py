@@ -191,18 +191,21 @@ def fit_population(
     p = bounds.shape[0]
     span = hi - lo
 
-    def psi_of(support: np.ndarray, require_finite: bool = True):
-        if mesh is not None:
-            from ..parallel.mesh import log_likelihood_matrix_sharded
+    from ..utils.profiling import stage
 
-            log_psi = log_likelihood_matrix_sharded(
-                equation, data, support, error_models, mesh=mesh,
-                engine="xla" if engine == "auto" else engine,
-            )
-        else:
-            log_psi = log_likelihood_matrix(
-                equation, data, support, error_models, engine=engine
-            )
+    def psi_of(support: np.ndarray, require_finite: bool = True):
+        with stage("npag/psi_device"):
+            if mesh is not None:
+                from ..parallel.mesh import log_likelihood_matrix_sharded
+
+                log_psi = log_likelihood_matrix_sharded(
+                    equation, data, support, error_models, mesh=mesh,
+                    engine="xla" if engine == "auto" else engine,
+                )
+            else:
+                log_psi = log_likelihood_matrix(
+                    equation, data, support, error_models, engine=engine
+                )
         # row-shift before exponentiating: weights are scale-invariant
         # per row and the shifts add back into the reported loglik
         shift = np.max(log_psi, axis=1)
@@ -233,9 +236,13 @@ def fit_population(
         keep = np.sort(np.asarray(keep))
         return support[keep]
 
+    def solve_weights_timed(psi_m):
+        with stage("npag/weights_host"):
+            return _solve_weights(psi_m)
+
     support = lo + _halton(init_points, p) * span
     psi, shifts = psi_of(support)
-    lam, pyl, ll = _solve_weights(psi)
+    lam, pyl, ll = solve_weights_timed(psi)
     ll += float(np.sum(shifts))
     n_sub = psi.shape[0]
 
@@ -247,7 +254,7 @@ def fit_population(
         keep = lam > weight_floor * np.max(lam)
         support = dedupe(support[keep], lam[keep])
         psi, shifts = psi_of(support)
-        lam, pyl, ll_new = _solve_weights(psi)
+        lam, pyl, ll_new = solve_weights_timed(psi)
         ll_new += float(np.sum(shifts))
 
         # expand: +-delta per dimension for every kept point, one batch
@@ -271,7 +278,7 @@ def fit_population(
             if np.any(good):
                 support = np.concatenate([support, cand[good]])
                 psi, shifts = psi_of(support)
-                lam, pyl, ll_new = _solve_weights(psi)
+                lam, pyl, ll_new = solve_weights_timed(psi)
                 ll_new += float(np.sum(shifts))
                 added = int(np.sum(good))
 
@@ -302,7 +309,7 @@ def fit_population(
         ])
         support = dedupe(polished, lam)
         psi, shifts = psi_of(support)
-        lam, pyl, ll = _solve_weights(psi)
+        lam, pyl, ll = solve_weights_timed(psi)
         ll += float(np.sum(shifts))
     elif refine is not None:
         raise PharmsolError("refine must be None or 'nm'")
@@ -311,7 +318,7 @@ def fit_population(
     support, lam = support[keep], lam[keep]
     lam = lam / lam.sum()
     psi, shifts = psi_of(support)
-    lam, pyl, ll = _solve_weights(psi)
+    lam, pyl, ll = solve_weights_timed(psi)
     ll += float(np.sum(shifts))
     d_max = float((psi / pyl[:, None]).sum(axis=0).max() - n_sub)
     posterior = psi * lam[None, :]
