@@ -159,6 +159,10 @@ class Covariates:
     def get(self, name: str) -> Optional[Covariate]:
         return self._map.get(name)
 
+    def get_covariate(self, name: str) -> Optional[Covariate]:
+        """Reference-named accessor (covariate.rs ``get_covariate``)."""
+        return self._map.get(name)
+
     def __contains__(self, name: str) -> bool:
         return name in self._map
 

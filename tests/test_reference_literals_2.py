@@ -19,7 +19,13 @@ Coverage map (reference test -> transcribed value count):
 | nca/summary.rs tests                     | 3     | 12     |
 | data/residual_error.rs tests             | 6     | 16     |
 | data/structs.rs:1724-1776 (expand)       | 2     | 6      |
-| simulator/likelihood (log-lik identity)  | 1     | 2      |
+| parser/pmetrics.rs CSV fixtures          | 2     | 33     |
+| data/covariate.rs:685-772 (CSV interp)   | (same)| 9      |
+| data/event.rs constructor tests          | 1     | 7      |
+
+Together with tests/test_reference_literals.py (33 tests / ~70 values)
+and the 26 PKNCA golden tables, the transcribed corpus now carries
+200+ reference-committed numeric expectations.
 """
 
 import math
@@ -537,3 +543,95 @@ def test_nca_matches_nca_all_first():
     assert abs(first.exposure.cmax - vec_first.exposure.cmax) < 1e-10
     assert abs(first.exposure.auc_last - vec_first.exposure.auc_last) \
         < 1e-10
+
+
+# ---------------------------------------------------------------------------
+# data/parser/pmetrics.rs — CSV fixture literals
+# ---------------------------------------------------------------------------
+
+_ADDL_CSV = """ID,EVID,TIME,DUR,DOSE,ADDL,II,INPUT,OUT,OUTEQ,C0,C1,C2,C3
+1,1,0,0,600,-10,12,1,.,.,.,.,.,.
+1,0,9,.,.,.,.,.,100,100,.,.,.,.
+2,1,0,0,600,10,12,1,.,.,.,.,.,.
+2,0,9,.,.,.,.,.,100,100,.,.,.,.
+"""
+
+_COVARIATE_CSV = """ID,EVID,TIME,DUR,DOSE,ADDL,II,INPUT,OUT,OUTEQ,C0,C1,C2,C3,WT
+1,1,0,0,600,.,.,1,.,.,.,.,.,.,70.0
+1,0,9,.,.,.,.,.,100,100,.,.,.,.,70.0
+1,0,24,.,.,.,.,.,90,100,.,.,.,.,72.0
+1,0,48,.,.,.,.,.,85,100,.,.,.,.,74.0
+2,1,0,0,600,.,.,1,.,.,.,.,.,.,65.0
+2,0,12,.,.,.,.,.,95,100,.,.,.,.,65.0
+2,0,24,.,.,.,.,.,88,100,.,.,.,.,67.0
+2,0,48,.,.,.,.,.,82,100,.,.,.,.,69.0
+"""
+
+
+def test_pmetrics_addl_csv_event_times():
+    """pmetrics.rs test_addl (src/tests/data/addl_test.csv transcribed):
+    subject 1 (ADDL=-10) expands to times [-120..-12, 0, 9]; subject 2
+    (ADDL=+10) to [0, 9, 12..120]."""
+    import io
+
+    from pharmsol_tpu.data.pmetrics import read_pmetrics
+
+    data = read_pmetrics(io.StringIO(_ADDL_CSV))
+    subjects = data.subjects()
+    s1 = subjects[0].occasions()[0]
+    s1_times = [e.time for e in s1.events]
+    assert s1_times == [
+        -120.0, -108.0, -96.0, -84.0, -72.0, -60.0, -48.0, -36.0, -24.0,
+        -12.0, 0.0, 9.0,
+    ]
+    s2 = subjects[1].occasions()[0]
+    s2_times = [e.time for e in s2.events]
+    assert s2_times == [
+        0.0, 9.0, 12.0, 24.0, 36.0, 48.0, 60.0, 72.0, 84.0, 96.0, 108.0,
+        120.0,
+    ]
+
+
+def test_pmetrics_covariate_csv_interpolation():
+    """covariate.rs:685-772 (src/tests/data/covariate_test.csv
+    transcribed): WT interpolates 70/72/74 at knots, 70.4 at t=12, 73 at
+    t=36, carry-forward 74 at t=60; subject 2: 65 at 0, 66 at 18, 69 at
+    48."""
+    import io
+
+    from pharmsol_tpu.data.pmetrics import read_pmetrics
+
+    data = read_pmetrics(io.StringIO(_COVARIATE_CSV))
+    subjects = data.subjects()
+    wt = subjects[0].occasions()[0].covariates.get_covariate("wt")
+    assert wt.interpolate(0.0) == 70.0
+    assert wt.interpolate(24.0) == 72.0
+    assert wt.interpolate(48.0) == 74.0
+    assert abs(wt.interpolate(12.0) - 70.4) < 1e-8
+    assert wt.interpolate(36.0) == 73.0
+    assert wt.interpolate(60.0) == 74.0
+    wt2 = subjects[1].occasions()[0].covariates.get_covariate("wt")
+    assert wt2.interpolate(0.0) == 65.0
+    assert wt2.interpolate(18.0) == 66.0
+    assert wt2.interpolate(48.0) == 69.0
+
+
+# ---------------------------------------------------------------------------
+# data/event.rs — constructor literals
+# ---------------------------------------------------------------------------
+
+
+def test_event_constructor_literals():
+    """event.rs test_bolus_creation / test_infusion_creation: field
+    round-trips (2.5/100/1; 1.0/200/1/2.5)."""
+    from pharmsol_tpu import Bolus, Infusion
+
+    b = Bolus(time=2.5, amount=100.0, input=1)
+    assert b.time == 2.5
+    assert b.amount == 100.0
+    assert str(b.input) == "1"
+
+    inf = Infusion(time=1.0, amount=200.0, input=1, duration=2.5)
+    assert inf.time == 1.0
+    assert inf.amount == 200.0
+    assert inf.duration == 2.5
