@@ -114,6 +114,33 @@ def _solve_weights(psi: np.ndarray, max_iters: int = 4000,
     n, k = psi.shape
     lam = np.full(k, 1.0 / k)
     last = -np.inf
+    # The iteration is two GEMVs over [n, k] per step — memory-bound
+    # (measured 28 ms/iter at 10k x 1k f64, ~sum of the matrix's bytes
+    # over the bus twice). At population scale the fit spends more time
+    # HERE than in the device psi (stage timers: 125 s vs 52 s on the
+    # 10k x 1k benchmark), so large matrices run the bulk of the climb
+    # in f32 (half the traffic, same fixed point) and f64 only polishes
+    # to the final tolerance — the multiplicative update is monotone
+    # from any start, so the warm start is semantics-free.
+    if n * k >= 1_000_000:
+        psi32 = np.asarray(psi, np.float32)
+        lam32 = lam.astype(np.float32)
+        last32 = -np.inf
+        for _ in range(max_iters):
+            pyl32 = psi32 @ lam32
+            pyl32 = np.maximum(pyl32, 1e-30)
+            ll32 = float(np.sum(np.log(pyl32)))
+            lam32 = lam32 * (psi32.T @ (1.0 / pyl32)) / np.float32(n)
+            s32 = lam32.sum()
+            if not np.isfinite(s32) or s32 <= 0:
+                break  # fall through to the f64 loop from the last good
+            lam32 /= s32
+            if ll32 - last32 < 1e-6 * max(1.0, abs(ll32)):
+                break
+            last32 = ll32
+        if np.all(np.isfinite(lam32)) and lam32.sum() > 0:
+            lam = np.maximum(lam32.astype(np.float64), 0.0)
+            lam /= lam.sum()
     for _ in range(max_iters):
         pyl = psi @ lam
         pyl = np.maximum(pyl, 1e-300)
