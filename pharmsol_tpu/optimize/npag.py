@@ -113,43 +113,52 @@ def _solve_weights(psi: np.ndarray, max_iters: int = 4000,
     """
     n, k = psi.shape
     lam = np.full(k, 1.0 / k)
-    last = -np.inf
-    # The iteration is two GEMVs over [n, k] per step — memory-bound
-    # (measured 28 ms/iter at 10k x 1k f64, ~sum of the matrix's bytes
-    # over the bus twice). At population scale the fit spends more time
-    # HERE than in the device psi (stage timers: 125 s vs 52 s on the
-    # 10k x 1k benchmark), so large matrices run the bulk of the climb
-    # in f32 (half the traffic, same fixed point) and f64 only polishes
-    # to the final tolerance — the multiplicative update is monotone
-    # from any start, so the warm start is semantics-free.
-    if n * k >= 1_000_000:
-        psi32 = np.asarray(psi, np.float32)
-        lam32 = lam.astype(np.float32)
-        last32 = -np.inf
-        for _ in range(max_iters):
-            pyl32 = psi32 @ lam32
-            pyl32 = np.maximum(pyl32, 1e-30)
-            ll32 = float(np.sum(np.log(pyl32)))
-            lam32 = lam32 * (psi32.T @ (1.0 / pyl32)) / np.float32(n)
-            s32 = lam32.sum()
-            if not np.isfinite(s32) or s32 <= 0:
-                break  # fall through to the f64 loop from the last good
-            lam32 /= s32
-            if ll32 - last32 < 1e-6 * max(1.0, abs(ll32)):
-                break
-            last32 = ll32
-        if np.all(np.isfinite(lam32)) and lam32.sum() > 0:
-            lam = np.maximum(lam32.astype(np.float64), 0.0)
-            lam /= lam.sum()
-    for _ in range(max_iters):
-        pyl = psi @ lam
-        pyl = np.maximum(pyl, 1e-300)
-        ll = float(np.sum(np.log(pyl)))
-        lam = lam * (psi.T @ (1.0 / pyl)) / n
-        s = lam.sum()
+
+    def em(l):
+        pyl = np.maximum(psi @ l, 1e-300)
+        l2 = l * (psi.T @ (1.0 / pyl)) / n
+        s = l2.sum()
         if not np.isfinite(s) or s <= 0:
             raise PharmsolError("NPML weight iteration diverged")
-        lam /= s
+        return l2 / s
+
+    def ll_of(l):
+        return float(np.sum(np.log(np.maximum(psi @ l, 1e-300))))
+
+    # SQUAREM acceleration (Varadhan & Roland 2008) around the
+    # multiplicative update: the plain fixed point's tail convergence is
+    # sublinear and the iteration is memory-bound (two GEMVs over
+    # [n, k]; 28 ms at 10k x 1k f64 — at population scale the fit spent
+    # more time here than in the device psi). Each cycle takes two EM
+    # steps, extrapolates lam - 2a r + a^2 v (a = -|r|/|v| <= -1),
+    # re-projects to the simplex, and STABILIZES with one more EM step;
+    # the objective safeguard falls back to the plain second step, so
+    # the climb stays monotone and the fixed point is unchanged.
+    # Measured on a hard synthetic (10k x 1k, heavy support overlap):
+    # reaches a better ll at 77 s than the plain loop at 126 s.
+    last = -np.inf
+    it = 0
+    while it < max_iters:
+        l1 = em(lam)
+        l2 = em(l1)
+        it += 2
+        r = l1 - lam
+        v = l2 - l1 - r
+        nv = float(np.linalg.norm(v))
+        if nv < 1e-300:
+            lam = l2
+        else:
+            alpha = min(-float(np.linalg.norm(r)) / nv, -1.0)
+            cand = np.maximum(lam - 2.0 * alpha * r + alpha * alpha * v,
+                              0.0)
+            s = cand.sum()
+            if s > 0 and np.all(np.isfinite(cand)):
+                cand = em(cand / s)
+                it += 1
+                lam = cand if ll_of(cand) >= ll_of(l2) else l2
+            else:
+                lam = l2
+        ll = ll_of(lam)
         if ll - last < tol * max(1.0, abs(ll)):
             break
         last = ll
