@@ -113,52 +113,28 @@ def _solve_weights(psi: np.ndarray, max_iters: int = 4000,
     """
     n, k = psi.shape
     lam = np.full(k, 1.0 / k)
-
-    def em(l):
-        pyl = np.maximum(psi @ l, 1e-300)
-        l2 = l * (psi.T @ (1.0 / pyl)) / n
-        s = l2.sum()
+    last = -np.inf
+    # Plain multiplicative ascent, deliberately: two acceleration
+    # attempts were measured on the real 10k x 1k first-cycle matrix and
+    # reverted per keep-only-if-it-wins. (1) An f32 warm phase: the f32
+    # resolution floor stops ~iteration 200 of ~1400, so the f64 tail
+    # still dominates — no win. (2) SQUAREM: with boundary CLIPPING it
+    # was 4.7x faster but silently zeroed support weights (multiplicative
+    # updates preserve zeros) and stalled 12 nats short; with the correct
+    # alpha-backtracking positivity handling it matches the plain ll
+    # exactly but saves nothing — NPML optima are sparse, so the
+    # extrapolation crosses the boundary and degenerates to plain steps
+    # plus overhead. The real lever was shape-stable psi (see
+    # _PSI_BUCKET above).
+    for _ in range(max_iters):
+        pyl = psi @ lam
+        pyl = np.maximum(pyl, 1e-300)
+        ll = float(np.sum(np.log(pyl)))
+        lam = lam * (psi.T @ (1.0 / pyl)) / n
+        s = lam.sum()
         if not np.isfinite(s) or s <= 0:
             raise PharmsolError("NPML weight iteration diverged")
-        return l2 / s
-
-    def ll_of(l):
-        return float(np.sum(np.log(np.maximum(psi @ l, 1e-300))))
-
-    # SQUAREM acceleration (Varadhan & Roland 2008) around the
-    # multiplicative update: the plain fixed point's tail convergence is
-    # sublinear and the iteration is memory-bound (two GEMVs over
-    # [n, k]; 28 ms at 10k x 1k f64 — at population scale the fit spent
-    # more time here than in the device psi). Each cycle takes two EM
-    # steps, extrapolates lam - 2a r + a^2 v (a = -|r|/|v| <= -1),
-    # re-projects to the simplex, and STABILIZES with one more EM step;
-    # the objective safeguard falls back to the plain second step, so
-    # the climb stays monotone and the fixed point is unchanged.
-    # Measured on a hard synthetic (10k x 1k, heavy support overlap):
-    # reaches a better ll at 77 s than the plain loop at 126 s.
-    last = -np.inf
-    it = 0
-    while it < max_iters:
-        l1 = em(lam)
-        l2 = em(l1)
-        it += 2
-        r = l1 - lam
-        v = l2 - l1 - r
-        nv = float(np.linalg.norm(v))
-        if nv < 1e-300:
-            lam = l2
-        else:
-            alpha = min(-float(np.linalg.norm(r)) / nv, -1.0)
-            cand = np.maximum(lam - 2.0 * alpha * r + alpha * alpha * v,
-                              0.0)
-            s = cand.sum()
-            if s > 0 and np.all(np.isfinite(cand)):
-                cand = em(cand / s)
-                it += 1
-                lam = cand if ll_of(cand) >= ll_of(l2) else l2
-            else:
-                lam = l2
-        ll = ll_of(lam)
+        lam /= s
         if ll - last < tol * max(1.0, abs(ll)):
             break
         last = ll

@@ -167,14 +167,19 @@ def test_laplace_validates_inputs():
         fit_laplace(_model(), data, ResidualErrorModels(), [0.3, 10.0])
     with pytest.raises(PharmsolError, match="'diagonal' or 'full'"):
         fit_laplace(_model(), data, _prop(), [0.3, 10.0], omega="block")
-    # adaptive ODE solvers integrate under while_loop: forward-mode only
-    ode = ODE(
-        lambda x, p, t, b, rateiv, cov: jnp.stack([-p[0] * x[0] + b[0]]),
+    # adaptive ODE solvers are supported via the forward-mode pipeline
+    # (round 4); SDE likelihoods stay rejected — discrete resampling is
+    # not differentiable in either mode
+    from pharmsol_tpu import SDE
+
+    sde = SDE(
+        drift=lambda x, p, t, rateiv, cov: jnp.stack([-p[0] * x[0]]),
+        diffusion=lambda p, t, cov: jnp.stack([0.1]),
         out=lambda x, p, t, cov: x[0:1] / p[1],
-        nstates=1, ndrugs=1, nout=1,
+        nparticles=8, nstates=1, ndrugs=1, nout=1,
     )
-    with pytest.raises(PharmsolError, match="forward-mode"):
-        fit_laplace(ode, data, _prop(), [0.3, 10.0])
+    with pytest.raises(PharmsolError, match="fit_saem"):
+        fit_laplace(sde, data, _prop(), [0.3, 10.0])
 
 
 def test_information_criteria_surface():
@@ -201,3 +206,46 @@ def test_information_criteria_surface():
         n_free=5, n_obs=50,
     )
     assert np.isnan(s.aic()) and np.isnan(s.bic())
+
+
+@pytest.mark.slow
+def test_laplace_forward_mode_adaptive_ode():
+    """Round 4 (VERDICT r3 item 5): fit_laplace reaches adaptive-ODE
+    engines via the forward-mode pipeline (broadcast-basis jvps, IFT
+    custom_jvp through the inner Newton, jacfwd outer shim). Kept at the
+    minimum viable size — the jvp-tower XLA compile through the adaptive
+    while_loop costs minutes even for tiny programs (a 6-subject dopri5
+    fit with SE recovery within 3.2% of the realized population is
+    recorded in STATUS.md round 4). This asserts the pipeline end to
+    end: the objective decreases, theta moves toward the realized
+    values, and the forward-over-forward SEs are finite."""
+    rng = np.random.RandomState(3)
+    ke_t, v_t = 0.25, 10.0
+    ode = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([-p[0] * x[0] + b[0]]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    subs = []
+    etas = rng.randn(4, 2) * 0.2
+    for i in range(4):
+        ke_i = ke_t * np.exp(etas[i, 0])
+        v_i = v_t * np.exp(etas[i, 1])
+        sb = Subject.builder(f"s{i}").bolus(0.0, 100.0, 0)
+        for t in (1.0, 6.0):
+            conc = 100.0 * np.exp(-ke_i * t) / v_i
+            sb = sb.observation(
+                float(t), float(conc * (1 + 0.05 * rng.randn())), 0)
+        subs.append(sb.build())
+    rem = ResidualErrorModels().add(0, ResidualErrorModel.proportional(0.1))
+    res = fit_laplace(ode, Data(subs), rem, [0.45, 7.0], omega0=0.3,
+                      inner_steps=3, max_iters=4, compute_se=True)
+    assert np.all(np.isfinite(res.theta))
+    # moved toward the realized population from the deliberately-off start
+    real_ke = ke_t * np.exp(np.mean(etas[:, 0]))
+    real_v = v_t * np.exp(np.mean(etas[:, 1]))
+    assert abs(res.theta[0] - real_ke) < abs(0.45 - real_ke)
+    assert abs(res.theta[1] - real_v) < abs(7.0 - real_v)
+    assert res.standard_errors is not None
+    assert np.all(np.isfinite(res.standard_errors))
+    assert np.isfinite(res.log_likelihood)
