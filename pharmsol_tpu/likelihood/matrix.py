@@ -3315,10 +3315,12 @@ class _PallasSdePsiPlan:
     inject-to-destination, sde/mod.rs:46-79) and infusions (per-input rate
     streams), time-constant covariates plus time-varying ones via
     per-segment affine (a, b) streams (knot-free spans, like the ODE
-    tier), lag/fa via static per-(row, support) planes + the in-kernel
-    pending-dose split march, linear outputs, stratified resampling, no
-    censoring. Dynamic (time-dependent / tv-cov-reading) lag/fa falls
-    back. Noise draws are per-(row, support, trial) — statistically
+    tier), lag/fa via per-(row, support) planes + the in-kernel
+    pending-dose split march — dynamic (time-dependent /
+    tv-cov-reading) closures ride exact per-dose-segment planes with
+    static (input, segment) -> slot tables like the ODE tier — linear
+    outputs, stratified resampling, no censoring. Noise draws are
+    per-(row, support, trial) — statistically
     equivalent to ``independent`` mode; XLA-vs-pallas parity is therefore
     statistical (exact only at zero diffusion).
     """
@@ -3398,10 +3400,18 @@ class _PallasSdePsiPlan:
                 f"of range (nstates={n_states})"
             )
 
-        # --- lag/fa planes (static closures only) -------------------------
+        # --- lag/fa planes -------------------------------------------------
+        # static closures: one [R, S] plane per input. Dynamic closures
+        # (time-dependent / reading a time-varying covariate): exact
+        # per-DOSE-SEGMENT planes with static (input, segment) -> slot
+        # tables, built after the streams below (same mechanism as the
+        # ODE tier)
         lag_planes = None
         fa_planes = None
+        lag_slots = None
+        fa_slots = None
         sel = list(bolus_inputs)
+        lag_fa_dynamic = False
         if spec.lag is not None or spec.fa is not None:
             try:
                 if spec.lag is not None:
@@ -3419,13 +3429,8 @@ class _PallasSdePsiPlan:
                     if not np.all(fp == 1.0):
                         fa_planes = fp
             except _InputPlaneDynamic:
-                raise PharmsolError(
-                    "engine='pallas' SDE psi supports lag/fa closures that "
-                    "depend on support parameters and time-constant "
-                    "covariates only (time-dependent or "
-                    "tv-covariate-reading closures fall back) — use the "
-                    "default XLA engine"
-                )
+                lag_fa_dynamic = True
+                lag_planes = fa_planes = None
 
         # init rows per support (cov-independence probed); covariate-
         # dependent init rides per-(row, support) planes evaluated at the
@@ -3558,6 +3563,66 @@ class _PallasSdePsiPlan:
         t_real_max = np.max(np.where(real, t_sorted, -np.inf), axis=1)
         t_real_max = np.where(np.isfinite(t_real_max), t_real_max, 0.0)
         seg_t0 = np.minimum(t_sorted, t_real_max[:, None])
+
+        if lag_fa_dynamic:
+            # exact per-dose-segment planes (engine CovView evaluation at
+            # each bolus's original / lag-shifted time), selected by
+            # static (input, segment) -> slot tables — ODE-tier mechanism
+            nb_ = len(bolus_inputs)
+            M_ = streams[0].shape[1]
+            dose_cols = [
+                m for m in range(M_)
+                if any(np.any(np.asarray(streams[1 + k],
+                                         np.float64)[:, m] != 0.0)
+                       for k in range(nb_))
+            ]
+            seg_pl = _decompose_input_seg_planes(
+                equation, sp, grid, ninput, dose_cols, seg_t0
+            )
+            has_lag_dyn = spec.lag is not None and any(
+                np.any(seg_pl[m][0][sel] != 0.0) for m in dose_cols
+            )
+            has_fa_dyn = spec.fa is not None and any(
+                not np.all(seg_pl[m][1][sel] == 1.0) for m in dose_cols
+            )
+            if has_lag_dyn:
+                for k, j in enumerate(bolus_inputs):
+                    bstream = np.asarray(streams[1 + k], np.float64)
+                    for r in range(bstream.shape[0]):
+                        cols = [m for m in dose_cols
+                                if bstream[r, m] != 0.0]
+                        cols.sort(key=lambda m: seg_t0[r, m])
+                        for m1, m2 in zip(cols, cols[1:]):
+                            gap = seg_t0[r, m2] - seg_t0[r, m1]
+                            lag_max = seg_pl[m1][0][j, r, :].max()
+                            if lag_max >= gap:
+                                raise PharmsolError(
+                                    f"engine='pallas' SDE lag support "
+                                    f"requires each dose's lag to elapse "
+                                    f"strictly before the input's next "
+                                    f"dose (row {r}, input {j}: max lag "
+                                    f"{lag_max:.4g} >= gap {gap:.4g}) — "
+                                    "use the default XLA engine"
+                                )
+                lag_slot_rows = [[-1] * M_ for _ in range(nb_)]
+                lag_list = []
+                for m in dose_cols:
+                    for k in range(nb_):
+                        lag_slot_rows[k][m] = len(lag_list)
+                        lag_list.append(seg_pl[m][0][sel][k])
+                lag_slots = tuple(tuple(rw) for rw in lag_slot_rows)
+                lag_planes = np.stack(lag_list)
+            if has_fa_dyn:
+                fa_slot_rows = [[-1] * M_ for _ in range(nb_)]
+                fa_list = []
+                for m in dose_cols:
+                    for k in range(nb_):
+                        fa_slot_rows[k][m] = len(fa_list)
+                        fa_list.append(seg_pl[m][1][sel][k])
+                fa_slots = tuple(tuple(rw) for rw in fa_slot_rows)
+                fa_planes = np.stack(fa_list)
+        self.lag_slots = lag_slots
+        self.fa_slots = fa_slots
 
         self.R = streams[0].shape[0]
         self.S = sp.shape[0]
@@ -3695,6 +3760,7 @@ class _PallasSdePsiPlan:
                 self.cov_names, self.cov_modes,
                 self.lag_planes_dev is not None,
                 self.fa_planes_dev is not None,
+                self.lag_slots, self.fa_slots,
                 str(self.fd),
                 self.em_control) + extra
 
@@ -3753,6 +3819,7 @@ class _PallasSdePsiPlan:
         cov_modes = self.cov_modes
         n_lag_pl = len(self.lag_planes_dev) if self.lag_planes_dev else 0
         n_fa_pl = len(self.fa_planes_dev) if self.fa_planes_dev else 0
+        lag_slots, fa_slots = self.lag_slots, self.fa_slots
         # dt + mask + val + sig + t0 = 5 fixed streams
         n_streams = (5 + nb + (nr if pass_inf else 0) + int(pass_outeq)
                      + int(has_init) + n_lag_pl + n_fa_pl + n_init_planes
@@ -3792,6 +3859,7 @@ class _PallasSdePsiPlan:
                 init_mask=imask, cov_streams=covs, cov_names=cov_names,
                 cov_modes=dict(zip(cov_names, cov_modes)),
                 lag_planes=lagp, fa_planes=fap,
+                lag_slots=lag_slots, fa_slots=fa_slots,
                 em_control=em_control,
             )
 

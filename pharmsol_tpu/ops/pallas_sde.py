@@ -31,12 +31,13 @@ boluses (each active input doses its inject-to-destination state,
 sde/mod.rs:46-79) and infusions (per-input rate streams into the matching
 rateiv slot), time-constant covariates plus time-varying ones via
 per-segment affine (a, b) streams (knot-free spans, like the ODE tier),
-lag/fa via static per-(row, support) planes + an in-kernel pending-dose
+lag/fa via per-(row, support) planes + an in-kernel pending-dose
 split march (the EM controller restarts at the fire, matching the
 engine's per-support grid split at the lag-shifted time — zero-diffusion
-parity stays exact), outputs linear in the state. Dynamic
-(time-dependent / tv-covariate-reading) lag/fa and censoring fall back
-to XLA. Compiled kernels are float32-only; off-TPU the kernel runs in
+parity stays exact; dynamic time-dependent / tv-covariate-reading
+closures ride exact per-DOSE-SEGMENT planes selected by static
+(input, segment) -> slot tables, like the ODE tier), outputs linear in
+the state. Censoring falls back to XLA. Compiled kernels are float32-only; off-TPU the kernel runs in
 interpret mode (CPU parity tests). Zero-diffusion models reproduce the deterministic engines exactly
 up to EM step error; stochastic parity is statistical (same filter, same
 resampling law — fixed-seed reproducibility holds per platform, not
@@ -116,7 +117,10 @@ def _make_sde_kernel(
     has_inf: bool, n_rate_in: int, n_out: int, has_bias: bool,
     has_init: bool, cov_names: tuple, cov_affine: tuple,
     has_lag: bool, has_fa: bool, seed: int,
-    filter_on: bool, interpret: bool, rows_per_step: int = 8,
+    n_lag_planes: int = 0, n_fa_planes: int = 0,
+    lag_slots=None, fa_slots=None,
+    filter_on: bool = True, interpret: bool = False,
+    rows_per_step: int = 8,
     init_mode: str = "rows", coupled: bool = False,
 ):
     """Build the fused SDE particle-filter psi kernel.
@@ -166,9 +170,11 @@ def _make_sde_kernel(
             ((next(it)[:, :], next(it)[:, :]) if aff else next(it)[:, :])
             for aff in cov_affine
         ]
-        lag_planes = ([next(it)[:, :] for _ in range(n_bolus_in)]
+        lag_planes = ([next(it)[:, :]
+                       for _ in range(n_lag_planes or n_bolus_in)]
                       if has_lag else None)
-        fa_planes = ([next(it)[:, :] for _ in range(n_bolus_in)]
+        fa_planes = ([next(it)[:, :]
+                      for _ in range(n_fa_planes or n_bolus_in)]
                      if has_fa else None)
         params = [next(it)[:, :] for _ in range(n_params)]
         init_rows = [next(it)[:, :] for _ in range(n_states)] if has_init else None
@@ -421,10 +427,25 @@ def _make_sde_kernel(
                 t0_col = col(t0s, m)
                 cov_m = cov_for_seg(m)
 
+                def fa_src(jb, _m=m):
+                    if not has_fa:
+                        return None
+                    if fa_slots is not None:
+                        si = fa_slots[jb][_m]
+                        return None if si < 0 else fa_planes[si]
+                    return fa_planes[jb]
+
+                def lag_src(jb, _m=m):
+                    if lag_slots is not None:
+                        si = lag_slots[jb][_m]
+                        return None if si < 0 else lag_planes[si]
+                    return lag_planes[jb]
+
                 def amt_for(jb, _m=m):
                     a = col(bols_l[jb], _m)
-                    if has_fa:
-                        a = a * fa_planes[jb][rr:rr + 1, :]
+                    f_ = fa_src(jb, _m)
+                    if f_ is not None:
+                        a = a * f_[rr:rr + 1, :]
                     return a
 
                 if not has_lag:
@@ -444,15 +465,20 @@ def _make_sde_kernel(
                         xs[ds] = jnp.where(
                             fire0, xs[ds] + pend_amt[jb], xs[ds])
                         pend_amt[jb] = jnp.where(fire0, zrow, pend_amt[jb])
-                    # arrivals park with their per-lane lag
+                    # arrivals park with their per-lane lag; a None lag
+                    # source means the host plan proved no bolus lands at
+                    # this column (slot -1): statically skipped
                     for jb in range(n_bolus_in):
+                        lp_ = lag_src(jb)
+                        if lp_ is None:
+                            continue
                         bol_j = col(bols_l[jb], m)
                         amt_j = amt_for(jb)
                         arrive = bol_j != 0.0
                         pend_amt[jb] = jnp.where(
                             arrive, pend_amt[jb] + amt_j, pend_amt[jb])
                         pend_rem[jb] = jnp.where(
-                            arrive, lag_planes[jb][rr:rr + 1, :] + zrow,
+                            arrive, lp_[rr:rr + 1, :] + zrow,
                             pend_rem[jb])
                     # split march: one pass per input, each advancing to
                     # the next earliest per-lane fire time (the EM
@@ -525,6 +551,8 @@ def psi_sde(
     cov_modes=None,
     lag_planes=None,
     fa_planes=None,
+    lag_slots=None,
+    fa_slots=None,
     interpret: Optional[bool] = None,
     em_control: str = "independent",
 ):
@@ -635,15 +663,19 @@ def psi_sde(
     # (matching the kernel's ref order: lag, fa, then params)
     plane_rows = []
     if has_lag:
-        if len(lag_planes) != n_bolus_in:
+        if lag_slots is None and len(lag_planes) != n_bolus_in:
             raise ValueError("lag_planes must have one [R, S] plane per "
-                             "bolus input")
+                             "bolus input (or pass lag_slots tables)")
         plane_rows += [jnp.asarray(p_, dtype) for p_ in lag_planes]
     if has_fa:
-        if len(fa_planes) != n_bolus_in:
+        if fa_slots is None and len(fa_planes) != n_bolus_in:
             raise ValueError("fa_planes must have one [R, S] plane per "
-                             "bolus input")
+                             "bolus input (or pass fa_slots tables)")
         plane_rows += [jnp.asarray(p_, dtype) for p_ in fa_planes]
+    if lag_slots is not None:
+        lag_slots = tuple(tuple(int(x) for x in rw) for rw in lag_slots)
+    if fa_slots is not None:
+        fa_slots = tuple(tuple(int(x) for x in rw) for rw in fa_slots)
     p_rows = list(plane_rows)
     p_row_kinds = [ROWS_SPEC] * len(plane_rows)
     p_rows += [sp_arr[:, i].reshape(1, S) for i in range(n_params)]
@@ -697,6 +729,9 @@ def psi_sde(
         n_out=n_out,
         has_bias=has_bias, has_init=has_init, cov_names=cov_names,
         cov_affine=cov_affine, has_lag=has_lag, has_fa=has_fa,
+        n_lag_planes=len(lag_planes) if has_lag else 0,
+        n_fa_planes=len(fa_planes) if has_fa else 0,
+        lag_slots=lag_slots, fa_slots=fa_slots,
         seed=seed, filter_on=True,
         interpret=interpret, rows_per_step=ROWS_PER_STEP,
         init_mode=init_mode, coupled=(em_control == "coupled"),

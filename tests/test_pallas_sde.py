@@ -137,12 +137,6 @@ def test_sde_pallas_rejections():
     with pytest.raises(PharmsolError, match="stratified"):
         log_likelihood_matrix(m, Data([s]), sp, _ems(), engine="pallas")
 
-    # DYNAMIC lag (reads t) falls back; static lag is supported (see
-    # test_sde_pallas_lag_fa_zero_diffusion_exact)
-    m2 = SDE(lag=lambda p, t, cov: {0: 0.5 + 0.01 * t}, **base)
-    with pytest.raises(PharmsolError, match="lag"):
-        log_likelihood_matrix(m2, Data([s]), sp, _ems(), engine="pallas")
-
     # censored observations fall back
     from pharmsol_tpu import Censor
 
@@ -325,3 +319,33 @@ def test_sde_pallas_lag_stochastic_finite():
                                        engine="pallas")[0, 0])
     assert np.isfinite(ll_x) and np.isfinite(ll_p)
     assert abs(ll_x - ll_p) < 1.0, (ll_x, ll_p)
+
+
+def test_sde_pallas_dynamic_lag_fa_zero_diffusion_exact():
+    """Round 4: TIME-DEPENDENT lag/fa closures ride exact per-dose-
+    segment planes with static slot tables (ODE-tier mechanism); zero
+    diffusion keeps parity exact vs the XLA engine's per-support grid
+    shift."""
+    sde = SDE(
+        drift=lambda x, p, t, rateiv, cov: jnp.stack([-p[0] * x[0]]),
+        diffusion=lambda p, t, cov: jnp.stack([0.0]),
+        lag=lambda p, t, cov: {0: p[2] * (1.0 + 0.05 * t)},
+        fa=lambda p, t, cov: {0: 1.0 / (1.0 + 0.02 * t)},
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nparticles=8, nstates=1, ndrugs=1, nout=1, seed=3,
+    )
+    subs = []
+    for i in range(3):
+        sb = SubjectBuilder(f"d{i}").bolus(0.0, 100.0, 0).bolus(2.0, 50.0, 0)
+        for t in (0.5, 1.2, 2.6, 3.5):
+            sb = sb.observation(t, float(6 * np.exp(-0.3 * t) + 0.1 * i), 0)
+        subs.append(sb.build())
+    rng = np.random.default_rng(7)
+    sp = np.column_stack([
+        rng.uniform(0.8, 1.6, 4), rng.uniform(8, 14, 4),
+        rng.uniform(0.1, 0.5, 4),
+    ])
+    px = log_likelihood_matrix(sde, Data(subs), sp, _ems(), engine="xla")
+    pp = log_likelihood_matrix(sde, Data(subs), sp, _ems(), engine="pallas")
+    rel = np.max(np.abs(pp - px) / np.maximum(np.abs(px), 1.0))
+    assert rel < 1e-9, rel
