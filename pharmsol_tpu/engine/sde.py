@@ -236,6 +236,9 @@ def simulate_occasion_sde(
     sigma_obs, active_obs = observation_sigmas(occ, em_kind, em_factor, em_poly)
     seg_sigma = jnp.ones((M,), fd).at[segs.obs_pos].set(sigma_obs)
     seg_weighted = jnp.zeros((M,), bool).at[segs.obs_pos].set(active_obs)
+    seg_cens = jnp.zeros((M,), jnp.int32).at[segs.obs_pos].set(
+        occ.obs_cens.astype(jnp.int32)
+    )
     resample_fn = _RESAMPLERS[getattr(spec, "resampling", "stratified")]
 
     base_key = key
@@ -243,7 +246,7 @@ def simulate_occasion_sde(
     def step(carry, seg_data):
         X, step_idx = carry
         (t, dt, b_amt, b_input, rateiv, is_obs, obs_val, obs_hasval, obs_outeq,
-         sigma, weighted) = seg_data
+         sigma, weighted, cens) = seg_data
         k_seg = jax.random.fold_in(base_key, step_idx)
         k_em, k_rs = jax.random.split(k_seg)
 
@@ -252,7 +255,17 @@ def simulate_occasion_sde(
         y = y_all[:, obs_outeq]  # [P]
         if filter_on:
             z = (obs_val - y) / sigma
-            q = jnp.exp(-0.5 * z * z) / (sigma * jnp.sqrt(2.0 * jnp.pi))
+            q_pdf = jnp.exp(-0.5 * z * z) / (sigma * jnp.sqrt(2.0 * jnp.pi))
+            # censoring-aware weights (reference parity: the particle
+            # weight is exp(Prediction::log_likelihood), which routes
+            # BLOQ -> lognormcdf and ALOQ -> lognormccdf —
+            # sde/mod.rs:560-566 + prediction.rs:105-125)
+            from jax.scipy.special import ndtr
+
+            q = jnp.where(
+                cens == 1, ndtr(z),
+                jnp.where(cens == 2, ndtr(-z), q_pdf),
+            )
             q = jnp.where(weighted, q, 1.0)
             sum_q = jnp.sum(q)
             # dtype-aware floor: a hard 1e-300 underflows to 0 in f32 and
@@ -298,6 +311,7 @@ def simulate_occasion_sde(
         seg_obs_outeq,
         seg_sigma,
         seg_weighted,
+        seg_cens,
     )
 
     # We also need the pre-bolus particle states at each breakpoint for state

@@ -3319,7 +3319,8 @@ class _PallasSdePsiPlan:
     pending-dose split march — dynamic (time-dependent /
     tv-cov-reading) closures ride exact per-dose-segment planes with
     static (input, segment) -> slot tables like the ODE tier — linear
-    outputs, stratified resampling, no censoring. Noise draws are
+    outputs, stratified resampling, BLOQ/ALOQ censoring (normcdf/ccdf
+    particle weights, reference parity). Noise draws are
     per-(row, support, trial) — statistically
     equivalent to ``independent`` mode; XLA-vs-pallas parity is therefore
     statistical (exact only at zero diffusion).
@@ -3339,11 +3340,6 @@ class _PallasSdePsiPlan:
                 "engine='pallas' SDE psi implements stratified resampling "
                 "(the reference scheme) — use the default XLA engine for "
                 "systematic resampling"
-            )
-        if np.any(np.asarray(grid.rows.obs_cens) != 0):
-            raise PharmsolError(
-                "engine='pallas' SDE psi does not support censored "
-                "observations — use the default XLA engine"
             )
         self.n_states = int(spec.nstates)
         self.n_out = int(spec.nout)
@@ -3748,13 +3744,15 @@ class _PallasSdePsiPlan:
         self.out_coef = jnp.asarray(np.transpose(C, (1, 2, 0)), dtype=fd)
         self.out_bias = jnp.asarray(b.T, dtype=fd) if np.any(b) else None
         self.pass_inf = bool(np.any(seg_rate3))
+        i_cens = 1 + self.n_bolus_in + self.n_rate_in + 3
+        self.pass_cens = bool(np.any(np.asarray(streams[i_cens])))
         self.pass_outeq = self.n_out > 1
 
     def cache_key(self, *extra):
         return ("pallas_sde", self.n_states, self.n_params, self.ninput,
                 self.n_particles, self.seed, self.Rp, self.Sp, self.M,
                 self.bolus_inputs, self.rate_inputs, self.dose_states,
-                self.pass_inf, self.pass_outeq, self.n_out,
+                self.pass_inf, self.pass_cens, self.pass_outeq, self.n_out,
                 self.out_bias is not None, self.init_rows is not None,
                 self.init_planes_dev is not None,
                 self.cov_names, self.cov_modes,
@@ -3768,7 +3766,7 @@ class _PallasSdePsiPlan:
         p = self.padded
         include = ([True] + [True] * self.n_bolus_in
                    + [self.pass_inf] * self.n_rate_in
-                   + [True, True, True, False, self.pass_outeq])
+                   + [True, True, True, self.pass_cens, self.pass_outeq])
         out = tuple(a for a, inc in zip(p, include) if inc)
         out = out + (self.seg_t0,)
         if self.init_mask is not None:
@@ -3808,6 +3806,7 @@ class _PallasSdePsiPlan:
         em_control = self.em_control
         drift, diffusion = self.drift, self.diffusion
         pass_inf = self.pass_inf
+        pass_cens = self.pass_cens
         pass_outeq = self.pass_outeq
         nb, nr = self.n_bolus_in, self.n_rate_in
         n_init_planes = (int(self.init_planes_dev.shape[0])
@@ -3821,7 +3820,8 @@ class _PallasSdePsiPlan:
         n_fa_pl = len(self.fa_planes_dev) if self.fa_planes_dev else 0
         lag_slots, fa_slots = self.lag_slots, self.fa_slots
         # dt + mask + val + sig + t0 = 5 fixed streams
-        n_streams = (5 + nb + (nr if pass_inf else 0) + int(pass_outeq)
+        n_streams = (5 + nb + (nr if pass_inf else 0) + int(pass_cens)
+                     + int(pass_outeq)
                      + int(has_init) + n_lag_pl + n_fa_pl + n_init_planes
                      + sum(2 if m == "affine" else 1 for m in cov_modes))
 
@@ -3831,6 +3831,7 @@ class _PallasSdePsiPlan:
             bols = [next(it) for _ in range(nb)]
             infs = [next(it) for _ in range(nr)] if pass_inf else None
             mask, val, sig = next(it), next(it), next(it)
+            cens = next(it) if pass_cens else None
             outeq = next(it) if pass_outeq else None
             t0 = next(it)
             imask = next(it) if has_init else None
@@ -3851,6 +3852,7 @@ class _PallasSdePsiPlan:
             bias = next(rep) if has_bias else None
             return psi_sde(
                 dt, bols, infs, mask, val, sig, t0, sp_dev, drift, diffusion,
+                obs_cens=cens,
                 n_states=n_states, n_particles=n_particles, ninput=ninput,
                 dose_states=dose_states, rate_inputs=rate_inputs,
                 seed=seed, obs_outeq=outeq,

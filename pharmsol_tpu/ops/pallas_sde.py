@@ -37,7 +37,9 @@ engine's per-support grid split at the lag-shifted time — zero-diffusion
 parity stays exact; dynamic time-dependent / tv-covariate-reading
 closures ride exact per-DOSE-SEGMENT planes selected by static
 (input, segment) -> slot tables, like the ODE tier), outputs linear in
-the state. Censoring falls back to XLA. Compiled kernels are float32-only; off-TPU the kernel runs in
+the state, and BLOQ/ALOQ-censored observations (particle weights route
+through the kernel's log_ndtr CDF — reference parity with
+exp(Prediction::log_likelihood), sde/mod.rs:560 + prediction.rs:105-125). Compiled kernels are float32-only; off-TPU the kernel runs in
 interpret mode (CPU parity tests). Zero-diffusion models reproduce the deterministic engines exactly
 up to EM step error; stochastic parity is statistical (same filter, same
 resampling law — fixed-seed reproducibility holds per platform, not
@@ -116,7 +118,7 @@ def _make_sde_kernel(
     n_particles: int, p_pad: int, n_bolus_in: int, dose_states: tuple,
     has_inf: bool, n_rate_in: int, n_out: int, has_bias: bool,
     has_init: bool, cov_names: tuple, cov_affine: tuple,
-    has_lag: bool, has_fa: bool, seed: int,
+    has_lag: bool, has_fa: bool, has_cens: bool, seed: int,
     n_lag_planes: int = 0, n_fa_planes: int = 0,
     lag_slots=None, fa_slots=None,
     filter_on: bool = True, interpret: bool = False,
@@ -163,6 +165,7 @@ def _make_sde_kernel(
         masks = next(it)[:, :]
         vals = next(it)[:, :]
         sigs = next(it)[:, :]
+        censs = next(it)[:, :] if has_cens else None
         outeqs = next(it)[:, :] if has_outeq else None
         t0s = next(it)[:, :]
         initm = next(it)[:, :] if has_init else None
@@ -411,6 +414,18 @@ def _make_sde_kernel(
                                 * pred_out(k)
                     z = (val - pred) / sig
                     q = jnp.exp(-0.5 * z * z) / (sig * math.sqrt(2.0 * math.pi))
+                    if has_cens:
+                        # censoring-aware particle weights (reference:
+                        # exp(Prediction::log_likelihood) routes BLOQ ->
+                        # normcdf, ALOQ -> normccdf; the stream carries
+                        # the +-1/0 sign convention and the kernel's own
+                        # log_ndtr supplies the CDF)
+                        from .pallas_psi import _log_ndtr
+
+                        s_c = col(censs, m)
+                        q = jnp.where(
+                            s_c == 0.0, q, jnp.exp(_log_ndtr(s_c * z))
+                        )
                     q = q * pmask  # padded particles carry zero weight
                     sum_q = jnp.sum(q, axis=0, keepdims=True)  # [1, sp]
                     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
@@ -534,6 +549,7 @@ def psi_sde(
     seg_dt, seg_bolus, seg_rateiv, obs_mask, obs_value, obs_sigma,
     seg_t0, support, drift, diffusion,
     *,
+    obs_cens=None,
     n_states: int,
     n_particles: int,
     ninput: int = None,
@@ -622,6 +638,7 @@ def psi_sde(
     has_bias = _static_any(out_bias)
     has_lag = lag_planes is not None
     has_fa = fa_planes is not None
+    has_cens = _static_any(obs_cens)
     p_pad = max(8, ((n_particles + 7) // 8) * 8)
 
     zeros_rm = jnp.zeros_like(jnp.asarray(seg_dt, dtype))
@@ -644,6 +661,8 @@ def psi_sde(
     streams.append(mask_p)
     streams.append(_pad_lanes(jnp.asarray(obs_value, dtype), SEG_PAD))
     streams.append(_pad_lanes(jnp.asarray(obs_sigma, dtype), SEG_PAD) * mask_p)
+    if has_cens:
+        streams.append(_pad_lanes(jnp.asarray(obs_cens, dtype), SEG_PAD))
     if has_outeq:
         streams.append(_pad_lanes(jnp.asarray(obs_outeq, dtype), SEG_PAD))
     streams.append(_pad_lanes(jnp.asarray(seg_t0, dtype), SEG_PAD))
@@ -729,6 +748,7 @@ def psi_sde(
         n_out=n_out,
         has_bias=has_bias, has_init=has_init, cov_names=cov_names,
         cov_affine=cov_affine, has_lag=has_lag, has_fa=has_fa,
+        has_cens=has_cens,
         n_lag_planes=len(lag_planes) if has_lag else 0,
         n_fa_planes=len(fa_planes) if has_fa else 0,
         lag_slots=lag_slots, fa_slots=fa_slots,

@@ -137,14 +137,9 @@ def test_sde_pallas_rejections():
     with pytest.raises(PharmsolError, match="stratified"):
         log_likelihood_matrix(m, Data([s]), sp, _ems(), engine="pallas")
 
-    # censored observations fall back
-    from pharmsol_tpu import Censor
-
-    s3 = (SubjectBuilder("c").bolus(0.0, 100.0, 0)
-          .censored_observation(1.0, 0.5, 0, Censor.BLOQ).build())
-    with pytest.raises(PharmsolError, match="censored"):
-        log_likelihood_matrix(SDE(**base), Data([s3]), sp, _ems(),
-                              engine="pallas")
+    # censoring is supported since round 4 (see
+    # test_sde_pallas_censoring_*); only systematic resampling and
+    # non-traceable closures reject now
 
 
 def test_sde_pallas_covariate_dependent_init_zero_diffusion():
@@ -349,3 +344,56 @@ def test_sde_pallas_dynamic_lag_fa_zero_diffusion_exact():
     pp = log_likelihood_matrix(sde, Data(subs), sp, _ems(), engine="pallas")
     rel = np.max(np.abs(pp - px) / np.maximum(np.abs(px), 1.0))
     assert rel < 1e-9, rel
+
+
+def test_sde_pallas_censoring_zero_diffusion_matches_ode():
+    """Round 4: censored observations weight particles by normcdf/ccdf
+    (reference parity: exp(Prediction::log_likelihood), sde/mod.rs:560
+    + prediction.rs:105-125). At zero diffusion every particle follows
+    the deterministic trajectory, so the SDE mean-weight LL must equal
+    the deterministic ODE engine's censored log-likelihood — a
+    cross-engine oracle, and XLA-vs-pallas must agree exactly."""
+    from pharmsol_tpu import Censor, ODE
+
+    def drift(x, p, t, rateiv, cov):
+        return jnp.stack([-p[0] * x[0]])
+
+    sde = SDE(
+        drift=drift,
+        diffusion=lambda p, t, cov: jnp.stack([0.0]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nparticles=8, nstates=1, ndrugs=1, nout=1, seed=3,
+    )
+    ode = ODE(
+        lambda x, p, t, b, rateiv, cov: jnp.stack([-p[0] * x[0] + b[0]]),
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        nstates=1, ndrugs=1, nout=1,
+    )
+    subs = []
+    for i in range(3):
+        sb = (SubjectBuilder(f"c{i}").bolus(0.0, 100.0, 0)
+              .observation(0.3, float(8 * np.exp(-0.3 * 0.3) + 0.1 * i), 0)
+              .censored_observation(1.5, 0.5, 0, Censor.BLOQ)
+              .censored_observation(0.1, 9.0, 0, Censor.ALOQ))
+        subs.append(sb.build())
+    rng = np.random.default_rng(4)
+    sp = np.column_stack([rng.uniform(0.2, 0.6, 4), rng.uniform(8, 14, 4)])
+    ll_sde_x = log_likelihood_matrix(sde, Data(subs), sp, _ems(),
+                                     engine="xla")
+    ll_sde_p = log_likelihood_matrix(sde, Data(subs), sp, _ems(),
+                                     engine="pallas")
+    ll_ode = log_likelihood_matrix(ode, Data(subs), sp, _ems(),
+                                   engine="xla")
+    rel_x = np.max(np.abs(ll_sde_x - ll_ode) / np.maximum(np.abs(ll_ode), 1.0))
+    rel_p = np.max(np.abs(ll_sde_p - ll_ode) / np.maximum(np.abs(ll_ode), 1.0))
+    # EM integrates at rtol=atol=1e-2 (em.rs parity) vs the ODE engine's
+    # 1e-4, and the LL amplifies prediction error by ~z/sigma — a few
+    # percent is the honest cross-engine bound; the censoring TERMS are
+    # exact (same normcdf law on both sides)
+    assert rel_x < 5e-2, rel_x
+    assert rel_p < 5e-2, rel_p
+    # XLA-vs-pallas at zero diffusion: same EM law, near-exact (the
+    # kernel's log_ndtr is an approximation, ~6e-5 abs)
+    rel_xp = np.max(np.abs(ll_sde_p - ll_sde_x)
+                    / np.maximum(np.abs(ll_sde_x), 1.0))
+    assert rel_xp < 1e-4, rel_xp
