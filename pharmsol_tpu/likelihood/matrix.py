@@ -1111,6 +1111,37 @@ def _decompose_seq_segplanes(seq, sp, grid, sdef, n_kernel_params: int):
 _MAX_SEQ_COLPLANES = 24
 
 
+def _colplanes_dynamic_lag(equation, sp, grid, ninput: int):
+    """Per-dose-COLUMN [R, S] lag planes for a DYNAMIC lag closure.
+
+    Evaluated host-side at each bolus's original breakpoint time with
+    the engine's CovView (structs.rs:629 semantics) via the seg-planes
+    evaluator; returns ``{column m: [R, S]}`` for the colplanes walk
+    (the analytical kernel doses one input — input 0's plane applies).
+    """
+    from ..config import BIG_TIME
+    from ..ops.pallas_psi import segment_schedule
+
+    _, t_sorted, _, _, rank = segment_schedule(grid.rows, with_ranks=True)
+    t_sorted = np.asarray(t_sorted, np.float64)
+    rank = np.asarray(rank, np.float64)
+    real = t_sorted < BIG_TIME / 2
+    t_real_max = np.max(np.where(real, t_sorted, -np.inf), axis=1)
+    t_real_max = np.where(np.isfinite(t_real_max), t_real_max, 0.0)
+    t0_np = np.minimum(t_sorted, t_real_max[:, None])
+    dose_mask = real & (rank == 2.0)
+    dose_cols = sorted(int(m) for m in np.nonzero(dose_mask.any(axis=0))[0])
+    if not dose_cols:
+        raise PharmsolError(
+            "engine='pallas' dynamic lag with tv-seq found no dose "
+            "columns — use the default XLA engine"
+        )
+    seg_pl = _decompose_input_seg_planes(
+        equation, sp, grid, ninput, dose_cols, t0_np
+    )
+    return {m: np.asarray(seg_pl[m][0][0], np.float64) for m in dose_cols}
+
+
 def _decompose_seq_colplanes(seq, sp, grid, sdef, n_kernel_params: int,
                              lag_probe):
     """Per-COLUMN exact planes for lag combined with tv/time-dep seq.
@@ -1213,10 +1244,25 @@ def _decompose_seq_colplanes(seq, sp, grid, sdef, n_kernel_params: int,
         kv = np.zeros((R, 0, 1), np.float64)
         fx = np.zeros((R, 0), bool)
 
-    lag_np = np.asarray(lag_probe, np.float64)  # [R, S]
+    # lag per (row, support, dose): static closures broadcast one [R, S]
+    # plane over every dose; DYNAMIC closures (time-dependent / reading a
+    # time-varying covariate) pass a dict {column m: [R, S]} of exact
+    # per-dose-column planes — each dose's fire time is still a
+    # host-known scalar, so the walk is unchanged
+    if isinstance(lag_probe, dict):
+        lag_nd = np.zeros((R, S, ND), np.float64)
+        for r in range(R):
+            for jd in range(ND):
+                if has_dose[r, jd]:
+                    lag_nd[r, :, jd] = lag_probe[int(dose_col[r, jd])][r, :]
+    else:
+        lag_np2 = np.asarray(lag_probe, np.float64)  # [R, S]
+        lag_nd = np.broadcast_to(
+            lag_np2[:, :, None], (R, S, ND)).copy()
 
     def lane_walk(raw, lag_rs, st_t, st_c, d_t, trm, kt_r, kv_r, fx_r):
-        # one lane: merged schedule walk -> seg values [E, ncols]
+        # one lane: merged schedule walk -> seg values [E, ncols];
+        # lag_rs [ND] = this lane's per-dose lag
         cv = CovView(kt_r, kv_r, fx_r, names)
         fire_t = d_t + lag_rs  # [ND] (pads stay ~BIG_TIME)
         times = jnp.concatenate([st_t, fire_t])
@@ -1254,7 +1300,7 @@ def _decompose_seq_colplanes(seq, sp, grid, sdef, n_kernel_params: int,
                 jnp.asarray(stat_t), jnp.asarray(stat_code),
                 jnp.asarray(dose_t), jnp.asarray(t_real_max),
                 jnp.asarray(kt), jnp.asarray(kv), jnp.asarray(fx),
-                jnp.asarray(lag_np),
+                jnp.asarray(lag_nd),
             )  # [R, S, E], [R, S, E, ncols]
             times_all = np.asarray(times_all, np.float64)
             seg_vals = np.asarray(seg_vals, np.float64)
@@ -1285,7 +1331,7 @@ def _decompose_seq_colplanes(seq, sp, grid, sdef, n_kernel_params: int,
     # post[m]: the segment STARTING at the fire, scattered to fire columns
     post_vals = main_vals.copy()
     for j in range(ND):
-        fire = dose_t[:, j][:, None] + lag_np  # [R, S]
+        fire = dose_t[:, j][:, None] + lag_nd[:, :, j]  # [R, S]
         live = has_dose[:, j][:, None] & (fire < BIG_TIME / 2)
         if not live.any():
             continue
@@ -1738,15 +1784,15 @@ class _PallasPsiPlan:
     exact SEGMENT-indexed planes for seq reading t and/or a
     time-varying covariate in any form (_decompose_seq_segplanes), and
     exact per-COLUMN main/post planes for lag combined with a tv /
-    time-dependent seq — the static lag plane makes the per-(row,
-    support) fire times host-known, so the full engine chain including
-    the moving reset is walked host-side and the kernel runs a true
-    split march selecting main and post slots per column
+    time-dependent seq — the lag plane (static, or exact per-dose-COLUMN
+    planes for DYNAMIC closures) makes the per-(row, support, dose)
+    fire times host-known, so the full engine chain including the
+    moving reset is walked host-side and the kernel runs a true split
+    march selecting main and post slots per column
     (_decompose_seq_colplanes). Remaining fallbacks to the general XLA
-    engine (clear errors): DYNAMIC lag (time-dependent or reading a
-    time-varying covariate) combined with seq, colplane slot-cap /
-    memory-cap overflow, zero-amount bolus records under lag+seq, and
-    exact-zero fa support cells in the split-march tiers.
+    engine (clear errors): colplane slot-cap / memory-cap overflow,
+    zero-amount bolus records under lag+seq, and exact-zero fa support
+    cells in the split-march tiers.
     """
 
     def __init__(self, equation, grid, sp, lowered, row_multiple: int):
@@ -1967,15 +2013,30 @@ class _PallasPsiPlan:
                         if lag_active:
                             # lag + tv/time-dependent seq: per-COLUMN
                             # exact planes + the split march — the fire
-                            # times must be host-known (static lag plane)
-                            if lag_fa_dynamic or lag_probe is None:
+                            # times must be host-known. Static closures
+                            # give one [R, S] lag plane; DYNAMIC closures
+                            # (time-dependent / reading a tv covariate)
+                            # give exact per-dose-COLUMN planes via the
+                            # seg-planes evaluator — every fire time is
+                            # still a host-known scalar per (row,
+                            # support, dose)
+                            lag_arg = lag_probe
+                            if lag_fa_dynamic:
+                                try:
+                                    lag_arg = _colplanes_dynamic_lag(
+                                        equation, sp, grid, ninput
+                                    )
+                                except PharmsolError:
+                                    raise (affine_err or plane_err
+                                           or level_err)
+                            if lag_arg is None:
                                 raise affine_err or plane_err or level_err
                             try:
                                 (self.param_planes, self.seg_depth,
                                  self.seg_postdepth) = \
                                     _decompose_seq_colplanes(
                                         equation._seq, sp, grid, sdef,
-                                        n_kernel_params, lag_probe,
+                                        n_kernel_params, lag_arg,
                                     )
                             except PharmsolError:
                                 raise affine_err or plane_err or level_err

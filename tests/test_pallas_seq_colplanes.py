@@ -321,3 +321,96 @@ def test_colplanes_f32_budget_case_takes_the_tier():
         row_multiple=SUB_TILE,
     )
     assert plan.seg_postdepth is not None
+
+
+def test_dynamic_lag_with_covfree_seq_exact():
+    """Round 4: a DYNAMIC (time-dependent) lag composed with a
+    covariate-free seq rides the in-kernel depth counter + per-dose-
+    segment lag slot tables — exact vs the engine."""
+    rng = np.random.RandomState(21)
+    model = Analytical(
+        pst.one_compartment,
+        out=lambda x, p, t, cov: x[0:1] / p[1],
+        seq_eq=lambda p, t, cov: jnp.stack(
+            [p[0] * (1.0 + 0.15 * p[2]), p[1], p[2]]
+        ),
+        lag=lambda p, t, cov: {0: p[2] * (1.0 + 0.05 * t)},
+        nstates=1, ndrugs=1, nout=1,
+    )
+    subs = []
+    for i in range(4):
+        sb = (Subject.builder(f"g{i}").bolus(0.0, 100.0, 0)
+              .infusion(1.0, 50.0, 0, 1.5))
+        if i % 2 == 0:
+            sb = sb.bolus(3.0, 60.0, 0)
+        for t in (0.5, 1.2, 2.1, 3.5, 4.5, 6.0):
+            sb = sb.observation(float(t), float(np.abs(3 + rng.randn())), 0)
+        subs.append(sb.build())
+    sp = np.abs(np.column_stack([
+        0.2 * (1 + 0.15 * rng.randn(8)), 11.0 * (1 + 0.15 * rng.randn(8)),
+        rng.uniform(0.1, 0.6, 8),
+    ]))
+    _check(model, Data(subs), sp)
+
+
+def test_dynamic_lag_with_tv_seq_exact():
+    """Round 4: DYNAMIC lag + tv-covariate seq — the colplanes walk
+    takes exact per-dose-COLUMN lag planes (each fire time is still a
+    host-known scalar per (row, support, dose)), so the LAST analytical
+    feature-combination fallback is closed; engine='auto' no longer
+    degrades any analytical model outside the slot/memory caps."""
+    rng = np.random.RandomState(22)
+    model = Analytical(
+        pst.one_compartment_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        seq_eq=lambda p, t, cov: jnp.stack(
+            [p[0], p[1] * (cov("wt", t) / 70.0) ** 0.75, p[2], p[3]]
+        ),
+        lag=lambda p, t, cov: {0: p[3] * (1.0 + 0.05 * t)},
+        nstates=2, ndrugs=1, nout=1,
+    )
+    subs = []
+    for i in range(4):
+        sb = (Subject.builder(f"h{i}").bolus(0.0, 100.0, 0)
+              .bolus(6.0, 80.0, 0)
+              .covariate("wt", 0.0, 55.0 + 4 * i)
+              .covariate("wt", 4.0, 62.0 + 3 * i))
+        for t in (0.5, 1.5, 3.5, 7.5):
+            sb = sb.observation(
+                float(t), float(4 * np.exp(-0.25 * t) + 0.05 * i), 0)
+        subs.append(sb.build())
+    sp = np.column_stack([
+        rng.uniform(0.8, 2.0, 6), rng.uniform(0.1, 0.3, 6),
+        rng.uniform(8, 15, 6), rng.uniform(0.1, 0.8, 6),
+    ])
+    _check(model, Data(subs), sp)
+
+
+def test_dynamic_lag_reading_tv_covariate_with_tv_seq_exact():
+    """The hardest composition: lag READS the time-varying covariate
+    that the seq also reads."""
+    rng = np.random.RandomState(23)
+    model = Analytical(
+        pst.one_compartment_with_absorption,
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        seq_eq=lambda p, t, cov: jnp.stack(
+            [p[0], p[1] * (cov("wt", t) / 70.0) ** 0.75, p[2], p[3]]
+        ),
+        lag=lambda p, t, cov: {0: p[3] * cov("wt", t) / 70.0},
+        nstates=2, ndrugs=1, nout=1,
+    )
+    subs = []
+    for i in range(4):
+        sb = (Subject.builder(f"k{i}").bolus(0.0, 100.0, 0)
+              .bolus(6.0, 80.0, 0)
+              .covariate("wt", 0.0, 55.0 + 4 * i)
+              .covariate("wt", 4.0, 62.0 + 3 * i))
+        for t in (0.5, 1.5, 3.5, 7.5):
+            sb = sb.observation(
+                float(t), float(4 * np.exp(-0.25 * t) + 0.05 * i), 0)
+        subs.append(sb.build())
+    sp = np.column_stack([
+        rng.uniform(0.8, 2.0, 6), rng.uniform(0.1, 0.3, 6),
+        rng.uniform(8, 15, 6), rng.uniform(0.1, 0.8, 6),
+    ])
+    _check(model, Data(subs), sp)
