@@ -235,6 +235,53 @@ out(cp) = central / v
                 res["ok"],
             ))
 
+    # 9. SDE fused kernel, round-4 scope (compiled Mosaic): multi-input
+    # dosing x dynamic lag/fa (per-dose-segment slot tables) x tv
+    # covariate x BLOQ/ALOQ censoring, zero diffusion -> parity vs the
+    # XLA SDE engine is deterministic (same EM controller law; the only
+    # approximation is the kernel's log_ndtr on censored cells)
+    import jax.numpy as jnp
+
+    from pharmsol_tpu import SDE, Censor, Data, SubjectBuilder
+    from pharmsol_tpu.likelihood.matrix import log_likelihood_matrix
+
+    sde = SDE(
+        drift=lambda x, p, t, rateiv, cov: jnp.stack([
+            -p[0] * (cov("wt", t) / 70.0) * x[0] + rateiv[1],
+            p[0] * x[0] - p[1] * x[1] + rateiv[0],
+        ]),
+        diffusion=lambda p, t, cov: jnp.stack([0.0, 0.0]),
+        lag=lambda p, t, cov: {0: p[3] * (1.0 + 0.05 * t)},
+        fa=lambda p, t, cov: {0: 1.0 / (1.0 + 0.02 * t)},
+        out=lambda x, p, t, cov: x[1:2] / p[2],
+        nparticles=16, nstates=2, ndrugs=2, nout=1, seed=3,
+    )
+    rng4 = np.random.default_rng(4)
+    subs4 = []
+    for i in range(8):
+        sb = (SubjectBuilder(f"sde{i}").bolus(0.0, 100.0, 0)
+              .bolus(2.5, 60.0, 1).infusion(0.8, 40.0, 1, 0.5)
+              .covariate("wt", 0.0, 55.0 + 4 * i)
+              .covariate("wt", 1.2, 70.0 - 3 * i))
+        for t in (0.4, 1.2, 2.0):
+            sb = sb.observation(t, float(8 * np.exp(-0.3 * t) + 0.1 * i), 0)
+        sb = (sb.censored_observation(3.0, 0.5, 0, Censor.BLOQ)
+              .censored_observation(0.1, 9.0, 0, Censor.ALOQ))
+        subs4.append(sb.build())
+    sp4 = np.column_stack([
+        rng4.uniform(0.8, 1.6, 6), rng4.uniform(0.2, 0.5, 6),
+        rng4.uniform(8, 14, 6), rng4.uniform(0.1, 0.35, 6),
+    ])
+    ems4 = ems
+    pp4 = log_likelihood_matrix(sde, Data(subs4), sp4, ems4,
+                                engine="pallas")
+    px4 = log_likelihood_matrix(sde, Data(subs4), sp4, ems4, engine="xla")
+    rel4 = float(np.max(np.abs(pp4 - px4) / np.maximum(np.abs(px4), 1.0)))
+    checks.append((
+        f"sde/multiinput+dynlagfa+tvcov+censoring ({rel4:.1e}<=1e-4)",
+        rel4 < 1e-4,
+    ))
+
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
         print(f"  {'OK  ' if ok else 'FAIL'} {name}")
