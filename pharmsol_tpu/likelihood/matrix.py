@@ -2924,7 +2924,14 @@ class _PallasOdePsiPlan:
             else:
                 init_rows = i_ref.T  # [n_states, S]
 
-        # lane-RHS compatibility: trace once with 2-D lane shapes
+        # lane-RHS compatibility: trace once with 2-D lane shapes; RHS
+        # styles the LaneVec shim cannot carry (``jnp.zeros_like(x)``,
+        # ``.at`` updates, whole-vector arithmetic) retry with the
+        # stacked-ARRAY representation (make_stacked_rhs) before any
+        # fallback — closing the last ODE-tier model-class exclusion
+        from ..ops.pallas_ode import make_stacked_rhs
+
+        self.rhs_style = "lanes"
         rhs = make_lane_rhs(diffeq, n_states, n_params, ninput)
 
         def lane_probe():
@@ -2945,12 +2952,67 @@ class _PallasOdePsiPlan:
             jax.eval_shape(lane_probe)
         except PharmsolError:
             raise
-        except Exception as e:
-            raise PharmsolError(
-                f"engine='pallas' ODE psi could not trace the RHS with lane "
-                f"shims (index x/p with static integers and build dx via "
-                f"jnp.stack/list): {e}"
-            ) from e
+        except Exception:
+            # retry with real stacked arrays (vector-style RHS code)
+            self.rhs_style = "stacked"
+            rhs = make_stacked_rhs(diffeq, n_states, n_params, ninput)
+            try:
+                jax.eval_shape(lane_probe)
+            except PharmsolError:
+                raise
+            except Exception as e:
+                raise PharmsolError(
+                    f"engine='pallas' ODE psi could not trace the RHS "
+                    f"with lane shims or stacked arrays (avoid "
+                    f"data-dependent indexing of the state): {e}"
+                ) from e
+            if jax.devices()[0].platform == "tpu":
+                # a style can TRACE through stacked arrays yet use a
+                # primitive Mosaic cannot lower (e.g. `.at[i].set` ->
+                # scatter). Probe-lower the RHS in a trivial kernel
+                # client-side so unsupported styles fall back at PLAN
+                # time instead of crashing the compiled psi at runtime.
+                from jax.experimental import pallas as pl
+
+                shape32 = (8, 128)
+
+                def _probe_kernel(o_ref):
+                    xs32 = [jnp.full(shape32, 0.5, jnp.float32)
+                            for _ in range(n_states)]
+                    p32 = [jnp.full((1, 128), 0.3, jnp.float32)
+                           for _ in range(n_params)]
+                    z32 = jnp.zeros((1, 128), jnp.float32)
+                    covd32 = {
+                        n: ((z32, z32) if m == "affine" else z32)
+                        for n, m in zip(self.cov_names, self.cov_modes)
+                    }
+                    b32 = ({j: z32 for j in bolus_inputs}
+                           if bolus_rhs_diff else None)
+                    out32 = rhs(xs32, p32,
+                                jnp.full(shape32, 0.1, jnp.float32),
+                                z32, covd32, shape32, jnp.float32, b32)
+                    acc = out32[0]
+                    for c in out32[1:]:
+                        acc = acc + c
+                    o_ref[:, :] = acc
+
+                try:
+                    jax.jit(lambda: pl.pallas_call(
+                        _probe_kernel,
+                        out_shape=jax.ShapeDtypeStruct(
+                            shape32, jnp.float32),
+                    )()).lower()
+                except PharmsolError:
+                    raise
+                except Exception as e:
+                    raise PharmsolError(
+                        f"engine='pallas' ODE psi: this RHS style uses "
+                        f"a primitive the TPU kernel compiler cannot "
+                        f"lower (e.g. `.at` scatter updates on the "
+                        f"state) — build dx via jnp.stack or "
+                        f"whole-vector arithmetic, or use the default "
+                        f"XLA engine: {e}"
+                    ) from e
 
         if grid.cov_names and equation._out is not None:
             _check_out_covariate_free(
@@ -3230,6 +3292,7 @@ class _PallasOdePsiPlan:
         o = self.opts
         return ("pallas_ode", self.n_states, self.n_params, self.ninput,
                 self.bolus_inputs, self.rate_inputs, self.bolus_rhs_diff,
+                self.rhs_style,
                 self.Rp,
                 self.Sp, self.M, self.pass_inf, self.pass_cens,
                 self.pass_outeq, self.n_out, self.out_bias is not None,
@@ -3301,6 +3364,7 @@ class _PallasOdePsiPlan:
         nb, nr = self.n_bolus_in, self.n_rate_in
         bolus_inputs, rate_inputs = self.bolus_inputs, self.rate_inputs
         bolus_rhs_diff = self.bolus_rhs_diff
+        rhs_style = self.rhs_style
         n_streams = (5 + nb + (nr if pass_inf else 0)
                      + int(pass_cens) + int(pass_outeq)
                      + int(has_init) + n_lag_pl + n_fa_pl
@@ -3355,7 +3419,7 @@ class _PallasOdePsiPlan:
                 lag_plane=lagp, fa_plane=fap,
                 lag_slots=lag_slots, fa_slots=fa_slots,
                 bolus_inputs=bolus_inputs, rate_inputs=rate_inputs,
-                merge_runs=merge_runs,
+                merge_runs=merge_runs, rhs_style=rhs_style,
             )
 
         run.n_streams = n_streams

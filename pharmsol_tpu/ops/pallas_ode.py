@@ -492,6 +492,57 @@ def make_lane_rhs(diffeq, n_states: int, n_params: int, ninput: int = None,
     return rhs
 
 
+def make_stacked_rhs(diffeq, n_states: int, n_params: int,
+                     ninput: int = None, rate_inputs: tuple = (0,)):
+    """Stacked-ARRAY RHS evaluation: the fallback for closure styles the
+    ``LaneVec`` shim cannot trace.
+
+    ``x``/``p``/``b``/``rateiv`` are handed to the user closure as REAL
+    jnp arrays of shape [n, rows, sp] (states stacked on a small leading
+    axis), so vector-style RHS code — ``jnp.zeros_like(x)``, ``.at[i]``
+    updates, static fancy indexing, whole-vector arithmetic — traces
+    as written. Costs broadcast materialization of the per-support
+    parameter rows to full tiles (a few hundred KB of VMEM at 64x128),
+    which the lane representation avoids; the plan prefers lanes and
+    only switches here when the lane probe fails.
+    """
+    if ninput is None:
+        ninput = n_states
+
+    def rhs(xs, p_lanes, t, rate, cov_lanes, shape, dtype, b_lanes=None):
+        X = jnp.stack([
+            jnp.broadcast_to(jnp.asarray(x, dtype), shape) for x in xs
+        ])
+        Pv = jnp.stack([
+            jnp.broadcast_to(jnp.asarray(p, dtype), shape) for p in p_lanes
+        ])
+        nin = max(ninput, 1)
+        bl = [jnp.zeros(shape, dtype)] * nin
+        if b_lanes:
+            for j, v in b_lanes.items():
+                bl[j] = jnp.broadcast_to(jnp.asarray(v, dtype), shape)
+        B = jnp.stack(bl)
+        rl = [jnp.zeros(shape, dtype)] * nin
+        if rate is not None:
+            rr = list(rate) if isinstance(rate, (list, tuple)) else [rate]
+            for j, r in zip(rate_inputs, rr):
+                rl[j] = jnp.broadcast_to(jnp.asarray(r, dtype), shape)
+        Rt = jnp.stack(rl)
+        out = diffeq(X, Pv, t, B, Rt, LaneCov(cov_lanes))
+        if isinstance(out, (list, tuple, LaneVec)):
+            comps = list(out)
+        else:
+            comps = [out[i] for i in range(n_states)]
+        if len(comps) != n_states:
+            raise ValueError(
+                f"RHS returned {len(comps)} components, expected {n_states}"
+            )
+        return [jnp.broadcast_to(jnp.asarray(c, dtype), shape)
+                for c in comps]
+
+    return rhs
+
+
 def _make_ode_kernel(
     rhs, *, n_states: int, n_params: int, n_seg: int, has_inf: bool,
     has_cens: bool, n_out: int, has_bias: bool, has_init: bool,
@@ -1803,6 +1854,7 @@ def psi_ode(
     bolus_inputs=(0,),
     rate_inputs=(0,),
     merge_runs=None,
+    rhs_style: str = "lanes",
     interpret: Optional[bool] = None,
 ):
     """Fused psi for ODE models: one pallas kernel per tile.
@@ -2078,7 +2130,9 @@ def psi_ode(
             raise ValueError(
                 f"merge_runs must cover all {M} segments, got {merge_runs}"
             )
-    rhs = make_lane_rhs(diffeq, n_states, n_params, ninput, rate_inputs)
+    rhs = (make_stacked_rhs if rhs_style == "stacked"
+           else make_lane_rhs)(
+        diffeq, n_states, n_params, ninput, rate_inputs)
     kernel = _make_ode_kernel(
         rhs, n_states=n_states, n_params=n_params, n_seg=M, has_inf=has_inf,
         has_cens=has_cens, n_out=n_out, has_bias=has_bias, has_init=has_init,

@@ -1097,3 +1097,46 @@ def test_ode_pallas_state_dependent_bolus_with_lag():
                                engine="pallas")
     rel = np.max(np.abs(pp - px) / np.maximum(np.abs(px), 1.0))
     assert rel < 5e-4, rel
+
+
+def test_ode_pallas_vector_style_rhs_stacked():
+    """Round 4: RHS styles the LaneVec shim cannot trace —
+    jnp.zeros_like(x) + .at updates + whole-vector arithmetic — retry
+    with the stacked-ARRAY representation (make_stacked_rhs) instead of
+    falling back to XLA; the last ODE-tier model-class exclusion."""
+    from pharmsol_tpu.likelihood.matrix import _PallasOdePsiPlan
+    from pharmsol_tpu.ops.pallas_psi import SUB_TILE
+
+    def diffeq(x, p, t, b, rateiv, cov):
+        dx = jnp.zeros_like(x)
+        dx = dx.at[0].set(-p[0] * x[0] + b[0])
+        dx = dx.at[1].set(p[0] * x[0] - p[1] * x[1] + rateiv[0])
+        return dx
+
+    model = ODE(diffeq, out=lambda x, p, t, cov: x[1:2] / p[2],
+                nstates=2, ndrugs=1, nout=1)
+    subs = []
+    for i in range(5):
+        sb = SubjectBuilder(f"s{i}").bolus(0.0, 100.0, 0)
+        if i % 2 == 0:
+            sb = sb.infusion(1.0, 30.0, 0, 0.8)
+        for t in (0.5, 1.5, 3.0, 6.0):
+            sb = sb.observation(t, float(5 * np.exp(-0.3 * t) + 0.1 * i), 0)
+        subs.append(sb.build())
+    rng = np.random.default_rng(4)
+    sp = np.column_stack([
+        rng.uniform(0.8, 1.6, 6), rng.uniform(0.15, 0.4, 6),
+        rng.uniform(8, 14, 6),
+    ])
+    grid = model.lower(Data(subs).subjects())
+    lowered = _ems().lower(model.resolve_output_label, model.nouteqs())
+    plan = _PallasOdePsiPlan(
+        model, grid, np.asarray(sp, np.float64), lowered,
+        row_multiple=SUB_TILE,
+    )
+    assert plan.rhs_style == "stacked"
+    px = log_likelihood_matrix(model, Data(subs), sp, _ems(), engine="xla")
+    pp = log_likelihood_matrix(model, Data(subs), sp, _ems(),
+                               engine="pallas")
+    rel = np.max(np.abs(pp - px) / np.maximum(np.abs(px), 1.0))
+    assert rel < 5e-4, rel
