@@ -234,4 +234,4 @@ def test_npde_covariate_effects_shift_replicates():
     # beta without the specs cannot reconstruct the design
     bad = SimpleNamespace(**{**pop.__dict__, "covariate_effects": None})
     with pytest.raises(PharmsolError, match="covariate_effects"):
-        npde(_model(), data, _prop(0.06), bad, n_rep=4, seed=1)
+        npde(_model(), data, _prop(0.06), bad, n_rep=100, seed=1)
