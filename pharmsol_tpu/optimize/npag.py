@@ -43,6 +43,17 @@ from ..likelihood.matrix import log_likelihood_matrix
 _PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53)
 
 
+def _weights_device_eligible(shape) -> bool:
+    """Build the f32 device copy only when the burn-in will use it."""
+    from .weights import _DEVICE_MIN_CELLS
+
+    if shape[0] * shape[1] < _DEVICE_MIN_CELLS:
+        return False
+    import jax
+
+    return jax.devices()[0].platform != "cpu"
+
+
 def _halton(n: int, dim: int, skip: int = 20) -> np.ndarray:
     """Low-discrepancy start grid (radical-inverse Halton, unit cube)."""
     if dim > len(_PRIMES):
@@ -103,43 +114,22 @@ class PopulationResult(NamedTuple):
 
 
 def _solve_weights(psi: np.ndarray, max_iters: int = 4000,
-                   tol: float = 1e-10):
+                   tol: float = 1e-10, psi_pad_f32=None):
     """NPML weights on the simplex for a row-normalized psi matrix.
 
-    Multiplicative fixed point lam <- lam * (psi^T (1/(psi lam))) / n:
-    monotone in the objective sum_i log((psi lam)_i); at the optimum the
-    gradient condition D_j = sum_i psi_ij/(psi lam)_i equals n for every
-    supported j (Lindsay 1983). Returns (lam, pyl, ll_shiftless).
+    Round 5 moved the solve to optimize/weights.py: an on-device f32
+    multiplicative burn-in (one jitted while_loop over the bucketed
+    psi shape) followed by host f64 active-set Newton with an exact
+    full-matrix KKT check — the round-4 fit spent 125 of 182 s in the
+    plain host fixed point (r04_population_fit.json) while the TPU
+    idled. The plain fixed point and the two measured-and-reverted
+    accelerations (f32 warm phase, SQUAREM) are documented on
+    weights.solve_weights_plain. Returns (lam, pyl, ll_shiftless).
     """
-    n, k = psi.shape
-    lam = np.full(k, 1.0 / k)
-    last = -np.inf
-    # Plain multiplicative ascent, deliberately: two acceleration
-    # attempts were measured on the real 10k x 1k first-cycle matrix and
-    # reverted per keep-only-if-it-wins. (1) An f32 warm phase: the f32
-    # resolution floor stops ~iteration 200 of ~1400, so the f64 tail
-    # still dominates — no win. (2) SQUAREM: with boundary CLIPPING it
-    # was 4.7x faster but silently zeroed support weights (multiplicative
-    # updates preserve zeros) and stalled 12 nats short; with the correct
-    # alpha-backtracking positivity handling it matches the plain ll
-    # exactly but saves nothing — NPML optima are sparse, so the
-    # extrapolation crosses the boundary and degenerates to plain steps
-    # plus overhead. The real lever was shape-stable psi (see
-    # _PSI_BUCKET above).
-    for _ in range(max_iters):
-        pyl = psi @ lam
-        pyl = np.maximum(pyl, 1e-300)
-        ll = float(np.sum(np.log(pyl)))
-        lam = lam * (psi.T @ (1.0 / pyl)) / n
-        s = lam.sum()
-        if not np.isfinite(s) or s <= 0:
-            raise PharmsolError("NPML weight iteration diverged")
-        lam /= s
-        if ll - last < tol * max(1.0, abs(ll)):
-            break
-        last = ll
-    pyl = np.maximum(psi @ lam, 1e-300)
-    return lam, pyl, float(np.sum(np.log(pyl)))
+    from .weights import solve_weights
+
+    return solve_weights(psi, psi_pad_f32=psi_pad_f32,
+                         max_iters=max_iters, tol=tol)
 
 
 def fit_population(
@@ -237,6 +227,7 @@ def fit_population(
                 log_psi = log_likelihood_matrix(
                     equation, data, sp_run, error_models, engine=engine
                 )
+        log_psi_pad = log_psi
         log_psi = log_psi[:, :S_real]
         # row-shift before exponentiating: weights are scale-invariant
         # per row and the shifts add back into the reported loglik
@@ -253,7 +244,18 @@ def fit_population(
             # nothing to the D-score (exp(-inf - 0) = 0 keeps it NaN-free)
             shift = np.where(ok, shift, -np.inf)
         safe = np.where(ok, shift, 0.0)
-        return np.exp(log_psi - safe[:, None]), shift
+        psi_m = np.exp(log_psi - safe[:, None])
+        # f32 copy at the PADDED (bucketed) width for the on-device
+        # weight-solve burn-in: pad columns are duplicates of the last
+        # real point and get masked inside the solver, so the program
+        # shape stays bucketed and cycles share one remote compile
+        # (optimize/weights.py). Built only where it will be used.
+        psi_pad = None
+        if require_finite and _weights_device_eligible(log_psi_pad.shape):
+            psi_pad = np.exp(
+                log_psi_pad - safe[:, None]
+            ).astype(np.float32)
+        return psi_m, shift, psi_pad
 
     def dedupe(support: np.ndarray, lam: np.ndarray):
         scaled = (support - lo) / span
@@ -268,13 +270,13 @@ def fit_population(
         keep = np.sort(np.asarray(keep))
         return support[keep]
 
-    def solve_weights_timed(psi_m):
-        with stage("npag/weights_host"):
-            return _solve_weights(psi_m)
+    def solve_weights_timed(psi_m, psi_pad=None):
+        with stage("npag/weights"):
+            return _solve_weights(psi_m, psi_pad_f32=psi_pad)
 
     support = lo + _halton(init_points, p) * span
-    psi, shifts = psi_of(support)
-    lam, pyl, ll = solve_weights_timed(psi)
+    psi, shifts, psi_pad = psi_of(support)
+    lam, pyl, ll = solve_weights_timed(psi, psi_pad)
     ll += float(np.sum(shifts))
     n_sub = psi.shape[0]
 
@@ -285,8 +287,8 @@ def fit_population(
         # condense: keep meaningful mass, merge near-duplicates
         keep = lam > weight_floor * np.max(lam)
         support = dedupe(support[keep], lam[keep])
-        psi, shifts = psi_of(support)
-        lam, pyl, ll_new = solve_weights_timed(psi)
+        psi, shifts, psi_pad = psi_of(support)
+        lam, pyl, ll_new = solve_weights_timed(psi, psi_pad)
         ll_new += float(np.sum(shifts))
 
         # expand: +-delta per dimension for every kept point, one batch
@@ -298,8 +300,9 @@ def fit_population(
         cand = np.unique(cand, axis=0)
         if len(cand) + len(support) > max_support:
             cand = cand[: max(0, max_support - len(support))]
-        cand_psi, cand_shift = (
-            psi_of(cand, require_finite=False) if len(cand) else (None, None)
+        cand_psi, cand_shift, _ = (
+            psi_of(cand, require_finite=False)
+            if len(cand) else (None, None, None)
         )
         added = 0
         if cand_psi is not None:
@@ -309,8 +312,8 @@ def fit_population(
             good = d > n_sub * (1.0 + 1e-9)
             if np.any(good):
                 support = np.concatenate([support, cand[good]])
-                psi, shifts = psi_of(support)
-                lam, pyl, ll_new = solve_weights_timed(psi)
+                psi, shifts, psi_pad = psi_of(support)
+                lam, pyl, ll_new = solve_weights_timed(psi, psi_pad)
                 ll_new += float(np.sum(shifts))
                 added = int(np.sum(good))
 
@@ -340,8 +343,8 @@ def fit_population(
             np.clip(opt.optimize_point(pt), lo, hi) for pt in support
         ])
         support = dedupe(polished, lam)
-        psi, shifts = psi_of(support)
-        lam, pyl, ll = solve_weights_timed(psi)
+        psi, shifts, psi_pad = psi_of(support)
+        lam, pyl, ll = solve_weights_timed(psi, psi_pad)
         ll += float(np.sum(shifts))
     elif refine is not None:
         raise PharmsolError("refine must be None or 'nm'")
@@ -349,8 +352,8 @@ def fit_population(
     keep = lam > weight_floor * np.max(lam)
     support, lam = support[keep], lam[keep]
     lam = lam / lam.sum()
-    psi, shifts = psi_of(support)
-    lam, pyl, ll = solve_weights_timed(psi)
+    psi, shifts, psi_pad = psi_of(support)
+    lam, pyl, ll = solve_weights_timed(psi, psi_pad)
     ll += float(np.sum(shifts))
     d_max = float((psi / pyl[:, None]).sum(axis=0).max() - n_sub)
     posterior = psi * lam[None, :]
