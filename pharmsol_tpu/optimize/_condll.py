@@ -112,7 +112,21 @@ def build_cond_ll(
     fd = float_dtype()
     rows = grid.rows
     row_subject = jnp.asarray(np.asarray(grid.row_subject))
-    pred_one = eq._pred_one_fn(tuple(grid.cov_names))
+    solver = getattr(getattr(eq, "_opts", None), "solver", None)
+    if (getattr(eq, "kind", None) == "ode"
+            and solver not in _REVERSE_DIFF_SOLVERS):
+        from ..engine.sens import make_sens_pred_one, supports_forward_sens
+
+        if supports_forward_sens(eq):
+            # adaptive solvers: forward derivatives integrate the
+            # augmented sensitivity system (engine/sens.py) instead of
+            # jvp-ing through the while_loop stepper — same values,
+            # ordinary compile cost instead of the jvp-tower blowup
+            pred_one = make_sens_pred_one(eq, tuple(grid.cov_names))
+        else:
+            pred_one = eq._pred_one_fn(tuple(grid.cov_names))
+    else:
+        pred_one = eq._pred_one_fn(tuple(grid.cov_names))
     n_rows = int(np.asarray(grid.row_subject).shape[0])
 
     obs_outeq = rows.obs_outeq

@@ -364,7 +364,10 @@ def _newton_active(psi_a: np.ndarray, lam: np.ndarray, n: int,
 
 _ACTIVE_TOL = 1e-12      # post-burn-in working-set threshold on lam
 _KKT_REL = 1e-9          # D_j <= n * (1 + _KKT_REL) for excluded columns
-_DEVICE_MIN_CELLS = 2_000_000
+# ~40+ support columns at 10k subjects: below this the host burn-in with
+# pruning wins (upload + dispatch overhead); above it the device while_loop
+# does in ~0.1 s what the host does in seconds (r05 10k-fit stage timers)
+_DEVICE_MIN_CELLS = 400_000
 
 
 def solve_weights(psi: np.ndarray, *, psi_pad_f32: Optional[np.ndarray] = None,
