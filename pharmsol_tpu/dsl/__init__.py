@@ -18,6 +18,8 @@ from .runtime import (  # noqa: F401
     compile_model,
     compile_module,
     compile_module_source_to_runtime,
+    artifact_schema,
     load_runtime_artifact,
     save_artifact,
+    validate_artifact,
 )

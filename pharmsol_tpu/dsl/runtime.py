@@ -39,7 +39,7 @@ from ..models.equation import ODE, Analytical
 from ..models.sde import SDE
 from .analyze import AnalyzedModel, analyze_model, analyze_module
 from .ast import DslModelKind, DslRouteKind, Expr, Stmt
-from .diagnostic import Diagnostic, DslError
+from .diagnostic import Diagnostic, DslError, Span
 from .interp import eval_expr, eval_stmts
 from .parser import parse_model, parse_module
 
@@ -540,13 +540,65 @@ def save_artifact(runtime: CompiledRuntimeModel, path: str) -> None:
         json.dump(payload, f, indent=1)
 
 
-def load_runtime_artifact(path: str) -> CompiledRuntimeModel:
-    """Load a .pkm artifact back into a runnable model (aot.rs:316 parity)."""
+def artifact_schema() -> dict:
+    """The published JSON Schema for the .pkm artifact (schemas/pkm-v1.json).
+
+    Counterpart of the reference's schemas/model-v2.json (:1-40 — editor
+    tooling validation surface); here the schema pins the compiled IR
+    that all three `.pkm` hosts consume.
+    """
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    with open(os.path.join(root, "schemas", "pkm-v1.json")) as f:
+        return json.load(f)
+
+
+def validate_artifact(payload) -> None:
+    """Validate a .pkm payload (dict or path) against schemas/pkm-v1.json.
+
+    Raises DslError DSL4004 with the schema path on failure.
+    """
+    if isinstance(payload, str):
+        with open(payload) as f:
+            payload = json.load(f)
+    try:
+        import jsonschema
+    except ImportError:  # validation is optional tooling, not a core dep
+        return
+    try:
+        jsonschema.validate(payload, artifact_schema())
+    except jsonschema.ValidationError as e:
+        raise DslError(
+            Diagnostic.error(
+                "DSL4004",
+                f"artifact does not match schemas/pkm-v1.json at "
+                f"{'/'.join(str(x) for x in e.absolute_path) or '<root>'}: "
+                f"{e.message}",
+                Span.empty(),
+            )
+        )
+
+
+def load_runtime_artifact(path: str, validate: bool = False) -> CompiledRuntimeModel:
+    """Load a .pkm artifact back into a runnable model (aot.rs:316 parity).
+
+    ``validate=True`` checks the payload against the published JSON
+    Schema (schemas/pkm-v1.json) before building, turning malformed
+    hand-edited artifacts into a located DSL4004 diagnostic instead of a
+    KeyError deep in IR reconstruction.
+    """
     with open(path) as f:
         payload = json.load(f)
+    if validate:
+        validate_artifact(payload)
     if payload.get("format") != ARTIFACT_FORMAT:
         raise DslError(
-            Diagnostic.error("DSL4002", f"`{path}` is not a pharmsol-tpu artifact")
+            Diagnostic.error(
+                "DSL4002", f"`{path}` is not a pharmsol-tpu artifact",
+                Span.empty(),
+            )
         )
     if payload.get("version", 0) > ARTIFACT_VERSION:
         raise DslError(
@@ -554,6 +606,7 @@ def load_runtime_artifact(path: str) -> CompiledRuntimeModel:
                 "DSL4003",
                 f"artifact version {payload['version']} is newer than supported "
                 f"({ARTIFACT_VERSION})",
+                Span.empty(),
             )
         )
     am = _am_from_json(payload["model"])
