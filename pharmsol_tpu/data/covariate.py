@@ -159,6 +159,31 @@ class Covariates:
     def get(self, name: str) -> Optional[Covariate]:
         return self._map.get(name)
 
+    def add_observation(self, name: str, time: float, value: float) -> None:
+        """Raw-observation collection API (covariate.rs:584-591): creates
+        the covariate on first touch, appends otherwise."""
+        cov = self._map.get(name)
+        if cov is None:
+            cov = Covariate(name, False)
+            self._map[name] = cov
+        cov.add_observation(time, value)
+
+    def update_observation(self, name: str, time: float,
+                           new_value: float) -> bool:
+        """covariate.rs:628-631: replace the value at an existing knot."""
+        cov = self._map.get(name)
+        if cov is None:
+            return False
+        cov.update_observation(time, new_value)
+        return True
+
+    def set_covariate_fixed(self, name: str, fixed: bool) -> None:
+        """covariate.rs:593-594: mark a covariate carry-forward ('!')."""
+        cov = self._map.get(name)
+        if cov is not None:
+            cov.fixed = bool(fixed)
+            cov._dirty = True
+
     def get_covariate(self, name: str) -> Optional[Covariate]:
         """Reference-named accessor (covariate.rs ``get_covariate``)."""
         return self._map.get(name)

@@ -333,6 +333,60 @@ class NCAResult:
     multi_dose: Optional[MultiDoseParams]
     quality: Quality
 
+    def __str__(self) -> str:
+        """Human-readable boxed summary (types.rs:605-700 Display)."""
+        w = 38
+        bar = "═" * w
+        lines = [f"╔{bar}╗", f"║{'NCA Results':^{w}}║", f"╠{bar}╣"]
+
+        def row(text: str) -> None:
+            lines.append(f"║ {text:<{w - 2}} ║")
+
+        if self.subject_id is not None:
+            row(f"Subject: {self.subject_id}")
+        if self.occasion is not None:
+            row(f"Occasion: {self.occasion}")
+        if self.dose_amount is not None:
+            route = self.route.name if self.route is not None else "Unknown"
+            row(f"Dose: {self.dose_amount:.2f} ({route})")
+        lines.append(f"╠{bar}╣")
+        row("EXPOSURE")
+        row(f"  Cmax:    {self.exposure.cmax:>10.4g} at Tmax={self.exposure.tmax:.2f}")
+        row(f"  AUClast: {self.exposure.auc_last:>10.4g}")
+        if self.exposure.auc_inf_obs is not None:
+            row(f"  AUCinf(obs):  {self.exposure.auc_inf_obs:>10.4g}")
+        if self.exposure.auc_inf_pred is not None:
+            row(f"  AUCinf(pred): {self.exposure.auc_inf_pred:>10.4g}")
+        row(f"  Clast:   {self.exposure.clast:>10.4g} at Tlast={self.exposure.tlast:.2f}")
+        if self.terminal is not None:
+            lines.append(f"╠{bar}╣")
+            row("TERMINAL")
+            row(f"  lambda_z: {self.terminal.lambda_z:>10.5g}")
+            row(f"  t1/2:     {self.terminal.half_life:>10.4g}")
+            if self.terminal.regression is not None:
+                row(f"  R^2:      {self.terminal.regression.r_squared:>10.4f}")
+        if self.clearance is not None:
+            lines.append(f"╠{bar}╣")
+            row("CLEARANCE")
+            row(f"  CL/F:    {self.clearance.cl_f:>10.4g}")
+            row(f"  Vz/F:    {self.clearance.vz_f:>10.4g}")
+        if self.route_params is not None and self.route_params.kind == "iv_bolus":
+            lines.append(f"╠{bar}╣")
+            row("IV BOLUS")
+            row(f"  C0:      {self.route_params.params.c0:>10.4g}")
+            row(f"  Vd:      {self.route_params.params.vd:>10.4g}")
+        elif self.route_params is not None and self.route_params.kind == "iv_infusion":
+            lines.append(f"╠{bar}╣")
+            row("IV INFUSION")
+            row(f"  Dur:     {self.route_params.params.infusion_duration:>10.4g}")
+        if self.quality.warnings:
+            lines.append(f"╠{bar}╣")
+            row("WARNINGS")
+            for warning in self.quality.warnings:
+                row(f"  - {warning.message}")
+        lines.append(f"╚{bar}╝")
+        return "\n".join(lines)
+
     # -- convenience accessors (types.rs NCAResult impl) --------------------
     def half_life(self) -> Optional[float]:
         return self.terminal.half_life if self.terminal else None

@@ -764,7 +764,12 @@ def fit_laplace(
                 if q:
                     om_iov_ses = om_iov_np * sd[o_iov:o_sig]
         except Exception:  # singular Hessian: report point estimates only
-            pass
+            import os
+
+            if os.environ.get("PHARMSOL_DEBUG_SE"):
+                import traceback
+
+                traceback.print_exc()
 
     out_models = ResidualErrorModels()
     a_np = np.asarray(sig_a, dtype=np.float64)
