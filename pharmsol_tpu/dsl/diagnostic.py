@@ -116,10 +116,15 @@ def edit_distance(a: str, b: str) -> int:
 
 
 def best_suggestion(name: str, candidates) -> Optional[str]:
-    """Closest candidate within an edit-distance budget (<= 1 + len/3)."""
+    """Closest candidate within an edit-distance budget (<= 1 + len/3).
+
+    Ties break lexicographically: callers often pass sets, and set
+    iteration order varies with the hash seed — an unsorted walk made
+    the suggestion text nondeterministic across processes.
+    """
     best = None
     best_d = None
-    for c in candidates:
+    for c in sorted(candidates):
         d = edit_distance(name.lower(), c.lower())
         if best_d is None or d < best_d:
             best, best_d = c, d

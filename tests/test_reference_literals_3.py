@@ -796,7 +796,9 @@ def test_analytical_structure_missing_name_suggests():
     diags = err.value.diagnostics
     d = next(d for d in diags if d.code == "DSL2030")
     assert "requires" in d.message and "ke" in d.message
-    assert d.suggestion in ("ke", "kel")
+    # `ka` and `kel` are both distance-1 from `ke`; best_suggestion
+    # breaks ties lexicographically -> `ka`
+    assert d.suggestion == "ka"
 
 
 def test_analytical_params_derive_overlap_rejected():
