@@ -748,6 +748,12 @@ def fit_laplace(
                 (jax.jacfwd(jax.jacfwd(_raw_neg_laplace)) if forward_mode
                  else jax.hessian(neg_laplace))(z),
                 dtype=np.float64)
+            # the true Hessian is symmetric; numerical asymmetry enters
+            # through the IFT rule when the inner Newton is not fully
+            # converged (measured: rel 1e-6 at inner_steps=12 vs O(1) at
+            # 5 on a 4-subject ODE toy) — symmetrize before inverting so
+            # mild asymmetry degrades SEs instead of poisoning them
+            H = 0.5 * (H + H.T)
             cov = np.linalg.inv(H)
             d = np.diag(cov)
             if np.all(np.isfinite(d)) and np.all(d > -1e-12):
