@@ -2150,7 +2150,16 @@ def psi_ode(
         # reading noise as error drives a near-permanent accept/reject
         # oscillation (measured: a smooth 2-cmt lane burned the full 10k
         # budget at cap 5, converged ~50 iters at cap 3; the f64 XLA
-        # engine keeps the full 1-5 range)
+        # engine keeps the full 1-5 range). Round 5 ran the promised
+        # mixed-precision experiment — a compensated (Knuth two-sum)
+        # difference array with a compensation row per D row — and
+        # reverted it per keep-only-if-it-wins: CPU-interpret parity was
+        # unchanged at every order (1.2-1.5e-4, budget 2e-3), and while
+        # compensation DOES stabilize order 5 on-chip (finite cells,
+        # completes), it ran 1.90M sims/s with a 628 s Mosaic compile
+        # vs the plain order-3 kernel's 5.16M / 38 s — the doubled
+        # while-carry is a pure loss (benches/recorded/
+        # r05_bdf_mixed.json; same-session A/B, 512x128 TMDD rtol 1e-4)
         bdf_max_order=int(os.environ.get("PHARMSOL_BDF_MAX_ORDER", "3")),
         bdf_max_growth=float(
             os.environ.get("PHARMSOL_BDF_MAX_GROWTH", "10.0")),
