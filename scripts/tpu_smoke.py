@@ -282,6 +282,30 @@ out(cp) = central / v
         rel4 < 1e-4,
     ))
 
+    # round 5: the NPML weight-solve device burn-in (optimize/weights.py)
+    # compiles and lands in the same basin as the host path
+    from pharmsol_tpu.optimize.weights import (
+        _burnin_device, _newton_active, solve_weights_plain,
+    )
+
+    rng5 = np.random.RandomState(9)
+    nw, kw = 400, 96
+    centers = rng5.rand(4)
+    true_w = centers[rng5.randint(4, size=nw)]
+    theta_w = np.sort(rng5.rand(kw))
+    lpsi = -0.5 * ((true_w[:, None] - theta_w[None, :]) / 0.1) ** 2
+    psi_w = np.exp(lpsi - lpsi.max(axis=1, keepdims=True))
+    pad_w = np.concatenate(
+        [psi_w, np.zeros((nw, 32))], axis=1).astype(np.float32)
+    lam_dev = _burnin_device(pad_w, kw)
+    lam_ref, pyl_ref, ll_ref = solve_weights_plain(psi_w)
+    lam_n = _newton_active(psi_w, lam_dev, nw)
+    ll_n = float(np.sum(np.log(np.maximum(psi_w @ lam_n, 1e-300))))
+    rel_w = abs(ll_n - ll_ref) / max(1.0, abs(ll_ref))
+    checks.append((f"weights/device-burnin ({rel_w:.1e}<=1e-6)",
+                   ll_n >= ll_ref - 1e-6 * max(1.0, abs(ll_ref))))
+    print("  ...weights device burn-in compiled")
+
     failed = [name for name, ok in checks if not ok]
     for name, ok in checks:
         print(f"  {'OK  ' if ok else 'FAIL'} {name}")
