@@ -77,7 +77,6 @@ def _augmented_equation(eq):
     user_out = eq._out
     n = eq._nstates
     nout = eq._nout
-    n_par = None  # resolved at trace time from the parameter vector
 
     def aug_diffeq(x_aug, p_aug, t, b, rateiv, cov):
         x, s = x_aug[:n], x_aug[n:]
