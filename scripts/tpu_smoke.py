@@ -240,10 +240,7 @@ out(cp) = central / v
     # covariate x BLOQ/ALOQ censoring, zero diffusion -> parity vs the
     # XLA SDE engine is deterministic (same EM controller law; the only
     # approximation is the kernel's log_ndtr on censored cells)
-    import jax.numpy as jnp
-
-    from pharmsol_tpu import SDE, Censor, Data, SubjectBuilder
-    from pharmsol_tpu.likelihood.matrix import log_likelihood_matrix
+    from pharmsol_tpu import SubjectBuilder
 
     sde = SDE(
         drift=lambda x, p, t, rateiv, cov: jnp.stack([
