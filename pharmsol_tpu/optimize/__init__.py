@@ -11,3 +11,4 @@ from .profile import ProfileParameter, ProfileResult, llp
 from .saem import SaemResult, fit_saem
 from .scm import ScmResult, ScmStep, scm
 from .parameters import ParameterOptimizer
+from .weights import solve_weights, solve_weights_plain
