@@ -20,26 +20,28 @@ from .decompose import (  # noqa: F401
     _RowCov,
     _decompose_input_seg_planes,
     _affine_solve,
-    _decompose_seq,
     _host_cpu_device,
     _host_cov_values,
-    _decompose_seq_tv,
-    _MAX_SEQ_LEVELS,
-    _MAX_PLANE_FLOATS,
-    _seq_depth_stream,
-    _decompose_seq_levels,
-    _decompose_seq_planes,
-    _MAX_SEQ_SEGPLANES,
-    _decompose_seq_segplanes,
-    _MAX_SEQ_COLPLANES,
-    _colplanes_dynamic_lag,
-    _decompose_seq_colplanes,
     _decompose_kernel_inputs,
     _InputPlaneDynamic,
     _decompose_input_plane,
     _decompose_input_planes,
     _validate_lag_no_overlap,
     _check_out_covariate_free,
+)
+from .seq import (  # noqa: F401
+    _MAX_PLANE_FLOATS,
+    _MAX_SEQ_COLPLANES,
+    _MAX_SEQ_LEVELS,
+    _MAX_SEQ_SEGPLANES,
+    _colplanes_dynamic_lag,
+    _decompose_seq,
+    _decompose_seq_colplanes,
+    _decompose_seq_levels,
+    _decompose_seq_planes,
+    _decompose_seq_segplanes,
+    _decompose_seq_tv,
+    _seq_depth_stream,
 )
 
 class _PallasSdePsiPlan:
